@@ -1,0 +1,62 @@
+"""Table registry over parquet directories.
+
+The synthetic oracle-tier tables (TESTDATA.md) are one parquet file
+per table under an ``sf_dir``; the domain lake (hourly_obs /
+daily_tmax / forecasts / train) is a partitioned directory tree
+(SURVEY §2.1 S10). Both resolve through here so query code never
+hard-codes paths.
+
+At 100 TB the same call sites work unchanged: `spark.read.parquet` on
+a partitioned directory gives Catalyst partition pruning + parquet
+min/max filter pushdown; nothing below materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Oracle-tier star schema + events/documents/embeddings (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Lazy — no job runs until an action.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark
+    refuses to read natively; we read nanos as long and truncate to
+    microseconds — byte-identical to how DuckDB (micro-precision
+    timestamps) reads the same file, so oracle comparisons line up.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all synthetic tables as SQL temp views (engine.sql path)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
