@@ -47,7 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # integer division: ns values (~1.7e18) exceed double's 2^53
+            # mantissa, so a float divide would be off by ±1 µs
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(path)
 
