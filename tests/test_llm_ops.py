@@ -1,0 +1,268 @@
+"""Golden tests for the LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from temp_data_pipeline_spark.llm import multimodal, similarity, text
+from temp_data_pipeline_spark.llm.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), DOC_SCHEMA)
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_and_char_counts(spark):
+    df = docs(spark, ["a b c", "hello world"])
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        text.token_count("text").alias("nt"),
+        text.char_count("text").alias("nc"),
+        text.avg_token_len("text").alias("av"),
+    ).collect()}
+    assert out[0].nt == 3 and out[0].nc == 5
+    assert out[1].nt == 2 and math.isclose(out[1].av, 5.0)
+
+
+def test_tokens_regex_bpe_style(spark):
+    df = docs(spark, ["hello, world 42!"])
+    toks = df.select(text.tokens_regex("text").alias("t")).first()["t"]
+    assert toks == ["hello", ",", "world", "42", "!"]
+
+
+def test_lang_id_markers(spark):
+    df = docs(spark, [
+        "the cat and the dog is in a box",
+        "le chat et la maison est une merveille",
+        "der hund und die katze ist ein tier",
+        "xyzzy qwerty plugh",
+    ])
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert out[0] == "en" and out[1] == "fr" and out[2] == "de" and out[3] == "und"
+
+
+def test_quality_score_monotonicity(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    spam = "buy buy buy buy buy buy buy buy buy buy " * 5
+    df = docs(spark, [good, spam])
+    out = {r.doc_id: r.q for r in df.select(
+        "doc_id", text.quality_score("text").alias("q")).collect()}
+    assert out[0] > out[1]  # diverse text beats repetition
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    # identical window content → same min-window fingerprint appears
+    a = "one two three four five six seven eight nine ten"
+    b = "zzz " + a  # shifted by one token; windows overlap heavily
+    df = docs(spark, [a, b])
+    fps = [r.fp for r in df.select(
+        text.rolling_fingerprint("text", window=4).alias("fp")).collect()]
+    assert fps[0] is not None and fps[1] is not None
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = docs(spark, ["same text", "other text", "same text"])
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [0, 1]
+
+
+def test_jaccard_and_shingles(spark):
+    df = docs(spark, ["a b c d e", "a b c d x"])
+    sh = df.select("doc_id", shingles("text", 3).alias("s"))
+    a = sh.filter("doc_id = 0").select(F.col("s").alias("_a"))
+    b = sh.filter("doc_id = 1").select(F.col("s").alias("_b"))
+    j = a.crossJoin(b).select(jaccard(F.col("_a"), F.col("_b")).alias("j")).first()["j"]
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
+    assert math.isclose(j, 0.5)
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    df = docs(spark, ["w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6", "zz yy xx ww vv uu"])
+    sigs = df.select(
+        "doc_id", minhash_signature(shingles("text", 2), k=8).alias("s")
+    ).collect()
+    by_id = {r.doc_id: r.s for r in sigs}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[2]
+
+
+def test_minhash_dedup_removes_near_duplicate(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = docs(spark, [base, near, other])
+    kept = sorted(r.doc_id for r in minhash_dedup(df, threshold=0.7, bands=8).collect())
+    assert kept == [0, 2]  # near-dup of doc0 dropped, unrelated doc kept
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = docs(spark, ["a b c d e", "a b c d x", "q w e r t"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], StructType([StructField("id_a", LongType()),
+                                      StructField("id_b", LongType())])
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(df, pairs, n=3).collect()}
+    assert math.isclose(out[(0, 1)], 0.5)
+    assert out[(0, 2)] == 0.0
+
+
+def test_simhash_close_for_similar_docs(spark):
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base + " extra"
+    far = " ".join(f"zzz{i}" for i in range(50))
+    df = docs(spark, [base, near, far])
+    s = {r.doc_id: r.sh for r in df.select(
+        "doc_id", simhash("text").alias("sh")).collect()}
+    mask = (1 << 64) - 1  # signatures are signed longs; compare as u64
+    ham_near = bin((s[0] ^ s[1]) & mask).count("1")
+    ham_far = bin((s[0] ^ s[2]) & mask).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 6
+
+
+def test_simhash_neardup_pairs_finds_twin(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    df = docs(spark, [base, base + " x", " ".join(f"q{i}" for i in range(60))])
+    pairs = simhash_neardup_pairs(df, max_hamming=5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+# ------------------------------------------------------------- similarity
+
+EMB_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+)
+
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], EMB_SCHEMA
+    )
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [[1, 0, 0], [0.9, 0.1, 0], [0, 1, 0], [-1, 0, 0]]
+    df = emb_df(spark, vecs)
+    out = similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [0, 1]
+    assert math.isclose(out[0].cosine, 1.0)
+
+
+def test_ann_lsh_topk_contains_true_neighbor(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(50)]
+    vecs[7] = near
+    df = emb_df(spark, vecs)
+    out = similarity.ann_lsh_topk(df, base, k=5, nbits=8, bands=4)
+    assert 7 in [r.vec_id for r in out.collect()]
+
+
+def test_ivf_topk_contains_true_neighbor(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(60)]
+    vecs[13] = [x * 1.01 for x in base]
+    df = emb_df(spark, vecs)
+    out = similarity.ivf_topk(df, base, k=5, n_centroids=4, nprobe=2, sample_size=60)
+    assert 13 in [r.vec_id for r in out.collect()]
+
+
+def test_embedding_neardup_pairs(spark):
+    import random
+
+    rng = random.Random(3)
+    v = [rng.gauss(0, 1) for _ in range(16)]
+    vecs = [v, [x * 1.001 for x in v]] + [
+        [rng.gauss(0, 1) for _ in range(16)] for _ in range(20)
+    ]
+    df = emb_df(spark, vecs)
+    pairs = embedding_neardup_pairs(df, threshold=0.99, nbits=8).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", b"fakebytes1", None, None, None, None),
+            (2, "image", "image/png", b"fakebytes2", None, None, None, None),
+            (3, "image", "image/png", None, None, None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.asset_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert len(out) == 3
+    assert out[1].n_bytes == 10 and len(out[1].features) == 8
+    assert out[1].checksum != out[2].checksum
+    assert out[3].n_bytes == 0  # null content → empty bytes, not a crash
+    # determinism: same input → same features
+    again = {r.asset_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert again[1].features == out[1].features
+
+
+def test_multimodal_real_decode_is_gated():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.extract_image_features(None, real=True)
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", "video/mp4", b"v", None, None, None, 3500)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000, 3000]
+
+
+def test_resize_spec(spark):
+    media = spark.createDataFrame(
+        [(1, "image", None, None, None, 1024, 768, None),
+         (2, "image", None, None, None, 100, 50, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.asset_id: r for r in multimodal.resize_spec(media, max_side=512).collect()}
+    assert (out[1].target_width, out[1].target_height) == (512, 384)
+    assert (out[2].target_width, out[2].target_height) == (100, 50)  # no upscale
