@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.llm.text import md5_int60, tokens
+from temp_data_pipeline_spark.session import ensure_parallelism
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -62,21 +63,45 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ---------------------------------------------------------------------------
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (array expressions only).
+def shingles_of(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column.
+
+    PERF: `tok` must be a plain attribute (a materialized column), not
+    a `split(...)` expression — the transform lambda indexes `tok` n
+    times per shingle position, and a captured non-attribute
+    expression is re-evaluated on every element visit (≈10× slower).
+    Route expressions through `tokenized()` first.
 
     try_element_at: out-of-range picks on short documents yield null,
     which concat_ws skips — identical to DuckDB list indexing (and
     safe under Spark 4's default ANSI mode, where element_at throws).
     """
-    t = tokens(col)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(
             starts,
-            lambda i: F.concat_ws(" ", *[F.try_element_at(t, i + j) for j in range(n)]),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(tok, i + j) for j in range(n)]
+            ),
         )
     )
+
+
+def tokenized(df: DataFrame, text_col: str, keep: list[str], out: str = "_tok") -> DataFrame:
+    """Project `keep` + a materialized token array (explode-of-1
+    barrier, so downstream per-element lambdas see an attribute).
+    Repartitions single-split sources so the CPU-bound hash work that
+    follows uses every core."""
+    return ensure_parallelism(df).select(
+        *keep, F.explode(F.array(tokens(text_col))).alias(out)
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from text. Convenience/testing
+    form — O(tokens·n) re-splits; production paths use
+    tokenized() + shingles_of()."""
+    return shingles_of(tokens(col), n)
 
 
 def minhash_signature(
@@ -84,24 +109,34 @@ def minhash_signature(
 ) -> Column:
     """k-minimum independent hash values over the shingle set.
 
-    hash_fn="xxhash64": production path — k seeded xxhash64 passes.
+    hash_fn="xxhash64": production path — k seeded xxhash64 hashes.
     hash_fn="md5": oracle-parity path — md5(seed || shingle) first 15
     hex chars as int60, reproducible in DuckDB SQL.
-    """
-    def _hasher(i: int):
-        # factory, not a defaulted lambda param: F.transform inspects
-        # lambda arity and would pass the array index as the 2nd arg
-        if hash_fn == "xxhash64":
-            return lambda s: F.xxhash64(F.lit(i), s)
-        prefix = f"s{i}:"
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 15), 16, 10
-        ).cast("long")
 
-    mins = [
-        F.array_min(F.transform(shingle_col, _hasher(i))) for i in range(k)
-    ]
-    return F.array(*mins)
+    Single fold over the shingle array: the accumulator is the
+    length-k min-vector, updated with all k hashes of each shingle in
+    one visit. (k separate array_min(transform(...)) expressions would
+    make CollapseProject inline — and re-evaluate — the upstream
+    tokenize/shingle expression k times.)
+    """
+    def _hashes(s: Column) -> Column:
+        if hash_fn == "xxhash64":
+            return F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)])
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"s{i}:"), s)), 1, 15), 16, 10
+                ).cast("long")
+                for i in range(k)
+            ]
+        )
+
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), k)
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(acc, _hashes(s), lambda a, h: F.least(a, h)),
+    )
 
 
 def lsh_band_pairs(
@@ -115,8 +150,12 @@ def lsh_band_pairs(
     Explode the signature into `bands` band-hashes, self-join on
     (band, band_hash), keep (a < b) pairs. Distinct pairs only.
     """
-    k = None  # rows per band derived from the signature length at runtime
-    banded = df.select(
+    # explode-of-1 barrier: ensure the signature is a plain attribute
+    # before the band expressions reference it several times each
+    sig_attr = df.select(
+        F.col(id_col), F.explode(F.array(F.col(sig_col))).alias("__sig")
+    )
+    banded = sig_attr.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -126,9 +165,9 @@ def lsh_band_pairs(
                         ",",
                         F.transform(
                             F.slice(
-                                F.col(sig_col),
-                                b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
-                                (F.size(F.col(sig_col)) / bands).cast("int"),
+                                F.col("__sig"),
+                                b * (F.size(F.col("__sig")) / bands).cast("int") + 1,
+                                (F.size(F.col("__sig")) / bands).cast("int"),
                             ),
                             lambda x: x.cast("string"),
                         ),
@@ -171,10 +210,18 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup removal: keep docs that do NOT match a
     lower-id doc at ≥ threshold exact Jaccard (candidates from LSH)."""
-    with_sh = df.select(
-        F.col(id_col), F.col(text_col), shingles(text_col, n_shingle).alias("_sh")
+    # explode-of-1 barriers keep tokens, shingles, and the signature as
+    # real attributes (evaluated once per row each), not inlined exprs
+    with_tok = tokenized(df, text_col, [id_col])
+    with_sh = with_tok.select(
+        F.col(id_col),
+        F.explode(F.array(shingles_of(F.col("_tok"), n_shingle))).alias("_sh"),
     )
-    with_sig = with_sh.withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    with_sig = with_sh.select(
+        F.col(id_col),
+        F.col("_sh"),
+        F.explode(F.array(minhash_signature(F.col("_sh"), k))).alias("_sig"),
+    )
     pairs = lsh_band_pairs(with_sig, id_col, "_sig", bands)
     sh_only = with_sh.select(F.col(id_col), F.col("_sh"))
     verified = (
@@ -206,7 +253,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) pairs."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("_sh"))
+    sh = tokenized(df, text_col, [id_col]).select(
+        F.col(id_col), shingles_of(F.col("_tok"), n).alias("_sh")
+    )
     return (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_b")), "id_b")
@@ -223,10 +272,11 @@ def simhash(col: Column | str, nbits: int = 64, hash_fn: str = "xxhash64") -> Co
     """SimHash signature over distinct tokens: per-bit majority vote of
     token hashes; bit set when the vote is strictly positive.
 
-    Bit positions are a Python-level loop (literal shift amounts) —
-    `F.shiftright` requires a literal, and literal shifts also keep
-    every op inside codegen. One aggregate over the token-hash array
-    per bit, all map-side.
+    One fold over the token-hash array carrying the length-nbits vote
+    counter vector (an nbits-separate-aggregates formulation would make
+    CollapseProject re-evaluate the tokenize+hash expression nbits
+    times). Bit positions are Python-literal shift amounts so every op
+    stays in codegen.
     """
     t = F.array_distinct(tokens(col))
     if hash_fn == "xxhash64":
@@ -234,27 +284,35 @@ def simhash(col: Column | str, nbits: int = 64, hash_fn: str = "xxhash64") -> Co
     else:
         tok_h = F.transform(t, lambda x: md5_int60(x))
         nbits = min(nbits, 60)
-    def _vote(bit: int):
-        # closure factory: PySpark inspects lambda arity, so the bit
-        # index can't ride along as a defaulted third parameter
-        return F.aggregate(
-            tok_h,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
 
-    sig = F.lit(0).cast("long")
-    for b in range(nbits):
-        # bit 63 is the sign bit: 1<<63 only fits a long as its
-        # two's-complement negative value
-        bit_val = (1 << b) if b < 63 else -(1 << 63)
-        sig = sig.bitwiseOR(
-            F.when(_vote(b) > 0, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    votes = F.aggregate(
+        tok_h,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftright(h, b).bitwiseAND(1).cast("int") for b in range(nbits)]
+            ),
+            lambda c, bit: c + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    # bit 63 is the sign bit: 1<<63 only fits a long as its
+    # two's-complement negative value
+    place = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(nbits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            place,
+            lambda c, v: F.when(c > 0, v).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -270,7 +328,9 @@ def simhash_neardup_pairs(
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
     equal), join on chunk equality, verify with bit_count(xor)."""
-    sigs = df.select(F.col(id_col), simhash(text_col).alias("_sig"))
+    sigs = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.array(simhash(text_col))).alias("_sig")
+    )
     chunks = sigs.select(
         id_col,
         "_sig",
@@ -380,7 +440,11 @@ def embedding_neardup_pairs(
             out = out + b
         return out
 
-    sigs = df.select(F.col(id_col), F.col(vec_col), sig_expr().alias("_bucket"))
+    sigs = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(sig_expr())).alias("_bucket"),
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = a.join(
         b,

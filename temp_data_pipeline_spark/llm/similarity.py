@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.llm.dedup import cosine_sim
+from temp_data_pipeline_spark.session import ensure_parallelism
 
 
 def _vec_lit(vec) -> "F.Column":
@@ -36,7 +37,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector."""
     q = _vec_lit(query_vec)
-    scored = df.select(
+    scored = ensure_parallelism(df).select(
         F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
@@ -83,7 +84,12 @@ def ann_lsh_topk(
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
 
     sig = _plane_signature(F.col(vec_col), planes, bands)
-    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    # explode-of-1 barrier: the band-match filter references the
+    # signature once per band — keep it a real attribute so the 16
+    # hyperplane dot products run once per row, not once per band
+    with_sig = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(sig)).alias("_sig")
+    )
 
     # query signature computed driver-side with the same planes
     qsig = []
@@ -139,23 +145,28 @@ def ivf_topk(
             if m.any():
                 cents[c] = sample[m].mean(0)
 
-    # nearest-centroid assignment as a pure expression: argmin over
-    # per-centroid distances (when-chain over n_centroids literals)
-    dists = []
-    for ci, c in enumerate(cents):
+    # nearest-centroid assignment as a pure expression: one array of
+    # per-centroid distances behind an explode-of-1 barrier (so the
+    # n_centroids aggregates run once per row), argmin = array_position
+    # of the minimum (first match = lowest cell id, deterministic)
+    d2s = []
+    for c in cents:
         cl = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_col), cl, lambda x, y: ((x - y) * (x - y)).cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
+        d2s.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), cl, lambda x, y: ((x - y) * (x - y)).cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
         )
-        dists.append(d2.alias(f"_d{ci}"))
-    least = F.least(*[F.col(f"_d{ci}") for ci in range(len(cents))])
-    cell = F.lit(None).cast("int")
-    for ci in range(len(cents) - 1, -1, -1):
-        cell = F.when(F.col(f"_d{ci}") == least, F.lit(ci)).otherwise(cell)
-
-    assigned = df.select(F.col(id_col), F.col(vec_col), *dists).withColumn("_cell", cell)
+    assigned = ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(F.array(*d2s))).alias("_d")
+    ).withColumn(
+        "_cell",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
+    )
 
     qd = ((cents - np.array(query_vec)) ** 2).sum(1)
     probe_cells = [int(c) for c in qd.argsort()[:nprobe]]

@@ -118,13 +118,15 @@ def md5_int60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def rolling_fingerprint(col: Column | str, window: int = 8, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
-    """Polynomial rolling hash over tokens (Rabin-Karp style): the
-    min of per-window hashes — a winnowing-like document fingerprint
-    robust to local edits. Pure array expressions (aggregate/transform),
-    no UDF."""
-    t = tokens(col)
-    tok_h = F.transform(t, lambda x: F.xxhash64(x))
+def rolling_hash_of(tok_h: Column, window: int = 8, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over a *materialized* token-hash array
+    (Rabin-Karp style): the min of per-window hashes — a winnowing-like
+    document fingerprint robust to local edits. Pure array expressions,
+    no UDF.
+
+    PERF: `tok_h` must be a plain attribute — the window lambda slices
+    it per start position, and a captured non-attribute expression is
+    re-evaluated on every element visit (turns O(n·w) into O(n²·w))."""
     n = F.size(tok_h)
     starts = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     win_hash = F.transform(
@@ -136,3 +138,11 @@ def rolling_fingerprint(col: Column | str, window: int = 8, base: int = 257, mod
         ),
     )
     return F.array_min(win_hash)
+
+
+def rolling_fingerprint(col: Column | str, window: int = 8, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Convenience form of rolling_hash_of straight from text — fine on
+    small frames/tests; production paths materialize token hashes first
+    (see plans/llm_queries.py)."""
+    tok_h = F.transform(tokens(col), lambda x: F.xxhash64(x))
+    return rolling_hash_of(tok_h, window, base, mod)

@@ -28,8 +28,9 @@ from temp_data_pipeline_spark.llm.dedup import (
     exact_dup_stats,
     minhash_dedup,
     minhash_signature,
-    shingles,
+    shingles_of,
     simhash,
+    tokenized,
     simhash_neardup_pairs,
 )
 from temp_data_pipeline_spark.plans.declared import QuerySpec
@@ -199,10 +200,19 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(shingles("text", 3), k=4, hash_fn="md5")
-    return d.select(
+    # explode-of-1 barriers at each stage (tokens → shingles → sig):
+    # a captured non-attribute expression inside a HOF lambda is
+    # re-evaluated per element, and CollapseProject would inline the
+    # signature into all 4 element_at projections
+    tokd = tokenized(d, "text", ["doc_id"])
+    shd = tokd.select(
+        "doc_id", F.explode(F.array(shingles_of(F.col("_tok"), 3))).alias("_sh")
+    )
+    sig = minhash_signature(F.col("_sh"), k=4, hash_fn="md5")
+    sigd = shd.select("doc_id", F.explode(F.array(sig)).alias("_sig"))
+    return sigd.select(
         "doc_id",
-        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+        *[F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}") for i in range(4)],
     ).orderBy("doc_id")
 
 
@@ -226,7 +236,9 @@ def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="16-bit md5-based SimHash; 64-bit xxhash variant is rows-only.",
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from temp_data_pipeline_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", simhash("text", nbits=16, hash_fn="md5").alias("simhash16")
     ).orderBy("doc_id")

@@ -55,6 +55,22 @@ def get_spark(app_name: str = "temp_data_pipeline_spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df):
+    """Repartition a DataFrame up to the cluster's core count when the
+    source produced fewer partitions (e.g. one small parquet file →
+    one partition → CPU-bound array/hash work runs on a single core).
+
+    No-op when the scan is already parallel (the 100 TB case: thousands
+    of file splits), so it never *adds* a shuffle on the big-data path
+    — it only rescues the small-file-single-split case.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
