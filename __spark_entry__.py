@@ -37,6 +37,12 @@ def _all_specs():
         specs.update(PIPELINE_QUERIES)
     except ImportError:
         pass
+    try:
+        from temp_data_pipeline_spark.plans.function_queries import FUNCTION_QUERIES
+
+        specs.update(FUNCTION_QUERIES)
+    except ImportError:
+        pass
     return specs
 
 
