@@ -43,6 +43,12 @@ def _all_specs():
         specs.update(FUNCTION_QUERIES)
     except ImportError:
         pass
+    try:
+        from temp_data_pipeline_spark.plans.streaming_queries import STREAMING_QUERIES
+
+        specs.update(STREAMING_QUERIES)
+    except ImportError:
+        pass
     return specs
 
 

@@ -1,0 +1,38 @@
+"""Streaming conformance queries.
+
+q_stream_events runs the Structured Streaming hourly rollup
+(streaming/rollups.py) over the static events table with an
+availableNow trigger into a memory sink, and returns the materialized
+result — so the driver's DuckDB oracle checks the *streaming* engine
+path against the exact same SQL as the batch q_events_window query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from temp_data_pipeline_spark.plans.declared import QuerySpec
+
+STREAMING_QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.streaming.rollups import run_events_rollup_batchlike
+
+    return run_events_rollup_batchlike(spark, sf_dir)
+
+
+STREAMING_QUERIES["q_stream_events"] = QuerySpec(
+    name="q_stream_events",
+    builder=_q_stream_events,
+    oracle="""
+    SELECT user_id, CAST(date_trunc('hour', ts) AS VARCHAR) AS h, COUNT(*) AS n
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ORDER BY user_id, h
+    """,
+    families=("streaming", "A1", "W2"),
+    note=(
+        "Structured Streaming tumbling-hour rollup executed availableNow "
+        "into a memory sink; oracle identical to batch q_events_window."
+    ),
+)

@@ -1,0 +1,29 @@
+"""Structured Streaming extension (SURVEY §2.10).
+
+The reference is batch-only; its incremental model is
+append-new-year-partition + idempotent re-run. This package is the
+Spark-native streaming counterpart of that pipeline: file-source
+ingest with watermarked dedup (≙ D1), stateless QC flagging (≙ P9/P10),
+a stateful spike detector via applyInPandasWithState (≙ W1), and
+tumbling daily/hourly rollups (≙ A1). Every transformation is shared
+with the batch path where semantics allow, and each streaming query is
+pinned against its batch equivalent in tests.
+"""
+
+from temp_data_pipeline_spark.streaming.ingest import (
+    flag_spikes_stateful,
+    stream_hourly_obs,
+)
+from temp_data_pipeline_spark.streaming.rollups import (
+    events_hourly_rollup,
+    run_events_rollup_batchlike,
+    stream_daily_tmax,
+)
+
+__all__ = [
+    "events_hourly_rollup",
+    "flag_spikes_stateful",
+    "run_events_rollup_batchlike",
+    "stream_daily_tmax",
+    "stream_hourly_obs",
+]

@@ -1,0 +1,140 @@
+"""Structured Streaming tests — every streaming query is pinned to its
+batch equivalent (same inputs, same expected rows), run via the
+availableNow trigger into memory sinks so tests are deterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.schemas.qc_flags import (
+    QC_MISSING_VALUE,
+    QC_OUT_OF_RANGE,
+    QC_SPIKE_DETECTED,
+)
+from temp_data_pipeline_spark.schemas.tables import HOURLY_OBS_SCHEMA
+from temp_data_pipeline_spark.streaming import (
+    flag_spikes_stateful,
+    run_events_rollup_batchlike,
+    stream_daily_tmax,
+    stream_hourly_obs,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _write_hourly(spark, path, rows):
+    df = spark.createDataFrame(rows, HOURLY_OBS_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(df, mode="append"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def _row(ts, temp, station="KLGA", source="isd", qc=0):
+    return (ts, station, 40.7, -73.8, temp, source, qc)
+
+
+def test_stream_ingest_dedup_and_flags(spark, tmp_path):
+    path = str(tmp_path / "hourly")
+    _write_hourly(
+        spark,
+        path,
+        [
+            _row(datetime(2024, 1, 1, 0), 10.0),
+            _row(datetime(2024, 1, 1, 0), 11.0, source="ghcnh"),  # dup ts
+            _row(datetime(2024, 1, 1, 1), None),  # missing
+            _row(datetime(2024, 1, 1, 2), 99.0),  # out of range
+        ],
+    )
+    stream = stream_hourly_obs(spark, path)
+    assert stream.isStreaming
+    name = _run_stream(stream)
+    rows = {r["ts_utc"]: r for r in spark.table(name).collect()}
+    assert len(rows) == 3  # duplicate ts collapsed
+    assert rows[datetime(2024, 1, 1, 1)]["qc_flags"] & QC_MISSING_VALUE
+    oor = rows[datetime(2024, 1, 1, 2)]
+    assert oor["qc_flags"] & QC_OUT_OF_RANGE and oor["temp_c"] is None
+
+
+def test_stateful_spike_across_batches(spark, tmp_path):
+    """Spike spanning a micro-batch boundary is flagged: the state
+    carries the last temp from batch 1 into batch 2."""
+    path = str(tmp_path / "hourly2")
+    _write_hourly(spark, path, [_row(datetime(2024, 1, 1, 0), 10.0)])
+    _write_hourly(spark, path, [_row(datetime(2024, 1, 1, 1), 30.0)])  # +20 spike
+
+    stream = (
+        spark.readStream.schema(HOURLY_OBS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts_utc", "2 hours")
+    )
+    name = _run_stream(flag_spikes_stateful(stream))
+    rows = {r["ts_utc"]: r for r in spark.table(name).collect()}
+    assert len(rows) == 2
+    assert not rows[datetime(2024, 1, 1, 0)]["qc_flags"] & QC_SPIKE_DETECTED
+    assert rows[datetime(2024, 1, 1, 1)]["qc_flags"] & QC_SPIKE_DETECTED
+
+
+def test_stream_daily_tmax_matches_batch_semantics(spark, tmp_path):
+    """Golden values from the batch aggregate tests: max of valid
+    temps, OOR excluded, distinct-hour coverage, bit_or roll-up."""
+    path = str(tmp_path / "hourly3")
+    _write_hourly(
+        spark,
+        path,
+        [
+            _row(datetime(2024, 1, 1, 5), 10.0),
+            _row(datetime(2024, 1, 1, 6), 12.5),
+            _row(datetime(2024, 1, 1, 6, 30), 11.0),  # same hour → 1 coverage
+            _row(datetime(2024, 1, 1, 7), None, qc=QC_MISSING_VALUE),
+            _row(datetime(2024, 1, 2, 5), 3.0),
+        ],
+    )
+    stream = spark.readStream.schema(HOURLY_OBS_SCHEMA).parquet(path)
+    name = _run_stream(stream_daily_tmax(stream, tz="UTC"), mode="complete")
+    rows = {str(r["date_local"]): r for r in spark.table(name).collect()}
+    d1 = rows["2024-01-01"]
+    assert d1["tmax_c"] == pytest.approx(12.5)
+    assert d1["tmax_f"] == pytest.approx(54.5)
+    assert d1["coverage_hours"] == 2  # valid hours {5, 6}; null row adds none
+    assert d1["qc_flags"] == QC_MISSING_VALUE
+    assert rows["2024-01-02"]["tmax_c"] == pytest.approx(3.0)
+
+
+def test_stream_daily_tmax_local_tz_window(spark, tmp_path):
+    """02:00 UTC on 2024-06-01 is 2024-05-31 local in New York — the
+    daily window must bucket by local calendar day."""
+    path = str(tmp_path / "hourly4")
+    _write_hourly(spark, path, [_row(datetime(2024, 6, 1, 2), 20.0)])
+    stream = spark.readStream.schema(HOURLY_OBS_SCHEMA).parquet(path)
+    name = _run_stream(
+        stream_daily_tmax(stream, tz="America/New_York"), mode="complete"
+    )
+    [r] = spark.table(name).collect()
+    assert str(r["date_local"]) == "2024-05-31"
+
+
+def test_events_rollup_matches_batch(spark):
+    """The streaming hourly rollup over the static events table equals
+    the batch q_events_window result (the oracle-checked query)."""
+    from temp_data_pipeline_spark.plans.declared import DECLARED_QUERIES
+
+    got = run_events_rollup_batchlike(spark, SF_SMOKE).collect()
+    want = DECLARED_QUERIES["q_events_window"].builder(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
