@@ -46,18 +46,26 @@ SPIKE_THRESHOLD_C = 15.0
 
 
 def dedupe_hourly(df: DataFrame, tie_breaker: str | None = None) -> DataFrame:
-    """Keep-first dedup on (ts_utc, station_id) via row_number window.
+    """Keep-first dedup on (ts_utc, station_id), expressed as a lag
+    window over station_id alone: in (ts_utc, tie_breaker) order, a
+    row is a duplicate iff the previous row has the same ts_utc.
+
+    Same result as row_number over (station_id, ts_utc), but the
+    partition key now matches the spike-lag window's, so the whole
+    clean stage runs on ONE exchange (asserted by tests/test_plans.py
+    — a (station_id, ts_utc)-keyed dedup window would force a second
+    shuffle of the full table).
 
     The dropped duplicates are flagged QC_DUPLICATE_TS in the
     reference and then immediately removed (`clean_hourly.py:54-62`),
     so flagging them has no downstream effect — we drop directly.
     """
     order = [F.col(tie_breaker)] if tie_breaker and tie_breaker in df.columns else [F.col("source")]
-    w = Window.partitionBy("station_id", "ts_utc").orderBy(*order)
+    w = Window.partitionBy("station_id").orderBy(F.col("ts_utc"), *order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn("_prev_ts", F.lag("ts_utc", 1).over(w))
+        .filter(F.col("_prev_ts").isNull() | (F.col("_prev_ts") != F.col("ts_utc")))
+        .drop("_prev_ts")
     )
 
 

@@ -75,6 +75,31 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_token_bpe",
+    ["text-analysis"],
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS INT) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+    FROM documents ORDER BY doc_id
+    """,
+    note=(
+        "BPE-style pre-tokenization count (word/number/punct regex, the "
+        "GPT-style pre-tokenizer family) next to the whitespace count; "
+        "both engines run the same RE2 pattern."
+    ),
+)
+def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.tokens_regex("text")).alias("n_bpe"),
+        text.token_count("text").alias("n_ws"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "llm_text_quality",
     ["text-analysis"],
     f"""
