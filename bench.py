@@ -51,8 +51,26 @@ def main() -> None:
 
     queries = entrymod.queries()
 
-    # JVM/codegen warm-up on a trivial plan so q1 isn't charged for it.
+    # JVM/codegen warm-up so the first timed query isn't charged for
+    # JIT of the scan, higher-order-function, hash, and cast machinery.
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.createDataFrame([("a b c d",)], "text string")
+    warm.select(
+        F.aggregate(
+            F.split("text", " "),
+            F.array_repeat(F.lit(0).cast("long"), 4),
+            lambda acc, s: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(F.lit(i), s) for i in range(4)]),
+                lambda a, h: F.least(a, h),
+            ),
+        ),
+        F.md5("text"),
+        F.lit("2024-01-01 00:00:00").try_cast("timestamp"),
+        F.explode(F.array(F.split("text", " "))),
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

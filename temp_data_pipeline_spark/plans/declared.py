@@ -71,6 +71,27 @@ def _rnd_sql(expr: str, p: int = 2) -> str:
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
 
 
+def presorted(df: DataFrame, *keys: str) -> DataFrame:
+    """Globally order by unique `keys` BEFORE expensive projections.
+
+    ``orderBy`` placed after a computed projection executes the whole
+    child twice: once for the range-partitioner's sample pass, once
+    for the real run. Range-partition + in-partition sort on the cheap
+    scan instead, then add the expensive columns; per-partition order
+    and ordered partition ranges together give the same global order
+    (keys must be unique), and the sampler only re-reads the scan.
+
+    The partition count is explicit (AQE leaves user-specified numbers
+    alone): without it, adaptive coalescing folds the small-by-bytes
+    shuffle back to one partition and the CPU-bound projection that
+    follows runs on one core.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys]
+    )
+
+
 # --------------------------------------------------------------------------
 # Scans
 # --------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.functions import scalars as fx
-from temp_data_pipeline_spark.plans.declared import QuerySpec, _rnd, _rnd_sql
+from temp_data_pipeline_spark.plans.declared import QuerySpec, _rnd, _rnd_sql, presorted
 from temp_data_pipeline_spark.sources.registry import load_table
 
 FUNCTION_QUERIES: dict[str, QuerySpec] = {}
@@ -64,7 +64,7 @@ _ISD_PARSE_SQL = """CASE
     note="Sentinel (+9999), empty, unparseable, and signed-tenths branches.",
 )
 def q_isd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = presorted(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
     raw = (
         F.when(F.col("l_orderkey") % 10 == 0, F.lit("+9999,9"))
         .when(F.col("l_orderkey") % 10 == 1, F.lit(""))
@@ -80,7 +80,6 @@ def q_isd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", "l_linenumber", raw.alias("raw"))
         .withColumn("temp_c", fx.isd_parse_temp("raw"))
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -115,7 +114,7 @@ _GHCNH_PARSE_SQL = """CASE
     note="Empty/-9999 sentinels, whitespace trim, out-of-band, signed tenths.",
 )
 def q_ghcnh_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = presorted(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber")
     raw = (
         F.when(F.col("l_partkey") % 8 == 0, F.lit(""))
         .when(F.col("l_partkey") % 8 == 1, F.lit("-9999"))
@@ -129,7 +128,6 @@ def q_ghcnh_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", "l_linenumber", raw.alias("raw"))
         .withColumn("temp_c", fx.ghcnh_parse_temp("raw"))
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -153,7 +151,7 @@ def q_ghcnh_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = presorted(load_table(spark, sf_dir, "orders"), "o_orderkey")
     raw = F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-ts")).otherwise(
         F.concat(F.col("o_orderdate").cast("string"), F.lit(" 12:34:56"))
     )
@@ -161,7 +159,6 @@ def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", raw.alias("raw"))
         .withColumn("ts", fx.ts_parse_utc("raw"))
         .select("o_orderkey", "ts")
-        .orderBy("o_orderkey")
     )
 
 

@@ -33,7 +33,7 @@ from temp_data_pipeline_spark.llm.dedup import (
     tokenized,
     simhash_neardup_pairs,
 )
-from temp_data_pipeline_spark.plans.declared import QuerySpec
+from temp_data_pipeline_spark.plans.declared import QuerySpec, presorted
 from temp_data_pipeline_spark.sources.registry import load_table
 
 LLM_QUERIES: dict[str, QuerySpec] = {}
@@ -52,6 +52,14 @@ def _register(name, families, oracle, note=""):
 _INT60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def _docs_sorted(spark, sf_dir):
+    """documents scan range-partitioned + sorted on doc_id up front:
+    map-only per-doc queries stay globally ordered without a trailing
+    orderBy (which would re-execute the hash pipeline for the range
+    sampler) and the hash work is spread over all cores."""
+    return presorted(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (oracle-paired)
 # ---------------------------------------------------------------------------
@@ -68,10 +76,10 @@ _INT60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
     """,
 )
 def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_sorted(spark, sf_dir)
     return d.select(
         "doc_id", text.token_count("text").alias("n_tokens"), "n_chars"
-    ).orderBy("doc_id")
+    )
 
 
 @_register(
@@ -91,12 +99,12 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_sorted(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(text.tokens_regex("text")).alias("n_bpe"),
         text.token_count("text").alias("n_ws"),
-    ).orderBy("doc_id")
+    )
 
 
 @_register(
@@ -115,7 +123,7 @@ def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="Quality-scoring components; floor-formula rounding on both sides.",
 )
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_sorted(spark, sf_dir)
     scale = 10000.0
     r4 = lambda c: F.floor(c * scale + F.lit(0.5)) / scale
     return d.select(
@@ -124,7 +132,7 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(text.avg_token_len("text")).alias("avg_tok_len"),
         r4(text.distinct_token_ratio("text")).alias("distinct_ratio"),
         (F.length("text") >= 100).cast("int").alias("len_ok"),
-    ).orderBy("doc_id")
+    )
 
 
 @_register(
@@ -155,8 +163,8 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="Stopword-profile argmax with fixed tie order en>fr>es>de.",
 )
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", text.lang_id("text").alias("pred_lang")).orderBy("doc_id")
+    d = _docs_sorted(spark, sf_dir)
+    return d.select("doc_id", text.lang_id("text").alias("pred_lang"))
 
 
 @_register(
@@ -169,12 +177,12 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_sorted(spark, sf_dir)
     return d.select(
         "doc_id",
         text.fingerprint_md5("text").alias("fp"),
         text.md5_int60(F.col("text")).alias("fp60"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -224,11 +232,12 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_sorted(spark, sf_dir)
     # explode-of-1 barriers at each stage (tokens → shingles → sig):
     # a captured non-attribute expression inside a HOF lambda is
     # re-evaluated per element, and CollapseProject would inline the
-    # signature into all 4 element_at projections
+    # signature into all 4 element_at projections. Generates are
+    # row-local, so the presorted global order survives the chain.
     tokd = tokenized(d, "text", ["doc_id"])
     shd = tokd.select(
         "doc_id", F.explode(F.array(shingles_of(F.col("_tok"), 3))).alias("_sh")
@@ -238,7 +247,7 @@ def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigd.select(
         "doc_id",
         *[F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}") for i in range(4)],
-    ).orderBy("doc_id")
+    )
 
 
 @_register(
@@ -261,12 +270,10 @@ def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="16-bit md5-based SimHash; 64-bit xxhash variant is rows-only.",
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from temp_data_pipeline_spark.session import ensure_parallelism
-
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = _docs_sorted(spark, sf_dir)
     return d.select(
         "doc_id", simhash("text", nbits=16, hash_fn="md5").alias("simhash16")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
