@@ -408,11 +408,14 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     nbits: int = 16,
+    bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate vectors: random-hyperplane LSH signature (nbits
-    planes, deterministic from seed), bucket on the full signature,
-    exact cosine verify on bucket-mates. Docs with cosine ≥ threshold.
+    """Near-duplicate vectors via banded random-hyperplane LSH:
+    nbits sign bits (deterministic planes from seed) split into
+    `bands` chunks; candidates share at least one chunk (requiring the
+    full signature to match has vanishing recall below cosine ≈ 0.95);
+    exact cosine verifies candidates. Emits pairs ≥ threshold.
     """
     import random
 
@@ -420,6 +423,7 @@ def embedding_neardup_pairs(
     dim = int(first["d"])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
+    per_band = nbits // bands
 
     def sig_expr():
         bits = []
@@ -443,16 +447,39 @@ def embedding_neardup_pairs(
     sigs = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(F.array(sig_expr())).alias("_bucket"),
+        F.explode(F.array(sig_expr())).alias("_sig"),
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    mask = (1 << per_band) - 1
+    banded = sigs.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), per_band * i).bitwiseAND(mask)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
     )
-    return cand.filter(F.col("cosine") >= threshold)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

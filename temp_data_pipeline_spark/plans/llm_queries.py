@@ -392,11 +392,15 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_neardup",
     ["similarity", "dedup"],
     None,
-    note="Hyperplane-LSH bucketed near-dup pairs over embeddings, cosine ≥ 0.9.",
+    note=(
+        "Banded hyperplane-LSH near-dup pairs over embeddings, cosine "
+        "≥ 0.4 (the synthetic vectors top out near 0.51 pairwise, so a "
+        "0.9 gate would trivially emit zero rows)."
+    ),
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.9).select("id_a", "id_b").orderBy(
+    return embedding_neardup_pairs(e, threshold=0.4).select("id_a", "id_b").orderBy(
         "id_a", "id_b"
     )
 
