@@ -1,0 +1,175 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy: fuzz the feed parsers against exact Python models of the
+reference semantics, and pin engine invariants (dedup, salted agg,
+clean idempotence) on randomized inputs.
+
+Each example batches many generated values into ONE Spark job so the
+suite stays fast (examples are capped; a Spark round-trip per value
+would be prohibitive).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.functions import ghcnh_parse_temp, isd_parse_temp
+from temp_data_pipeline_spark.operators.clean_hourly import clean_hourly_obs, dedupe_hourly
+from temp_data_pipeline_spark.operators.skew import salted_agg
+from temp_data_pipeline_spark.schemas.tables import HOURLY_OBS_SCHEMA
+
+# -- Python models of the reference parse semantics ------------------------
+# (fetch/noaa_hourly.py:135-190; str-input branch)
+
+
+def _model_isd(value: str):
+    part = value.split(",", 1)[0].strip()
+    if part == "":
+        return None
+    try:
+        raw = float(part)
+    except ValueError:
+        return None
+    if abs(raw) >= 9990:
+        return None
+    return raw / 10.0
+
+
+def _model_ghcnh(value: str):
+    stripped = value.strip()
+    if stripped == "" or stripped == "-9999":
+        return None
+    try:
+        raw = float(stripped)
+    except ValueError:
+        return None
+    if raw <= -9990 or raw >= 9990:
+        return None
+    return raw / 10.0
+
+
+_noisy = st.text(
+    alphabet="0123456789+-., abceE", min_size=0, max_size=12
+)
+_structured = st.builds(
+    lambda sign, n, q: f"{sign}{n:04d},{q}",
+    st.sampled_from(["+", "-", ""]),
+    st.integers(0, 9999),
+    st.integers(0, 9),
+)
+_raw_strings = st.lists(st.one_of(_noisy, _structured), min_size=1, max_size=60)
+
+
+def _spark_parse(spark, values, parse_fn):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    return [r["p"] for r in df.select(parse_fn(F.col("raw")).alias("p")).collect()]
+
+
+@settings(max_examples=12, deadline=None)
+@given(_raw_strings)
+def test_isd_parse_fuzz_vs_reference_model(spark, values):
+    got = _spark_parse(spark, values, isd_parse_temp)
+    want = [_model_isd(v) for v in values]
+    for v, g, w in zip(values, got, want):
+        if w is None:
+            # Spark try_cast accepts a few formats Python float() also
+            # accepts; both None or both values — no third state
+            assert g is None, (v, g, w)
+        else:
+            assert g is not None and abs(g - w) < 1e-9, (v, g, w)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_raw_strings)
+def test_ghcnh_parse_fuzz_vs_reference_model(spark, values):
+    got = _spark_parse(spark, values, ghcnh_parse_temp)
+    want = [_model_ghcnh(v) for v in values]
+    for v, g, w in zip(values, got, want):
+        if w is None:
+            assert g is None, (v, g, w)
+        else:
+            assert g is not None and abs(g - w) < 1e-9, (v, g, w)
+
+
+# -- engine invariants ------------------------------------------------------
+
+_hourly_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # hour offset
+        st.integers(0, 2),  # station
+        st.one_of(st.none(), st.floats(-120, 120, allow_nan=False)),
+        st.integers(0, 5),  # tie value → source string
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _hourly_df(spark, rows):
+    base = datetime(2024, 1, 1)
+    data = [
+        (base + timedelta(hours=h), f"S{s}", 0.0, 0.0, t, f"src{tie}", 0)
+        for h, s, t, tie in rows
+    ]
+    return spark.createDataFrame(data, HOURLY_OBS_SCHEMA)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_hourly_rows)
+def test_dedup_unique_keys_and_min_tiebreaker(spark, rows):
+    df = _hourly_df(spark, rows)
+    out = dedupe_hourly(df, tie_breaker="source").collect()
+    # unique (station, ts)
+    keys = [(r["station_id"], r["ts_utc"]) for r in out]
+    assert len(keys) == len(set(keys))
+    # kept row carries the minimum tie-breaker of its group
+    want_min = {}
+    for r in df.collect():
+        k = (r["station_id"], r["ts_utc"])
+        want_min[k] = min(want_min.get(k, "zzz"), r["source"])
+    for r in out:
+        assert r["source"] == want_min[(r["station_id"], r["ts_utc"])]
+
+
+@settings(max_examples=10, deadline=None)
+@given(_hourly_rows)
+def test_clean_stage_idempotent(spark, rows):
+    """clean(clean(x)) == clean(x): the reference's explicit design
+    rule (clean_hourly.py:11-15)."""
+    df = _hourly_df(spark, rows)
+    once = clean_hourly_obs(df, tie_breaker="source", validate_input=False,
+                            validate_output=False)
+    twice = clean_hourly_obs(once, tie_breaker="source", validate_input=False,
+                             validate_output=False)
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(2, 9),
+)
+def test_salted_agg_equals_plain_groupby(spark, rows, buckets):
+    df = spark.createDataFrame([(f"k{k}", v) for k, v in rows], "k string, v long")
+    got = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in salted_agg(
+            df, ["k"], [("n", "*", "count"), ("s", "v", "sum"), ("m", "v", "max")],
+            salt_buckets=buckets,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("m"))
+        .collect()
+    }
+    assert got == want
