@@ -54,6 +54,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read tolerant of TIMESTAMP(NANOS) columns (files written
+    by pandas/pyarrow default to ns precision, which Spark refuses).
+    Detects ns-timestamp columns from the footer of one file, reads
+    them as longs, truncates to micros — same micro-instant DuckDB and
+    pandas see."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    matches = sorted(_glob.glob(path)) or [path]
+    schema = pq.ParquetFile(matches[0]).schema_arrow
+    ts_cols = [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    if not ts_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in ts_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer division: ns magnitudes exceed double's mantissa
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
