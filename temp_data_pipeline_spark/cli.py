@@ -1,0 +1,147 @@
+"""Command-line entry points mirroring the reference's scripts/
+(SURVEY §3): clean, daily-tmax, features, eval. A user of the
+reference's pipeline scripts drives the same stages here, with the
+same stage semantics, on Spark.
+
+    python -m temp_data_pipeline_spark.cli clean \
+        --input data/raw/isd_2024.csv --format isd --station KLGA \
+        --stations-csv stations.csv --output data/clean/hourly
+
+    python -m temp_data_pipeline_spark.cli daily-tmax \
+        --input data/clean/hourly --tz America/New_York \
+        --output data/clean/daily
+
+    python -m temp_data_pipeline_spark.cli features \
+        --forecast data/clean/forecasts --truth data/clean/daily \
+        --output data/train
+
+    python -m temp_data_pipeline_spark.cli eval \
+        --config eval_config.json --forecast data/clean/forecasts \
+        --truth data/clean/daily --output-dir runs
+
+Fetch (network) stages are driver-side by design; point --input at
+files downloaded via sources/http_cache.py (reference's fetch scripts
+are HTTP wrappers around the same parse paths, exercised offline here
+through sources/isd.py, sources/ghcnh.py, sources/openmeteo.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="temp_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("clean", help="raw feed → validated clean hourly obs")
+    c.add_argument("--input", required=True, help="file/glob of raw data")
+    c.add_argument("--format", default="parquet", choices=["parquet", "isd", "ghcnh"])
+    c.add_argument("--station", required=True)
+    c.add_argument("--stations-csv", default=None)
+    c.add_argument("--output", required=True)
+
+    d = sub.add_parser("daily-tmax", help="clean hourly → daily Tmax truth")
+    d.add_argument("--input", required=True)
+    d.add_argument("--tz", default="America/New_York")
+    d.add_argument("--min-coverage-hours", type=int, default=18)
+    d.add_argument("--output", required=True)
+
+    f = sub.add_parser("features", help="forecast ⋈ truth → train features")
+    f.add_argument("--forecast", required=True)
+    f.add_argument("--truth", required=True)
+    f.add_argument("--min-coverage-hours", type=int, default=18)
+    f.add_argument("--drop-warmup-nulls", action="store_true")
+    f.add_argument("--output", required=True)
+
+    e = sub.add_parser("eval", help="multi-model evaluation → run artifacts")
+    e.add_argument("--config", required=True, help="EvalConfig JSON file")
+    e.add_argument("--forecast", required=True)
+    e.add_argument("--truth", required=True)
+    e.add_argument("--output-dir", default="runs")
+    e.add_argument("--run-id", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from temp_data_pipeline_spark.session import get_spark
+    from temp_data_pipeline_spark.sources.registry import read_parquet_any
+
+    spark = get_spark(f"cli-{args.cmd}")
+
+    if args.cmd == "clean":
+        from temp_data_pipeline_spark.operators.clean_hourly import clean_hourly_obs
+        from temp_data_pipeline_spark.sources.ghcnh import read_ghcnh_psv
+        from temp_data_pipeline_spark.sources.isd import read_isd_csv
+        from temp_data_pipeline_spark.sources.stations import StationMeta, resolve_station
+
+        station = (
+            resolve_station(args.station, args.stations_csv)
+            if args.stations_csv
+            else StationMeta(station_id=args.station)
+        )
+        if args.format == "isd":
+            raw = read_isd_csv(spark, args.input, station)
+        elif args.format == "ghcnh":
+            raw = read_ghcnh_psv(spark, args.input, station)
+        else:
+            raw = read_parquet_any(spark, args.input)
+        cleaned = clean_hourly_obs(raw)
+        cleaned.withColumn("year", F.year("ts_utc")).write.mode("overwrite").partitionBy(
+            "station_id", "year"
+        ).parquet(args.output)
+        print(f"[clean] wrote {args.output}")
+
+    elif args.cmd == "daily-tmax":
+        from temp_data_pipeline_spark.operators.daily_tmax import (
+            build_daily_tmax,
+            write_daily_tmax,
+        )
+
+        hourly = read_parquet_any(spark, args.input)
+        daily = build_daily_tmax(
+            hourly, station_tz=args.tz, min_coverage_hours=args.min_coverage_hours
+        )
+        write_daily_tmax(daily, args.output)
+        print(f"[daily-tmax] wrote {args.output}")
+
+    elif args.cmd == "features":
+        from temp_data_pipeline_spark.operators.features import build_train_daily_tmax
+
+        fc = read_parquet_any(spark, args.forecast)
+        truth = read_parquet_any(spark, args.truth)
+        train = build_train_daily_tmax(
+            fc,
+            truth,
+            min_coverage_hours=args.min_coverage_hours,
+            drop_warmup_nulls=args.drop_warmup_nulls,
+        )
+        train.write.mode("overwrite").parquet(args.output)
+        print(f"[features] wrote {args.output}")
+
+    elif args.cmd == "eval":
+        from temp_data_pipeline_spark.eval.config import EvalConfig
+        from temp_data_pipeline_spark.eval.report import write_all_artifacts
+        from temp_data_pipeline_spark.eval.runner import run_multi_model_evaluation
+
+        with open(args.config) as fh:
+            cfg = EvalConfig.from_dict(json.load(fh))
+        fc = read_parquet_any(spark, args.forecast)
+        truth = read_parquet_any(spark, args.truth)
+        result = run_multi_model_evaluation(cfg, fc, truth, run_id=args.run_id)
+        run_dir = write_all_artifacts(result, base_path=args.output_dir)
+        print(f"[eval] wrote {run_dir}")
+        for name, mr in result.models.items():
+            m = mr.metrics.forecast
+            print(f"  {name}: n={m.n_samples} mae={m.mae:.4f} rmse={m.rmse:.4f}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,12 +61,21 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
     them as longs, truncates to micros — same micro-instant DuckDB and
     pandas see."""
     import glob as _glob
+    import os as _os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def _first_file(p: str) -> str:
+        if _os.path.isdir(p):
+            hits = sorted(
+                _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)
+            )
+            return hits[0] if hits else p
+        return p
+
     matches = sorted(_glob.glob(path)) or [path]
-    schema = pq.ParquetFile(matches[0]).schema_arrow
+    schema = pq.ParquetFile(_first_file(matches[0])).schema_arrow
     ts_cols = [
         f.name
         for f in schema

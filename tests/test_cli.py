@@ -1,0 +1,79 @@
+"""End-to-end CLI test: raw ISD CSV → clean → daily-tmax → (join with
+a synthetic forecast) features → eval, all through the module's
+command-line surface — the reference's scripts/ flow on Spark."""
+
+from __future__ import annotations
+
+import json
+
+from temp_data_pipeline_spark.cli import main
+
+
+def test_cli_full_pipeline(spark, tmp_path):
+    raw = tmp_path / "isd_2024.csv"
+    lines = ["DATE,TMP,LATITUDE,LONGITUDE"]
+    for day in range(1, 8):
+        for hour in range(24):
+            tenths = 100 + day * 10 + hour  # 10.0 .. 19.3 °C
+            lines.append(f'2024-01-{day:02d}T{hour:02d}:00:00,"+{tenths:04d},1",40.77,-73.87')
+    raw.write_text("\n".join(lines) + "\n")
+
+    stations = tmp_path / "stations.csv"
+    stations.write_text(
+        "station_id,usaf,wban,ghcn_id,name,lat,lon,tz\n"
+        "KLGA,725030,14732,USW00014732,LaGuardia,40.7769,-73.8740,UTC\n"
+    )
+
+    clean_dir = str(tmp_path / "clean")
+    assert main([
+        "clean", "--input", str(raw), "--format", "isd", "--station", "KLGA",
+        "--stations-csv", str(stations), "--output", clean_dir,
+    ]) == 0
+
+    daily_dir = str(tmp_path / "daily")
+    assert main([
+        "daily-tmax", "--input", clean_dir, "--tz", "UTC", "--output", daily_dir,
+    ]) == 0
+
+    daily = spark.read.parquet(daily_dir)
+    assert daily.count() == 7
+    assert {r["coverage_hours"] for r in daily.collect()} == {24}
+
+    # synthetic forecast: predicted = actual + 1°F, two leads per day
+    fc_dir = str(tmp_path / "fc")
+    rows = []
+    for r in daily.collect():
+        for lead in (28, 29):
+            rows.append((
+                "KLGA", 40.7769, -73.874, r["date_local"], float(r["tmax_f"]) + 1.0,
+                lead, "test", "test",
+            ))
+    spark.createDataFrame(
+        rows,
+        "station_id string, lat double, lon double, target_date_local date, "
+        "tmax_pred_f double, lead_hours long, model string, source string",
+    ).write.mode("overwrite").parquet(fc_dir)
+
+    cfg = tmp_path / "eval.json"
+    cfg.write_text(json.dumps({
+        "station_ids": ["KLGA"],
+        "start_date_local": "2024-01-01",
+        "end_date_local": "2024-01-07",
+        "min_coverage_hours": 18,
+        "split": {"type": "static", "train_frac": 0.5, "val_frac": 0.2,
+                  "test_frac": 0.3},
+        "models": [{"type": "passthrough"}],
+        "sigma_type": "global",
+    }))
+    runs_dir = str(tmp_path / "runs")
+    assert main([
+        "eval", "--config", str(cfg), "--forecast", fc_dir,
+        "--truth", daily_dir, "--output-dir", runs_dir, "--run-id", "cli_test",
+    ]) == 0
+
+    metrics = json.loads(
+        (tmp_path / "runs" / "cli_test" / "models" / "Passthrough" / "metrics.json").read_text()
+    )
+    # passthrough predicts actual+1 → MAE exactly 1, bias +1
+    assert abs(metrics["forecast"]["mae"] - 1.0) < 1e-9
+    assert abs(metrics["forecast"]["bias"] - 1.0) < 1e-9
