@@ -120,6 +120,58 @@ def extract_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(media_df: DataFrame, n_features: int = 8, real: bool = False) -> DataFrame:
+    """Audio counterpart of extract_image_features: mapInPandas over
+    (asset_id, content, duration_ms); decode stubbed (no audio libs in
+    this container), plumbing real. Swap the digest-derived features
+    for librosa/ffmpeg on a real cluster."""
+    if real:
+        raise NotImplementedError(
+            "Real audio decoding requires librosa/ffmpeg, not available in "
+            "this container. Call with real=False for the deterministic stub."
+        )
+    out_cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+    nf = n_features
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for aid, content, dur in zip(
+                pdf["asset_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                raw = bytes(content) if content is not None else b""
+                digest = _hl.sha256(raw).digest()
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "duration_ms": int(dur) if dur == dur and dur is not None else 0,
+                        "n_bytes": len(raw),
+                        "checksum": _hl.md5(raw).hexdigest(),
+                        "features": [digest[2 + i] / 255.0 for i in range(nf)],
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return media_df.filter(F.col("modality") == "audio").select(
+        "asset_id", "content", "duration_ms"
+    ).mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     media_df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

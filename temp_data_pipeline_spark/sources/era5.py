@@ -54,6 +54,79 @@ def grid_rows_to_hourly_obs(
     )
 
 
+def read_era5_binary_distributed(
+    spark: SparkSession, nc_dir: str, station: StationMeta
+) -> DataFrame:
+    """The 100 TB path for S7: `binaryFile` scan over a directory of
+    .nc files + per-file decode inside mapInPandas (one Arrow batch
+    per executor task — no driver materialization).
+
+    The decode inside the UDF is import-gated exactly like
+    read_era5_netcdf; without xarray each file yields zero rows and a
+    marker row in the `error` column, so the plumbing (binary scan,
+    batch iteration, output schema) runs and is tested in this
+    container while the real decode drops in on a cluster with xarray
+    installed.
+    """
+    from pyspark.sql import functions as F
+
+    st_id, st_lat, st_lon = station.station_id, station.lat, station.lon
+    out_schema = (
+        "ts_utc timestamp, station_id string, lat double, lon double, "
+        "temp_c double, source string, qc_flags long, error string"
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    import io
+
+                    import numpy as np
+                    import xarray as xr
+
+                    ds = xr.open_dataset(io.BytesIO(bytes(content)))
+                    lats = [float(v) for v in ds["latitude"].values]
+                    lons = [float(v) for v in ds["longitude"].values]
+                    li = min(range(len(lats)), key=lambda i: abs(lats[i] - st_lat))
+                    lo = min(range(len(lons)), key=lambda i: abs(lons[i] - st_lon))
+                    pt = ds["t2m"].isel(latitude=li, longitude=lo)
+                    yield pd.DataFrame(
+                        {
+                            "ts_utc": pd.to_datetime(pt["time"].values),
+                            "station_id": st_id,
+                            "lat": st_lat,
+                            "lon": st_lon,
+                            "temp_c": np.asarray(pt.values, dtype=float) - 273.15,
+                            "source": "era5",
+                            "qc_flags": 0,
+                            "error": None,
+                        }
+                    )
+                except ImportError:
+                    yield pd.DataFrame(
+                        [
+                            {
+                                "ts_utc": None,
+                                "station_id": st_id,
+                                "lat": st_lat,
+                                "lon": st_lon,
+                                "temp_c": None,
+                                "source": "era5",
+                                "qc_flags": 0,
+                                "error": f"decoder-unavailable:{path}",
+                            }
+                        ]
+                    )
+
+    binary = spark.read.format("binaryFile").option("pathGlobFilter", "*.nc").load(
+        nc_dir
+    )
+    return binary.select("path", "content").mapInPandas(decode, out_schema)
+
+
 def read_era5_netcdf(
     spark: SparkSession, nc_path: str, station: StationMeta
 ) -> DataFrame:

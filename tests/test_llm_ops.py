@@ -266,3 +266,35 @@ def test_resize_spec(spark):
     out = {r.asset_id: r for r in multimodal.resize_spec(media, max_side=512).collect()}
     assert (out[1].target_width, out[1].target_height) == (512, 384)
     assert (out[2].target_width, out[2].target_height) == (100, 50)  # no upscale
+
+
+def test_audio_feature_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", b"fakewav1", None, None, None, 4000),
+            (2, "image", "image/png", b"img", None, None, None, None),
+            (3, "audio", "audio/wav", None, None, None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["asset_id"]: r for r in multimodal.extract_audio_features(media).collect()}
+    assert set(out) == {1, 3}  # image row filtered out
+    assert out[1]["duration_ms"] == 4000 and out[1]["n_bytes"] == 8
+    assert out[3]["n_bytes"] == 0
+    assert len(out[1]["features"]) == 8
+
+
+def test_era5_binary_distributed_gated(spark, tmp_path):
+    (tmp_path / "a.nc").write_bytes(b"\x00fake-netcdf")
+    (tmp_path / "b.txt").write_bytes(b"ignored")
+    from temp_data_pipeline_spark.sources.era5 import read_era5_binary_distributed
+    from temp_data_pipeline_spark.sources.stations import StationMeta
+
+    st = StationMeta(station_id="KLGA", lat=40.78, lon=-73.87)
+    rows = read_era5_binary_distributed(spark, str(tmp_path), st).collect()
+    try:
+        import xarray  # noqa: F401
+    except ImportError:
+        # decoder absent: one marker row per .nc file, txt filtered out
+        assert len(rows) == 1
+        assert rows[0]["error"] and "a.nc" in rows[0]["error"]
