@@ -12,6 +12,7 @@ pinned against its batch equivalent in tests.
 
 from temp_data_pipeline_spark.streaming.ingest import (
     flag_spikes_stateful,
+    stream_dedup_documents,
     stream_hourly_obs,
 )
 from temp_data_pipeline_spark.streaming.rollups import (
@@ -23,6 +24,7 @@ from temp_data_pipeline_spark.streaming.rollups import (
 __all__ = [
     "events_hourly_rollup",
     "flag_spikes_stateful",
+    "stream_dedup_documents",
     "run_events_rollup_batchlike",
     "stream_daily_tmax",
     "stream_hourly_obs",

@@ -57,6 +57,27 @@ def stream_hourly_obs(
     return flag_out_of_range(flag_missing_values(stream))
 
 
+def stream_dedup_documents(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup of a document stream (the continuous
+    counterpart of llm/dedup.exact_dedup, per the streaming-similarity
+    family in PAPERS.md): key on a 64-bit content hash so the dedup
+    state stores 8 bytes per doc, never the text, and expires with the
+    watermark. Near-dup variants key on the simhash/minhash signature
+    columns instead — same operator shape.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = doc_stream.withColumn("_content_hash", F.xxhash64(F.col(text_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["_content_hash"]
+    )
+
+
 def _spike_fn(threshold: float):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

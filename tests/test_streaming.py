@@ -138,3 +138,29 @@ def test_events_rollup_matches_batch(spark):
     got = run_events_rollup_batchlike(spark, SF_SMOKE).collect()
     want = DECLARED_QUERIES["q_events_window"].builder(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_dedup_documents_across_batches(spark, tmp_path):
+    """Duplicate text arriving in a later micro-batch is dropped while
+    the watermark holds its content hash."""
+    from temp_data_pipeline_spark.streaming import stream_dedup_documents
+
+    path = str(tmp_path / "docs")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    spark.createDataFrame(
+        [(1, "alpha beta", datetime(2024, 1, 1, 0, 0)),
+         (2, "gamma delta", datetime(2024, 1, 1, 0, 1))], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "alpha beta", datetime(2024, 1, 1, 0, 2)),  # dup of doc 1
+         (4, "epsilon", datetime(2024, 1, 1, 0, 3))], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = _run_stream(stream_dedup_documents(stream))
+    kept_texts = sorted(r["text"] for r in spark.table(name).collect())
+    assert kept_texts == ["alpha beta", "epsilon", "gamma delta"]
