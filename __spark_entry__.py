@@ -49,6 +49,12 @@ def _all_specs():
         specs.update(STREAMING_QUERIES)
     except ImportError:
         pass
+    try:
+        from temp_data_pipeline_spark.plans.temporal_queries import TEMPORAL_QUERIES
+
+        specs.update(TEMPORAL_QUERIES)
+    except ImportError:
+        pass
     return specs
 
 

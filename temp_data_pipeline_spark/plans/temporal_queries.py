@@ -1,0 +1,184 @@
+"""Temporal-operator conformance queries (as-of join, sessions, range join).
+
+These extend the reference's join surface (SURVEY.md §2.4 — inner
+equi-joins only) with the three temporal operators a time-series /
+event pipeline needs at scale.  Each is oracle-paired: DuckDB has a
+native ``ASOF JOIN`` and full window SQL, so every query here gets
+the strong hash-compare check.
+
+Determinism notes:
+- ``events`` has no duplicate (user_id, ts) pairs at any SF (checked),
+  so the as-of match is unique; ``event_id`` tie-breaking is wired on
+  the Spark side anyway for safety.
+- Raw ``value`` doubles pass through unmodified on both sides — no
+  float arithmetic, so exact equality holds without rounding.
+- Timestamps are emitted as integer epoch-microseconds
+  (``unix_micros`` ≡ DuckDB ``epoch_us``) to avoid tz/format drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+)
+from temp_data_pipeline_spark.plans.declared import QuerySpec
+from temp_data_pipeline_spark.sources.registry import load_table
+
+TEMPORAL_QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name, families, oracle, note=""):
+    def deco(fn):
+        TEMPORAL_QUERIES[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, families=tuple(families), note=note
+        )
+        return fn
+
+    return deco
+
+
+@_register(
+    "q_asof_join",
+    ["extension-temporal", "J1"],
+    """
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p.event_id
+    """,
+    note=(
+        "Attribution as-of join: each purchase matched to the user's "
+        "latest strictly-earlier click. Spark side is the union+window "
+        "single-shuffle plan (operators/temporal.py::asof_join); the "
+        "oracle is DuckDB's native ASOF JOIN."
+    ),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("event_id").alias("click_eid")
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"value": "click_value"},
+        direction="backward",
+        strict=True,
+        how="left",
+        tie_break="click_eid",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts_asof").alias("click_ts_us"),
+        "click_value",
+    ).orderBy("event_id")
+
+
+@_register(
+    "q_sessionize",
+    ["extension-temporal", "W1", "A1"],
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    note=(
+        "Gap-based sessionization (30-min inactivity): lag + running "
+        "sum assigns session ids in one shuffle, then a per-session "
+        "rollup. Gap compare is integer-microsecond exact on both "
+        "engines."
+    ),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    with_sessions = sessionize(
+        events, key="user_id", ts="ts", gap_minutes=30.0, tie_break="event_id"
+    )
+    return (
+        with_sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@_register(
+    "q_range_join",
+    ["extension-temporal", "J1"],
+    """
+    SELECT p.event_id, COUNT(e.event_id) AS n_next_hour
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    note=(
+        "Bounded time-window join: activity within the hour after each "
+        "purchase. Spark side buckets both sides by the window width "
+        "so the inequality join becomes an equi-join on (user, bucket) "
+        "+ exact filter (operators/temporal.py::range_join) — no "
+        "nested-loop join at any scale. Self-match included (>= 0s)."
+    ),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = events.select("user_id", "ts", F.col("event_id").alias("eid"))
+    pairs = range_join(
+        purchases,
+        others,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=0.0,
+        upper_seconds=3600.0,
+        right_cols={"eid": "match_eid"},
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(F.count("match_eid").alias("n_next_hour"))
+        .orderBy("event_id")
+    )

@@ -1,0 +1,214 @@
+"""Golden-value tests for operators/temporal.py (as-of join,
+sessionization, range join) plus oracle + plan checks for their
+declared queries.
+
+The reference has no temporal joins (SURVEY.md §2.4); these pin the
+extension semantics exactly: strict-vs-inclusive equality boundaries,
+gap-exactly-at-threshold, and window [lo, hi) edge inclusivity.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+)
+from temp_data_pipeline_spark.plans.temporal_queries import TEMPORAL_QUERIES
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare_query
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # right side: per-key quote stream
+    return spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 1.0, 1),
+            ("a", _ts("2024-01-01T10:05:00"), 2.0, 2),
+            ("a", _ts("2024-01-01T10:10:00"), 3.0, 3),
+            ("b", _ts("2024-01-01T09:00:00"), 9.0, 4),
+        ],
+        "key string, qts timestamp, px double, qid int",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # left side; includes an exact-equal timestamp (10:05) for the
+    # strict/inclusive boundary and a row before any quote.
+    return spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T09:59:00"), 100),
+            ("a", _ts("2024-01-01T10:05:00"), 101),
+            ("a", _ts("2024-01-01T10:07:00"), 102),
+            ("b", _ts("2024-01-01T12:00:00"), 103),
+        ],
+        "key string, tts timestamp, tid int",
+    )
+
+
+def _asof_map(df):
+    return {r["tid"]: r["last_px"] for r in df.collect()}
+
+
+class TestAsofJoin:
+    def test_backward_strict(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"}, strict=True,
+        )
+        # 10:05 trade must NOT see the 10:05 quote under strict <
+        assert _asof_map(out) == {100: None, 101: 1.0, 102: 2.0, 103: 9.0}
+
+    def test_backward_inclusive(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"}, strict=False,
+        )
+        assert _asof_map(out) == {100: None, 101: 2.0, 102: 2.0, 103: 9.0}
+
+    def test_forward_strict(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"}, direction="forward", strict=True,
+        )
+        # earliest strictly-later quote; b has none after 12:00
+        assert _asof_map(out) == {100: 1.0, 101: 3.0, 102: 3.0, 103: None}
+
+    def test_forward_inclusive(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"}, direction="forward", strict=False,
+        )
+        assert _asof_map(out) == {100: 1.0, 101: 2.0, 102: 3.0, 103: None}
+
+    def test_inner_drops_unmatched(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"}, how="inner",
+        )
+        assert sorted(r["tid"] for r in out.collect()) == [101, 102, 103]
+
+    def test_matched_ts_emitted(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"},
+        )
+        row = {r["tid"]: r["tts_asof"] for r in out.collect()}
+        assert row[102] == _ts("2024-01-01T10:05:00")
+
+    def test_collision_rejected(self, trades, quotes):
+        with pytest.raises(ValueError, match="collides"):
+            asof_join(
+                trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+                right_cols={"px": "tid"},
+            )
+
+    def test_no_nested_loop_join(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+            right_cols={"px": "last_px"},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestSessionize:
+    def test_gap_boundary(self, spark):
+        # gaps: 29m59s (same session), exactly 30m (same — threshold is
+        # strict >), 30m + 1 microsecond (new session)
+        df = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01T00:00:00")),
+                (1, _ts("2024-01-01T00:29:59")),
+                (1, _ts("2024-01-01T00:59:59")),
+                (1, _ts("2024-01-01T01:29:59.000001")),
+                (2, _ts("2024-01-01T00:00:00")),
+            ],
+            "user_id int, ts timestamp",
+        )
+        out = sessionize(df, key="user_id", ts="ts", gap_minutes=30.0)
+        got = {
+            (r["user_id"], r["ts"].isoformat()): r["session_idx"]
+            for r in out.collect()
+        }
+        assert got == {
+            (1, "2024-01-01T00:00:00"): 1,
+            (1, "2024-01-01T00:29:59"): 1,
+            (1, "2024-01-01T00:59:59"): 1,
+            (1, "2024-01-01T01:29:59.000001"): 2,
+            (2, "2024-01-01T00:00:00"): 1,
+        }
+
+
+class TestRangeJoin:
+    def test_window_edges(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T00:00:00"), 10)],
+            "k int, lts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2023-12-31T23:59:59.999999"), 0),  # just before
+                (1, _ts("2024-01-01T00:00:00"), 1),          # == lower: in
+                (1, _ts("2024-01-01T00:59:59.999999"), 2),   # just inside
+                (1, _ts("2024-01-01T01:00:00"), 3),          # == upper: out
+                (2, _ts("2024-01-01T00:30:00"), 4),          # wrong key
+            ],
+            "k int, rts timestamp, rid int",
+        )
+        out = range_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            lower_seconds=0.0, upper_seconds=3600.0, right_cols={"rid": "rid"},
+        )
+        assert sorted(r["rid"] for r in out.collect()) == [1, 2]
+
+    def test_bucket_crossing(self, spark):
+        # left at 00:50 with window [0, 1h): matches land in two
+        # different hour buckets — proves the explode-to-2-buckets path
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T00:50:00"), 10)],
+            "k int, lts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01T00:55:00"), 1),  # bucket 0
+                (1, _ts("2024-01-01T01:30:00"), 2),  # bucket 1
+                (1, _ts("2024-01-01T01:50:00"), 3),  # == upper: out
+            ],
+            "k int, rts timestamp, rid int",
+        )
+        out = range_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            lower_seconds=0.0, upper_seconds=3600.0, right_cols={"rid": "rid"},
+        )
+        assert sorted(r["rid"] for r in out.collect()) == [1, 2]
+
+    def test_no_nested_loop_join(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T00:00:00"), 10)], "k int, lts timestamp, lid int"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T00:30:00"), 1)], "k int, rts timestamp, rid int"
+        )
+        out = range_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            lower_seconds=0.0, upper_seconds=3600.0, right_cols={"rid": "rid"},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(TEMPORAL_QUERIES))
+def test_temporal_query_oracle(spark, name):
+    compare_query(spark, TEMPORAL_QUERIES[name], SF_SMOKE)
