@@ -55,6 +55,14 @@ def _all_specs():
         specs.update(TEMPORAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from temp_data_pipeline_spark.plans.relational_queries import (
+            RELATIONAL_QUERIES,
+        )
+
+        specs.update(RELATIONAL_QUERIES)
+    except ImportError:
+        pass
     return specs
 
 

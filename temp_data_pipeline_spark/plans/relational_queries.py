@@ -1,0 +1,187 @@
+"""Relational-completeness conformance queries.
+
+The reference uses only inner equi-joins and plain GROUP BY
+(SURVEY.md §2.4, §2.8 — "no intersect/except anywhere").  A drop-in
+engine still needs the rest of the relational algebra surface; these
+queries pin semi/anti joins, set operations, hierarchical rollup, and
+pivot against the DuckDB oracle.
+
+Scale notes: semi/anti joins broadcast the (distinct-keyed) orders
+side when small and degrade to shuffled hash joins otherwise — both
+strictly cheaper than the inner-join + distinct a naive rewrite would
+use, because no payload columns move and rows short-circuit on first
+match.  ROLLUP/CUBE expand grouping sets BEFORE the exchange, so all
+levels still cost one shuffle (same trick as eval/slicing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.plans.declared import QuerySpec, _rnd, _rnd_sql
+from temp_data_pipeline_spark.sources.registry import load_table
+
+RELATIONAL_QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name, families, oracle, note=""):
+    def deco(fn):
+        RELATIONAL_QUERIES[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, families=tuple(families), note=note
+        )
+        return fn
+
+    return deco
+
+
+@_register(
+    "q_semi_join",
+    ["extension-relational"],
+    """
+    SELECT c.c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    note="EXISTS ≡ left-semi join: no payload shuffle, first-match short-circuit.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q_anti_join",
+    ["extension-relational"],
+    """
+    SELECT c.c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    note="NOT EXISTS ≡ left-anti join (the scalable form of 'set difference on keys').",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q_intersect",
+    ["extension-relational"],
+    """
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    ORDER BY k
+    """,
+    note="INTERSECT (distinct semantics on both engines).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return customer.intersect(orders).orderBy("k")
+
+
+@_register(
+    "q_except",
+    ["extension-relational"],
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY k
+    """,
+    note="EXCEPT (distinct) ≡ DataFrame.subtract.",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return customer.subtract(orders).orderBy("k")
+
+
+@_register(
+    "q_rollup",
+    ["extension-relational", "A10"],
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           {_rnd_sql('SUM(l_quantity)')} AS sq
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+    note=(
+        "Hierarchical totals in ONE shuffle: Expand emits all rollup "
+        "levels map-side, so subtotal+grand-total cost the same "
+        "exchange as the plain GROUP BY. (Group columns are non-null "
+        "in this data, so COALESCE('ALL') is unambiguous.)"
+    ),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _rnd(F.sum("l_quantity")).alias("sq"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sq",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@_register(
+    "q_pivot",
+    ["extension-relational", "A10"],
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    note=(
+        "Pivot with an EXPLICIT value list: without it Spark runs an "
+        "extra distinct pass over the data to discover columns — at "
+        "100 TB that is a full second scan. Fixed lists keep pivot a "
+        "single-shuffle conditional aggregation."
+    ),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combinations null; the oracle's FILTER
+    # counts yield 0 — normalize.
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    ).orderBy("user_id")
