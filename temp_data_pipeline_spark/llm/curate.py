@@ -1,0 +1,150 @@
+"""Training-data curation operators: splits, decontamination,
+repetition signals, per-group selection.
+
+These are the pipeline steps between raw crawl and training shards:
+
+- ``hash_split``: deterministic train/val/test assignment from a
+  content-stable hash — the only split that survives re-runs,
+  backfills, and multi-engine pipelines (row position is meaningless
+  at 100 TB; hash identity is not).
+- ``ngram_overlap``: eval decontamination — for every train document,
+  how many distinct token n-grams it shares with the test corpus.
+  The standard "n-gram collision" check run before training.
+- ``repetition_stats``: Gopher-style repetition signals (top-token
+  fraction, distinct-token ratio) used to drop boilerplate/spam.
+- ``topk_per_group``: keep the best k documents per group (language,
+  domain, ...) — window row_number, one shuffle.
+
+Everything is built-in-function Column algebra (JVM-side, codegen);
+the n-gram path reuses the materialized-token-array barrier from
+llm/dedup.py so hash/shingle lambdas see attributes, not re-evaluated
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm.dedup import shingles_of, tokenized
+from temp_data_pipeline_spark.llm.text import md5_int60
+
+__all__ = ["hash_split", "ngram_overlap", "repetition_stats", "topk_per_group"]
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic percentage split keyed on ``md5(salt || id)``.
+
+    ``weights`` maps split name → integer percent (must sum to 100);
+    default 80/10/10 train/val/test.  The md5-derived 60-bit bucket is
+    bit-identical in DuckDB (see llm/text.py::md5_int60), so split
+    membership is reproducible across engines — re-running the
+    pipeline, or running it elsewhere, never migrates a document
+    between train and test.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    bucket = md5_int60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 100
+    expr = None
+    edge = 0
+    for name, pct in weights.items():
+        edge += pct
+        cond = bucket < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr)
+
+
+def ngram_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Per-train-document count of distinct token ``n``-grams shared
+    with ANY test document — the eval-decontamination primitive.
+
+    Physical shape: both corpora tokenize map-side, explode to
+    (gram) rows, the test side is reduced to DISTINCT grams, and one
+    hash join on the gram string + a count-by-doc finishes it.  The
+    join key is the gram text itself so Catalyst can hash-partition
+    it; at 100 TB replace the string key with ``xxhash64(gram)`` to
+    cut shuffle bytes (same plan shape).
+
+    Documents shorter than ``n`` tokens contribute their single
+    truncated gram (concat_ws skips the null picks) — identical to
+    list-slice truncation in DuckDB, so the oracle agrees on edge
+    docs.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        t = tokenized(df, text_col, keep=[id_col])
+        return t.select(
+            F.col(id_col), F.explode(shingles_of(F.col("_tok"), n)).alias("gram")
+        )
+
+    test_grams = grams(test).select("gram").distinct()
+    train_grams = grams(train)
+    return (
+        train_grams.join(test_grams, "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals: ``top_token_frac`` (share of
+    the most frequent token) and ``distinct_ratio`` (type/token
+    ratio).  High top-token fraction or low distinct ratio flags
+    boilerplate, keyword spam, and degenerate generations — the
+    Gopher/C4 family of quality filters.
+
+    Two shuffles, both keyed by (doc, token) / (doc): standard
+    map-reduce shape that scales linearly; no per-doc quadratic array
+    scans.
+    """
+    toks = tokenized(df, text_col, keep=[id_col]).select(
+        F.col(id_col), F.explode(F.col("_tok")).alias("w")
+    )
+    per_token = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return per_token.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
+        F.sum("c").alias("n_tokens"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    *,
+    k: int = 3,
+    descending: bool = True,
+    tie_break: str = "doc_id",
+) -> DataFrame:
+    """Best-``k`` rows per group: window row_number over
+    (group, order desc, tie).  One shuffle on the group key; the
+    rank filter happens before any downstream projection so payload
+    columns for dropped rows never move again.
+    """
+    ordering = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tie_break).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

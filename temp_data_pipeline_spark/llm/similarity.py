@@ -177,3 +177,24 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame, *, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per
+    (label, dimension position): the IVF coarse-quantizer training
+    step, and the building block for class prototypes / cluster
+    summaries.
+
+    posexplode → groupBy(label, pos) keeps everything JVM-side; the
+    shuffle carries (label, pos, partial sum/count) — 8·dims bytes per
+    label per partition regardless of corpus size, so the plan is
+    identical at 500 rows and 100 TB.
+    """
+    ex = ensure_parallelism(df).select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return ex.groupBy(label_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("centroid_v")
+    )

@@ -459,3 +459,167 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "width", "height", "n_bytes", "checksum").orderBy(
         "asset_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: splits, decontamination, repetition, selection, centroids
+# ---------------------------------------------------------------------------
+
+from temp_data_pipeline_spark.plans.declared import _rnd_sql as _rnd_sql_local  # noqa: E402
+
+
+@_register(
+    "llm_hash_split",
+    ["curation"],
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_INT60_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {_INT60_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    note=(
+        "Deterministic md5-keyed 80/10/10 split: membership is a pure "
+        "function of the id, so re-runs and cross-engine replays never "
+        "migrate a document between train and test."
+    ),
+)
+def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import hash_split
+
+    d = _docs_sorted(spark, sf_dir)
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@_register(
+    "llm_decontam",
+    ["curation", "dedup"],
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 5, 1) + 1),
+                                   i -> array_to_string(t[i:i+5], ' '))) AS gram
+      FROM toks
+    ), test_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    )
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM grams g JOIN test_grams tg USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    note=(
+        "Eval decontamination: distinct 6-gram collisions between each "
+        "train doc and the test corpus (held out by doc_id % 10). One "
+        "hash join on the gram; short docs contribute their truncated "
+        "gram identically in both engines."
+    ),
+)
+def llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import ngram_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return ngram_overlap(train, test, n=6).orderBy("doc_id")
+
+
+@_register(
+    "llm_repetition",
+    ["curation", "text-analysis"],
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           {_rnd_sql_local('MAX(c) * 1.0 / SUM(c)', 4)} AS top_token_frac,
+           {_rnd_sql_local('COUNT(*) * 1.0 / SUM(c)', 4)} AS distinct_ratio,
+           SUM(c) AS n_tokens
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    note=(
+        "Gopher-style repetition signals: top-token fraction + "
+        "type/token ratio per document. Map-reduce shape (two keyed "
+        "shuffles), no per-doc quadratic scans."
+    ),
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import repetition_stats
+    from temp_data_pipeline_spark.plans.declared import _rnd
+
+    d = load_table(spark, sf_dir, "documents")
+    s = repetition_stats(d)
+    return s.select(
+        "doc_id",
+        _rnd(F.col("top_token_frac"), 4).alias("top_token_frac"),
+        _rnd(F.col("distinct_ratio"), 4).alias("distinct_ratio"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+@_register(
+    "llm_topk_lang",
+    ["curation"],
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    ORDER BY lang, doc_id
+    """,
+    note=(
+        "Per-group selection: keep the 3 largest documents per "
+        "language — window row_number, one shuffle on the group key."
+    ),
+)
+def llm_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        topk_per_group(d, "lang", "n_chars", k=3)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@_register(
+    "llm_centroid",
+    ["similarity", "curation"],
+    f"""
+    SELECT label, pos,
+           {_rnd_sql_local('AVG(CAST(v AS DOUBLE))', 4)} AS centroid_v
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    note=(
+        "Per-label embedding centroids (IVF coarse-quantizer training "
+        "/ class prototypes): posexplode + groupBy(label, pos); the "
+        "shuffle carries only partial sums, invariant in corpus size."
+    ),
+)
+def llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.similarity import label_centroids
+    from temp_data_pipeline_spark.plans.declared import _rnd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        label_centroids(e)
+        .select("label", "pos", _rnd(F.col("centroid_v"), 4).alias("centroid_v"))
+        .orderBy("label", "pos")
+    )
