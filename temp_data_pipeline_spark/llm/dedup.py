@@ -444,19 +444,43 @@ def embedding_neardup_pairs(
             out = out + b
         return out
 
-    sigs = ensure_parallelism(df).select(
+    # One pass per ROW computes the signature AND the L2-normalized
+    # vector (explode-of-1 barrier so both are materialized once).
+    # Pre-normalizing moves the two norm folds out of the per-PAIR
+    # verify — candidates outnumber rows by orders of magnitude, so
+    # verify cost drops from three array folds per pair to one dot.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    base = ensure_parallelism(df).select(
         F.col(id_col),
-        F.col(vec_col),
-        F.explode(F.array(sig_expr())).alias("_sig"),
+        F.explode(
+            F.array(
+                F.struct(
+                    sig_expr().alias("sig"),
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double") / safe
+                    ).alias("vn"),
+                )
+            )
+        ).alias("_m"),
     )
     mask = (1 << per_band) - 1
-    banded = sigs.select(
+    # Candidate generation carries ONLY ids: the (band join → pair
+    # dedup) shuffles move 16 bytes per candidate instead of two
+    # 64-float vectors — the join-back below re-attaches vectors once
+    # per SURVIVING pair, keyed by id.
+    banded = base.select(
         id_col,
-        vec_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_sig"), per_band * i).bitwiseAND(mask)
+                    F.shiftright(F.col("_m.sig"), per_band * i).bitwiseAND(mask)
                     for i in range(bands)
                 ]
             )
@@ -473,13 +497,19 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = base.select(F.col(id_col), F.col("_m.vn").alias("_vn"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        cand.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_vn").alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb")), "id_b")
+        .withColumn("cosine", dot)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
