@@ -182,3 +182,56 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("match_eid").alias("n_next_hour"))
         .orderBy("event_id")
     )
+
+
+@_register(
+    "q_session_window",
+    ["extension-temporal", "A1"],
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_last_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    note=(
+        "Spark's NATIVE session operator (F.session_window) in batch "
+        "form: dynamic-gap session assignment inside the aggregation "
+        "operator itself — the same operator Structured Streaming uses "
+        "with a watermark. Boundary semantics differ from sessionize(): "
+        "the window is half-open, so a gap of EXACTLY the threshold "
+        "starts a new session (oracle uses >=, q_sessionize uses >). "
+        "window.end = last_event + gap, so the oracle pins min/max "
+        "event times instead."
+    ),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
+        )
+        .select("user_id", "session_start_us", "session_last_us", "n_events")
+        .orderBy("user_id", "session_start_us")
+    )

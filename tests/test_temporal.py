@@ -212,3 +212,33 @@ class TestRangeJoin:
 @pytest.mark.parametrize("name", sorted(TEMPORAL_QUERIES))
 def test_temporal_query_oracle(spark, name):
     compare_query(spark, TEMPORAL_QUERIES[name], SF_SMOKE)
+
+
+def test_session_window_agrees_with_sessionize(spark):
+    """Spark's native F.session_window and the hand-rolled sessionize()
+    assign identical sessions on data without exact-gap boundaries
+    (they differ only when a gap equals the threshold exactly)."""
+    from temp_data_pipeline_spark.operators.temporal import sessionize
+    from temp_data_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    native = (
+        spark.createDataFrame(
+            TEMPORAL_QUERIES["q_session_window"]
+            .builder(spark, SF_SMOKE)
+            .collect()
+        )
+        .select("user_id", "session_start_us", "n_events")
+    )
+    rolled = (
+        sessionize(events, key="user_id", ts="ts", gap_minutes=30.0)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "n_events")
+    )
+    a = sorted(map(tuple, native.collect()))
+    b = sorted(map(tuple, rolled.collect()))
+    assert a == b
