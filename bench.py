@@ -90,6 +90,7 @@ def main() -> None:
                 "metric": "total wall-clock of all declared queries (noop sink)",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
             }

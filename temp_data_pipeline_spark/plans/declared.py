@@ -554,3 +554,34 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("user_id", "h")
     )
+
+
+@_register(
+    "q_quantile_group",
+    ["A10"],
+    f"""
+    SELECT o_orderpriority,
+           {_rnd_sql("CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE)")} AS p50,
+           {_rnd_sql("CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE)")} AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note=(
+        "Per-group EXACT percentiles (the per-slice regime cut of A10, "
+        "keyed): Spark `percentile` interpolates identically to DuckDB "
+        "quantile_cont; percentile_approx would not hash-match. Groups "
+        "bound the sort so the exact algorithm stays partition-local "
+        "per key at scale."
+    ),
+)
+def q_quantile_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    grouped = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("_q")
+    )
+    return grouped.select(
+        "o_orderpriority",
+        _rnd(F.col("_q")[0]).alias("p50"),
+        _rnd(F.col("_q")[1]).alias("p90"),
+    ).orderBy("o_orderpriority")
