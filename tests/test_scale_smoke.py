@@ -50,3 +50,57 @@ def test_minhash_dedup_at_10x(spark):
     # the 10 suffixed variants of each doc are mutual near-dups at the
     # 3-gram level → survivors far below input count, above zero
     assert 0 < kept < big.count() // 2
+
+
+def _big_events(spark, copies=10):
+    from temp_data_pipeline_spark.sources.registry import load_table
+
+    e = load_table(spark, SF_BENCH, "events")
+    big = e
+    for i in range(1, copies):
+        big = big.unionByName(
+            e.withColumn("event_id", F.col("event_id") + 1_000_000 * i)
+            .withColumn("user_id", F.col("user_id") + 1_000 * i)
+        )
+    return big.repartition(64)
+
+
+def test_asof_join_at_10x(spark):
+    """1M-event as-of join: the union+window plan must stay one hash
+    exchange regardless of row count (no pair blow-up)."""
+    from temp_data_pipeline_spark.operators.temporal import asof_join
+
+    big = _big_events(spark)
+    purchases = big.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = big.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("cv")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols={"cv": "click_value"},
+    )
+    n = out.count()
+    assert n == purchases.count()  # left join preserves every purchase
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_at_10x(spark):
+    """1M-event bounded-window self-join: bucketed equi-join keeps the
+    candidate set linear in matches; must finish without BNL."""
+    from temp_data_pipeline_spark.operators.temporal import range_join
+
+    big = _big_events(spark)
+    purchases = big.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = big.select("user_id", "ts", F.col("event_id").alias("eid"))
+    pairs = range_join(
+        purchases, others, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_seconds=0.0, upper_seconds=3600.0, right_cols={"eid": "match_eid"},
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert pairs.count() > 0
