@@ -185,3 +185,35 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
     ).orderBy("user_id")
+
+
+@_register(
+    "q_cube",
+    ["extension-relational", "A10"],
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           {_rnd_sql('SUM(l_quantity)')} AS sq
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+    note=(
+        "Full cross-dimensional totals: CUBE adds the per-linestatus "
+        "marginals ROLLUP omits, still via one Expand + one exchange."
+    ),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _rnd(F.sum("l_quantity")).alias("sq"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sq",
+        )
+        .orderBy("rf", "ls")
+    )
