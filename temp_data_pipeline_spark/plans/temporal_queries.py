@@ -235,3 +235,48 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start_us", "session_last_us", "n_events")
         .orderBy("user_id", "session_start_us")
     )
+
+
+@_register(
+    "q_asof_forward",
+    ["extension-temporal", "J1"],
+    """
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(s.ts) AS next_signup_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts < s.ts
+    ORDER BY p.event_id
+    """,
+    note=(
+        "Forward as-of: each purchase matched to the user's EARLIEST "
+        "strictly-later signup (next-event attribution). Same "
+        "union+window plan scanned in reverse time order."
+    ),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("sig_eid")
+    )
+    matched = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"sig_eid": "next_signup_eid"},
+        direction="forward",
+        strict=True,
+        how="left",
+        tie_break="sig_eid",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts_asof").alias("next_signup_us"),
+    ).orderBy("event_id")
