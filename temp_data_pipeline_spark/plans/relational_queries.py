@@ -217,3 +217,47 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rf", "ls")
     )
+
+
+@_register(
+    "q_rank_topn",
+    ["extension-window"],
+    """
+    SELECT o_custkey, o_orderkey, rk, drk, ntl
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rk,
+               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drk,
+               NTILE(4)     OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS ntl
+        FROM orders
+    )
+    WHERE rk <= 3
+    ORDER BY o_custkey, o_orderkey
+    """,
+    note=(
+        "Ranking-window family (SURVEY §2.6 has only lag/rolling/"
+        "expanding): per-customer earliest-3 orders via RANK (ties on "
+        "o_orderdate share a rank, so >3 rows can survive — exactly the "
+        "top-N-with-ties semantics), plus DENSE_RANK and a quartile "
+        "NTILE over a fully deterministic (date, key) order.  All three "
+        "specs share one hash partitioning on o_custkey, so the plan is "
+        "ONE exchange + in-partition sorts; the rk<=3 filter prunes "
+        "before the final global sort.  Ranks cast to long: Spark emits "
+        "int32, DuckDB BIGINT, and the driver compares schemas."
+    ),
+)
+def q_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w_full = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_date).cast("long").alias("rk"),
+        F.dense_rank().over(w_date).cast("long").alias("drk"),
+        F.ntile(4).over(w_full).cast("long").alias("ntl"),
+    )
+    return ranked.filter(F.col("rk") <= 3).orderBy("o_custkey", "o_orderkey")
