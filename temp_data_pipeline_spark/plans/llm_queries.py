@@ -261,10 +261,10 @@ def llm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_sum(list_transform(range(16), b ->
+           CAST(list_sum(list_transform(range(16), b ->
                CASE WHEN list_sum(list_transform(hs, h ->
                         CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash16
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash16
     FROM th ORDER BY doc_id
     """,
     note="16-bit md5-based SimHash; 64-bit xxhash variant is rows-only.",
@@ -541,7 +541,7 @@ def llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            {_rnd_sql_local('MAX(c) * 1.0 / SUM(c)', 4)} AS top_token_frac,
            {_rnd_sql_local('COUNT(*) * 1.0 / SUM(c)', 4)} AS distinct_ratio,
-           SUM(c) AS n_tokens
+           CAST(SUM(c) AS BIGINT) AS n_tokens
     FROM cnt GROUP BY doc_id ORDER BY doc_id
     """,
     note=(
