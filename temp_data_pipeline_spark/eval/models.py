@@ -18,8 +18,9 @@ Scale posture per model:
 - kNN: the reference caps k at n_train and fits on ~5k rows — the
   train matrix is broadcast and scoring is an Arrow-batched pandas
   UDF (brute-force per batch).
-- XGBoost: import-gated; raises a clear error if xgboost is absent
-  (not installed in this environment).
+- XGBoost: real xgboost when importable, else the pure-numpy boosted
+  trees in eval/gbt.py (same recipe and defaults); train collects the
+  small frame like kNN, scoring is a broadcast + Arrow pandas UDF.
 """
 
 from __future__ import annotations
@@ -194,18 +195,102 @@ class KNNForecaster:
 
 
 class XGBoostForecaster:
-    """Import-gated XGBoost (reference models.py:177-259). xgboost is
-    not installed in this environment; the class exists so the factory
-    surface matches the reference."""
+    """Gradient-boosted trees (reference models.py:177-259).
 
-    def __init__(self, features: list[str] | None = None, **hyperparams) -> None:
+    Uses the real `xgboost.XGBRegressor` when the package is
+    importable; otherwise falls back to the pure-numpy
+    `NumpyGBTRegressor` (eval/gbt.py) which implements the same
+    second-order boosting recipe (gain/leaf-weight formulas, NaN
+    default-direction, early stopping on the last eval set) with the
+    reference's defaults: objective reg:squarederror, n_estimators=100,
+    learning_rate=0.1, max_depth=3, early_stopping_rounds=10.
+
+    Spark posture mirrors KNNForecaster: the train frame is small
+    (the reference collects it to pandas regardless), so fit() is a
+    bounded driver-side collect; scoring broadcasts the fitted trees
+    and runs an Arrow-batched pandas UDF — no per-row Python, no
+    driver loop over the scored frame.
+    """
+
+    DEFAULT_FEATURES = [
+        "tmax_pred_f", "sin_doy", "cos_doy", "bias_7d", "bias_14d", "lead_hours",
+    ]
+    DEFAULT_PARAMS = {
+        "objective": "reg:squarederror",
+        "n_estimators": 100,
+        "learning_rate": 0.1,
+        "max_depth": 3,
+        "early_stopping_rounds": 10,
+    }
+
+    def __init__(
+        self,
+        features: list[str] | None = None,
+        hyperparams: dict | None = None,
+        **kw,
+    ) -> None:
+        self.features = features or list(self.DEFAULT_FEATURES)
+        self.params = dict(self.DEFAULT_PARAMS)
+        if hyperparams:
+            self.params.update(hyperparams)
+        self.params.update(kw)
         try:
-            import xgboost  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "XGBoostForecaster requires the 'xgboost' package, which is "
-                "not available in this environment. Use ridge/knn instead."
-            ) from e
+            import xgboost as xgb
+
+            self.model = xgb.XGBRegressor(**self.params)
+            self._backend = "xgboost"
+        except ImportError:
+            from temp_data_pipeline_spark.eval.gbt import NumpyGBTRegressor
+
+            self.model = NumpyGBTRegressor(**self.params)
+            self._backend = "numpy"
+        self._fit_feats: list[str] | None = None
+
+    def _collect_xy(self, df: DataFrame, feats: list[str], label_col: str):
+        pdf = df.select(
+            *[F.col(f).cast("double").alias(f) for f in feats],
+            F.col(label_col).cast("double").alias("_y"),
+        ).toPandas()
+        return pdf[feats].to_numpy(), pdf["_y"].to_numpy()
+
+    def fit(
+        self,
+        df_train: DataFrame,
+        label_col: str = "tmax_actual_f",
+        eval_set: list[DataFrame] | None = None,
+    ) -> None:
+        feats = [f for f in self.features if f in df_train.columns]
+        if not feats:
+            raise ValueError(
+                f"No features found. Expected: {self.features}, got: {df_train.columns}"
+            )
+        self._fit_feats = feats
+        x, y = self._collect_xy(df_train, feats, label_col)
+        ev = None
+        if eval_set:
+            ev = [self._collect_xy(d, feats, label_col) for d in eval_set]
+        if ev is None and self._backend == "xgboost":
+            # XGBRegressor requires an eval_set when early stopping is on
+            self.model.set_params(early_stopping_rounds=None)
+            self.model.fit(x, y)
+        else:
+            self.model.fit(x, y, eval_set=ev)
+
+    def predict_mu(self, df: DataFrame) -> DataFrame:
+        if self._fit_feats is None:
+            raise RuntimeError("Model not fitted. Call fit() first.")
+        feats = self._fit_feats
+        spark = df.sparkSession
+        bmodel = spark.sparkContext.broadcast(self.model)
+
+        @F.pandas_udf(DoubleType())
+        def gbt_mu(*cols):
+            import pandas as pd
+
+            q = np.column_stack([c.to_numpy(dtype=float) for c in cols])
+            return pd.Series(bmodel.value.predict(q))
+
+        return df.withColumn("y_pred_f", gbt_mu(*[F.col(f) for f in feats]))
 
 
 def create_forecaster(cfg: ModelConfig) -> Forecaster:
@@ -219,5 +304,5 @@ def create_forecaster(cfg: ModelConfig) -> Forecaster:
     if cfg.type == "knn":
         return KNNForecaster(n_neighbors=cfg.n_neighbors, features=cfg.features)
     if cfg.type == "xgboost":
-        return XGBoostForecaster(features=cfg.features, **cfg.hyperparams)
+        return XGBoostForecaster(features=cfg.features, hyperparams=cfg.hyperparams)
     raise ValueError(f"Unknown forecaster type: {cfg.type}")
