@@ -24,11 +24,55 @@ the same candidate-pair output.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.llm.text import md5_int60, tokens
 from temp_data_pipeline_spark.session import ensure_parallelism
+
+
+def cap_bucket(
+    df: DataFrame, keys: list[str], order_col: str, cap: int | None
+) -> DataFrame:
+    """Bound LSH bucket size before a self-join.
+
+    A bucket with k rows yields k²/2 candidate pairs in ONE task — a
+    corpus with mass-duplicated boilerplate (k copies of a banner page)
+    turns the band self-join quadratic. Keeping only the `cap`
+    lowest-id rows per bucket bounds any bucket's pair count at cap²/2
+    while preserving keep-lowest-id dedup semantics for the capped
+    bucket's survivors (every dropped row still matches the bucket's
+    minimum id through the retained rows' pairs in the common case of
+    true duplicates; genuinely distinct colliders beyond `cap` lose
+    recall, which is the documented trade).
+
+    The row_number window partitions by the same keys the self-join
+    shuffles on, so the exchange is reused — the cap costs a sort
+    within already-required partitions, not an extra shuffle.
+    Use `bucket_overflow_stats` to observe what was truncated.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def bucket_overflow_stats(
+    df: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Buckets whose population exceeds `cap` (what cap_bucket drops):
+    one row per overflowing bucket with its total count. Run on the
+    banded frame when auditing recall loss on a suspect corpus."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > cap)
+        .withColumn("n_dropped", F.col("n_rows") - cap)
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -144,11 +188,14 @@ def lsh_band_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs from banded signatures.
 
     Explode the signature into `bands` band-hashes, self-join on
     (band, band_hash), keep (a < b) pairs. Distinct pairs only.
+    Buckets are capped at `max_bucket` rows (lowest ids kept) so a
+    mass-duplicated document can't make one task quadratic.
     """
     # explode-of-1 barrier: ensure the signature is a plain attribute
     # before the band expressions reference it several times each
@@ -176,6 +223,7 @@ def lsh_band_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    banded = cap_bucket(banded, ["band", "band_hash"], id_col, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -207,9 +255,14 @@ def minhash_dedup(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup removal: keep docs that do NOT match a
-    lower-id doc at ≥ threshold exact Jaccard (candidates from LSH)."""
+    lower-id doc at ≥ threshold exact Jaccard (candidates from LSH).
+
+    Run `exact_dedup` first on corpora with mass-duplicated texts —
+    exact copies collapse in one linear shuffle and never reach the
+    (capped) band buckets."""
     # explode-of-1 barriers keep tokens, shingles, and the signature as
     # real attributes (evaluated once per row each), not inlined exprs
     with_tok = tokenized(df, text_col, [id_col])
@@ -222,7 +275,7 @@ def minhash_dedup(
         F.col("_sh"),
         F.explode(F.array(minhash_signature(F.col("_sh"), k))).alias("_sig"),
     )
-    pairs = lsh_band_pairs(with_sig, id_col, "_sig", bands)
+    pairs = lsh_band_pairs(with_sig, id_col, "_sig", bands, max_bucket=max_bucket)
     sh_only = with_sh.select(F.col(id_col), F.col("_sh"))
     verified = (
         pairs.join(
@@ -324,10 +377,12 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
-    equal), join on chunk equality, verify with bit_count(xor)."""
+    equal), join on chunk equality, verify with bit_count(xor).
+    Chunk buckets are capped at `max_bucket` rows (see cap_bucket)."""
     sigs = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array(simhash(text_col))).alias("_sig")
     )
@@ -343,6 +398,7 @@ def simhash_neardup_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
+    chunks = cap_bucket(chunks, ["chunk_id", "chunk"], id_col, max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -410,12 +466,14 @@ def embedding_neardup_pairs(
     nbits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate vectors via banded random-hyperplane LSH:
     nbits sign bits (deterministic planes from seed) split into
     `bands` chunks; candidates share at least one chunk (requiring the
     full signature to match has vanishing recall below cosine ≈ 0.95);
     exact cosine verifies candidates. Emits pairs ≥ threshold.
+    Band buckets are capped at `max_bucket` rows (see cap_bucket).
     """
     import random
 
@@ -486,6 +544,7 @@ def embedding_neardup_pairs(
             )
         ).alias("band_id", "band_val"),
     )
+    banded = cap_bucket(banded, ["band_id", "band_val"], id_col, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

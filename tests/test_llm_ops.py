@@ -19,6 +19,8 @@ from pyspark.sql.types import (
 
 from temp_data_pipeline_spark.llm import multimodal, similarity, text
 from temp_data_pipeline_spark.llm.dedup import (
+    bucket_overflow_stats,
+    cap_bucket,
     embedding_neardup_pairs,
     exact_dedup,
     jaccard,
@@ -160,6 +162,39 @@ def test_simhash_neardup_pairs_finds_twin(spark):
     df = docs(spark, [base, base + " x", " ".join(f"q{i}" for i in range(60))])
     pairs = simhash_neardup_pairs(df, max_hamming=5).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_cap_bucket_keeps_lowest_ids_and_reports_overflow(spark):
+    rows = [(i, "hot") for i in range(10)] + [(99, "cold")]
+    df = spark.createDataFrame(
+        rows, StructType([StructField("id", LongType()), StructField("k", StringType())])
+    )
+    out = cap_bucket(df, ["k"], "id", 3)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 99]
+    ov = bucket_overflow_stats(df, ["k"], 3).collect()
+    assert len(ov) == 1 and ov[0].k == "hot" and ov[0].n_dropped == 7
+    # cap=None is a no-op
+    assert cap_bucket(df, ["k"], "id", None).count() == 11
+
+
+def test_hot_bucket_cap_bounds_pair_count(spark):
+    # 50 identical docs: every simhash chunk bucket holds all 50 rows.
+    # Uncapped → C(50,2)=1225 pairs; cap=5 keeps ids 0-4 per bucket →
+    # exactly C(5,2)=10 pairs, same lowest-id representative.
+    df = docs(spark, ["same boilerplate banner text"] * 50)
+    assert simhash_neardup_pairs(df, max_bucket=None).count() == 1225
+    capped = simhash_neardup_pairs(df, max_bucket=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
+def test_cap_does_not_change_normal_corpus_results(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    df = docs(spark, [base, base + " x", " ".join(f"q{i}" for i in range(60))])
+    with_cap = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(df, max_hamming=5).collect()}
+    no_cap = {(r.id_a, r.id_b)
+              for r in simhash_neardup_pairs(df, max_hamming=5, max_bucket=None).collect()}
+    assert with_cap == no_cap == {(0, 1)}
 
 
 # ------------------------------------------------------------- similarity

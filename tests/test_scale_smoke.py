@@ -37,6 +37,35 @@ def _big_docs(spark, copies=10):
     return big.repartition(64)
 
 
+def test_adversarial_boilerplate_corpus_is_capped(spark):
+    """10k copies of one boilerplate doc: uncapped LSH banding puts all
+    10k rows in one bucket → ~50M candidate pairs in a single task.
+    With the default bucket cap the candidate space is bounded at
+    cap²/2 per band and the job stays interactive."""
+    import time
+
+    from temp_data_pipeline_spark.llm.dedup import (
+        exact_dedup,
+        minhash_dedup,
+        simhash_neardup_pairs,
+    )
+
+    boiler = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate banner text on every single page").alias("text"),
+    )
+    t0 = time.time()
+    n_pairs = simhash_neardup_pairs(boiler, max_bucket=100).count()
+    assert 0 < n_pairs <= 100 * 99 // 2
+    assert time.time() - t0 < 120
+    # recommended composition: exact dedup first collapses the mass
+    # duplicates in one linear shuffle, then LSH sees singletons
+    t0 = time.time()
+    survivors = minhash_dedup(exact_dedup(boiler), max_bucket=1000).count()
+    assert survivors == 1
+    assert time.time() - t0 < 120
+
+
 def test_exact_dedup_at_10x(spark):
     big = _big_docs(spark)
     n_in = big.count()
