@@ -256,9 +256,13 @@ def minhash_dedup(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup removal: keep docs that do NOT match a
     lower-id doc at ≥ threshold exact Jaccard (candidates from LSH).
+
+    hash_fn="xxhash64" is the production path; "md5" uses the
+    md5-int60 family reproducible in DuckDB SQL (oracle parity).
 
     Run `exact_dedup` first on corpora with mass-duplicated texts —
     exact copies collapse in one linear shuffle and never reach the
@@ -273,7 +277,9 @@ def minhash_dedup(
     with_sig = with_sh.select(
         F.col(id_col),
         F.col("_sh"),
-        F.explode(F.array(minhash_signature(F.col("_sh"), k))).alias("_sig"),
+        F.explode(
+            F.array(minhash_signature(F.col("_sh"), k, hash_fn=hash_fn))
+        ).alias("_sig"),
     )
     pairs = lsh_band_pairs(with_sig, id_col, "_sig", bands, max_bucket=max_bucket)
     sh_only = with_sh.select(F.col(id_col), F.col("_sh"))
@@ -378,13 +384,21 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int | None = 1000,
+    hash_fn: str = "xxhash64",
+    nbits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
-    equal), join on chunk equality, verify with bit_count(xor).
-    Chunk buckets are capped at `max_bucket` rows (see cap_bucket)."""
+    """Near-dup pairs by SimHash: band the signature into 4 16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join
+    on chunk equality, verify with bit_count(xor). Chunk buckets are
+    capped at `max_bucket` rows (see cap_bucket). hash_fn="md5" is the
+    DuckDB-reproducible 60-bit variant (oracle parity); the pigeonhole
+    still holds — 4 chunks cover bits 0..63 and 60-bit signatures just
+    leave the top chunk 12 bits wide."""
     sigs = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array(simhash(text_col))).alias("_sig")
+        F.col(id_col),
+        F.explode(F.array(simhash(text_col, nbits=nbits, hash_fn=hash_fn))).alias(
+            "_sig"
+        ),
     )
     chunks = sigs.select(
         id_col,

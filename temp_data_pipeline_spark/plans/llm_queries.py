@@ -362,30 +362,123 @@ def llm_neardup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# the oracle replays the ENTIRE minhash_dedup pipeline in SQL:
+# 3-gram shingles → k=16 seeded md5-int60 minima → 4 bands of 4 →
+# band-equality candidates (the Spark side hashes the band slice with
+# xxhash64 purely as a shuffle-key compression; equality on the hash
+# == equality on the slice) → exact-Jaccard ≥ 0.8 verify → drop id_b.
+_MINHASH16_SQL = ",\n           ".join(
+    "list_min(list_transform(s, x -> "
+    + _INT60_SQL.format(x=f"concat('s{i}:', x)")
+    + "))"
+    for i in range(16)
+)
+
+_MINHASH_DEDUP_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, n_chars,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> concat_ws(' ', string_split(text,' ')[i],
+                                       string_split(text,' ')[i+1],
+                                       string_split(text,' ')[i+2])
+               )) AS s
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+           [{_MINHASH16_SQL}] AS mh
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, t.b AS band,
+               concat_ws(',', CAST(mh[4*t.b+1] AS VARCHAR), CAST(mh[4*t.b+2] AS VARCHAR),
+                              CAST(mh[4*t.b+3] AS VARCHAR), CAST(mh[4*t.b+4] AS VARCHAR)) AS bv
+        FROM sig, unnest(range(4)) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), ver AS (
+        SELECT c.id_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+              / (len(sa.s) + len(sb.s)
+                 - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.8
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM ver)
+    ORDER BY d.doc_id
+"""
+
+
 @_register(
     "llm_minhash_dedup",
     ["dedup"],
-    None,
+    _MINHASH_DEDUP_ORACLE,
     note=(
-        "Full MinHash→LSH band join→exact-Jaccard-verify dedup with "
-        "production xxhash64 hashing; semantics pinned by goldens in "
-        "tests/test_llm_ops.py."
+        "Full MinHash→LSH band join→exact-Jaccard-verify dedup, "
+        "md5-int60 hash family so DuckDB replays every stage (the "
+        "xxhash64 production path is pinned by goldens in "
+        "tests/test_llm_ops.py and the 10× scale smoke)."
     ),
 )
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.8).select("doc_id", "n_chars").orderBy("doc_id")
+    return (
+        minhash_dedup(d, threshold=0.8, hash_fn="md5")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text,' ')),
+                              t -> {_INT60_SQL.format(x='t')}) AS hs
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(60), b ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                            CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sg
+        FROM th
+    ), chunks AS (
+        SELECT doc_id, sg, t.b AS chunk_id, (sg >> (16*t.b)) & 65535 AS chunk
+        FROM sig, unnest(range(4)) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sg AS sa, b.sg AS sb
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+"""
 
 
 @_register(
     "llm_simhash_neardup",
     ["dedup"],
-    None,
-    note="64-bit SimHash banding + Hamming verify (≤3).",
+    _SIMHASH_NEARDUP_ORACLE,
+    note=(
+        "SimHash banding + Hamming verify (≤3), 60-bit md5 variant so "
+        "DuckDB replays signature→chunk→candidate→verify (the 64-bit "
+        "xxhash64 production path is golden-tested)."
+    ),
 )
 def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(d).orderBy("id_a", "id_b")
+    return (
+        simhash_neardup_pairs(d, hash_fn="md5", nbits=60)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @_register(
