@@ -319,7 +319,7 @@ def test_audio_feature_plumbing(spark):
     assert len(out[1]["features"]) == 8
 
 
-def test_era5_binary_distributed_gated(spark, tmp_path):
+def test_era5_binary_distributed_bad_file_marker(spark, tmp_path):
     (tmp_path / "a.nc").write_bytes(b"\x00fake-netcdf")
     (tmp_path / "b.txt").write_bytes(b"ignored")
     from temp_data_pipeline_spark.sources.era5 import read_era5_binary_distributed
@@ -327,9 +327,6 @@ def test_era5_binary_distributed_gated(spark, tmp_path):
 
     st = StationMeta(station_id="KLGA", lat=40.78, lon=-73.87)
     rows = read_era5_binary_distributed(spark, str(tmp_path), st).collect()
-    try:
-        import xarray  # noqa: F401
-    except ImportError:
-        # decoder absent: one marker row per .nc file, txt filtered out
-        assert len(rows) == 1
-        assert rows[0]["error"] and "a.nc" in rows[0]["error"]
+    # unparseable bytes: one marker row per .nc file, txt filtered out
+    assert len(rows) == 1
+    assert rows[0]["error"] and "a.nc" in rows[0]["error"]

@@ -1,0 +1,195 @@
+"""NetCDF classic reader/writer + end-to-end ERA5 decode (SURVEY §2.1
+S7; reference fetch/era5_hourly.py:264-347 nearest-grid + K→C).
+
+The fixture is a CDS-style packed-short t2m cube written by the
+in-repo classic writer, so the distributed binaryFile→mapInPandas
+path executes for real in this container (no xarray/netCDF4)."""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from temp_data_pipeline_spark.sources.netcdf_lite import (
+    cf_decode,
+    cf_decode_time,
+    parse_era5_t2m,
+    read_netcdf_classic,
+    write_netcdf_classic,
+)
+
+LATS = [41.0, 40.75]
+LONS = [-74.0, -73.75]
+HOURS0 = 1_090_000  # hours since 1900-01-01 → mid-2024
+# station (40.78, -73.87) → nearest grid point is (lat idx 1, lon idx 1)
+KELVIN = np.array(
+    [
+        [[280.00, 281.00], [282.00, 283.25]],
+        [[284.00, 285.00], [286.00, 287.50]],
+        [[288.00, 289.00], [290.00, 291.75]],
+    ]
+)
+
+
+def era5_fixture_bytes() -> bytes:
+    """Packed-short ERA5-style cube: t2m[time,lat,lon] with
+    scale/offset, int time coord with CF units."""
+    scale, offset = 0.25, 270.0
+    packed = np.round((KELVIN - offset) / scale).astype(np.int16)
+    return write_netcdf_classic(
+        dims={"time": 3, "latitude": 2, "longitude": 2},
+        variables={
+            "latitude": (("latitude",), {"units": "degrees_north"},
+                         np.array(LATS, dtype=np.float64)),
+            "longitude": (("longitude",), {"units": "degrees_east"},
+                          np.array(LONS, dtype=np.float64)),
+            "time": (("time",),
+                     {"units": "hours since 1900-01-01 00:00:00.0"},
+                     np.array([HOURS0, HOURS0 + 1, HOURS0 + 2], dtype=np.int32)),
+            "t2m": (("time", "latitude", "longitude"),
+                    {"scale_factor": np.float64(scale),
+                     "add_offset": np.float64(offset),
+                     "_FillValue": np.int16(-32767),
+                     "units": "K"},
+                    packed),
+        },
+        gattrs={"Conventions": "CF-1.6", "source": "test-fixture"},
+    )
+
+
+def expected_times():
+    base = datetime(1900, 1, 1)
+    return [base + timedelta(hours=HOURS0 + i) for i in range(3)]
+
+
+# ----------------------------------------------------------------- reader
+
+
+def test_roundtrip_dims_attrs_values():
+    f = read_netcdf_classic(era5_fixture_bytes())
+    assert f.dims == {"time": 3, "latitude": 2, "longitude": 2}
+    assert f.attrs["Conventions"] == "CF-1.6"
+    assert f.vars["latitude"].attrs["units"] == "degrees_north"
+    np.testing.assert_allclose(f.vars["latitude"].data, LATS)
+    assert f.vars["t2m"].dims == ("time", "latitude", "longitude")
+    assert f.vars["t2m"].data.dtype == np.dtype(">i2")
+
+
+def test_cf_decode_scale_offset_and_fill():
+    f = read_netcdf_classic(era5_fixture_bytes())
+    k = cf_decode(f.vars["t2m"])
+    np.testing.assert_allclose(k, KELVIN)  # 0.25 packing is exact here
+    # fill value → NaN
+    raw = f.vars["t2m"]
+    raw.data = raw.data.copy()
+    raw.data[0, 0, 0] = -32767
+    k2 = cf_decode(raw)
+    assert np.isnan(k2[0, 0, 0]) and k2[1, 1, 1] == KELVIN[1, 1, 1]
+
+
+def test_cf_decode_time_hours_since():
+    f = read_netcdf_classic(era5_fixture_bytes())
+    ts = cf_decode_time(f.vars["time"])
+    got = [t.astype("datetime64[us]").item() for t in ts]
+    assert got == expected_times()
+
+
+def test_cf_decode_time_seconds_since():
+    from temp_data_pipeline_spark.sources.netcdf_lite import NcVar
+
+    v = NcVar(dims=("time",), attrs={"units": "seconds since 1970-01-01"},
+              data=np.array([0, 3600], dtype=np.int64))
+    got = [t.astype("datetime64[us]").item() for t in cf_decode_time(v)]
+    assert got == [datetime(1970, 1, 1), datetime(1970, 1, 1, 1)]
+    v.attrs["units"] = "fortnights since 1970-01-01"
+    with pytest.raises(ValueError, match="unsupported time units"):
+        cf_decode_time(v)
+
+
+def test_reader_rejects_hdf5_and_garbage():
+    with pytest.raises(ValueError, match="NetCDF-4"):
+        read_netcdf_classic(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="bad magic"):
+        read_netcdf_classic(b"not netcdf at all")
+
+
+def test_reader_record_dimension():
+    """Hand-built CDF-1 file with an unlimited time dim: v[time, x],
+    numrecs=2 — exercises the interleaved-record branch (and the
+    single-record-var vsize special case)."""
+    def name(s):
+        raw = s.encode()
+        return struct.pack(">i", len(raw)) + raw + b"\x00" * ((4 - len(raw) % 4) % 4)
+
+    hdr = b"CDF\x01" + struct.pack(">i", 2)  # numrecs=2
+    hdr += struct.pack(">ii", 0x0A, 2) + name("time") + struct.pack(">i", 0)
+    hdr += name("x") + struct.pack(">i", 2)
+    hdr += struct.pack(">ii", 0, 0)  # no global attrs
+    hdr += struct.pack(">ii", 0x0B, 1)  # one variable
+    var = name("v") + struct.pack(">ii", 2, 0) + struct.pack(">i", 1)
+    var += struct.pack(">ii", 0, 0)  # no var attrs
+    # nc_type=short, vsize=4 (2 shorts, no padding needed), begin after header
+    begin = len(hdr) + len(var) + 12
+    var += struct.pack(">iii", 3, 4, begin)
+    data = struct.pack(">hh", 1, 2) + struct.pack(">hh", 3, 4)
+    f = read_netcdf_classic(hdr + var + data)
+    assert f.dims == {"time": 2, "x": 2}
+    np.testing.assert_array_equal(f.vars["v"].data, [[1, 2], [3, 4]])
+
+
+# ------------------------------------------------------------ ERA5 decode
+
+
+def test_parse_era5_t2m_nearest_grid():
+    times, kelvin = parse_era5_t2m(era5_fixture_bytes(), 40.78, -73.87)
+    got = [t.astype("datetime64[us]").item() for t in times]
+    assert got == expected_times()
+    # (lat idx 1, lon idx 1) slice of the cube
+    np.testing.assert_allclose(kelvin, [283.25, 287.50, 291.75])
+
+
+def test_parse_era5_alternate_names():
+    """valid_time / 2m_temperature naming (newer CDS files)."""
+    base = read_netcdf_classic(era5_fixture_bytes())
+    content = write_netcdf_classic(
+        dims={"valid_time": 3, "latitude": 2, "longitude": 2},
+        variables={
+            "latitude": (("latitude",), {}, np.array(LATS)),
+            "longitude": (("longitude",), {}, np.array(LONS)),
+            "valid_time": (("valid_time",),
+                           {"units": "hours since 1900-01-01"},
+                           base.vars["time"].data.astype(np.int32)),
+            "2m_temperature": (("valid_time", "latitude", "longitude"),
+                               {}, KELVIN.astype(np.float64)),
+        },
+    )
+    times, kelvin = parse_era5_t2m(content, 40.78, -73.87)
+    np.testing.assert_allclose(kelvin, [283.25, 287.50, 291.75])
+
+
+def test_distributed_binaryfile_decode_end_to_end(spark, tmp_path):
+    """The 100 TB path: binaryFile scan → mapInPandas decode, two good
+    files + one garbage file → hourly rows with K→C and one error
+    marker, all in one distributed pass."""
+    from temp_data_pipeline_spark.sources.era5 import read_era5_binary_distributed
+    from temp_data_pipeline_spark.sources.stations import StationMeta
+
+    (tmp_path / "jan.nc").write_bytes(era5_fixture_bytes())
+    (tmp_path / "feb.nc").write_bytes(era5_fixture_bytes())
+    (tmp_path / "bad.nc").write_bytes(b"corrupted bytes")
+    st = StationMeta(station_id="KLGA", lat=40.78, lon=-73.87)
+    out = read_era5_binary_distributed(spark, str(tmp_path), st)
+    rows = out.collect()
+    good = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(good) == 6 and len(bad) == 1
+    assert "bad.nc" in bad[0]["error"]
+    temps = sorted({round(r["temp_c"], 2) for r in good})
+    np.testing.assert_allclose(
+        temps, [283.25 - 273.15, 287.50 - 273.15, 291.75 - 273.15]
+    )
+    assert all(r["station_id"] == "KLGA" for r in good)
+    assert {r["ts_utc"] for r in good} == set(expected_times())

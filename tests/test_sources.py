@@ -152,15 +152,17 @@ def test_era5_nearest_grid_index():
         nearest_grid_index([], 0.0)
 
 
-def test_era5_netcdf_gated(spark, tmp_path):
-    """Without xarray/netCDF4 the decode raises NotImplementedError."""
-    try:
-        import xarray  # noqa: F401
-        pytest.skip("xarray installed; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="xarray"):
-        read_era5_netcdf(spark, str(tmp_path / "x.nc"), STATION)
+def test_era5_netcdf_classic_fallback(spark, tmp_path):
+    """With xarray/netCDF4 absent, the classic-format tier decodes a
+    real fixture end-to-end (full coverage in tests/test_netcdf_era5.py)."""
+    from tests.test_netcdf_era5 import era5_fixture_bytes
+
+    p = tmp_path / "fix.nc"
+    p.write_bytes(era5_fixture_bytes())
+    out = read_era5_netcdf(spark, str(p), STATION)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["source"] == "era5" for r in rows)
 
 
 def test_stations_dim_and_broadcast_join(spark, tmp_path):
