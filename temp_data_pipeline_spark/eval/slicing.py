@@ -61,15 +61,25 @@ def _regime_exprs(q25: float, q75: float):
     return label
 
 
-def compute_metrics_by_slice(predictions_df: DataFrame) -> dict[str, dict[str, Any]]:
-    """All four slice families in one GROUPING SETS pass."""
+def compute_metrics_by_slice(
+    predictions_df: DataFrame, exact_percentile: bool = True
+) -> dict[str, dict[str, Any]]:
+    """All four slice families in one GROUPING SETS pass.
+
+    exact_percentile=True (default) reproduces the reference's
+    np.percentile cut points exactly; False switches the regime cuts
+    to the bounded-memory sketch (operators/quantiles.py) for
+    100 TB-scale prediction frames — regime labels then shift by at
+    most the sketch's ±0.01 % rank error.
+    """
     cols = set(predictions_df.columns)
     has_month = "month" in cols
     has_lead = "lead_hours" in cols
 
     # regime cut points: exact interpolating percentiles == np.percentile
+    fn = "percentile" if exact_percentile else "percentile_approx"
     qrow = predictions_df.agg(
-        F.expr("percentile(y_true_f, array(0.25D, 0.75D))").alias("q")
+        F.expr(f"{fn}(y_true_f, array(0.25D, 0.75D))").alias("q")
     ).first()
     q25, q75 = float(qrow["q"][0]), float(qrow["q"][1])
 
