@@ -19,10 +19,13 @@ same stage semantics, on Spark.
         --config eval_config.json --forecast data/clean/forecasts \
         --truth data/clean/daily --output-dir runs
 
-Fetch (network) stages are driver-side by design; point --input at
-files downloaded via sources/http_cache.py (reference's fetch scripts
-are HTTP wrappers around the same parse paths, exercised offline here
-through sources/isd.py, sources/ghcnh.py, sources/openmeteo.py).
+    python -m temp_data_pipeline_spark.cli fetch \
+        --station KLGA --start 2024-01-01 --end 2025-01-01 \
+        --stations-csv stations.csv --data-dir data
+
+Fetch downloads driver-side (cached + atomic, sources/http_cache.py)
+then parses ALL cached files in one distributed Spark scan
+(sources/fetch.py; reference scripts/run_pipeline.py:16-26).
 """
 
 from __future__ import annotations
@@ -64,6 +67,18 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--truth", required=True)
     e.add_argument("--output-dir", default="runs")
     e.add_argument("--run-id", default=None)
+
+    ft = sub.add_parser(
+        "fetch", help="download + parse raw feeds (reference run_pipeline.py)"
+    )
+    ft.add_argument("--station", required=True, help="station id, e.g. KLGA")
+    ft.add_argument("--start", required=True, help="start date YYYY-MM-DD")
+    ft.add_argument("--end", required=True, help="end date YYYY-MM-DD (exclusive)")
+    ft.add_argument(
+        "--source", default="auto", choices=["auto", "isd", "ghcnh", "openmeteo"]
+    )
+    ft.add_argument("--stations-csv", default=None)
+    ft.add_argument("--data-dir", default="data")
     return p
 
 
@@ -139,6 +154,31 @@ def main(argv: list[str] | None = None) -> int:
         for name, mr in result.models.items():
             m = mr.metrics.forecast
             print(f"  {name}: n={m.n_samples} mae={m.mae:.4f} rmse={m.rmse:.4f}")
+
+    elif args.cmd == "fetch":
+        from pathlib import Path
+
+        from temp_data_pipeline_spark.sources.fetch import (
+            fetch_noaa_hourly,
+            fetch_openmeteo_forecast,
+            resolve_fetch_station,
+        )
+
+        station = resolve_fetch_station(args.station, args.stations_csv)
+        data = Path(args.data_dir)
+        if args.source == "openmeteo":
+            out = fetch_openmeteo_forecast(
+                spark, station, args.start, args.end,
+                data / "raw" / "openmeteo" / station.station_id,
+            )
+        else:
+            out = fetch_noaa_hourly(
+                spark, station, args.start, args.end,
+                out_dir=data / "raw" / "noaa_hourly" / station.station_id,
+                cache_dir=data / "cache" / station.station_id,
+                source=args.source,
+            )
+        print(f"[fetch] wrote {out}")
 
     return 0
 

@@ -18,7 +18,9 @@ from temp_data_pipeline_spark.schemas.tables import HOURLY_OBS_FIELDS
 from temp_data_pipeline_spark.sources.stations import StationMeta
 
 
-def read_isd_csv(spark: SparkSession, path: str, station: StationMeta) -> DataFrame:
+def read_isd_csv(
+    spark: SparkSession, path: str | list[str], station: StationMeta
+) -> DataFrame:
     """ISD CSV file(s) → canonical hourly_obs frame.
 
     - DATE → ts_utc via coercing timestamp parse; unparseable rows
