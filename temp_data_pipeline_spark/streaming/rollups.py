@@ -106,13 +106,22 @@ def run_events_rollup_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ = batch  # schema parity is asserted in tests
     sink = f"events_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        events_hourly_rollup(spark, stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a streaming stateful operator builds one state-store instance per
+    # shuffle partition at query start; at conformance scale that setup
+    # dominates wall-clock, so pin the stream's partitioning low and
+    # restore the session value after (result is partitioning-invariant)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            events_hourly_rollup(spark, stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).orderBy("user_id", "h")
