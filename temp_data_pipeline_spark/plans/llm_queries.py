@@ -51,6 +51,29 @@ def _register(name, families, oracle, note=""):
 
 _INT60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
+# The hyperplane-LSH operators draw their planes from random.Random(42)
+# in a fixed order (llm/similarity.py::ann_lsh_topk,
+# llm/dedup.py::embedding_neardup_pairs — seed=42, nbits=16, dim=64).
+# Re-drawing the same sequence here and embedding the floats as SQL
+# literals lets DuckDB replay the signature math bit-for-bit: repr()
+# round-trips doubles exactly, and both engines then multiply/sum the
+# identical values in the identical order.
+import random as _random
+
+_plane_rng = _random.Random(42)
+_PLANES = [[_plane_rng.gauss(0, 1) for _ in range(64)] for _ in range(16)]
+_PLANES_SQL = (
+    "[" + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in _PLANES) + "]"
+)
+
+# band value b (0..3) of the 16-bit signature over column {v}: 4 bits,
+# bit i set when dot({v}, plane[4b+i]) >= 0 — mirrors _plane_signature
+_BAND_SQL = """list_transform(range(4), b ->
+        CAST(list_sum(list_transform(range(4), i ->
+            CASE WHEN list_sum(list_transform(range(1, 65), j ->
+                CAST({v}[j] AS DOUBLE) * p.pl[4*b + i + 1][j])) >= 0
+            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT))"""
+
 
 def _docs_sorted(spark, sf_dir):
     """documents scan range-partitioned + sorted on doc_id up front:
@@ -481,14 +504,50 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_NEARDUP_ORACLE = f"""
+    WITH p AS (SELECT {_PLANES_SQL} AS pl),
+    nrmv AS (
+        SELECT vec_id, embedding,
+               list_transform(range(1, 65), j ->
+                   CAST(embedding[j] AS DOUBLE) /
+                   (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END)) AS vn
+        FROM (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(range(1, 65), j ->
+                       CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+                   ))) AS nrm
+            FROM embeddings
+        )
+    ),
+    sigs AS (
+        SELECT n.vec_id, {_BAND_SQL.format(v='n.embedding')} AS eb
+        FROM nrmv n, p
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+         AND (a.eb[1] = b.eb[1] OR a.eb[2] = b.eb[2]
+           OR a.eb[3] = b.eb[3] OR a.eb[4] = b.eb[4])
+    )
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN nrmv na ON na.vec_id = c.id_a
+    JOIN nrmv nb ON nb.vec_id = c.id_b
+    WHERE list_sum(list_transform(range(1, 65), j -> na.vn[j] * nb.vn[j])) >= 0.4
+    ORDER BY c.id_a, c.id_b
+"""
+
+
 @_register(
     "llm_embed_neardup",
     ["similarity", "dedup"],
-    None,
+    _EMBED_NEARDUP_ORACLE,
     note=(
         "Banded hyperplane-LSH near-dup pairs over embeddings, cosine "
         "≥ 0.4 (the synthetic vectors top out near 0.51 pairwise, so a "
-        "0.9 gate would trivially emit zero rows)."
+        "0.9 gate would trivially emit zero rows); DuckDB replays "
+        "signature → band candidates → normalized-dot verify from "
+        "embedded plane literals."
     ),
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,11 +557,36 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_LSH_ORACLE = f"""
+    WITH p AS (SELECT {_PLANES_SQL} AS pl),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT {_BAND_SQL.format(v='q.qv')} AS qb FROM q, p),
+    sigs AS (
+        SELECT e.vec_id, e.embedding,
+               {_BAND_SQL.format(v='e.embedding')} AS eb
+        FROM embeddings e, p WHERE e.vec_id <> 0
+    ),
+    cand AS (
+        SELECT s.vec_id, s.embedding
+        FROM sigs s, qs
+        WHERE s.eb[1] = qs.qb[1] OR s.eb[2] = qs.qb[2]
+           OR s.eb[3] = qs.qb[3] OR s.eb[4] = qs.qb[4]
+    )
+    SELECT vec_id FROM (
+        SELECT e.vec_id, {_COS_SQL} AS sim FROM cand e, q
+    ) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 @_register(
     "llm_ann_lsh_topk",
     ["similarity"],
-    None,
-    note="LSH-pruned ANN top-10 (candidates share ≥1 signature band with the query).",
+    _ANN_LSH_ORACLE,
+    note=(
+        "LSH-pruned ANN top-10 (candidates share ≥1 signature band "
+        "with the query); DuckDB replays the seed-42 hyperplane "
+        "signatures from embedded plane literals."
+    ),
 )
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -529,11 +613,22 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "llm_multimodal",
     ["multimodal"],
-    None,
+    """
+    SELECT doc_id AS asset_id,
+           CAST(64 + (CAST(concat('0x', substr(sha256(coalesce(text,'')), 1, 2))
+                      AS INT) % 192) AS INT) AS width,
+           CAST(64 + (CAST(concat('0x', substr(sha256(coalesce(text,'')), 3, 2))
+                      AS INT) % 192) AS INT) AS height,
+           CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS n_bytes,
+           md5(coalesce(text,'')) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
     note=(
-        "Binary-column pipeline: documents→fake media bytes→mapInPandas "
-        "decode stub→feature rows. Exercises schema/batch plumbing; the "
-        "codec itself is stubbed (no image libs in this container)."
+        "Binary-column pipeline: documents→media bytes→mapInPandas "
+        "decode→feature rows. The deterministic digest-derived decode "
+        "is replayed by DuckDB (sha256/md5 over the same UTF-8 bytes), "
+        "so the Arrow plumbing is hash-verified end-to-end; a real "
+        "codec (PIL/ffmpeg) drops into the same UDF on a real cluster."
     ),
 )
 def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
