@@ -1,0 +1,114 @@
+"""Duplicate-cluster labeling: connected components over near-dup
+pairs.
+
+The pair generators (llm/dedup.py) emit (id_a, id_b) edges; greedy
+pairwise policies drop any doc that matches a lower id, which is
+correct for cliques but leaves policy implicit for chains
+(a~b, b~c, a≁c). Connected components make the cluster structure
+explicit: every document gets a `cluster_id` (the minimum doc id
+reachable through near-dup edges), and cluster-level dedup keeps
+exactly one representative per component.
+
+Algorithm: min-label propagation with pointer jumping (path
+halving). Each round every node takes min(own label, neighbors'
+labels) — one shuffle join + one keyed aggregation — then labels
+compose with themselves (label ← label[label]), which doubles the
+propagation distance per round: convergence in O(log diameter)
+rounds rather than O(diameter), the same round-complexity class as
+alternating large-star/small-star (Kiveris et al., 2014). Near-dup
+components are dense (boilerplate cliques), so 2-4 rounds is
+typical even for chained shingle overlaps.
+
+Per-round driver involvement is one tiny aggregate (labels are
+monotonically non-increasing, so an unchanged label sum ⇒
+fixpoint); labels are localCheckpointed each round to truncate
+lineage — without that the plan doubles per iteration and Catalyst
+optimization time explodes by round ~15 regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in `pairs`, where
+    cluster_id = min node id in the node's connected component."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    ).localCheckpoint()
+    prev_sum = None
+
+    for _ in range(max_iter):
+        # neighbor minimum, merged with own label in ONE aggregation
+        # (union instead of join-back: one shuffle fewer per round)
+        contrib = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), F.col("label")
+        )
+        merged = (
+            contrib.union(labels).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label ← label's label (path halving)
+        parent = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("_plabel")
+        )
+        labels = (
+            merged.join(parent, "label", "left")
+            .select("node", F.coalesce(F.col("_plabel"), F.col("label")).alias("label"))
+        ).localCheckpoint()  # truncate lineage; materializes the round
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease ⇒ equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-level keep-one dedup: label every row with its
+    component and keep only representatives (cluster minimum).
+    Rows absent from `pairs` are their own singleton clusters."""
+    comp = connected_components(pairs, id_a, id_b)
+    labeled = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return labeled.filter(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")
+
+
+def cluster_labels(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every row labeled: (id, cluster_id, is_representative)."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -456,8 +456,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_NEARDUP_ORACLE = f"""
-    WITH th AS (
+_SIMHASH_PAIR_CTES = f"""th AS (
         SELECT doc_id,
                list_transform(list_distinct(string_split(text,' ')),
                               t -> {_INT60_SQL.format(x='t')}) AS hs
@@ -478,7 +477,10 @@ _SIMHASH_NEARDUP_ORACLE = f"""
         FROM chunks a JOIN chunks b
           ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
          AND a.doc_id < b.doc_id
-    )
+    )"""
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+    WITH {_SIMHASH_PAIR_CTES}
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     ORDER BY id_a, id_b
@@ -502,6 +504,51 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     )
+
+
+_DUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+    ver AS (
+        SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM ver
+        UNION
+        SELECT id_b, id_a FROM ver
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+           (d.doc_id = COALESCE(comp.cluster_id, d.doc_id)) AS is_representative
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@_register(
+    "llm_dup_clusters",
+    ["dedup"],
+    _DUP_CLUSTERS_ORACLE,
+    note=(
+        "Connected components over SimHash near-dup pairs "
+        "(llm/cluster.py min-label propagation; O(diameter) rounds, "
+        "one join+agg shuffle per round) — every document labeled "
+        "with its duplicate-cluster id and representative flag. The "
+        "oracle replays the components with a recursive CTE over the "
+        "same pair set."
+    ),
+)
+def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.cluster import cluster_labels
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(d, hash_fn="md5", nbits=60)
+    return cluster_labels(d, pairs).orderBy("doc_id")
 
 
 _EMBED_NEARDUP_ORACLE = f"""
