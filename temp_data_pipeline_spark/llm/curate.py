@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.llm.dedup import shingles_of, tokenized
 from temp_data_pipeline_spark.llm.text import md5_int60
 
-__all__ = ["hash_split", "ngram_overlap", "repetition_stats", "topk_per_group"]
+__all__ = [
+    "hash_split",
+    "ngram_overlap",
+    "repetition_stats",
+    "stratified_sample",
+    "topk_per_group",
+]
 
 
 def hash_split(
@@ -60,6 +66,39 @@ def hash_split(
         cond = bucket < edge
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``md5(salt || id) % 10^6 < frac · 10^6`` with the fraction chosen
+    by its stratum. Corpus-mix rebalancing (e.g. downsample one
+    language, keep all of another) as a map-only filter:
+
+    - deterministic and engine-stable (same md5-int60 family as
+      hash_split — DuckDB reproduces membership exactly), so reruns
+      and backfills select the SAME rows — no RNG state, no
+      sampleBy() seed drift between Spark versions;
+    - composable with hash_split: different salts decorrelate the
+      sample from the train/test assignment.
+
+    Unknown strata fall back to ``default_frac`` (0.0 = drop).
+    """
+    bucket = md5_int60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    frac = None
+    for name, f in fractions.items():
+        cond = F.col(strata_col) == name
+        thr = F.lit(int(round(f * 1_000_000)))
+        frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
+    frac = frac.otherwise(F.lit(int(round(default_frac * 1_000_000))))
+    return df.filter(bucket < frac)
 
 
 def ngram_overlap(

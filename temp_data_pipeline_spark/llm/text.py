@@ -90,6 +90,87 @@ def quality_score(col: Column | str, min_chars: int = 100, max_chars: int = 2000
     return F.round(score, 6)
 
 
+# Gopher/MassiveText document-quality rules (Rae et al. 2021,
+# "Scaling Language Models", Appendix A1.1) — the published filter
+# suite LLM corpus pipelines start from.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher rule set as named boolean Columns (all JVM-side
+    expressions, map-only). Keys: word_count_ok, mean_word_len_ok,
+    symbol_ratio_ok, bullet_ok, ellipsis_ok, alpha_ok, stopword_ok,
+    gopher_pass (conjunction). Thresholds default to the published
+    values; pass a different config per corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_words = F.size(t)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+
+    def occurrences(needle: str, width: int) -> Column:
+        return (F.length(c) - F.length(F.regexp_replace(c, needle, ""))) / width
+
+    n_symbols = (
+        occurrences(r"\#", 1) + occurrences(r"\.\.\.", 3) + occurrences("…", 1)
+    )
+    mean_len = avg_token_len(c)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+            )
+        ).cast("double")
+        / F.greatest(n_lines, F.lit(1))
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / F.greatest(n_lines, F.lit(1))
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1))
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(t), sw))
+
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": (n_symbols / F.greatest(n_words, F.lit(1)))
+        <= max_symbol_word_ratio,
+        "bullet_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_ok": alpha_frac >= min_alpha_word_frac,
+        "stopword_ok": stop_hits >= min_stopword_hits,
+    }
+    combined = None
+    for f in flags.values():
+        combined = f if combined is None else (combined & f)
+    flags["gopher_pass"] = combined
+    return flags
+
+
+def gopher_filter(df, text_col: str = "text"):
+    """Keep only documents passing every Gopher rule."""
+    return df.filter(gopher_flags(text_col)["gopher_pass"])
+
+
 def lang_id(col: Column | str) -> Column:
     """Stopword-profile language ID: argmax of per-language marker-token
     counts; 'und' when no profile matches. CASE-chain argmax with a

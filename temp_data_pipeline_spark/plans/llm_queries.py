@@ -158,6 +158,70 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               string_split(text, chr(10)) AS ln,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               ((length(text) - length(regexp_replace(text, '\\#', '', 'g'))) / 1
+                + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+                + (length(text) - length(regexp_replace(text, '…', '', 'g'))) / 1
+               ) AS nsym,
+               (length(text) - (len(string_split(text, ' ')) - 1))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_len
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nw >= 50 AND nw <= 100000 AS INT) AS word_count_ok,
+           CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS mean_word_len_ok,
+           CAST(nsym / greatest(nw, 1) <= 0.1 AS INT) AS symbol_ratio_ok,
+           CAST(len(list_filter(ln, l -> starts_with(l, '- ')
+                    OR starts_with(l, '* ') OR starts_with(l, '• ')))
+                / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.9 AS INT) AS bullet_ok,
+           CAST(len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.3 AS INT) AS ellipsis_ok,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                / greatest(nw, 1) >= 0.8 AS INT) AS alpha_ok,
+           CAST(len(list_filter(list_distinct(w), x -> x IN
+                    ('the','be','to','of','and','that','have','with'))) >= 2
+                AS INT) AS stopword_ok,
+           CAST(nw >= 50 AND nw <= 100000
+                AND mean_len >= 3.0 AND mean_len <= 10.0
+                AND nsym / greatest(nw, 1) <= 0.1
+                AND len(list_filter(ln, l -> starts_with(l, '- ')
+                        OR starts_with(l, '* ') OR starts_with(l, '• ')))
+                    / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.9
+                AND len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                    / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.3
+                AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                    / greatest(nw, 1) >= 0.8
+                AND len(list_filter(list_distinct(w), x -> x IN
+                        ('the','be','to','of','and','that','have','with'))) >= 2
+                AS INT) AS gopher_pass
+    FROM g ORDER BY doc_id
+"""
+
+
+@_register(
+    "llm_gopher",
+    ["text-analysis"],
+    _GOPHER_ORACLE,
+    note=(
+        "The published Gopher/MassiveText quality-rule suite (word "
+        "count, mean word length, symbol ratio, bullet/ellipsis line "
+        "fractions, alphabetic-word fraction, stopword presence) as "
+        "map-only JVM expressions; DuckDB replays every rule."
+    ),
+)
+def llm_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_sorted(spark, sf_dir)
+    flags = text.gopher_flags("text")
+    return d.select(
+        "doc_id", *[flags[k].cast("int").alias(k) for k in flags]
+    )
+
+
 @_register(
     "llm_lang_id",
     ["text-analysis"],
@@ -797,6 +861,37 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd(F.col("distinct_ratio"), 4).alias("distinct_ratio"),
         "n_tokens",
     ).orderBy("doc_id")
+
+
+@_register(
+    "llm_stratified",
+    ["curation"],
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({_INT60_SQL.format(x="concat('mix1:', CAST(doc_id AS VARCHAR))")}) % 1000000
+          < CASE lang WHEN 'en' THEN 1000000 WHEN 'fr' THEN 500000
+                      WHEN 'es' THEN 250000 ELSE 100000 END
+    ORDER BY doc_id
+    """,
+    note=(
+        "Deterministic stratified corpus-mix sampling: per-language "
+        "keep fractions decided by an md5 bucket of the doc id — "
+        "map-only, engine-stable (reruns/backfills keep identical "
+        "rows), salt-decorrelated from hash_split."
+    ),
+)
+def llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import stratified_sample
+
+    d = _docs_sorted(spark, sf_dir)
+    return stratified_sample(
+        d,
+        {"en": 1.0, "fr": 0.5, "es": 0.25},
+        strata_col="lang",
+        salt="mix1:",
+        default_frac=0.1,
+    ).select("doc_id", "lang")
 
 
 @_register(

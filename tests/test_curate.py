@@ -10,6 +10,7 @@ from temp_data_pipeline_spark.llm.curate import (
     hash_split,
     ngram_overlap,
     repetition_stats,
+    stratified_sample,
     topk_per_group,
 )
 from temp_data_pipeline_spark.llm.similarity import label_centroids
@@ -23,6 +24,7 @@ CURATION_QUERIES = [
     "llm_repetition",
     "llm_topk_lang",
     "llm_centroid",
+    "llm_stratified",
 ]
 
 
@@ -49,6 +51,42 @@ class TestHashSplit:
         df = spark.range(1).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="sum to 100"):
             hash_split(df, weights={"train": 50, "test": 40})
+
+
+class TestStratifiedSample:
+    def _df(self, spark, n=600):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "fr")
+            .otherwise("xx")
+            .alias("lang"),
+        )
+
+    def test_fraction_one_keeps_all_and_zero_drops_all(self, spark):
+        df = self._df(spark)
+        out = stratified_sample(df, {"en": 1.0, "fr": 0.0}, default_frac=0.0)
+        langs = {r["lang"] for r in out.collect()}
+        assert langs == {"en"}
+        assert out.count() == 200
+
+    def test_fraction_is_approximate_and_deterministic(self, spark):
+        df = self._df(spark, 3000)
+        out = stratified_sample(df, {"en": 0.5}, default_frac=0.0)
+        n1 = out.count()
+        assert 380 < n1 < 620  # ~50% of the 1000 'en' rows
+        ids1 = sorted(r["doc_id"] for r in out.collect())
+        ids2 = sorted(r["doc_id"] for r in
+                      stratified_sample(df, {"en": 0.5}, default_frac=0.0).collect())
+        assert ids1 == ids2  # no RNG state: pure function of id
+
+    def test_salt_decorrelates(self, spark):
+        df = self._df(spark, 3000)
+        a = {r["doc_id"] for r in
+             stratified_sample(df, {"en": 0.5}, salt="a").collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(df, {"en": 0.5}, salt="b").collect()}
+        assert a != b
 
 
 class TestNgramOverlap:

@@ -164,6 +164,40 @@ def test_simhash_neardup_pairs_finds_twin(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_gopher_flags_golden(spark):
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "fun with it all day long " * 3)  # 51 words, stopwords, alpha
+    short = "too few words here"
+    symbols = "### " * 30 + "the be of and that have with words " * 7
+    df = docs(spark, [good, short, symbols])
+    flags = text.gopher_flags("text")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *[flags[k].alias(k) for k in flags]).collect()}
+    assert out[0].gopher_pass
+    assert not out[1].word_count_ok and not out[1].gopher_pass
+    assert not out[2].symbol_ratio_ok and not out[2].gopher_pass
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    base = "the be of and that have with " + "word " * 50
+    bullets = "\n".join(["- item one"] * 9 + [base])  # 90% bullet lines
+    dots = "\n".join(["trailing thought..."] * 4 + [base] * 6)  # 40% ellipsis
+    df = docs(spark, [bullets, dots])
+    flags = text.gopher_flags("text")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *[flags[k].alias(k) for k in flags]).collect()}
+    assert out[0].bullet_ok  # exactly at 0.9 boundary → <= passes
+    assert not out[1].ellipsis_ok
+
+
+def test_gopher_filter_keeps_passing_docs(spark):
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "fun with it all day long " * 3)
+    df = docs(spark, [good, "tiny"])
+    kept = text.gopher_filter(df).collect()
+    assert [r.doc_id for r in kept] == [0]
+
+
 def test_cap_bucket_keeps_lowest_ids_and_reports_overflow(spark):
     rows = [(i, "hot") for i in range(10)] + [(99, "cold")]
     df = spark.createDataFrame(
