@@ -261,3 +261,40 @@ def q_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_full).cast("long").alias("ntl"),
     )
     return ranked.filter(F.col("rk") <= 3).orderBy("o_custkey", "o_orderkey")
+
+
+@_register(
+    "q_keep_latest",
+    ["extension-relational"],
+    """
+    SELECT user_id, event_id, ts_us, event_type
+    FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    note=(
+        "CDC keep-latest (operators/upsert.py): latest event per user, "
+        "deterministic tiebreak on event_id — the MERGE 'last writer "
+        "wins' resolution as one hash exchange + in-partition sort. "
+        "Ordering compares micro-truncated timestamps on both sides "
+        "(events.parquet is nanos; Spark reads it truncated)."
+    ),
+)
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.upsert import keep_latest
+
+    events = load_table(spark, sf_dir, "events")
+    latest = keep_latest(events, ["user_id"], "ts", tiebreak="event_id")
+    return latest.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    ).orderBy("user_id")

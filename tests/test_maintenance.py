@@ -1,0 +1,93 @@
+"""Lake-maintenance operators: parquet compaction (small files) and
+CDC keep-latest/merge upsert."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.compaction import (
+    compact_parquet,
+    list_parquet_files,
+    plan_compaction,
+)
+from temp_data_pipeline_spark.operators.upsert import keep_latest, merge_upsert
+
+
+def _fragmented(spark, tmp_path, n_files=40):
+    src = str(tmp_path / "frag")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.rand(7).alias("v")
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    return src, df
+
+
+def test_plan_counts_small_files(spark, tmp_path):
+    src, _ = _fragmented(spark, tmp_path)
+    plan = plan_compaction(spark, src, target_file_mb=8)
+    assert plan.n_files == 40
+    assert plan.n_small == 40  # every fragment is far below 4 MB
+    assert plan.target_files == 1
+    assert plan.needed
+
+
+def test_compact_preserves_data_and_reduces_files(spark, tmp_path):
+    src, df = _fragmented(spark, tmp_path)
+    out = str(tmp_path / "compacted")
+    plan = compact_parquet(spark, src, out, target_file_mb=8)
+    assert plan.target_files == 1
+    files = list_parquet_files(spark, out)
+    assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_compact_sorted_files_are_range_disjoint(spark, tmp_path):
+    src = str(tmp_path / "frag2")
+    # ~2 MB of incompressible doubles so target_file_mb=1 forces
+    # multiple range-partitioned output files
+    spark.range(150_000).select(
+        F.col("id"), F.rand(3).alias("v"), F.rand(5).alias("w")
+    ).repartition(30).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "sorted")
+    compact_parquet(spark, src, out, target_file_mb=1, sort_by=["id"])
+    files = [p for p, _ in list_parquet_files(spark, out)]
+    assert len(files) > 1
+    ranges = []
+    for p in files:
+        r = spark.read.parquet(p).agg(F.min("id"), F.max("id")).first()
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # file-level min/max never overlap
+
+
+def test_keep_latest_resolves_ties_deterministically(spark):
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 12), "a"),
+        (1, 11, datetime(2024, 1, 1, 12), "b"),  # same ts, higher id wins
+        (1, 9, datetime(2024, 1, 2, 12), "c"),  # later ts wins overall
+        (2, 5, datetime(2024, 1, 1), "d"),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, ts timestamp, v string")
+    out = {r["k"]: r for r in keep_latest(df, ["k"], "ts", "id").collect()}
+    assert out[1]["id"] == 9 and out[1]["v"] == "c"
+    assert out[2]["id"] == 5
+
+
+def test_merge_upsert_applies_changes_and_appends(spark):
+    base = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "old", 1.0), (2, datetime(2024, 1, 1), "keep", 2.0)],
+        "k long, ts timestamp, v string, w double",
+    )
+    updates = spark.createDataFrame(
+        [(1, datetime(2024, 2, 1), "new"), (3, datetime(2024, 2, 1), "add")],
+        "k long, ts timestamp, v string",  # column subset: w null-fills
+    )
+    out = {r["k"]: r for r in merge_upsert(base, updates, ["k"], "ts").collect()}
+    assert out[1]["v"] == "new" and out[1]["w"] is None
+    assert out[2]["v"] == "keep" and out[2]["w"] == 2.0
+    assert out[3]["v"] == "add"
