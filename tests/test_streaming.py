@@ -164,3 +164,50 @@ def test_stream_dedup_documents_across_batches(spark, tmp_path):
     name = _run_stream(stream_dedup_documents(stream))
     kept_texts = sorted(r["text"] for r in spark.table(name).collect())
     assert kept_texts == ["alpha beta", "epsilon", "gamma delta"]
+
+
+def test_stream_upsert_parquet_across_batches(spark, tmp_path):
+    """CDC apply: per-key versions spread over micro-batches resolve to
+    last-writer-wins; the landed snapshot equals a batch keep_latest
+    over the full history."""
+    from temp_data_pipeline_spark.operators.upsert import keep_latest
+    from temp_data_pipeline_spark.streaming.sink import stream_upsert_parquet
+
+    src = str(tmp_path / "changes")
+    schema = "k long, ts timestamp, v string"
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0), "v1"), (2, datetime(2024, 1, 1, 0), "a1")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 2, 0), "v2"), (3, datetime(2024, 1, 1, 0), "new")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    dest = str(tmp_path / "snapshot")
+    q = stream_upsert_parquet(
+        stream, dest, str(tmp_path / "ckpt"), keys=["k"], ts_col="ts"
+    )
+    q.awaitTermination()
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(dest).collect()}
+    history = spark.read.parquet(src)
+    want = {r["k"]: r["v"] for r in keep_latest(history, ["k"], "ts").collect()}
+    assert got == want == {1: "v2", 2: "a1", 3: "new"}
+
+
+def test_stream_append_parquet_sink(spark, tmp_path):
+    from temp_data_pipeline_spark.streaming.sink import stream_append_parquet
+
+    src = str(tmp_path / "in")
+    schema = "k long, ts timestamp, v string"
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "x"), (2, datetime(2024, 1, 2), "y")], schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_append_parquet(stream, str(tmp_path / "out"), str(tmp_path / "ck2"))
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
