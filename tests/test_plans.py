@@ -112,3 +112,42 @@ def test_events_scan_prunes_partitions_by_filter(spark):
         pytest.skip("nanos fallback path: filter applies post-cast")
     plan = _plan(e.filter(F.col("event_id") >= 100).select("event_id"))
     assert "PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,100)" in plan
+
+
+def test_gopher_and_stratified_are_maponly(spark):
+    """Quality filtering and stratified sampling must be pure map
+    stages: zero exchanges, zero Python evals."""
+    for name in ("llm_gopher", "llm_stratified"):
+        df = LLM_QUERIES[name].builder(spark, SF)
+        # strip the conformance queries' presorted() ordering exchange:
+        # gate the operator expressions themselves
+        plan = _plan(df.limit(10**9))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_keep_latest_single_exchange(spark):
+    """CDC keep-latest = one hash exchange on the merge key + one
+    in-partition sort (no join, no second shuffle)."""
+    from temp_data_pipeline_spark.operators.upsert import keep_latest
+    from temp_data_pipeline_spark.sources.registry import load_table
+
+    e = load_table(spark, SF, "events")
+    plan = _plan(keep_latest(e, ["user_id"], "ts", "event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cap_bucket_prunes_mapside(spark):
+    """The hot-bucket cap must run as WindowGroupLimit BEFORE the
+    exchange (Spark 4 pushes the row_number()<=k filter map-side), so
+    a million-row bucket is cut to the cap per map partition before
+    any bytes shuffle — the property that makes the cap scale-safe."""
+    from temp_data_pipeline_spark.llm.dedup import simhash_neardup_pairs
+    from temp_data_pipeline_spark.sources.registry import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = _plan(simhash_neardup_pairs(d, max_bucket=1000))
+    assert "WindowGroupLimit" in plan
+    # partial (pre-shuffle) + final (post-shuffle) per window instance
+    assert plan.count("WindowGroupLimit") >= 2
