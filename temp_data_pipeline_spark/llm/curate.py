@@ -34,6 +34,7 @@ __all__ = [
     "ngram_overlap",
     "repetition_stats",
     "stratified_sample",
+    "top_keywords",
     "topk_per_group",
 ]
 
@@ -66,6 +67,49 @@ def hash_split(
         cond = bucket < edge
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out, expr)
+
+
+def top_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    with_score: bool = False,
+) -> DataFrame:
+    """TF-IDF-style keyword extraction: the k most characteristic
+    terms per document.
+
+    Ranking is the integer tuple (tf DESC, df ASC, term ASC) —
+    "frequent in this document, rare in the corpus" — which orders
+    identically to tf·idf with a monotone idf whenever tf ties break
+    by rarity, and (deliberately) involves no floating-point log: the
+    ranking is bit-exact across engines, so the conformance query can
+    hash-compare. `with_score=True` adds the conventional
+    tf·ln(N/df) double for consumers that want the magnitude.
+
+    Plan shape: explode → per-(doc,term) count (map-side combine) →
+    per-term document frequency → broadcast-or-shuffle join back →
+    one window on doc_id. Every shuffle carries (id, term, int) rows.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    joined = tf.join(dfreq, "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    out = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tf", "df")
+    )
+    if with_score:
+        out = out.withColumn(
+            "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        )
+    return out
 
 
 def stratified_sample(

@@ -895,6 +895,42 @@ def llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_keywords",
+    ["text-analysis", "curation"],
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, rank, term, tf, df FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC
+               ) AS rank
+        FROM tf t JOIN dfreq d USING (term)
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    note=(
+        "TF-IDF-style keyword extraction with an integer-exact "
+        "ranking (tf DESC, df ASC, term ASC) — characteristic terms "
+        "without a float log in the ordering, so both engines rank "
+        "bit-identically; the float tf*ln(N/df) score is available "
+        "via with_score=True and pinned by pytest."
+    ),
+)
+def llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import top_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_keywords(d, k=3).orderBy("doc_id", "rank")
+
+
+@_register(
     "llm_topk_lang",
     ["curation"],
     """

@@ -298,3 +298,31 @@ def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "event_type",
     ).orderBy("user_id")
+
+
+@_register(
+    "q_cardinality",
+    ["aggregation"],
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note=(
+        "Grouped distinct cardinality, exact tier "
+        "(operators/sketches.py): per-type unique users. The "
+        "HyperLogLog++ tier (approx_count_distinct, constant-size "
+        "mergeable registers for the 100 TB posture) is pinned within "
+        "its rsd envelope by tests/test_quantiles.py."
+    ),
+)
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.sketches import distinct_count
+
+    events = load_table(spark, sf_dir, "events")
+    uniques = distinct_count(
+        events, "user_id", by=["event_type"], exact=True
+    ).withColumnRenamed("n_distinct", "n_users")
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return uniques.join(counts, "event_type").orderBy("event_type")

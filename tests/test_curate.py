@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.llm.curate import (
+    top_keywords,
     hash_split,
     ngram_overlap,
     repetition_stats,
@@ -160,3 +161,31 @@ class TestLabelCentroids:
 @pytest.mark.parametrize("name", CURATION_QUERIES)
 def test_curation_query_oracle(spark, name):
     compare_query(spark, LLM_QUERIES[name], SF_SMOKE)
+
+
+class TestTopKeywords:
+    def test_golden_ranking(self, spark):
+        # corpus of 3 docs; "rare" appears only in doc 0 and twice there
+        docs = spark.createDataFrame(
+            [
+                (0, "rare rare common shared"),
+                (1, "common shared shared"),
+                (2, "common other words"),
+            ],
+            "doc_id long, text string",
+        )
+        out = [(r["rank"], r["term"]) for r in
+               top_keywords(docs, k=2).filter(F.col("doc_id") == 0).collect()]
+        # tf: rare=2 > others; tiebreak among tf=1 by df asc → "shared" (df 2) < "common" (df 3)
+        assert out == [(1, "rare"), (2, "shared")]
+
+    def test_with_score_monotone(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "x x y"), (1, "y z"), (2, "y w")], "doc_id long, text string"
+        )
+        rows = top_keywords(docs, k=3, with_score=True).filter(
+            F.col("doc_id") == 0).orderBy("rank").collect()
+        scores = [r["tfidf"] for r in rows]
+        # x: tf=2 df=1 → 2·ln(3); y: tf=1 df=3 → ln(1)=0
+        assert scores[0] > scores[-1]
+        assert abs(scores[-1]) < 1e-12

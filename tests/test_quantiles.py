@@ -74,3 +74,30 @@ def test_sliced_metrics_approx_regime_cuts(spark):
     for fam in ("by_month", "by_season", "by_lead_bucket"):
         for k, md in ex[fam].items():
             assert ap[fam][k]["n_samples"] == md["n_samples"]
+
+
+def test_approx_distinct_within_rsd_envelope(spark):
+    """HLL++ tier: relative error within ~3·rsd of exact at bench
+    scale (rsd is a standard deviation, not a hard bound)."""
+    from temp_data_pipeline_spark.operators.sketches import distinct_count
+
+    li = spark.read.parquet(f"{SF_BENCH}/lineitem.parquet")
+    exact = distinct_count(li, "l_orderkey", exact=True).first()["n_distinct"]
+    approx = distinct_count(li, "l_orderkey", rsd=0.02).first()["n_distinct"]
+    assert abs(approx - exact) / exact < 0.06
+
+
+def test_approx_distinct_grouped(spark):
+    from temp_data_pipeline_spark.operators.sketches import distinct_count
+
+    df = spark.createDataFrame(
+        [("a", i % 50) for i in range(500)] + [("b", i % 7) for i in range(100)],
+        "g string, v long",
+    )
+    exact = {r["g"]: r["n_distinct"]
+             for r in distinct_count(df, "v", by=["g"], exact=True).collect()}
+    assert exact == {"a": 50, "b": 7}
+    approx = {r["g"]: r["n_distinct"]
+              for r in distinct_count(df, "v", by=["g"], rsd=0.01).collect()}
+    assert approx["b"] == 7  # tiny cardinalities are exact in HLL++ (sparse mode)
+    assert abs(approx["a"] - 50) <= 2
