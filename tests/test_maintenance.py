@@ -91,3 +91,52 @@ def test_merge_upsert_applies_changes_and_appends(spark):
     assert out[1]["v"] == "new" and out[1]["w"] is None
     assert out[2]["v"] == "keep" and out[2]["w"] == 2.0
     assert out[3]["v"] == "add"
+
+
+def test_zorder_value_golden(spark):
+    from temp_data_pipeline_spark.operators.compaction import zorder_value
+
+    df = spark.createDataFrame([(5, 3)], "a long, b long")
+    # a=0b101, b=0b011 interleave → 0b011011 = 27
+    assert df.select(zorder_value("a", "b").alias("z")).first()["z"] == 27
+    # order matters: bit i of a lands at 2i, of b at 2i+1
+    df2 = spark.createDataFrame([(1, 0), (0, 1)], "a long, b long")
+    zs = [r["z"] for r in df2.select(zorder_value("a", "b").alias("z")).collect()]
+    assert zs == [1, 2]
+
+
+def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must have bounding boxes far smaller than the
+    full grid in BOTH dimensions — the property lexicographic sort
+    only gives you for the leading column."""
+    from temp_data_pipeline_spark.operators.compaction import (
+        compact_parquet,
+        list_parquet_files,
+    )
+
+    side = 512
+    src = str(tmp_path / "grid")
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+        F.rand(1).alias("pad"),  # incompressible payload → multiple files
+        F.rand(2).alias("pad2"),
+    )
+    grid.repartition(16).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "zordered")
+    compact_parquet(spark, src, out, target_file_mb=1, zorder_by=("x", "y"))
+    files = [p for p, _ in list_parquet_files(spark, out)]
+    assert len(files) >= 4
+    x_spans, y_spans = [], []
+    for p in files:
+        r = spark.read.parquet(p).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).first()
+        x_spans.append(r[1] - r[0] + 1)
+        y_spans.append(r[3] - r[2] + 1)
+    # lexicographic (x, y) sort would leave y_span == side for EVERY
+    # file; z-order bounds the span in BOTH dimensions for most files
+    # (a file straddling a quadrant boundary can still span one dim)
+    assert sum(y_spans) / len(y_spans) <= side * 0.625
+    assert sum(x_spans) / len(x_spans) <= side * 0.75
+    assert max(y_spans) < side or max(x_spans) < side
