@@ -45,9 +45,14 @@ def connected_components(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.persist()
+    # seed with min(self, neighbors) — the same aggregation the node
+    # list needs anyway, so round 1 of propagation comes free
     labels = (
-        edges.select("src").distinct().select(
-            F.col("src").alias("node"), F.col("src").alias("label")
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nmin")).alias("label"),
         )
     ).localCheckpoint()
     prev_sum = None
