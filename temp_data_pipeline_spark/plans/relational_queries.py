@@ -326,3 +326,47 @@ def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_distinct", "n_users")
     counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return uniques.join(counts, "event_type").orderBy("event_type")
+
+
+@_register(
+    "q_window_range",
+    ["window"],
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(1 AS BIGINT)) OVER w AS BIGINT) AS n_3d,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, ts_us, event_id
+    """,
+    note=(
+        "RANGE-frame window (time-interval frames — §2.6 covers only "
+        "ROWS frames): events per user in the trailing 3 days "
+        "INCLUDING all rows that share the boundary timestamp, which "
+        "a ROWS frame cannot express. Ordering key is epoch "
+        "micros on both sides (events.parquet is nanos; Spark reads "
+        "micro-truncated), frame width 3 days in microseconds."
+    ),
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-259_200_000_000, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.sum(F.lit(1).cast("long")).over(w).alias("n_3d"),
+            us.alias("ts_us"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
