@@ -188,3 +188,94 @@ def test_salted_agg_equals_plain_groupby(spark, rows, buckets):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- round-2 ops
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(0, 3),      # ts bucket
+            st.integers(0, 1000),   # version id (tiebreak)
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_keep_latest_idempotent_and_batch_invariant(spark, rows):
+    """keep_latest is idempotent, and applying a change stream in two
+    batches equals applying it in one (the CDC replay invariant)."""
+    from temp_data_pipeline_spark.operators.upsert import keep_latest, merge_upsert
+
+    base_dt = datetime(2024, 1, 1)
+    data = [(k, base_dt + timedelta(hours=t), i) for (k, t, i) in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp, vid long")
+
+    once = keep_latest(df, ["k"], "ts", "vid")
+    twice = keep_latest(once, ["k"], "ts", "vid")
+    canon = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert canon(once) == canon(twice)
+
+    half = len(data) // 2
+    a = spark.createDataFrame(data[:half] or data, "k long, ts timestamp, vid long")
+    b = spark.createDataFrame(data[half:] or data, "k long, ts timestamp, vid long")
+    stepwise = merge_upsert(
+        keep_latest(a, ["k"], "ts", "vid"), b, ["k"], "ts", "vid"
+    )
+    allatonce = keep_latest(a.unionByName(b), ["k"], "ts", "vid")
+    assert canon(stepwise) == canon(allatonce)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_zorder_value_injective(spark, pts):
+    """Distinct (a, b) points map to distinct Morton values (the code
+    is a bijection on the bit-bounded grid)."""
+    from temp_data_pipeline_spark.operators.compaction import zorder_value
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    zs = [r["z"] for r in df.select(zorder_value("a", "b", bits=8).alias("z")).collect()]
+    assert len(set(zs)) == len(pts)
+    assert all(0 <= z < (1 << 16) for z in zs)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=0, max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_vs_union_find(spark, edges):
+    """Distributed label propagation must agree with a driver-side
+    union-find on arbitrary small graphs."""
+    from temp_data_pipeline_spark.llm.cluster import connected_components
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    if not norm:
+        return
+    df = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in norm:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
