@@ -370,3 +370,38 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@_register(
+    "q_incr_rollup",
+    ["aggregation"],
+    """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n, MAX(value) AS mx
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ORDER BY user_id, day
+    """,
+    note=(
+        "Incremental rollup maintenance (operators/incremental.py): "
+        "the daily rollup is computed as a MERGE of two disjoint "
+        "batch partials (continuous-aggregate refresh without "
+        "rescanning old data); the oracle aggregates the whole table "
+        "directly, proving merge(partials) == full recompute."
+    ),
+)
+def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.incremental import merge_rollups
+
+    events = load_table(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+
+    h1 = partial(events.filter(F.col("event_id") % 2 == 0))
+    h2 = partial(events.filter(F.col("event_id") % 2 == 1))
+    merged = merge_rollups(
+        [h1, h2], keys=["user_id", "day"], mergers={"n": "sum", "mx": "max"}
+    )
+    return merged.orderBy("user_id", "day")

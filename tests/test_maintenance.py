@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.compaction import (
@@ -140,3 +141,59 @@ def test_zorder_compaction_clusters_both_dimensions(spark, tmp_path):
     assert sum(y_spans) / len(y_spans) <= side * 0.625
     assert sum(x_spans) / len(x_spans) <= side * 0.75
     assert max(y_spans) < side or max(x_spans) < side
+
+
+def test_merge_rollups_equals_full_recompute(spark):
+    from temp_data_pipeline_spark.operators.incremental import merge_rollups
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i), i % 8) for i in range(200)], "k long, v double, f long"
+    )
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"),
+            F.expr("bit_or(f)").alias("fl"),
+        )
+    parts = [partial(df.filter(F.col("v") < 80)),
+             partial(df.filter((F.col("v") >= 80) & (F.col("v") < 150))),
+             partial(df.filter(F.col("v") >= 150))]
+    merged = merge_rollups(parts, ["k"], {"n": "sum", "mx": "max", "fl": "bit_or"})
+    full = partial(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_rollups_rejects_unmapped_columns(spark):
+    from temp_data_pipeline_spark.operators.incremental import merge_rollups
+
+    df = spark.createDataFrame([(1, 2)], "k long, x long")
+    with pytest.raises(ValueError, match="without a merger"):
+        merge_rollups([df], ["k"], {})
+
+
+def test_incremental_daily_tmax_hour_mask(spark):
+    """Late-arriving hourly files merge into the daily rollup; the
+    hour bitmask recovers EXACT distinct-hour coverage, which a
+    stored countDistinct could not."""
+    from temp_data_pipeline_spark.operators.incremental import (
+        daily_tmax_partial,
+        merge_daily_tmax,
+    )
+
+    schema = ("ts_utc timestamp, station_id string, lat double, lon double, "
+              "temp_c double, source string, qc_flags long")
+    first = spark.createDataFrame(
+        [(datetime(2024, 1, 1, h), "K", 0.0, 0.0, 10.0 + h, "isd", 0)
+         for h in range(6)], schema)
+    # late file: overlapping hour 5 (no double-count) + new hours 6-8
+    late = spark.createDataFrame(
+        [(datetime(2024, 1, 1, h), "K", 0.0, 0.0, 20.0 + h, "isd", 1 << h)
+         for h in range(5, 9)], schema)
+    merged = merge_daily_tmax(
+        [daily_tmax_partial(first), daily_tmax_partial(late)]
+    ).collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert row["coverage_hours"] == 9  # hours 0-8, hour 5 counted once
+    assert row["tmax_c"] == 28.0  # 20+8 from the late file
+    assert row["n_rows"] == 10
+    assert row["qc_flags"] == (1 << 5) | (1 << 6) | (1 << 7) | (1 << 8)
