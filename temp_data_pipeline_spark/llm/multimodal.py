@@ -205,3 +205,56 @@ def resize_spec(media_df: DataFrame, max_side: int = 512) -> DataFrame:
     return media_df.withColumn(
         "target_width", F.ceil(w * scale).cast("int")
     ).withColumn("target_height", F.ceil(h * scale).cast("int"))
+
+
+def resize_images(
+    media_df: DataFrame, max_side: int = 512, real: bool = False
+) -> DataFrame:
+    """Execute the resize: resize_spec for target dims, then a
+    mapInPandas pass that rewrites the binary content. Output keeps
+    MEDIA_SCHEMA shape with width/height set to the targets.
+
+    With real=False the pixel work is the documented deterministic
+    stand-in (content → sha256(content ‖ "WxH") digest bytes) so the
+    full pipeline — dims math, Arrow binary round-trip, schema-
+    preserving batch iteration — executes in this container; swap the
+    closure body for PIL's Image.resize on a real cluster."""
+    if real:
+        raise NotImplementedError(
+            "Real image resizing requires PIL/opencv, not available in "
+            "this container. Call with real=False for the deterministic stub."
+        )
+
+    spec = resize_spec(
+        media_df.filter(F.col("modality") == "image"), max_side=max_side
+    )
+    out_schema = MEDIA_SCHEMA
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                raw = bytes(rec["content"]) if rec["content"] is not None else b""
+                tw, th = rec["target_width"], rec["target_height"]
+                digest = _hl.sha256(
+                    raw + f"{tw}x{th}".encode()
+                ).digest()
+                rows.append(
+                    {
+                        "asset_id": rec["asset_id"],
+                        "modality": rec["modality"],
+                        "mime_type": rec["mime_type"],
+                        "content": digest,
+                        "uri": rec["uri"],
+                        "width": tw,
+                        "height": th,
+                        "duration_ms": rec["duration_ms"],
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return spec.mapInPandas(resize_batches, out_schema)

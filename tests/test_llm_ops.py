@@ -337,6 +337,27 @@ def test_resize_spec(spark):
     assert (out[2].target_width, out[2].target_height) == (100, 50)  # no upscale
 
 
+def test_resize_images_executes_pipeline(spark):
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", b"imgbytes", None, 1024, 768, None),
+         (2, "image", "image/png", b"other", None, 100, 50, None),
+         (3, "audio", "audio/wav", b"aud", None, None, None, 2000)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.asset_id: r for r in
+           multimodal.resize_images(media, max_side=512).collect()}
+    assert set(out) == {1, 2}  # audio row filtered out
+    assert (out[1].width, out[1].height) == (512, 384)
+    assert (out[2].width, out[2].height) == (100, 50)
+    assert out[1].content and out[1].content != b"imgbytes"
+    # deterministic stand-in: same input → same bytes
+    again = {r.asset_id: r for r in
+             multimodal.resize_images(media, max_side=512).collect()}
+    assert bytes(again[1].content) == bytes(out[1].content)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_images(media, real=True)
+
+
 def test_audio_feature_plumbing(spark):
     media = spark.createDataFrame(
         [
