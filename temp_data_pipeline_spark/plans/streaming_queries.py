@@ -36,3 +36,36 @@ STREAMING_QUERIES["q_stream_events"] = QuerySpec(
         "into a memory sink; oracle identical to batch q_events_window."
     ),
 )
+
+
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.streaming.joins import run_interval_join_batchlike
+
+    return run_interval_join_batchlike(spark, sf_dir)
+
+
+STREAMING_QUERIES["q_stream_join"] = QuerySpec(
+    name="q_stream_join",
+    builder=_q_stream_join,
+    oracle="""
+    SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS c_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts)
+     AND epoch_us(c.ts) <= epoch_us(p.ts) + 3600000000
+    ORDER BY p_id, c_id
+    """,
+    families=("streaming", "extension-temporal"),
+    note=(
+        "Watermarked STREAM-STREAM interval join (streaming/joins.py): "
+        "purchases ⋈ clicks within the following hour per user, both "
+        "sides unbounded streams — the time-interval predicate is what "
+        "lets Spark bound join state to O(watermark+interval). Executed "
+        "availableNow over the static table; oracle = the batch "
+        "interval join in µs (events.parquet is nanos, truncated "
+        "identically on both sides)."
+    ),
+)

@@ -211,3 +211,28 @@ def test_stream_append_parquet_sink(spark, tmp_path):
     q = stream_append_parquet(stream, str(tmp_path / "out"), str(tmp_path / "ck2"))
     q.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The watermarked stream-stream interval join over the static
+    events table must equal the batch bounded-window join."""
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.joins import run_interval_join_batchlike
+
+    got = run_interval_join_batchlike(spark, "/root/testdata/sf0.001")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"))
+    want = (
+        p.join(c, (F.col("user_id") == F.col("cu"))
+               & (F.col("c_ts") >= F.col("p_ts"))
+               & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 3600 SECONDS")))
+        .select("p_id", "user_id", "c_id",
+                F.unix_micros("p_ts").alias("p_us"),
+                F.unix_micros("c_ts").alias("c_us"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
