@@ -166,9 +166,11 @@ def gopher_flags(
     return flags
 
 
-def gopher_filter(df, text_col: str = "text"):
-    """Keep only documents passing every Gopher rule."""
-    return df.filter(gopher_flags(text_col)["gopher_pass"])
+def gopher_filter(df, text_col: str = "text", **rule_overrides):
+    """Keep only documents passing every Gopher rule. Keyword
+    overrides forward to gopher_flags (tune thresholds per corpus —
+    e.g. `min_stopword_hits=0` for non-English or synthetic text)."""
+    return df.filter(gopher_flags(text_col, **rule_overrides)["gopher_pass"])
 
 
 def lang_id(col: Column | str) -> Column:

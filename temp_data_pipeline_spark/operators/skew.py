@@ -72,3 +72,37 @@ def salted_agg(
             for name, _, kind in measures
         ]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the (large, skewed) left side
+    scatters each key over `salt_buckets` sub-keys; the (smaller)
+    right side replicates each row into every bucket. The join then
+    shuffles on (key..., salt), so a hot key's rows spread over N
+    tasks instead of one.
+
+    Cost model: right side inflates ×N — use when right is modest but
+    too large to broadcast, and left has pathological key skew. For
+    moderate skew prefer AQE's skew-join (on by default in
+    session.py), which splits oversized partitions without the
+    replication cost; salting is the explicit fallback when a single
+    KEY (not partition) exceeds what one task can hold.
+
+    Result equals left.join(right, on, how) for inner/left joins —
+    pinned by tests/test_skew.py.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+    )
+    out = l_salted.join(r_salted, on + ["_salt"], how)
+    return out.drop("_salt")

@@ -385,3 +385,23 @@ def test_era5_binary_distributed_bad_file_marker(spark, tmp_path):
     # unparseable bytes: one marker row per .nc file, txt filtered out
     assert len(rows) == 1
     assert rows[0]["error"] and "a.nc" in rows[0]["error"]
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Full curation pipeline over real testdata: monotone stage
+    shrinkage, complete split labeling, deterministic reruns."""
+    from temp_data_pipeline_spark.llm.pipeline import curate_corpus, curation_report
+    from temp_data_pipeline_spark.sources.registry import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # the synthetic corpus has no English stopwords: relax that rule
+    rules = {"min_stopword_hits": 0}
+    out = curate_corpus(d, quality_rules=rules)
+    stats = curation_report(d, quality_rules=rules)
+    assert stats.n_input >= stats.n_quality >= stats.n_exact >= stats.n_neardup > 0
+    assert sum(stats.splits.values()) == stats.n_neardup
+    assert set(stats.splits) <= {"train", "val", "test"}
+    assert out.count() == stats.n_neardup
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in curate_corpus(d, quality_rules=rules).collect())
+    assert ids1 == ids2

@@ -46,3 +46,36 @@ def test_salted_agg_rejects_nonalgebraic(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="unsupported"):
         salted_agg(df, ["k"], [("x", "v", "avg")])
+
+
+def test_salted_join_equals_plain_join(spark):
+    from temp_data_pipeline_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, 0) for k in range(1, 20)],
+        "k long, payload long",
+    )  # key 0 is hot
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(15)], "k long, name string"
+    )
+    got = salted_join(left, right, ["k"], salt_buckets=8)
+    want = left.join(right, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # left join keeps unmatched keys with nulls
+    got_l = salted_join(left, right, ["k"], salt_buckets=8, how="left")
+    want_l = left.join(right, ["k"], "left")
+    assert sorted(map(tuple, got_l.collect()), key=repr) == sorted(
+        map(tuple, want_l.collect()), key=repr)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from temp_data_pipeline_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(0, i) for i in range(1000)], "k long, p long")
+    right = spark.createDataFrame([(0, "hot")], "k long, name string")
+    out = salted_join(left, right, ["k"], salt_buckets=8)
+    # join key includes the salt: shuffle spreads the hot key over
+    # multiple sub-keys rather than one reducer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert out.count() == 1000
