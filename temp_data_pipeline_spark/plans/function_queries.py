@@ -253,3 +253,73 @@ def q_units(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# F17 (extension) — JSON path extraction / typed parse / serialization
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q_json_extract",
+    ["F17"],
+    """
+    WITH j AS (
+      SELECT event_id, props,
+             concat('{"meta": {"vals": [', CAST(event_id % 7 AS VARCHAR), ',',
+                    CAST(user_id % 5 AS VARCHAR), ']}, "tag": "', event_type,
+                    '"}') AS nested,
+             concat('[', CAST(event_id % 7 AS VARCHAR), ',',
+                    CAST(user_id % 5 AS VARCHAR), ']') AS arr
+      FROM events)
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract_string(nested, '$.meta.vals[1]') AS BIGINT) AS v1,
+           json_extract_string(nested, '$.tag') AS tag,
+           CAST(json_extract_string(arr, '$[1]') AS BIGINT) AS arr2,
+           CAST(json_object('k', CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS VARCHAR) AS rt
+    FROM j ORDER BY event_id
+    """,
+    note=(
+        "JSON tier: ad-hoc get_json_object paths (nested object + array "
+        "index), one-parse from_json typed struct, array<bigint> parse, "
+        "and to_json round-trip — all JVM expressions, no UDFs. The "
+        "nested document is constructed identically in both engines so "
+        "the oracle checks extraction, not fixture plumbing."
+    ),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.functions import json as jx
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = F.concat(
+        F.lit('{"meta": {"vals": ['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(","),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(']}, "tag": "'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    arr_src = F.concat(
+        F.lit("["),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(","),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit("]"),
+    )
+    return (
+        ev.select("event_id", "props", nested.alias("nested"), arr_src.alias("arr"))
+        .select(
+            "event_id",
+            jx.json_long("props", "$.k").alias("k_path"),
+            jx.json_typed("props", "k bigint").getField("k").alias("k_typed"),
+            jx.json_long("nested", "$.meta.vals[1]").alias("v1"),
+            jx.json_str("nested", "$.tag").alias("tag"),
+            F.element_at(jx.json_array_longs("arr"), 2).alias("arr2"),
+            jx.json_of(jx.json_long("props", "$.k").alias("k")).alias("rt"),
+        )
+        .orderBy("event_id")
+    )
