@@ -989,3 +989,50 @@ def llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "pos", _rnd(F.col("centroid_v"), 4).alias("centroid_v"))
         .orderBy("label", "pos")
     )
+
+
+@_register(
+    "llm_lm_score",
+    ["LLM-lm"],
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks
+    ),
+    bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS vs FROM (SELECT unnest(t) AS w FROM toks)),
+    model AS (
+      SELECT b.w1, b.w2,
+             CAST(FLOOR(ln(CAST(c.c1 + (SELECT vs FROM v) AS DOUBLE)
+                           / CAST(b.c12 + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS nll_micro
+      FROM bg b JOIN ctx c USING (w1)
+    ),
+    scored AS (
+      SELECT p.doc_id, m.nll_micro
+      FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    note=(
+        "Bigram-LM perplexity scoring (CCNet-style quality signal): "
+        "train add-one-smoothed bigram counts in one shuffle, score "
+        "docs by joining exploded bigrams to the aggregated model. "
+        "NLL terms are quantized to integer micro-nats ON THE MODEL "
+        "TABLE (ln runs per distinct bigram, not per occurrence) so "
+        "per-doc sums are exact integer arithmetic — "
+        "order-independent, hash-stable across engines."
+    ),
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.lm import score_bigram_nll, train_bigram_lm
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d)
+    return score_bigram_nll(d, lm).orderBy("doc_id")
