@@ -1,0 +1,126 @@
+"""Context-window chunking and sequence packing (LLM-pipeline tier).
+
+Two operations every pretraining data pipeline runs just before
+tokenizer/trainer handoff:
+
+- ``chunk_documents``: sliding fixed-size token windows with overlap
+  (long-document splitting). Map-only — sequence + posexplode +
+  slice, all JVM expressions; zero shuffles, so it scales linearly
+  with input bytes.
+- ``pack_documents``: GPT-style concat-and-chunk packing — documents
+  are laid end-to-end in a deterministic order and cut into
+  ``seq_len``-token training sequences; each document learns its
+  global token offset, pack id, and offset within the pack.
+
+Packing needs a *global* prefix sum over token counts. A naive
+``Window.orderBy(id)`` with no partition key runs on ONE task — the
+classic scale-killer. This implementation uses the two-level
+prefix-sum shape instead:
+
+  1. bucket documents by id range (order-preserving),
+  2. within-bucket running sums (parallel windows, one shuffle),
+  3. per-bucket totals → cumulative bucket offsets (a window over
+     ``n_buckets`` rows — tiny by construction),
+  4. broadcast the offsets back and add.
+
+The only driver-side data is the (min, max) id pair and the
+``n_buckets``-row offset table — both bounded regardless of corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm.text import token_count, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding token windows: (id, chunk_id, n_tokens, chunk_text).
+
+    ``stride`` defaults to ``size`` (disjoint chunks); a smaller
+    stride overlaps adjacent chunks by ``size - stride`` tokens.
+    Start positions are 0, stride, 2·stride … while < n_tokens, so
+    trailing partial chunks are kept (standard splitter behavior).
+    """
+    stride = size if stride is None else stride
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = tokens(text_col)
+    n = F.greatest(F.size(t), F.lit(1))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ex = df.select(F.col(id_col), t.alias("_t"), F.posexplode(starts).alias("_cid", "_start"))
+    chunk = F.slice("_t", F.col("_start") + 1, size)
+    return ex.select(
+        id_col,
+        F.col("_cid").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 1024,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: (id, n_tokens, begin, pack_id, pack_off).
+
+    ``begin`` is the document's first-token offset in the virtual
+    concatenation ordered by ``id_col``; ``pack_id = begin // seq_len``
+    and ``pack_off = begin % seq_len`` locate it in the training
+    sequence stream (documents may straddle pack boundaries, exactly
+    as trainers consume them).
+    """
+    spark = df.sparkSession
+    base = df.select(F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens"))
+
+    bounds = base.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return base.select(
+            id_col,
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("begin"),
+            F.lit(0).cast("bigint").alias("pack_id"),
+            F.lit(0).cast("bigint").alias("pack_off"),
+        )
+    B = n_buckets or spark.sparkContext.defaultParallelism * 4
+    width = max(1, (int(hi) - int(lo)) // B + 1)
+    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast("bigint")
+
+    w_in = (
+        Window.partitionBy("_b").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = base.withColumn("_b", bucket).withColumn("_cum", F.sum("n_tokens").over(w_in))
+
+    # n_buckets rows — the single-partition window here is over a
+    # bounded, already-aggregated frame, not the data.
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_b")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn("_off", F.coalesce(F.sum("_tot").over(w_b), F.lit(0)))
+        .select("_b", "_off")
+    )
+
+    begin = F.col("_off") + F.col("_cum") - F.col("n_tokens")
+    return (
+        part.join(F.broadcast(offsets), "_b")
+        .select(
+            id_col,
+            "n_tokens",
+            begin.alias("begin"),
+            F.floor(begin / F.lit(float(seq_len))).cast("bigint").alias("pack_id"),
+            (begin % F.lit(seq_len)).cast("bigint").alias("pack_off"),
+        )
+    )

@@ -1036,3 +1036,69 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     lm = train_bigram_lm(d)
     return score_bigram_nll(d, lm).orderBy("doc_id")
+
+
+@_register(
+    "llm_chunk",
+    ["LLM-chunk"],
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t,
+             CAST(floor((greatest(len(t), 1) - 1) / 24) AS BIGINT) + 1 AS nch
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, t, unnest(range(nch)) AS cid FROM base)
+    SELECT doc_id, cid AS chunk_id,
+           CAST(len(t[cid*24 + 1 : cid*24 + 32]) AS BIGINT) AS n_tokens,
+           array_to_string(t[cid*24 + 1 : cid*24 + 32], ' ') AS chunk_text
+    FROM ex ORDER BY doc_id, chunk_id
+    """,
+    note=(
+        "Sliding context-window chunking (size 32, stride 24 → 8-token "
+        "overlap): sequence + posexplode + slice, map-only JVM "
+        "expressions — zero shuffles, linear in input bytes."
+    ),
+)
+def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.chunk import chunk_documents
+
+    d = _docs_sorted(spark, sf_dir)
+    return chunk_documents(d, size=32, stride=24)
+
+
+@_register(
+    "llm_pack",
+    ["LLM-pack"],
+    """
+    WITH tc AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS begin
+      FROM tc)
+    SELECT doc_id, n_tokens, begin,
+           CAST(floor(begin / 1024.0) AS BIGINT) AS pack_id,
+           begin % 1024 AS pack_off
+    FROM c ORDER BY doc_id
+    """,
+    note=(
+        "GPT-style concat-and-chunk sequence packing (seq_len 1024). "
+        "The global token prefix-sum runs as the two-level shape "
+        "(bucketed parallel windows + a bucket-count-sized offset "
+        "table broadcast back), NOT a single-partition global window; "
+        "the DuckDB oracle's plain windowed SUM proves the "
+        "decomposition is exact."
+    ),
+)
+def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.chunk import pack_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_documents(d, seq_len=1024).orderBy("doc_id")
