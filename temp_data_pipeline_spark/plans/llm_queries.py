@@ -1102,3 +1102,66 @@ def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_documents(d, seq_len=1024).orderBy("doc_id")
+
+
+_PII_INJECT_SQL = """concat('mail u', CAST(doc_id AS VARCHAR), '@ex',
+        CAST(doc_id % 3 AS VARCHAR), '.com ip 10.',
+        CAST(doc_id % 256 AS VARCHAR), '.0.',
+        CAST(doc_id % 100 AS VARCHAR), ' ssn 123-45-',
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' tel 555-867-',
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ', text)"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+@_register(
+    "llm_pii",
+    ["LLM-pii"],
+    f"""
+    WITH inj AS (
+      SELECT doc_id, {_PII_INJECT_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(raw, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_IP}', '<IP>', 'g'),
+                    '{_PII_SSN}', '<SSN>', 'g'),
+                    '{_PII_PHONE}', '<PHONE>', 'g'), 1, 90) AS clean_head
+    FROM inj ORDER BY doc_id
+    """,
+    note=(
+        "PII scrub: deterministic synthetic PII (email/IP/SSN/phone "
+        "derived from doc_id) injected identically in both engines, "
+        "then class-counted (regexp_extract_all) and token-redacted "
+        "(regexp_replace, all occurrences — DuckDB needs 'g'). "
+        "Map-only JVM regex; patterns restricted to the Java∩RE2 "
+        "syntax subset."
+    ),
+)
+def llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.pii import with_pii_scrubbed
+
+    d = _docs_sorted(spark, sf_dir)
+    raw = F.concat(
+        F.lit("mail u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-867-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("text"),
+    )
+    return (
+        with_pii_scrubbed(d.select("doc_id", raw.alias("raw")), text_col="raw")
+        .select(
+            "doc_id", "n_email", "n_ip", "n_ssn", "n_phone",
+            F.substring("clean_text", 1, 90).alias("clean_head"),
+        )
+    )
