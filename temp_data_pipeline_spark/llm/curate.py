@@ -231,3 +231,51 @@ def topk_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    all_sentinel: str = "<all>",
+) -> DataFrame:
+    """Corpus-mix report: per (source, lang), per source, per lang, and
+    overall — document counts, token budget, exact median tokens, and
+    mean document length — in ONE shuffle via GROUPING SETS (the
+    Expand operator fans each row into its four grouping rows before
+    a single hash exchange; four separate groupBys would scan and
+    shuffle four times).
+
+    Rolled-up key levels surface as ``all_sentinel`` (caller must pick
+    a sentinel that can't collide with real key values; real NULL keys
+    would be indistinguishable from rollup rows otherwise).
+    """
+    from temp_data_pipeline_spark.llm.text import token_count
+
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        token_count(text_col).cast("bigint").alias("n_toks"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+    agg = (
+        base.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []], "source", "lang"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("_sum_chars"),
+            F.expr("percentile(n_toks, 0.5D)").alias("p50_tokens"),
+        )
+    )
+    avg = F.col("_sum_chars").cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        F.coalesce("source", F.lit(all_sentinel)).alias("source"),
+        F.coalesce("lang", F.lit(all_sentinel)).alias("lang"),
+        "n_docs",
+        "n_tokens",
+        "p50_tokens",
+        (F.floor(avg * 100.0 + 0.5) / 100.0).alias("avg_chars"),
+    )

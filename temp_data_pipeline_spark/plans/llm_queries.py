@@ -1165,3 +1165,38 @@ def llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("clean_text", 1, 90).alias("clean_head"),
         )
     )
+
+
+@_register(
+    "llm_corpus_report",
+    ["LLM-report", "A10"],
+    """
+    WITH base AS (
+      SELECT source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(quantile_cont(n_toks, 0.5) AS DOUBLE) AS p50_tokens,
+           FLOOR(CAST(SUM(n_chars) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0
+             AS avg_chars
+    FROM base
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    ORDER BY source, lang
+    """,
+    note=(
+        "Corpus-mix report: every (source × lang) rollup level in ONE "
+        "Expand + hash shuffle (GROUPING SETS), with exact median "
+        "token counts (percentile ≡ quantile_cont) and "
+        "integer-sum-derived means (no float accumulation order "
+        "dependence)."
+    ),
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import corpus_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_report(d).orderBy("source", "lang")
