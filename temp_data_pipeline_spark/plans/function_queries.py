@@ -293,7 +293,14 @@ def q_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temp_data_pipeline_spark.functions import json as jx
 
-    ev = load_table(spark, sf_dir, "events")
+    # presorted BEFORE the JSON projection: a trailing orderBy would
+    # run the parse expressions twice (range-sampler pass + real pass)
+    ev = presorted(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "props", "user_id", "event_type"
+        ),
+        "event_id",
+    )
     nested = F.concat(
         F.lit('{"meta": {"vals": ['),
         (F.col("event_id") % 7).cast("string"),
@@ -321,5 +328,4 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(jx.json_array_longs("arr"), 2).alias("arr2"),
             jx.json_of(jx.json_long("props", "$.k").alias("k")).alias("rt"),
         )
-        .orderBy("event_id")
     )
