@@ -1200,3 +1200,42 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return corpus_report(d).orderBy("source", "lang")
+
+
+@_register(
+    "llm_bloom_decontam",
+    ["curation", "dedup"],
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 5, 1) + 1),
+                                   i -> array_to_string(t[i:i+5], ' '))) AS gram
+      FROM toks
+    ), test_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    )
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM grams g JOIN test_grams tg USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    note=(
+        "Decontamination via broadcast Bloom prefilter: eval-gram bit "
+        "positions computed distributed (k-seeded xxhash64), 8 KiB "
+        "bitset embedded as an array literal, probed map-side with "
+        "element_at/shiftleft/& JVM expressions BEFORE the exchange; "
+        "exact confirm join kills false positives. The oracle is the "
+        "EXACT overlap SQL — a hash match proves the Bloom gate is "
+        "transparent. At 100 TB only Bloom survivors shuffle."
+    ),
+)
+def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.bloom import bloom_decontam
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontam(train, test, n=6).orderBy("doc_id")
