@@ -69,3 +69,45 @@ STREAMING_QUERIES["q_stream_join"] = QuerySpec(
         "identically on both sides)."
     ),
 )
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.streaming.sessions import run_sessions_batchlike
+
+    return run_sessions_batchlike(spark, sf_dir)
+
+
+STREAMING_QUERIES["q_stream_sessions"] = QuerySpec(
+    name="q_stream_sessions",
+    builder=_q_stream_sessions,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_last_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    families=("streaming", "extension-temporal"),
+    note=(
+        "The NATIVE session-window operator under Structured Streaming "
+        "(availableNow, complete mode, memory sink): final streaming "
+        "state must equal the batch lag/cumsum oracle — same SQL as "
+        "q_session_window, proving batch/stream session parity."
+    ),
+)
