@@ -26,10 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from temp_data_pipeline_spark.llm.dedup import shingles_of, tokenized
+from temp_data_pipeline_spark.llm.dedup import ngrams_of, shingles_of, tokenized
 from temp_data_pipeline_spark.llm.text import md5_int60
 
 __all__ = [
+    "dup_ngram_stats",
     "hash_split",
     "ngram_overlap",
     "repetition_stats",
@@ -180,6 +181,49 @@ def ngram_overlap(
         train_grams.join(test_grams, "gram", "inner")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the MassiveText /
+    Gopher INTER-document repetition signal: what share of a
+    document's n-gram occurrences also appear in some OTHER document.
+    High values mark boilerplate (headers, licence blocks, templated
+    spam) that exact- and near-dedup at document granularity miss.
+
+    Physical shape: tokenize map-side, explode positional n-grams
+    (duplicates kept — occurrences, not shingle sets), then two keyed
+    aggregations: (gram, doc) occurrence counts, and gram
+    document-frequency reduced FROM those per-doc rows (so the second
+    shuffle carries one row per distinct (gram, doc), not one per
+    occurrence). A final count-by-doc emits integers only.  At 100 TB
+    swap the gram string for ``xxhash64(gram)`` as the shuffle key —
+    same plan, ~8-byte keys.
+
+    Returns (id, n_grams, n_dup_grams): total n-gram occurrences and
+    occurrences whose gram appears in >1 distinct document.
+    """
+    t = tokenized(df, text_col, keep=[id_col])
+    grams = t.select(
+        F.col(id_col), F.explode(ngrams_of(F.col("_tok"), n)).alias("gram")
+    )
+    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("c"))
+    docfreq = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        per_doc.join(docfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
     )
 
 

@@ -131,6 +131,18 @@ def shingles_of(tok: Column, n: int = 3) -> Column:
     )
 
 
+def ngrams_of(tok: Column, n: int = 3) -> Column:
+    """Positional word n-grams (every occurrence, duplicates kept) —
+    the occurrence-counting sibling of `shingles_of` for repetition /
+    duplicated-fraction metrics. Same attribute-capture and
+    try_element_at rules apply."""
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.try_element_at(tok, i + j) for j in range(n)]),
+    )
+
+
 def tokenized(df: DataFrame, text_col: str, keep: list[str], out: str = "_tok") -> DataFrame:
     """Project `keep` + a materialized token array (explode-of-1
     barrier, so downstream per-element lambdas see an attribute).

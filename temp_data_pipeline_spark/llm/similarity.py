@@ -116,6 +116,71 @@ def ann_lsh_topk(
     )
 
 
+def fit_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Driver-fit coarse k-means on a bounded seeded sample.
+
+    The collect is a bounded `sample_size`-row sample (the IVF /
+    SemDeDup coarse quantizer needs a few thousand rows regardless of
+    corpus size — this is the standard vector-store training shape,
+    not a driver-side data path). Deterministic for a fixed input:
+    fixed seed, fixed iteration count, numpy's deterministic argmin /
+    mean. Returns plain Python floats so callers can embed the
+    centroids as literals (Spark `F.lit` and oracle SQL alike)."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()], dtype=float
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+    return [[float(x) for x in c] for c in cents]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid cell assignment as a pure map-side expression:
+    one array of per-centroid squared distances behind an explode-of-1
+    barrier (so the n_centroids aggregates run once per row), argmin =
+    array_position of the minimum (first match = lowest cell id,
+    deterministic). Emits (id, vec, _d, _cell)."""
+    d2s = []
+    for c in centroids:
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d2s.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), cl, lambda x, y: ((x - y) * (x - y)).cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(F.array(*d2s))).alias("_d")
+    ).withColumn(
+        "_cell",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec,
@@ -132,41 +197,10 @@ def ivf_topk(
     map-side cell assignment, query probes nprobe nearest cells."""
     import numpy as np
 
-    sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_size).collect()], dtype=float
+    cents = np.array(
+        fit_kmeans(df, vec_col, n_centroids, sample_size, iters, seed)
     )
-    rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-    for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                cents[c] = sample[m].mean(0)
-
-    # nearest-centroid assignment as a pure expression: one array of
-    # per-centroid distances behind an explode-of-1 barrier (so the
-    # n_centroids aggregates run once per row), argmin = array_position
-    # of the minimum (first match = lowest cell id, deterministic)
-    d2s = []
-    for c in cents:
-        cl = F.array(*[F.lit(float(x)) for x in c])
-        d2s.append(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), cl, lambda x, y: ((x - y) * (x - y)).cast("double")
-                ),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-        )
-    assigned = ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(F.array(*d2s))).alias("_d")
-    ).withColumn(
-        "_cell",
-        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
-    )
+    assigned = assign_cells(df, [list(c) for c in cents], vec_col, id_col)
 
     qd = ((cents - np.array(query_vec)) ** 2).sum(1)
     probe_cells = [int(c) for c in qd.argsort()[:nprobe]]
@@ -197,4 +231,63 @@ def label_centroids(
     )
     return ex.groupBy(label_col, "pos").agg(
         F.avg(F.col("v").cast("double")).alias("centroid_v")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space with coarse k-means, then compare vectors only
+    WITHIN their cluster — pairs with cosine ≥ `threshold` are
+    semantic duplicates, and the greedy keep-lowest-id policy drops
+    every vector that matches a lower id in its cell.
+
+    Scale shape: the O(n²) all-pairs comparison becomes per-cell
+    self-joins — one hash exchange on `_cell` (reused by the bucket
+    cap's window), pair volume bounded by the largest cell (and hard-
+    capped at `max_bucket`²/2 per cell via cap_bucket). Centroids are
+    a driver-side constant (bounded seeded sample), so assignment is
+    map-only; at 100 TB raise n_centroids so cells stay executor-sized
+    — cost is linear in n_centroids per row, all JVM expressions.
+
+    Returns (id, cell, kept) for EVERY input row, `kept=false` iff a
+    lower-id same-cell vector has cosine ≥ threshold. Pass explicit
+    `centroids` to reuse a trained quantizer (and to let an oracle
+    replay assignment from the same literals)."""
+    from temp_data_pipeline_spark.llm.dedup import cap_bucket, cosine_sim
+
+    if centroids is None:
+        centroids = fit_kmeans(df, vec_col, n_centroids, sample_size, iters, seed)
+    assigned = assign_cells(df, centroids, vec_col, id_col).select(
+        id_col, vec_col, "_cell"
+    )
+    capped = cap_bucket(assigned, ["_cell"], id_col, max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_cell").alias("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
     )

@@ -1239,3 +1239,100 @@ def llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return bloom_decontam(train, test, n=6).orderBy("doc_id")
+
+
+@_register(
+    "llm_dup_ngram_frac",
+    ["curation", "dedup", "text-analysis"],
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM toks
+    ), gd AS (
+      SELECT gram, doc_id, COUNT(*) AS c FROM grams GROUP BY gram, doc_id
+    ), dfreq AS (
+      SELECT gram, COUNT(*) AS df FROM gd GROUP BY gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_grams
+    FROM gd JOIN dfreq USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    note=(
+        "Inter-document duplicated 8-gram fraction (MassiveText "
+        "dup-signal): occurrences kept (not shingle sets), gram "
+        "document-frequency reduced from per-(gram,doc) rows so the "
+        "second shuffle is distinct-pairs-sized. Integer outputs only."
+    ),
+)
+def llm_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import dup_ngram_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(d, n=8).orderBy("doc_id")
+
+
+# Cosine between two table aliases a/b for the SemDeDup verify —
+# identical float math to _COS_SQL (cast-to-double before multiply,
+# list_sum fold) with both sides coming from the cells CTE.
+_COS_AB_SQL = """list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+
+
+@_register(
+    "llm_semdedup",
+    ["similarity", "dedup"],
+    f"""
+    WITH c AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cl
+      FROM embeddings WHERE vec_id < 8
+    ), a0 AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform(range(8), k ->
+               list_sum(list_transform(range(1, 65), i ->
+                 (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])))) AS d
+      FROM embeddings e, c
+    ), cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(d, list_min(d)) - 1 AS INT) AS cell
+      FROM a0
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_COS_AB_SQL} >= 0.4
+    )
+    SELECT c2.vec_id, c2.cell, d.vec_id IS NULL AS kept
+    FROM cells c2 LEFT JOIN dups d ON c2.vec_id = d.vec_id
+    ORDER BY c2.vec_id
+    """,
+    note=(
+        "SemDeDup (coarse k-means cells + within-cell cosine ≥ 0.4, "
+        "keep-lowest-id). The conformance query pins the quantizer to "
+        "the first 8 vectors (0 Lloyd iterations) so DuckDB replays "
+        "assignment from the TABLE itself — no fitted literals; the "
+        "operator's fit_kmeans path is pinned by tests instead. "
+        "Distance/argmin/cosine math is bit-identical on both sides."
+    ),
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return similarity.semdedup(e, threshold=0.4, centroids=cents).orderBy("vec_id")

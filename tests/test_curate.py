@@ -189,3 +189,48 @@ class TestTopKeywords:
         # x: tf=2 df=1 → 2·ln(3); y: tf=1 df=3 → ln(1)=0
         assert scores[0] > scores[-1]
         assert abs(scores[-1]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_stats (inter-document duplicated n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_stats_golden(spark):
+    from temp_data_pipeline_spark.llm.curate import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # grams: "a b c","b c d","c d e"
+            (2, "x b c d y"),      # grams: "x b c","b c d","c d y"
+            (3, "p q r s t"),      # all unique
+            (4, "a b"),            # short doc: single truncated gram "a b"
+            (5, "a b"),            # exact duplicate of 4 → shared gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in dup_ngram_stats(docs, n=3).collect()
+    }
+    # only "b c d" is cross-doc duplicated between 1 and 2; "a b" between 4/5
+    assert out[1] == (3, 1)
+    assert out[2] == (3, 1)
+    assert out[3] == (3, 0)
+    assert out[4] == (1, 1)
+    assert out[5] == (1, 1)
+
+
+def test_dup_ngram_stats_within_doc_repeat_not_dup(spark):
+    """A gram repeated INSIDE one document only is not cross-doc dup."""
+    from temp_data_pipeline_spark.llm.curate import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "z z z z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in dup_ngram_stats(docs, n=4).collect()
+    }
+    assert out[1] == (3, 0)
+    assert out[2] == (1, 0)

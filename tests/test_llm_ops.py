@@ -405,3 +405,57 @@ def test_curate_corpus_end_to_end(spark):
     ids1 = sorted(r["doc_id"] for r in out.collect())
     ids2 = sorted(r["doc_id"] for r in curate_corpus(d, quality_rules=rules).collect())
     assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (k-means cells + within-cell cosine dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_golden(spark):
+    from temp_data_pipeline_spark.llm.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact duplicate of 1
+        (3, [0.9, 0.1, 0.0, 0.0]),   # cos(1,3) ≈ 0.9938 → semantic dup
+        (4, [0.0, 1.0, 0.0, 0.0]),   # other cell, kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semdedup(df, threshold=0.9, centroids=cents).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (1, True)
+
+
+def test_semdedup_cross_cell_blind(spark):
+    """Similar vectors in DIFFERENT cells are not compared — the
+    documented SemDeDup recall trade for linear scaling."""
+    from temp_data_pipeline_spark.llm.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [1.0, -0.05, 0.0, 0.0]),  # cos(1,2) ≈ 0.995 but cells differ
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.5, 0.0, 0.0], [1.0, -0.5, 0.0, 0.0]]
+    out = {r["vec_id"]: r["kept"] for r in semdedup(df, centroids=cents).collect()}
+    assert out == {1: True, 2: True}
+
+
+def test_semdedup_fitted_quantizer_runs(spark):
+    """fit_kmeans path: deterministic across two invocations."""
+    from temp_data_pipeline_spark.llm.similarity import semdedup
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = semdedup(e, threshold=0.4, n_centroids=4).orderBy("vec_id").collect()
+    b = semdedup(e, threshold=0.4, n_centroids=4).orderBy("vec_id").collect()
+    assert a == b
+    assert len(a) == e.count()
