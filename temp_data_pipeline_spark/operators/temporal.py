@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "range_join"]
+__all__ = ["asof_join", "resample_fill", "sessionize", "range_join"]
 
 
 def _micros(c: Column) -> Column:
@@ -218,3 +218,79 @@ def range_join(
     rts_us = _micros(F.col("_rts"))
     exact = joined.filter((rts_us >= win_lo) & (rts_us < win_hi))
     return exact.drop("_bucket", "_rts")
+
+
+def resample_fill(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: one output row per
+    (key, step bucket) over each key's [min ts, max ts] span — buckets
+    with no input rows appear with ``n_rows = 0`` and the last
+    observed value carried forward.  The gap-filling primitive every
+    downstream window/feature operator assumes (causal rolling stats
+    over a grid with holes silently shrink their windows).
+
+    Physical shape, three keyed stages sharing the (key) partitioning:
+    1. per-(key, bucket) aggregation — count + last-in-bucket value
+       picked by a row_number window on (ts DESC, then arbitrary-but-
+       deterministic input order via the value struct) — ONE shuffle;
+    2. per-key bounds (min/max bucket) reduced from the bucket rows
+       (distinct-buckets-sized input, not raw rows), grid generated
+       map-side with ``sequence`` + explode — no driver loop;
+    3. grid ⋈ buckets equi-join on (key, bucket) + forward-fill
+       window per key.
+    Grid size is span/step per key — bound the span (or raise the
+    step) for keys idle over long ranges; integer epoch-seconds bucket
+    math keeps the grid arithmetic exact and timezone-free.
+
+    Emits (key, bucket_start epoch-seconds, n_rows, value) — `value`
+    is a raw passthrough of the last observation (no float
+    arithmetic), null until a key's first observation.
+    """
+    # bucket from epoch MICROS (micros/1e6/step is exact double math
+    # below 2^53): Spark unix_micros ≡ DuckDB epoch_us, so oracle SQL
+    # reproduces the grid bit-for-bit; unix_timestamp's sub-second
+    # truncation semantics never enter the picture
+    bucket = (
+        F.floor(F.unix_micros(F.col(ts_col)) / (step_seconds * 1_000_000)) * step_seconds
+    ).cast("long")
+    w_pick = Window.partitionBy(key_col, "_bucket").orderBy(
+        F.col(ts_col).desc(), F.col(value_col).desc()
+    )
+    per_bucket = (
+        df.select(F.col(key_col), bucket.alias("_bucket"), F.col(ts_col), F.col(value_col))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .groupBy(key_col, "_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.when(F.col("_rn") == 1, F.col(value_col))).alias("_last_v"),
+        )
+    )
+    bounds = per_bucket.groupBy(key_col).agg(
+        F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step_seconds)).cast("long"))
+        ).alias("_bucket"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, [key_col, "_bucket"], "left")
+        .select(
+            F.col(key_col),
+            F.col("_bucket").alias("bucket_start"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            F.last(F.col("_last_v"), ignorenulls=True).over(w_fill).alias("value"),
+        )
+    )

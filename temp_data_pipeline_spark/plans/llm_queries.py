@@ -1278,6 +1278,33 @@ def llm_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(d, n=8).orderBy("doc_id")
 
 
+@_register(
+    "llm_heavy_hitters",
+    ["text-analysis", "A1"],
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 25
+    """,
+    note=(
+        "Exact corpus-wide top-25 token frequencies: map-side partial "
+        "counts + TakeOrdered (k rows to the driver, no global sort). "
+        "The exact tier the Count-Min sketch estimates "
+        "(operators/sketches.py::cms_build) are error-bounded against "
+        "in tests/test_quantiles.py."
+    ),
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenized(d, "text", keep=[]).select(F.explode(F.col("_tok")).alias("token"))
+    return heavy_hitters(toks, "token", k=25)
+
+
 # Cosine between two table aliases a/b for the SemDeDup verify —
 # identical float math to _COS_SQL (cast-to-double before multiply,
 # list_sum fold) with both sides coming from the cells CTE.

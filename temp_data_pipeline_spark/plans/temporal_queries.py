@@ -280,3 +280,57 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts_asof").alias("next_signup_us"),
     ).orderBy("event_id")
+
+
+@_register(
+    "q_gap_fill",
+    ["extension-temporal", "W2"],
+    """
+    WITH src AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+               AS bucket, ts, value
+      FROM events WHERE user_id % 10 = 0
+    ), picked AS (
+      SELECT user_id, bucket, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, value DESC) AS rn
+      FROM src
+    ), per_bucket AS (
+      SELECT user_id, bucket,
+             COUNT(*) AS n_rows,
+             MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+      FROM picked GROUP BY user_id, bucket
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM per_bucket GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket
+      FROM bounds
+    )
+    SELECT g.user_id,
+           g.bucket AS bucket_start,
+           CAST(COALESCE(p.n_rows, 0) AS BIGINT) AS n_rows,
+           last_value(p.last_v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN per_bucket p
+      ON g.user_id = p.user_id AND g.bucket = p.bucket
+    ORDER BY g.user_id, g.bucket
+    """,
+    note=(
+        "Hourly grid resample + forward fill per user (users sampled "
+        "by id % 10): missing hours appear with n_rows=0 and the last "
+        "observed value carried forward. Integer epoch-seconds buckets "
+        "(unix_micros ≡ epoch_us) and raw value passthrough keep the "
+        "compare float-arithmetic-free."
+    ),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.temporal import resample_fill
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    out = resample_fill(
+        events, key_col="user_id", ts_col="ts", value_col="value", step_seconds=3600
+    )
+    return out.orderBy("user_id", "bucket_start")

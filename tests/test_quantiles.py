@@ -101,3 +101,71 @@ def test_approx_distinct_grouped(spark):
               for r in distinct_count(df, "v", by=["g"], rsd=0.01).collect()}
     assert approx["b"] == 7  # tiny cardinalities are exact in HLL++ (sparse mode)
     assert abs(approx["a"] - 50) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency tier)
+# ---------------------------------------------------------------------------
+
+
+class TestCountMin:
+    DEPTH, WIDTH, SEED = 4, 1024, 42
+
+    def _tokens(self, spark):
+        from temp_data_pipeline_spark.llm.dedup import tokenized
+        from temp_data_pipeline_spark.sources.registry import load_table
+        from tests.conftest import SF_SMOKE
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, SF_SMOKE, "documents")
+        return tokenized(d, "text", keep=[]).select(
+            F.explode(F.col("_tok")).alias("token")
+        )
+
+    def test_never_underestimates_and_error_bounded(self, spark):
+        from temp_data_pipeline_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+            heavy_hitters,
+        )
+
+        toks = self._tokens(spark)
+        n_total = toks.count()
+        sketch = cms_build(toks, "token", self.DEPTH, self.WIDTH, self.SEED)
+        assert sketch.count() <= self.DEPTH * self.WIDTH
+
+        exact = heavy_hitters(toks, "token", k=50)
+        est = cms_estimate(
+            exact.select("token"), sketch, "token", self.DEPTH, self.WIDTH, self.SEED
+        )
+        joined = {r["token"]: r["est"] for r in est.collect()}
+        import math
+
+        bound = math.e * n_total / self.WIDTH  # CM guarantee at p≈1-e^-depth
+        for r in exact.collect():
+            e, t = joined[r["token"]], r["cnt"]
+            assert e >= t, f"CMS underestimated {r['token']}: {e} < {t}"
+            assert e <= t + bound, f"CMS error above e·N/w bound for {r['token']}"
+
+    def test_mergeable_partition_invariant(self, spark):
+        """Sketch counters are sums → identical under repartitioning
+        (the property that makes map-side merge and incremental
+        maintenance correct)."""
+        from temp_data_pipeline_spark.operators.sketches import cms_build
+
+        toks = self._tokens(spark)
+        a = sorted(map(tuple, cms_build(toks, "token").collect()))
+        b = sorted(map(tuple, cms_build(toks.repartition(7), "token").collect()))
+        assert a == b
+
+    def test_absent_item_estimate_small(self, spark):
+        from temp_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+        toks = self._tokens(spark)
+        n_total = toks.count()
+        sketch = cms_build(toks, "token")
+        ghost = spark.createDataFrame([("__never_seen_token__",)], ["token"])
+        est = cms_estimate(ghost, sketch, "token").first()["est"]
+        import math
+
+        assert est <= math.e * n_total / 1024

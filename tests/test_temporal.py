@@ -242,3 +242,49 @@ def test_session_window_agrees_with_sessionize(spark):
     a = sorted(map(tuple, native.collect()))
     b = sorted(map(tuple, rolled.collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# resample_fill (regular grid + forward fill)
+# ---------------------------------------------------------------------------
+
+
+class TestResampleFill:
+    def _df(self, spark):
+        from datetime import datetime
+
+        rows = [
+            # key "a": hours 0, 3 observed → grid 0..3, hours 1-2 filled
+            ("a", datetime(2024, 1, 1, 0, 15), 1.0),
+            ("a", datetime(2024, 1, 1, 0, 45), 2.0),   # later in same bucket
+            ("a", datetime(2024, 1, 1, 3, 10), 9.0),
+            # key "b": single observation → single-row grid
+            ("b", datetime(2024, 1, 1, 5, 0), 7.0),
+        ]
+        return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    def test_grid_and_fill(self, spark):
+        from temp_data_pipeline_spark.operators.temporal import resample_fill
+
+        out = resample_fill(
+            self._df(spark), key_col="k", ts_col="ts", value_col="v",
+            step_seconds=3600,
+        ).orderBy("k", "bucket_start").collect()
+        a = [(r["n_rows"], r["value"]) for r in out if r["k"] == "a"]
+        # hour 0: two rows, last (by ts) = 2.0; hours 1-2: empty, ffill 2.0
+        assert a == [(2, 2.0), (0, 2.0), (0, 2.0), (1, 9.0)]
+        b = [(r["n_rows"], r["value"]) for r in out if r["k"] == "b"]
+        assert b == [(1, 7.0)]
+        # buckets are a contiguous hourly grid per key
+        starts = [r["bucket_start"] for r in out if r["k"] == "a"]
+        assert starts == [starts[0] + i * 3600 for i in range(4)]
+
+    def test_no_cross_key_leak(self, spark):
+        """Forward fill never crosses key boundaries."""
+        from temp_data_pipeline_spark.operators.temporal import resample_fill
+
+        out = resample_fill(
+            self._df(spark), key_col="k", ts_col="ts", value_col="v",
+            step_seconds=3600,
+        ).collect()
+        assert all(r["value"] == 7.0 for r in out if r["k"] == "b")
