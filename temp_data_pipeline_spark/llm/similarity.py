@@ -264,22 +264,53 @@ def semdedup(
     lower-id same-cell vector has cosine ≥ threshold. Pass explicit
     `centroids` to reuse a trained quantizer (and to let an oracle
     replay assignment from the same literals)."""
-    from temp_data_pipeline_spark.llm.dedup import cap_bucket, cosine_sim
+    from temp_data_pipeline_spark.llm.dedup import cap_bucket
 
     if centroids is None:
         centroids = fit_kmeans(df, vec_col, n_centroids, sample_size, iters, seed)
     assigned = assign_cells(df, centroids, vec_col, id_col).select(
         id_col, vec_col, "_cell"
     )
-    capped = cap_bucket(assigned, ["_cell"], id_col, max_bucket)
+    # Pre-normalize ONCE per row (norm materialized behind its own
+    # explode-of-1 barrier so the division lambda captures a scalar
+    # attribute, not a re-evaluated fold): the per-PAIR verify is then
+    # a single dot product instead of dot + two norms — pairs
+    # outnumber rows by orders of magnitude inside dense cells, so
+    # this is the difference between O(pairs·d) and O(3·pairs·d) with
+    # a much larger constant.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    with_norm = assigned.select(
+        F.col(id_col), F.col("_cell"), F.col(vec_col),
+        F.explode(F.array(norm)).alias("_nrm"),
+    )
+    safe = F.when(F.col("_nrm") > 0, F.col("_nrm")).otherwise(F.lit(1.0))
+    base = with_norm.select(
+        F.col(id_col),
+        F.col("_cell"),
+        F.explode(
+            F.array(F.transform(F.col(vec_col), lambda x: x.cast("double") / safe))
+        ).alias("_nv"),
+    )
+    capped = cap_bucket(base, ["_cell"], id_col, max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._nv"), F.col("b._nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     dup_ids = (
         a.join(
             b,
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= threshold)
+        .filter(dot >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
