@@ -66,43 +66,75 @@ def _all_specs():
     return specs
 
 
-# Queries already driver-verified green in CORRECTNESS_r01 + r02 (the
-# driver snapshots the first 50 entries of queries() in insertion
-# order each round).  To get cumulative driver coverage of all
-# registered queries, entries NOT in this set sort first so they land
-# inside the 50-slot window this round; _RECHECK names (implementations
-# touched this round, or flagship) fill the remaining slots.  Combined
-# with the r02 snapshot every query has a driver-verified record.
-_DRIVER_CHECKED = {
-    "q_scan", "q_filter", "q_project", "q_case", "q_dedup", "q_join",
-    "q_multijoin", "q_agg", "q_bitor", "q_window_lag", "q_window_roll",
-    "q_window_expand", "q_split", "q_union", "q_datetime", "q_harmonic",
-    "q_quantile", "q_metrics", "q_events_window", "q_quantile_group",
-    "llm_token_count", "llm_token_bpe", "llm_text_quality", "llm_gopher",
-    "llm_lang_id", "llm_fingerprint", "llm_dedup_exact", "llm_minhash",
-    "llm_simhash", "llm_ann_topk", "llm_neardup_window",
-    "llm_minhash_dedup", "llm_simhash_neardup", "llm_dup_clusters",
-    "llm_embed_neardup", "llm_ann_lsh_topk", "llm_ivf_topk",
-    "llm_multimodal", "llm_hash_split", "llm_decontam", "llm_repetition",
-    "llm_stratified", "llm_keywords", "llm_topk_lang", "llm_centroid",
-    "llm_lm_score", "llm_chunk", "llm_pack", "llm_pii",
-    "llm_corpus_report",
+# The driver snapshots the FIRST 50 entries of queries() each round.
+# To keep cumulative coverage fresh, order mechanically by how stale a
+# query's last green driver record is:
+#   priority 0 — never verified, or in _RECHECK (implementation or its
+#                inputs changed this round; regression suspected/fixed);
+#   priority N — last verified green in round N (oldest first).
+# Ties keep registration order.  If priority-0 entries alone overflow
+# the window, loudly warn — silent truncation is how regressions hide.
+_DRIVER_WINDOW = 50
+
+# name -> last round with a green driver record (CORRECTNESS_r{N}.json).
+_LAST_VERIFIED = {
+    # r2 green (not re-snapshotted since)
+    **{n: 2 for n in (
+        "q_window_roll", "q_window_expand", "q_split", "q_union",
+        "q_datetime", "q_harmonic", "q_quantile", "q_metrics",
+        "q_events_window", "q_quantile_group", "llm_token_count",
+        "llm_token_bpe", "llm_text_quality", "llm_gopher", "llm_lang_id",
+        "llm_fingerprint", "llm_dedup_exact", "llm_minhash", "llm_simhash",
+        "llm_ann_topk", "llm_neardup_window", "llm_simhash_neardup",
+        "llm_hash_split", "llm_decontam", "llm_repetition",
+        "llm_stratified", "llm_keywords", "llm_topk_lang", "llm_centroid",
+        "llm_lm_score", "llm_chunk", "llm_pack", "llm_pii",
+        "llm_corpus_report",
+    )},
+    # r3 green
+    **{n: 3 for n in (
+        "llm_bloom_decontam", "llm_dup_ngram_frac", "llm_heavy_hitters",
+        "llm_semdedup", "q_pipeline_clean", "q_skew_agg",
+        "q_pipeline_daily", "q_isd_parse", "q_ghcnh_parse", "q_ts_parse",
+        "q_lead_hours", "q_season", "q_units", "q_json_extract",
+        "q_semi_join", "q_anti_join", "q_intersect", "q_except",
+        "q_rollup", "q_pivot", "q_cube", "q_rank_topn", "q_cardinality",
+        "q_incr_rollup", "llm_dup_clusters", "llm_embed_neardup",
+        "llm_minhash_dedup", "llm_ann_lsh_topk", "llm_multimodal",
+        "q_agg", "q_scan", "q_filter", "q_project", "q_case", "q_dedup",
+        "q_join", "q_multijoin", "q_bitor", "q_window_lag",
+    )},
 }
 
-# Re-verify these inside the window (implementation touched this round
-# or flagship end-to-end shapes) ahead of the remaining green backlog.
+# Implementations (or their physical inputs) changed this round: the 11
+# queries broken by the events.ts ns→µs regeneration, all repaired via
+# registry._normalize_ts / events_stream this round.
 _RECHECK = [
-    "llm_dup_clusters", "llm_embed_neardup", "llm_minhash_dedup",
-    "llm_ann_lsh_topk", "llm_multimodal", "q_agg", "q_scan",
+    "q_asof_join", "q_asof_forward", "q_sessionize", "q_session_window",
+    "q_range_join", "q_gap_fill", "q_keep_latest", "q_window_range",
+    "q_stream_events", "q_stream_join", "q_stream_sessions",
 ]
 
 
 def _ordered_specs():
     specs = _all_specs()
-    new_first = [n for n in specs if n not in _DRIVER_CHECKED]
-    recheck = [n for n in _RECHECK if n in specs and n not in new_first]
-    rest = [n for n in specs if n not in new_first and n not in recheck]
-    return {n: specs[n] for n in (*new_first, *recheck, *rest)}
+    recheck = set(_RECHECK)
+    names = sorted(
+        specs,
+        key=lambda n, _ix={m: i for i, m in enumerate(specs)}: (
+            0 if (n in recheck or n not in _LAST_VERIFIED) else _LAST_VERIFIED[n],
+            _ix[n],
+        ),
+    )
+    urgent = sum(1 for n in names if n in recheck or n not in _LAST_VERIFIED)
+    if urgent > _DRIVER_WINDOW:
+        print(
+            f"WARNING: {urgent} unverified/recheck queries exceed the "
+            f"{_DRIVER_WINDOW}-slot driver window; tail entries get no "
+            "fresh record this round",
+            file=sys.stderr,
+        )
+    return {n: specs[n] for n in names}
 
 
 def entry(spark: SparkSession) -> DataFrame:

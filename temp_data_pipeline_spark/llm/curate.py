@@ -198,11 +198,13 @@ def dup_ngram_stats(
     spam) that exact- and near-dedup at document granularity miss.
 
     Physical shape: tokenize map-side, explode positional n-grams
-    (duplicates kept — occurrences, not shingle sets), then two keyed
-    aggregations: (gram, doc) occurrence counts, and gram
-    document-frequency reduced FROM those per-doc rows (so the second
-    shuffle carries one row per distinct (gram, doc), not one per
-    occurrence). A final count-by-doc emits integers only.  At 100 TB
+    (duplicates kept — occurrences, not shingle sets), reduce to
+    (gram, doc) occurrence counts, then ONE window partitioned by gram
+    computes each gram's document frequency in-place — the explode
+    pipeline executes once and no self-join re-shuffles it (an earlier
+    per_doc⋈docfreq formulation recomputed the explode on both branch
+    scans and cost a 4th shuffle; this is the same answer in 3 keyed
+    exchanges).  A final count-by-doc emits integers only.  At 100 TB
     swap the gram string for ``xxhash64(gram)`` as the shuffle key —
     same plan, ~8-byte keys.
 
@@ -214,9 +216,9 @@ def dup_ngram_stats(
         F.col(id_col), F.explode(ngrams_of(F.col("_tok"), n)).alias("gram")
     )
     per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("c"))
-    docfreq = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
-        per_doc.join(docfreq, "gram")
+        per_doc.withColumn("df", df_w)
         .groupBy(id_col)
         .agg(
             F.sum("c").cast("long").alias("n_grams"),

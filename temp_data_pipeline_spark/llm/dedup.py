@@ -509,30 +509,43 @@ def embedding_neardup_pairs(
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
     per_band = nbits // bands
 
-    def sig_expr():
-        bits = []
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda x, y: (x * y).cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(
-                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    # The nbits×dim plane matrix rides in as a broadcast ONE-ROW
+    # DataFrame, not as expression-tree literals: inlining ~1000
+    # float literals into a plan that Catalyst then duplicates across
+    # the self-join and both verify join-backs made analysis/codegen
+    # the dominant cost (measured 2x wall-clock at sf0.1). As data,
+    # the matrix is one broadcast row and the dot products are one
+    # compact nested-lambda expression.
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [([list(map(float, p)) for p in planes],)], "_pl: array<array<double>>"
+    )
+    dots = F.transform(
+        F.col("_pl"),
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # sign bits -> one long signature (SQL shiftleft takes a column
+    # bit position; the python F.shiftleft only takes an int literal)
+    sig = F.expr(
+        "aggregate(zip_with(_dots, sequence(0, size(_dots) - 1), "
+        "(d, i) -> IF(d >= 0.0, shiftleft(1L, i), 0L)), 0L, (a, v) -> a + v)"
+    )
+    sig_df = (
+        ensure_parallelism(df)
+        .join(F.broadcast(planes_df))
+        .withColumn("_dots", dots)
+        .select(F.col(id_col), F.explode(F.array(sig)).alias("sig"))
+    )
 
-    # One pass per ROW computes the signature AND the L2-normalized
-    # vector (explode-of-1 barrier so both are materialized once).
-    # Pre-normalizing moves the two norm folds out of the per-PAIR
-    # verify — candidates outnumber rows by orders of magnitude, so
-    # verify cost drops from three array folds per pair to one dot.
+    # L2-normalization lives on its OWN branch: the verify join-backs
+    # below re-scan the source for vectors only and never pay for the
+    # signature computation. Pre-normalizing moves the two norm folds
+    # out of the per-PAIR verify — candidates outnumber rows by orders
+    # of magnitude, so verify cost drops to one dot per pair.
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
@@ -541,30 +554,24 @@ def embedding_neardup_pairs(
         )
     )
     safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
-    base = ensure_parallelism(df).select(
+    vecs = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(
-            F.array(
-                F.struct(
-                    sig_expr().alias("sig"),
-                    F.transform(
-                        F.col(vec_col), lambda x: x.cast("double") / safe
-                    ).alias("vn"),
-                )
-            )
-        ).alias("_m"),
+            F.array(F.transform(F.col(vec_col), lambda x: x.cast("double") / safe))
+        ).alias("_vn"),
     )
+
     mask = (1 << per_band) - 1
     # Candidate generation carries ONLY ids: the (band join → pair
     # dedup) shuffles move 16 bytes per candidate instead of two
     # 64-float vectors — the join-back below re-attaches vectors once
     # per SURVIVING pair, keyed by id.
-    banded = base.select(
+    banded = sig_df.select(
         id_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_m.sig"), per_band * i).bitwiseAND(mask)
+                    F.shiftright(F.col("sig"), per_band * i).bitwiseAND(mask)
                     for i in range(bands)
                 ]
             )
@@ -585,7 +592,6 @@ def embedding_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = base.select(F.col(id_col), F.col("_m.vn").alias("_vn"))
     dot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),

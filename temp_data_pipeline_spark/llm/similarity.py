@@ -192,13 +192,18 @@ def ivf_topk(
     sample_size: int = 4096,
     iters: int = 5,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF: coarse k-means centroids (driver-fit on a seeded sample),
-    map-side cell assignment, query probes nprobe nearest cells."""
+    """IVF: coarse k-means centroids (driver-fit on a seeded sample,
+    or caller-pinned via ``centroids`` so an external oracle can
+    replay cell assignment), map-side cell assignment, query probes
+    nprobe nearest cells."""
     import numpy as np
 
     cents = np.array(
-        fit_kmeans(df, vec_col, n_centroids, sample_size, iters, seed)
+        centroids
+        if centroids is not None
+        else fit_kmeans(df, vec_col, n_centroids, sample_size, iters, seed)
     )
     assigned = assign_cells(df, [list(c) for c in cents], vec_col, id_col)
 

@@ -30,7 +30,10 @@ __all__ = ["asof_join", "resample_fill", "sessionize", "range_join"]
 
 
 def _micros(c: Column) -> Column:
-    return F.unix_micros(c)
+    # cast first: tolerates TIMESTAMP_NTZ inputs (unix_micros only
+    # accepts TIMESTAMP; session tz is pinned UTC so the instant is
+    # unchanged) as defense-in-depth behind registry._normalize_ts
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(

@@ -707,18 +707,70 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ORACLE = f"""
+    WITH c AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cl
+      FROM embeddings WHERE vec_id < 16
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    a0 AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform(range(16), k ->
+               list_sum(list_transform(range(1, 65), i ->
+                 (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])))) AS d
+      FROM embeddings e, c WHERE e.vec_id <> 0
+    ),
+    cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(d, list_min(d)) - 1 AS INT) AS cell
+      FROM a0
+    ),
+    qd AS (
+      SELECT list_transform(range(16), k ->
+               list_sum(list_transform(range(1, 65), i ->
+                 (CAST(q.qv[i] AS DOUBLE) - c.cl[k + 1][i])
+                 * (CAST(q.qv[i] AS DOUBLE) - c.cl[k + 1][i])))) AS d
+      FROM q, c
+    ),
+    probe AS (
+      SELECT CAST(t.k AS INT) AS cell
+      FROM qd, range(16) t(k)
+      ORDER BY qd.d[CAST(t.k AS INT) + 1], t.k
+      LIMIT 4
+    )
+    SELECT vec_id FROM (
+      SELECT e.vec_id, {_COS_SQL} AS sim
+      FROM cells e, probe, q WHERE e.cell = probe.cell
+    ) ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 @_register(
     "llm_ivf_topk",
     ["similarity"],
-    None,
-    note="IVF ANN: seeded-sample k-means centroids, nprobe=4 cell probe, exact re-rank.",
+    _IVF_ORACLE,
+    note=(
+        "IVF ANN: nprobe=4 cell probe + exact cosine re-rank. The "
+        "conformance query pins the coarse quantizer to the first 16 "
+        "vectors (semdedup-style: 0 Lloyd iterations) so DuckDB "
+        "replays cell assignment AND the probe-cell choice from the "
+        "table itself; the fitted-k-means path (fit_kmeans, seeded "
+        "bounded sample) is pinned by tests/test_llm_ops.py instead."
+    ),
 )
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return similarity.ivf_topk(e.filter(F.col("vec_id") != 0), qvec, k=10).select(
-        "vec_id"
-    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, centroids=cents
+    ).select("vec_id")
 
 
 @_register(

@@ -32,26 +32,97 @@ TABLES = (
 )
 
 
+def parquet_ts_units(path: str) -> dict[str, str]:
+    """Footer probe: timestamp column name → physical unit ('ns'/'us'/
+    'ms'/'s') for one parquet file or the first file of a directory.
+
+    The driver regenerates the testdata between rounds and has already
+    switched ``events.ts`` from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)
+    once; every reader routes through this probe so the physical unit
+    is an input, never an assumption.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        hits = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        path = hits[0] if hits else path
+    schema = pq.ParquetFile(path).schema_arrow
+    return {
+        f.name: f.type.unit for f in schema if pa.types.is_timestamp(f.type)
+    }
+
+
+def _normalize_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rewrite every ns-as-long / TIMESTAMP_NTZ timestamp column to a
+    true UTC TIMESTAMP (session tz is pinned UTC in session.py, so the
+    wall-clock instant matches DuckDB's micro-precision read exactly)."""
+    from pyspark.sql import functions as F
+
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Lazy — no job runs until an action.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark
-    refuses to read natively; we read nanos as long and truncate to
-    microseconds — byte-identical to how DuckDB (micro-precision
-    timestamps) reads the same file, so oracle comparisons line up.
+    ``events.ts`` has been shipped both as TIMESTAMP(NANOS) (which
+    Spark refuses to read natively → read nanos-as-long, truncate to
+    µs) and as TIMESTAMP(MICROS) without tz (which Spark reads as
+    TIMESTAMP_NTZ → cast to UTC TIMESTAMP). Both normalize to the same
+    micro-precision instants DuckDB sees, so oracle comparisons line
+    up regardless of how the driver regenerates the files.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        units = parquet_ts_units(path)
+        if any(u == "ns" for u in units.values()):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                from pyspark.sql import functions as F
 
-            # integer division: ns values (~1.7e18) exceed double's 2^53
-            # mantissa, so a float divide would be off by ±1 µs
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+                # integer division: ns values (~1.7e18) exceed double's
+                # 2^53 mantissa, so a float divide would be off by ±1 µs
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            return _normalize_ts(spark, df)
+        return _normalize_ts(spark, spark.read.parquet(path))
+    return _normalize_ts(spark, spark.read.parquet(path))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader for the events table with ``ts`` as a true UTC
+    TIMESTAMP, whatever the physical parquet unit is.
+
+    readStream requires an explicit schema, so the footer unit decides
+    it: ns files read ``ts`` as long and truncate to µs (readStream
+    honors the nanosAsLong conf); µs/ms files read TIMESTAMP_NTZ and
+    cast. ONE function owns this so a driver-side regeneration changes
+    behavior in exactly one place — five hand-rolled copies of the ns
+    assumption is how the round-3 silent-1000×-compression happened.
+    """
+    from pyspark.sql import functions as F
+
+    unit = parquet_ts_units(os.path.join(sf_dir, "events.parquet")).get("ts", "us")
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_field, fix = "ts long", F.expr("timestamp_micros(ts div 1000)")
+    else:
+        ts_field, fix = "ts timestamp_ntz", F.col("ts").cast("timestamp")
+    schema = (
+        f"event_id long, {ts_field}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", fix)
+    )
 
 
 def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
@@ -82,7 +153,7 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     ]
     if not ts_cols:
-        return spark.read.parquet(path)
+        return _normalize_ts(spark, spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
@@ -91,7 +162,7 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             # integer division: ns magnitudes exceed double's mantissa
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return _normalize_ts(spark, df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

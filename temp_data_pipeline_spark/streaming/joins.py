@@ -27,6 +27,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temp_data_pipeline_spark.sources.registry import events_stream
+
 
 def stream_interval_join(
     left: DataFrame,
@@ -67,18 +69,9 @@ def run_interval_join_batchlike(
     events table (availableNow → memory sink), returned as a batch
     frame: (purchase event_id, user_id, matched click event_id,
     both timestamps as epoch micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
     def stream():
-        return (
-            spark.readStream.schema(read_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        # footer-probed unit handling lives in registry.events_stream
+        return events_stream(spark, sf_dir)
 
     purchases = stream().filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts")

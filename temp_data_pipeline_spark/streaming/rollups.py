@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.functions import c_to_f
 from temp_data_pipeline_spark.schemas.qc_flags import QC_OUT_OF_RANGE
-from temp_data_pipeline_spark.sources.registry import load_table
+from temp_data_pipeline_spark.sources.registry import events_stream
 
 
 def stream_daily_tmax(
@@ -87,24 +87,11 @@ def run_events_rollup_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger into a memory sink, then return the (batch)
     result ordered — hash-comparable to the q_events_window oracle.
 
-    The nanos-timestamp workaround mirrors sources/registry.load_table:
-    readStream needs an explicit schema, so ts arrives as long and is
-    truncated to micros before windowing.
+    The physical-timestamp-unit handling lives in ONE place —
+    sources/registry.events_stream — which probes the parquet footer
+    and builds the right readStream schema for ns or µs files.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = load_table(spark, sf_dir, "events")
-    read_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # the file source wants a directory; glob-filter to the one table
-    stream = (
-        spark.readStream.schema(read_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-    _ = batch  # schema parity is asserted in tests
+    stream = events_stream(spark, sf_dir)
     sink = f"events_rollup_{uuid.uuid4().hex[:8]}"
     # a streaming stateful operator builds one state-store instance per
     # shuffle partition at query start; at conformance scale that setup

@@ -29,7 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from temp_data_pipeline_spark.sources.registry import load_table
+from temp_data_pipeline_spark.sources.registry import events_stream
 
 
 def user_sessions(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
@@ -56,19 +56,8 @@ def run_sessions_batchlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the streaming session operator over static events
     (availableNow → memory sink, complete mode) and return the final
     table — comparable to the batch q_session_window oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _ = load_table(spark, sf_dir, "events")  # registers nanos workaround
-    read_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(read_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "ts")
-    )
+    # footer-probed unit handling lives in registry.events_stream
+    stream = events_stream(spark, sf_dir).select("user_id", "ts")
     sink = f"sessions_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
