@@ -4,17 +4,18 @@ Media travel as opaque `binary` columns with a typed metadata struct —
 the lakehouse-standard layout (one row per asset; bytes inline for
 small assets, or a URI for large ones). All Spark-side plumbing here
 (schemas, partitioning, mapInPandas batch shapes, Arrow transfer) is
-real and tested; the actual codec work is STUBBED because no
-image/audio libraries exist in this container:
+real and tested. Codec work is two-tier:
 
-- `decode_image` raises NotImplementedError when `real=True`;
-- with `real=False` (default) it produces a DETERMINISTIC FAKE
-  decode (pseudo-dimensions + checksum-derived features) so the
-  pipeline shape — schema in, schema out, batch iteration — is fully
-  exercised end-to-end.
-
-Swap `_fake_decode` for PIL/ffmpeg calls on a real cluster; nothing
-else changes.
+- `real=False` (default): a DETERMINISTIC FAKE decode
+  (pseudo-dimensions + checksum-derived features) so the pipeline
+  shape — schema in, schema out, batch iteration — is fully
+  exercised end-to-end and oracle-replayable (DuckDB sha256/md5).
+- `real=True`: a working codec path. Images/resize use PIL behind an
+  import gate (raises NotImplementedError where PIL is absent, runs
+  for real where it's installed). Audio decodes WAV containers with
+  the stdlib `wave` module — no external dependency, so the real
+  audio path executes and is tested even in this container; swap in
+  librosa/ffmpeg for compressed formats on a real cluster.
 """
 
 from __future__ import annotations
@@ -81,14 +82,64 @@ def extract_image_features(
     is fixed — exactly the plumbing a real decoder needs. Partitioning
     is preserved; no shuffle.
     """
-    if real:
-        raise NotImplementedError(
-            "Real image decoding requires PIL/opencv, not available in this "
-            "container. Call with real=False for the deterministic stub."
-        )
-
     out_cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
     nf = n_features
+
+    if real:
+        try:
+            from PIL import Image  # noqa: F401 - driver-side gate only
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Real image decoding requires PIL, not installed in this "
+                "environment. Call with real=False for the deterministic stub."
+            ) from exc
+
+        def decode_batches_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import hashlib as _hl
+            import io as _io
+
+            import pandas as _pd
+            from PIL import Image as _Image
+
+            for pdf in batches:
+                rows = []
+                for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                    raw = bytes(content) if content is not None else b""
+                    try:
+                        with _Image.open(_io.BytesIO(raw)) as im:
+                            w, h = im.size
+                            # n_features-bucket mean-intensity profile
+                            # of a 16x16 grayscale thumbnail
+                            px = list(im.convert("L").resize((16, 16)).getdata())
+                            step = max(len(px) // nf, 1)
+                            feats = [
+                                (
+                                    sum(chunk) / (255.0 * len(chunk))
+                                    if (chunk := px[i * step : (i + 1) * step])
+                                    else 0.0
+                                )
+                                for i in range(nf)
+                            ]
+                    except Exception:  # undecodable bytes -> null-ish row
+                        w = h = 0
+                        feats = [0.0] * nf
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "width": w,
+                            "height": h,
+                            "n_bytes": len(raw),
+                            "checksum": _hl.md5(raw).hexdigest(),
+                            "features": feats,
+                        }
+                    )
+                yield _pd.DataFrame(rows, columns=out_cols)
+
+        return media_df.select("asset_id", "content").mapInPandas(
+            decode_batches_real, IMAGE_FEATURES_SCHEMA
+        )
 
     # Self-contained closure: only stdlib/pandas imports inside, no
     # references to this module — executors' Python workers must not
@@ -133,16 +184,66 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 def extract_audio_features(media_df: DataFrame, n_features: int = 8, real: bool = False) -> DataFrame:
     """Audio counterpart of extract_image_features: mapInPandas over
-    (asset_id, content, duration_ms); decode stubbed (no audio libs in
-    this container), plumbing real. Swap the digest-derived features
-    for librosa/ffmpeg on a real cluster."""
-    if real:
-        raise NotImplementedError(
-            "Real audio decoding requires librosa/ffmpeg, not available in "
-            "this container. Call with real=False for the deterministic stub."
-        )
+    (asset_id, content, duration_ms).
+
+    ``real=True`` decodes WAV containers with the stdlib ``wave``
+    module (no external libs needed, so this path executes and is
+    tested in this container): duration from frames/framerate, and
+    per-segment RMS energy as the feature vector. Non-WAV bytes fall
+    back to a zero row. Swap in librosa/ffmpeg for compressed formats
+    on a real cluster. ``real=False`` is the digest-derived stub."""
     out_cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
     nf = n_features
+
+    if real:
+
+        def decode_batches_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import hashlib as _hl
+            import io as _io
+            import wave as _wave
+
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                rows = []
+                for aid, content, _dur in zip(
+                    pdf["asset_id"], pdf["content"], pdf["duration_ms"]
+                ):
+                    raw = bytes(content) if content is not None else b""
+                    dur_ms, feats = 0, [0.0] * nf
+                    try:
+                        with _wave.open(_io.BytesIO(raw)) as w:
+                            n, rate = w.getnframes(), w.getframerate()
+                            width = w.getsampwidth()
+                            dur_ms = int(n * 1000 / rate) if rate else 0
+                            if width == 2 and n:
+                                pcm = _np.frombuffer(
+                                    w.readframes(n), dtype="<i2"
+                                ).astype(_np.float64) / 32768.0
+                                segs = _np.array_split(pcm, nf)
+                                feats = [
+                                    float(_np.sqrt((s * s).mean())) if len(s) else 0.0
+                                    for s in segs
+                                ]
+                    except Exception:  # non-WAV bytes -> zero row
+                        pass
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "duration_ms": dur_ms,
+                            "n_bytes": len(raw),
+                            "checksum": _hl.md5(raw).hexdigest(),
+                            "features": feats,
+                        }
+                    )
+                yield _pd.DataFrame(rows, columns=out_cols)
+
+        return media_df.filter(F.col("modality") == "audio").select(
+            "asset_id", "content", "duration_ms"
+        ).mapInPandas(decode_batches_real, AUDIO_FEATURES_SCHEMA)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -219,16 +320,57 @@ def resize_images(
     full pipeline — dims math, Arrow binary round-trip, schema-
     preserving batch iteration — executes in this container; swap the
     closure body for PIL's Image.resize on a real cluster."""
-    if real:
-        raise NotImplementedError(
-            "Real image resizing requires PIL/opencv, not available in "
-            "this container. Call with real=False for the deterministic stub."
-        )
-
     spec = resize_spec(
         media_df.filter(F.col("modality") == "image"), max_side=max_side
     )
     out_schema = MEDIA_SCHEMA
+
+    if real:
+        try:
+            from PIL import Image  # noqa: F401 - driver-side gate only
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Real image resizing requires PIL, not installed in this "
+                "environment. Call with real=False for the deterministic stub."
+            ) from exc
+
+        def resize_batches_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import io as _io
+
+            import pandas as _pd
+            from PIL import Image as _Image
+
+            for pdf in batches:
+                rows = []
+                for rec in pdf.to_dict("records"):
+                    raw = bytes(rec["content"]) if rec["content"] is not None else b""
+                    tw, th = rec["target_width"], rec["target_height"]
+                    try:
+                        with _Image.open(_io.BytesIO(raw)) as im:
+                            buf = _io.BytesIO()
+                            im.resize((max(tw, 1), max(th, 1))).save(
+                                buf, format="PNG"
+                            )
+                            content = buf.getvalue()
+                    except Exception:
+                        content = b""
+                    rows.append(
+                        {
+                            "asset_id": rec["asset_id"],
+                            "modality": rec["modality"],
+                            "mime_type": "image/png",
+                            "content": content,
+                            "uri": rec["uri"],
+                            "width": tw,
+                            "height": th,
+                            "duration_ms": rec["duration_ms"],
+                        }
+                    )
+                yield _pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+        return spec.mapInPandas(resize_batches_real, out_schema)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
