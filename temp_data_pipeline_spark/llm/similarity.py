@@ -43,26 +43,41 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def _plane_signature(vec_col, planes, bands: int):
-    """Band hashes of the hyperplane sign signature."""
-    nbits = len(planes)
+def _matrix_df(df: DataFrame, name: str, rows: list[list[float]]):
+    """A float matrix as a broadcast ONE-ROW DataFrame column.
+
+    Embedding a plane/centroid matrix as ~1000 expression-tree
+    literals makes Catalyst analysis + codegen the dominant cost once
+    the plan is duplicated across self-joins and join-backs (measured
+    2-3x wall-clock on the LSH operators at sf0.1). As data, the
+    matrix is one broadcast row and the per-row math is one compact
+    nested-lambda expression."""
+    spark = df.sparkSession
+    mat = spark.createDataFrame(
+        [([list(map(float, r)) for r in rows],)], f"{name}: array<array<double>>"
+    )
+    return df.join(F.broadcast(mat))
+
+
+def _plane_signature(vec_col, planes_col, nbits: int, bands: int):
+    """Band hashes of the hyperplane sign signature, from a plane
+    matrix COLUMN (see _matrix_df). Same fold order as the literal
+    form: dot = left-to-right aggregate over zip_with products."""
     per_band = nbits // bands
-    band_vals = []
-    for b in range(bands):
-        acc = F.lit(0).cast("long")
-        for i in range(per_band):
-            p = planes[b * per_band + i]
-            dot = F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]),
-                           lambda x, y: (x * y).cast("double")),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            acc = acc + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        band_vals.append(acc)
-    return F.array(*band_vals)
+    dots = F.transform(
+        planes_col,
+        lambda p: F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(sequence(0, {per_band - 1}), 0L, (a, i) -> "
+        f"a + IF(element_at(_dots, b * {per_band} + i + 1) >= 0.0, "
+        "shiftleft(1L, i), 0L)))"
+    ), dots
 
 
 def ann_lsh_topk(
@@ -83,12 +98,16 @@ def ann_lsh_topk(
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
 
-    sig = _plane_signature(F.col(vec_col), planes, bands)
+    sig, dots = _plane_signature(F.col(vec_col), F.col("_pl"), nbits, bands)
     # explode-of-1 barrier: the band-match filter references the
     # signature once per band — keep it a real attribute so the 16
     # hyperplane dot products run once per row, not once per band
-    with_sig = ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(sig)).alias("_sig")
+    with_sig = (
+        _matrix_df(ensure_parallelism(df), "_pl", planes)
+        .withColumn("_dots", dots)
+        .select(
+            F.col(id_col), F.col(vec_col), F.explode(F.array(sig)).alias("_sig")
+        )
     )
 
     # query signature computed driver-side with the same planes
@@ -157,27 +176,29 @@ def assign_cells(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-centroid cell assignment as a pure map-side expression:
-    one array of per-centroid squared distances behind an explode-of-1
-    barrier (so the n_centroids aggregates run once per row), argmin =
-    array_position of the minimum (first match = lowest cell id,
-    deterministic). Emits (id, vec, _d, _cell)."""
-    d2s = []
-    for c in centroids:
-        cl = F.array(*[F.lit(float(x)) for x in c])
-        d2s.append(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), cl, lambda x, y: ((x - y) * (x - y)).cast("double")
-                ),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
+    the centroid matrix rides in as a broadcast one-row DataFrame (see
+    _matrix_df — literals made analysis/codegen dominate), per-centroid
+    squared distances land behind an explode-of-1 barrier (so the
+    n_centroids aggregates run once per row), argmin = array_position
+    of the minimum (first match = lowest cell id, deterministic).
+    Emits (id, vec, _d, _cell)."""
+    d2 = F.transform(
+        F.col("_cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), c, lambda x, y: ((x - y) * (x - y)).cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    return (
+        _matrix_df(ensure_parallelism(df), "_cents", centroids)
+        .select(F.col(id_col), F.col(vec_col), F.explode(F.array(d2)).alias("_d"))
+        .withColumn(
+            "_cell",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
         )
-    return ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(F.array(*d2s))).alias("_d")
-    ).withColumn(
-        "_cell",
-        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
     )
 
 

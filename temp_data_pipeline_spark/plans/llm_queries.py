@@ -1374,10 +1374,10 @@ _COS_AB_SQL = """list_sum(list_transform(range(1, 65),
     f"""
     WITH c AS (
       SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cl
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < 16
     ), a0 AS (
       SELECT e.vec_id, e.embedding,
-             list_transform(range(8), k ->
+             list_transform(range(16), k ->
                list_sum(list_transform(range(1, 65), i ->
                  (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])
                  * (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])))) AS d
@@ -1399,7 +1399,7 @@ _COS_AB_SQL = """list_sum(list_transform(range(1, 65),
     note=(
         "SemDeDup (coarse k-means cells + within-cell cosine ≥ 0.4, "
         "keep-lowest-id). The conformance query pins the quantizer to "
-        "the first 8 vectors (0 Lloyd iterations) so DuckDB replays "
+        "the first 16 vectors (0 Lloyd iterations) so DuckDB replays "
         "assignment from the TABLE itself — no fitted literals; the "
         "operator's fit_kmeans path is pinned by tests instead. "
         "Distance/argmin/cosine math is bit-identical on both sides."
@@ -1409,7 +1409,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in e.filter(F.col("vec_id") < 8)
+        for r in e.filter(F.col("vec_id") < 16)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
