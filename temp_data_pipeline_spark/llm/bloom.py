@@ -93,10 +93,15 @@ def bloom_decontam(
     """
     test_grams = _doc_grams(test, text_col, id_col, n).select("gram").distinct()
     words = bloom_bits(test_grams, "gram", m_bits, k)
-    arr = F.array(*[F.lit(w) for w in words])
+    # bitset as a broadcast ONE-ROW frame, not an array literal: the
+    # probe references _bf k times, and Catalyst inlines a literal
+    # CreateArray(1024 words) into every reference — as data the
+    # bitset is materialized once per executor by the broadcast
+    spark = train.sparkSession
+    bf_df = spark.createDataFrame([(words,)], "_bf: array<bigint>")
     candidates = (
         _doc_grams(train, text_col, id_col, n)
-        .withColumn("_bf", arr)
+        .join(F.broadcast(bf_df))
         .filter(might_contain("gram", words, m_bits, k))
         .drop("_bf")
     )

@@ -44,7 +44,11 @@ def connected_components(
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.persist()
+    # persist hash-partitioned on the per-round join key: a cached
+    # plan keeps its outputPartitioning, so every round's edges⋈labels
+    # join skips the edge-side exchange — the dominant shuffle, since
+    # edges outnumber labels (nodes) by the average degree
+    edges = edges.repartition("dst").persist()
     # seed with min(self, neighbors) — the same aggregation the node
     # list needs anyway, so round 1 of propagation comes free
     labels = (
