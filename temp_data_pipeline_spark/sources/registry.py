@@ -107,7 +107,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    unit = parquet_ts_units(os.path.join(sf_dir, "events.parquet")).get("ts", "us")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    unit = parquet_ts_units(events_path).get("ts", "us")
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_field, fix = "ts long", F.expr("timestamp_micros(ts div 1000)")
@@ -117,9 +118,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id long, {ts_field}, user_id long, event_type string, "
         "value double, props string"
     )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(events_path):
+        # directory-shaped table (part files): read it directly — a
+        # pathGlobFilter of "events.parquet" would silently drop every
+        # part-*.parquet inside and stream zero rows
+        return reader.parquet(events_path).withColumn("ts", fix)
     return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        reader.option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", fix)
     )

@@ -85,3 +85,26 @@ def test_no_table_leaks_ntz_or_raw_long_timestamps(spark, name):
     df = load_table(spark, SF, name)
     bad = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     assert not bad, f"{name} leaked TIMESTAMP_NTZ columns: {bad}"
+
+
+def test_stream_reader_handles_directory_layout(spark, tmp_path):
+    """If the driver ever regenerates events.parquet as a DIRECTORY of
+    part files, the stream reader must still see every row."""
+    src = load_table(spark, SF, "events")
+    dir_sf = tmp_path / "sfdir"
+    dir_sf.mkdir()
+    src.limit(200).write.parquet(str(dir_sf / "events.parquet"))
+
+    import uuid
+
+    sink = f"canary_dir_{uuid.uuid4().hex[:8]}"
+    q = (
+        events_stream(spark, str(dir_sf))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(sink).count() == 200
+    assert dict(spark.table(sink).dtypes)["ts"] == "timestamp"
