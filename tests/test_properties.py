@@ -279,3 +279,104 @@ def test_connected_components_vs_union_find(spark, edges):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=30,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    strict=st.booleans(),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_vs_brute_force(spark, left, right, direction, strict):
+    """asof_join must agree with a per-row brute-force scan for every
+    direction/strictness on arbitrary small inputs (the operator broke
+    once via a timestamp-unit regression — keep a semantic pin too)."""
+    from temp_data_pipeline_spark.operators.temporal import asof_join
+
+    # unique right (key, ts) so the match is unambiguous without
+    # tie-break rules, which are pinned separately in test_temporal
+    right = sorted({(k, t) for k, t in right})
+    lrows = [
+        (i, k, datetime(2024, 1, 1) + timedelta(seconds=t))
+        for i, (k, t) in enumerate(left)
+    ]
+    rrows = [
+        (k, datetime(2024, 1, 1) + timedelta(seconds=t), float(k * 1000 + t))
+        for k, t in right
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, rts timestamp, val double")
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols={"val": "matched"},
+        direction=direction, strict=strict, how="left",
+    )
+    got = {r["lid"]: r["matched"] for r in out.collect()}
+
+    def brute(k, lt):
+        if direction == "backward":
+            cands = [
+                (t, v) for (rk, t, v) in rrows
+                if rk == k and (t < lt if strict else t <= lt)
+            ]
+            return max(cands)[1] if cands else None
+        cands = [
+            (t, v) for (rk, t, v) in rrows
+            if rk == k and (t > lt if strict else t >= lt)
+        ]
+        return min(cands)[1] if cands else None
+
+    want = {lid: brute(k, lt) for lid, k, lt in lrows}
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=1, max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=1, max_size=20,
+    ),
+    lo=st.integers(-60, 0),
+    hi=st.integers(1, 60),
+)
+@settings(max_examples=10, deadline=None)
+def test_range_join_vs_brute_force(spark, left, right, lo, hi):
+    """Bucketed range_join ≡ the naive inequality join on arbitrary
+    small inputs and window bounds."""
+    from temp_data_pipeline_spark.operators.temporal import range_join
+
+    lrows = [
+        (i, k, datetime(2024, 1, 1) + timedelta(seconds=t))
+        for i, (k, t) in enumerate(left)
+    ]
+    rrows = [
+        (j, k, datetime(2024, 1, 1) + timedelta(seconds=t))
+        for j, (k, t) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, rts timestamp")
+    out = range_join(
+        ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+        lower_seconds=float(lo), upper_seconds=float(hi),
+        right_cols={"rid": "rid_m"},
+    )
+    got = {(r["lid"], r["rid_m"]) for r in out.collect()}
+    # operator window is half-open: lower <= rt - lt < upper
+    want = {
+        (lid, rid)
+        for lid, lk, lt in lrows
+        for rid, rk, rt in rrows
+        if lk == rk
+        and lt + timedelta(seconds=lo) <= rt < lt + timedelta(seconds=hi)
+    }
+    assert got == want
