@@ -201,6 +201,7 @@ def lsh_band_pairs(
     sig_col: str = "minhash",
     bands: int = 4,
     max_bucket: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded signatures.
 
@@ -238,7 +239,8 @@ def lsh_band_pairs(
     # materialize capped bands before the self-join — else both sides
     # re-run the caller's whole signature pipeline (shingle + minhash)
     banded = cap_bucket(banded, ["band", "band_hash"], id_col, max_bucket)
-    banded = banded.localCheckpoint()
+    if materialize:
+        banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -401,6 +403,7 @@ def simhash_neardup_pairs(
     max_bucket: int | None = 1000,
     hash_fn: str = "xxhash64",
     nbits: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into 4 16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join
@@ -434,7 +437,8 @@ def simhash_neardup_pairs(
     # "write signatures once, then join", which is also the 100 TB
     # shape (signatures are a fraction of corpus bytes).
     chunks = cap_bucket(chunks, ["chunk_id", "chunk"], id_col, max_bucket)
-    chunks = chunks.localCheckpoint()
+    if materialize:
+        chunks = chunks.localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -503,6 +507,7 @@ def embedding_neardup_pairs(
     bands: int = 4,
     seed: int = 42,
     max_bucket: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate vectors via banded random-hyperplane LSH:
     nbits sign bits (deterministic planes from seed) split into
@@ -590,7 +595,8 @@ def embedding_neardup_pairs(
     # materialize capped bands before the self-join — else both sides
     # re-run the plane-dot signature pipeline (see simhash_neardup_pairs)
     banded = cap_bucket(banded, ["band_id", "band_val"], id_col, max_bucket)
-    banded = banded.localCheckpoint()
+    if materialize:
+        banded = banded.localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

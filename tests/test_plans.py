@@ -147,7 +147,30 @@ def test_cap_bucket_prunes_mapside(spark):
     from temp_data_pipeline_spark.sources.registry import load_table
 
     d = load_table(spark, SF, "documents")
-    plan = _plan(simhash_neardup_pairs(d, max_bucket=1000))
+    # materialize=False keeps the lineage visible through the cap
+    plan = _plan(simhash_neardup_pairs(d, max_bucket=1000, materialize=False))
     assert "WindowGroupLimit" in plan
     # partial (pre-shuffle) + final (post-shuffle) per window instance
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_bloom_probe_broadcasts_bitset_and_stays_mapside(spark):
+    """The decontamination gate must attach the bitset via a broadcast
+    (no shuffle of the train grams before the probe filter) and keep
+    the probe as pure JVM expressions — no Python UDF."""
+    plan = _plan(LLM_QUERIES["llm_bloom_decontam"].builder(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probe's word tests must appear as xxhash64 exprs in the plan
+    assert "xxhash64" in plan
+
+
+def test_lsh_matrix_rides_as_broadcast_not_literals(spark):
+    """Plane/centroid matrices must enter the plan as broadcast data,
+    not as thousands of inlined float literals (analysis/codegen cost
+    scales with literal count, duplicated across self-join branches)."""
+    plan = _plan(LLM_QUERIES["llm_ann_lsh_topk"].builder(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # a literal-matrix plan inlines hundreds of double literals; the
+    # data-shaped plan stays compact
+    assert len(plan) < 200_000
