@@ -795,7 +795,11 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # presort the cheap scan: an orderBy AFTER mapInPandas would run
+    # the decode pipeline twice (range-sampler pass + real pass); the
+    # Arrow UDF is map-only and order-preserving, so sorted input +
+    # ordered partition ranges give the same global order for free
+    d = _docs_sorted(spark, sf_dir)
     media = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("modality"),
@@ -807,9 +811,7 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
     )
     feats = multimodal.extract_image_features(media)
-    return feats.select("asset_id", "width", "height", "n_bytes", "checksum").orderBy(
-        "asset_id"
-    )
+    return feats.select("asset_id", "width", "height", "n_bytes", "checksum")
 
 
 # ---------------------------------------------------------------------------
