@@ -1,0 +1,192 @@
+"""Streaming NEAR-duplicate ingest: cross-batch SimHash dedup.
+
+``streaming/ingest.py::stream_dedup_documents`` drops EXACT repeats
+(content-hash keyed state). This module drops near-duplicates — small
+edits, re-crawls with boilerplate drift — across micro-batches, the
+ingest-time counterpart of the batch ``llm/dedup.py::
+simhash_neardup_pairs`` + keep-first policy.
+
+Design: foreachBatch + a persistent band-index table, NOT an
+in-memory state store. Each batch:
+
+1. computes 60-bit SimHash signatures map-side (the same JVM
+   expression as batch — no Python in the signature path),
+2. explodes them into 4 x 16-bit band keys,
+3. equi-joins the batch's band keys against the on-disk band index
+   (prior batches' survivors) and verifies candidates with
+   ``bit_count(xor) <= max_hamming`` — identical verify to batch,
+4. also runs within-batch pair dedup (keep lowest id),
+5. appends the survivors' bands to the index and emits survivors.
+
+Why a table and not ``applyInPandasWithState``: near-dup needs each
+doc checked against 4 independent band buckets, and a doc is a dup if
+ANY bucket matches — that cross-key reduction would be a second
+stateful operator in the same streaming query (restricted), while a
+band TABLE keeps the state queryable, compactable with the lake
+maintenance ops, and shared across restarts. At 100 TB the index is
+a fraction of corpus bytes (4 longs + id per doc), the join is a
+plain hash-partitioned equi-join, and survivors-append is the same
+idempotent pattern as the upsert sink. This is how production ingest
+dedup is built; the state store is the wrong tool for it.
+
+Semantics: keep-FIRST-ARRIVAL (within a batch: keep-lowest-id, the
+batch policy). When ids arrive in order, the union of all batches
+equals the batch ``simhash_neardup_pairs`` keep-lowest-id result —
+pinned by tests/test_streaming_neardup.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm.dedup import (
+    cap_bucket,
+    hamming64,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+_BANDS = 4
+_BAND_SCHEMA = "doc_id long, chunk_id int, chunk long, _sig long"
+
+
+def _banded_sigs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbits: int,
+    hash_fn: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, chunk_id, chunk, sig) band rows for a (micro-)batch."""
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(simhash(text_col, nbits=nbits, hash_fn=hash_fn))).alias(
+            "_sig"
+        ),
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), 16 * i).bitwiseAND(0xFFFF)
+                    for i in range(_BANDS)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return cap_bucket(chunks, ["chunk_id", "chunk"], "doc_id", max_bucket).select(
+        "doc_id", "chunk_id", "chunk", "_sig"
+    )
+
+
+def neardup_ingest_batch(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    nbits: int = 60,
+    hash_fn: str = "md5",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """One ingest step: drop near-dups of the index AND of earlier
+    (lower-id) docs in this batch, append survivors' bands to the
+    index, return the surviving doc rows.
+
+    Callable directly (incremental batch ingest) or from the
+    foreachBatch sink below — one definition, two engines, exactly
+    like the batch/streaming session aggregation.
+    """
+    spark = docs.sparkSession
+    bands = _banded_sigs(
+        docs, text_col, id_col, nbits, hash_fn, max_bucket
+    ).localCheckpoint()
+
+    # 1) cross-batch: candidates share a band with an indexed doc
+    if os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(index_dir) for f in fs
+    ):
+        idx = spark.read.schema(_BAND_SCHEMA).parquet(index_dir)
+        cross_dup = (
+            bands.alias("b")
+            .join(
+                idx.alias("i"),
+                (F.col("b.chunk_id") == F.col("i.chunk_id"))
+                & (F.col("b.chunk") == F.col("i.chunk")),
+            )
+            .filter(hamming64(F.col("b._sig"), F.col("i._sig")) <= max_hamming)
+            .select(F.col("b.doc_id"))
+            .distinct()
+        )
+    else:
+        cross_dup = spark.createDataFrame([], "doc_id long")
+
+    # 2) within-batch: keep lowest id per near-dup pair (batch policy)
+    batch_pairs = simhash_neardup_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        hash_fn=hash_fn,
+        nbits=nbits,
+    )
+    within_dup = batch_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+
+    dup_ids = cross_dup.union(within_dup).distinct().localCheckpoint()
+    survivors = docs.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    ).localCheckpoint()
+
+    # 3) append survivors' bands so later batches see them
+    bands.join(
+        survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+    ).write.mode("append").parquet(index_dir)
+    return survivors
+
+
+def stream_neardup_ingest(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    available_now: bool = True,
+):
+    """Attach the near-dup ingest as a foreachBatch sink: survivors
+    land in ``out_dir`` (parquet append), the band index in
+    ``index_dir``. Returns the started StreamingQuery.
+
+    Restart note: foreachBatch may replay the last uncommitted batch;
+    the band append is per-(doc, band) idempotent at read time because
+    duplicate index rows only create duplicate CANDIDATES, never
+    duplicate emissions (survivor output is replayed identically), and
+    compaction dedupes the index (maintenance ops).
+    """
+
+    def _run(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = neardup_ingest_batch(
+            batch_df,
+            index_dir,
+            text_col=text_col,
+            id_col=id_col,
+            max_hamming=max_hamming,
+        )
+        survivors.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(_run).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
