@@ -111,3 +111,64 @@ STREAMING_QUERIES["q_stream_sessions"] = QuerySpec(
         "q_session_window, proving batch/stream session parity."
     ),
 )
+
+
+def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest over the documents table split into
+    two arrival batches (ids in order), via the persistent band-index
+    path — the surviving doc ids must equal the batch drop-any-lower-id
+    SimHash dedup the oracle computes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.neardup import neardup_ingest_batch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    scratch = tempfile.mkdtemp(prefix="neardup_idx_")
+    try:
+        s1 = neardup_ingest_batch(
+            d.filter(F.col("doc_id") <= mid), scratch, hash_fn="md5", nbits=60
+        )
+        s2 = neardup_ingest_batch(
+            d.filter(F.col("doc_id") > mid), scratch, hash_fn="md5", nbits=60
+        )
+        out = (
+            s1.select("doc_id")
+            .union(s2.select("doc_id"))
+            .orderBy("doc_id")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def _neardup_oracle() -> str:
+    from temp_data_pipeline_spark.plans.llm_queries import _SIMHASH_PAIR_CTES
+
+    return f"""
+    WITH {_SIMHASH_PAIR_CTES}
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    )
+    ORDER BY d.doc_id
+    """
+
+
+STREAMING_QUERIES["q_stream_neardup"] = QuerySpec(
+    name="q_stream_neardup",
+    builder=_q_stream_neardup,
+    oracle=_neardup_oracle(),
+    families=("streaming", "dedup", "LLM-dedup"),
+    note=(
+        "Cross-batch streaming near-dup ingest (streaming/neardup.py): "
+        "two arrival batches against a persistent SimHash band index "
+        "must reproduce the batch drop-any-lower-id dedup exactly — "
+        "the oracle is the same pair CTE as llm_simhash_neardup."
+    ),
+)

@@ -29,10 +29,15 @@ plain hash-partitioned equi-join, and survivors-append is the same
 idempotent pattern as the upsert sink. This is how production ingest
 dedup is built; the state store is the wrong tool for it.
 
-Semantics: keep-FIRST-ARRIVAL (within a batch: keep-lowest-id, the
-batch policy). When ids arrive in order, the union of all batches
-equals the batch ``simhash_neardup_pairs`` keep-lowest-id result —
-pinned by tests/test_streaming_neardup.py.
+Semantics: a doc is dropped iff it is within ``max_hamming`` of ANY
+earlier-arrived doc — including docs that were themselves dropped
+(the index records every seen doc's bands, not just survivors;
+near-dups of dropped boilerplate are still boilerplate). Within a
+batch "earlier" means lower id. When ids arrive in order this is
+EXACTLY the batch ``simhash_neardup_pairs`` drop-any-id_b policy, so
+the streaming result is oracle-checkable against the batch SQL —
+pinned by tests/test_streaming_neardup.py and the q_stream_neardup
+conformance query.
 """
 
 from __future__ import annotations
@@ -145,10 +150,10 @@ def neardup_ingest_batch(
         dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     ).localCheckpoint()
 
-    # 3) append survivors' bands so later batches see them
-    bands.join(
-        survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-    ).write.mode("append").parquet(index_dir)
+    # 3) append EVERY seen doc's bands (survivors and dropped alike)
+    # so later arrivals match against anything earlier — the exact
+    # batch drop-any-lower-id policy; see module docstring
+    bands.write.mode("append").parquet(index_dir)
     return survivors
 
 
