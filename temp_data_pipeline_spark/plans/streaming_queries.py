@@ -126,9 +126,21 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temp_data_pipeline_spark.sources.registry import load_table
     from temp_data_pipeline_spark.streaming.neardup import neardup_ingest_batch
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # demo subset (q_gap_fill precedent): a third of the corpus keeps
+    # the two-batch ingest meaningful while bounding conformance cost
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
     mid = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
     scratch = tempfile.mkdtemp(prefix="neardup_idx_")
+    # the incremental ingest is a chain of small materialized steps;
+    # per-stage fixed cost dominates at conformance scale, so pin the
+    # stream-runner partition count for the duration (same pattern as
+    # streaming/rollups.py) and restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         s1 = neardup_ingest_batch(
             d.filter(F.col("doc_id") <= mid), scratch, hash_fn="md5", nbits=60
@@ -143,6 +155,7 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # materialize before scratch cleanup
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(scratch, ignore_errors=True)
     return out
 
@@ -150,10 +163,13 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_oracle() -> str:
     from temp_data_pipeline_spark.plans.llm_queries import _SIMHASH_PAIR_CTES
 
+    ctes = _SIMHASH_PAIR_CTES.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 3 = 0", 1
+    )
     return f"""
-    WITH {_SIMHASH_PAIR_CTES}
+    WITH {ctes}
     SELECT d.doc_id FROM documents d
-    WHERE d.doc_id NOT IN (
+    WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (
       SELECT id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     )
     ORDER BY d.doc_id

@@ -47,12 +47,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from temp_data_pipeline_spark.llm.dedup import (
-    cap_bucket,
-    hamming64,
-    simhash,
-    simhash_neardup_pairs,
-)
+from temp_data_pipeline_spark.llm.dedup import cap_bucket, hamming64, simhash
 
 _BANDS = 4
 _BAND_SCHEMA = "doc_id long, chunk_id int, chunk long, _sig long"
@@ -133,19 +128,28 @@ def neardup_ingest_batch(
     else:
         cross_dup = spark.createDataFrame([], "doc_id long")
 
-    # 2) within-batch: keep lowest id per near-dup pair (batch policy)
-    batch_pairs = simhash_neardup_pairs(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        max_hamming=max_hamming,
-        max_bucket=max_bucket,
-        hash_fn=hash_fn,
-        nbits=nbits,
+    # 2) within-batch: drop any doc pairing with a lower id — the
+    # same band self-join as llm/dedup.simhash_neardup_pairs, run on
+    # the ALREADY-checkpointed band table so signatures compute once
+    # per batch (calling the standalone operator would re-tokenize and
+    # re-hash everything a second time)
+    a, b = bands.alias("a"), bands.alias("b")
+    within_dup = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming64(F.col("a._sig"), F.col("b._sig")) <= max_hamming)
+        .select(F.col("b.doc_id"))
+        .distinct()
     )
-    within_dup = batch_pairs.select(F.col("id_b").alias("doc_id")).distinct()
 
-    dup_ids = cross_dup.union(within_dup).distinct().localCheckpoint()
+    dup_ids = cross_dup.union(within_dup).distinct()
+    # survivors MUST materialize here: its plan reads the index
+    # parquet lazily, and a later evaluation would see bands appended
+    # by subsequent batches (wrong snapshot)
     survivors = docs.join(
         dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     ).localCheckpoint()
