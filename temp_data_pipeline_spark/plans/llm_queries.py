@@ -611,8 +611,20 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temp_data_pipeline_spark.llm.cluster import cluster_labels
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = simhash_neardup_pairs(d, hash_fn="md5", nbits=60)
-    return cluster_labels(d, pairs).orderBy("doc_id")
+    # iterative label propagation runs many small per-round stages;
+    # at conformance scale per-task overhead dominates at the session
+    # partition count, so pin low for the demo (the operator itself
+    # stays conf-driven — a real cluster keeps its session setting)
+    # and restore after: rounds materialize via localCheckpoint inside
+    # cluster_labels, so the result is insensitive to later conf.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = simhash_neardup_pairs(d, hash_fn="md5", nbits=60)
+        out = cluster_labels(d, pairs).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("doc_id")
 
 
 _EMBED_NEARDUP_ORACLE = f"""
