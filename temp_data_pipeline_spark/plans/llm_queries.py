@@ -480,6 +480,12 @@ _MINHASH_DEDUP_ORACLE = f"""
                concat_ws(',', CAST(mh[4*t.b+1] AS VARCHAR), CAST(mh[4*t.b+2] AS VARCHAR),
                               CAST(mh[4*t.b+3] AS VARCHAR), CAST(mh[4*t.b+4] AS VARCHAR)) AS bv
         FROM sig, unnest(range(4)) t(b)
+        -- mirror cap_bucket (lowest 1000 ids per band bucket)
+        QUALIFY row_number() OVER (
+            PARTITION BY t.b,
+                concat_ws(',', CAST(mh[4*t.b+1] AS VARCHAR), CAST(mh[4*t.b+2] AS VARCHAR),
+                               CAST(mh[4*t.b+3] AS VARCHAR), CAST(mh[4*t.b+4] AS VARCHAR))
+            ORDER BY doc_id) <= 1000
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
@@ -535,6 +541,11 @@ _SIMHASH_PAIR_CTES = f"""th AS (
     ), chunks AS (
         SELECT doc_id, sg, t.b AS chunk_id, (sg >> (16*t.b)) & 65535 AS chunk
         FROM sig, unnest(range(4)) t(b)
+        -- mirror cap_bucket: keep the 1000 lowest ids per band bucket
+        -- (first diverges from an uncapped oracle at sf0.1, where one
+        -- bucket holds 1039 docs)
+        QUALIFY row_number() OVER (PARTITION BY t.b, (sg >> (16*t.b)) & 65535
+                                   ORDER BY doc_id) <= 1000
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                         a.sg AS sa, b.sg AS sb
