@@ -657,11 +657,20 @@ _EMBED_NEARDUP_ORACLE = f"""
         SELECT n.vec_id, {_BAND_SQL.format(v='n.embedding')} AS eb
         FROM nrmv n, p
     ),
+    bandrows AS (
+        SELECT vec_id, t.b AS band_id, eb[t.b + 1] AS band_val
+        FROM sigs, unnest(range(4)) t(b)
+        -- mirror cap_bucket (lowest 1000 ids per band bucket; max
+        -- observed bucket at sf0.1 is 203, so this is contract
+        -- parity for larger corpora, not a behavior change today)
+        QUALIFY row_number() OVER (PARTITION BY t.b, eb[t.b + 1]
+                                   ORDER BY vec_id) <= 1000
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
-         AND (a.eb[1] = b.eb[1] OR a.eb[2] = b.eb[2]
-           OR a.eb[3] = b.eb[3] OR a.eb[4] = b.eb[4])
+        FROM bandrows a JOIN bandrows b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
     )
     SELECT c.id_a, c.id_b
     FROM cand c
