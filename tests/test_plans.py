@@ -174,3 +174,17 @@ def test_lsh_matrix_rides_as_broadcast_not_literals(spark):
     # a literal-matrix plan inlines hundreds of double literals; the
     # data-shaped plan stays compact
     assert len(plan) < 200_000
+
+
+def test_temporal_joins_never_cartesian(spark):
+    """asof_join and range_join were built to avoid the naive
+    inequality-join physical shapes; a plan regression to a cartesian
+    or nested-loop join is a scale bug even while results stay right."""
+    from temp_data_pipeline_spark.plans.relational_queries import RELATIONAL_QUERIES
+    from temp_data_pipeline_spark.plans.temporal_queries import TEMPORAL_QUERIES
+
+    specs = {**TEMPORAL_QUERIES, **RELATIONAL_QUERIES}
+    for name in ("q_asof_join", "q_range_join", "q_sessionize", "q_keep_latest"):
+        plan = _plan(specs[name].builder(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
