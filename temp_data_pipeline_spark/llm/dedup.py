@@ -16,10 +16,10 @@ Scale design (the whole point of these operators):
   column, then exact cosine on bucket-mates.
 
 Greedy representative selection: a document is a duplicate if it pairs
-with ANY lower-id document (standard keep-lowest-id policy). This is
-one semi-join, not an iterative connected-components pass — at 100 TB
-the iterative variant (GraphFrames/iterated joins) can be layered on
-the same candidate-pair output.
+with ANY lower-id document (standard keep-lowest-id policy) — one
+semi-join over the candidate pairs. The iterative alternative
+(explicit duplicate clusters via distributed connected components)
+is layered on the same pair output in `llm/cluster.py`.
 """
 
 from __future__ import annotations
