@@ -380,3 +380,100 @@ def test_range_join_vs_brute_force(spark, left, right, lo, hi):
         and lt + timedelta(seconds=lo) <= rt < lt + timedelta(seconds=hi)
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+        min_size=1, max_size=30, unique=True,
+    ),
+    gap_minutes=st.sampled_from([1.0, 5.0, 30.0]),
+)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_vs_brute_force(spark, rows, gap_minutes):
+    """Window-based session assignment ≡ a per-key sequential scan:
+    new session when the gap STRICTLY exceeds gap_minutes."""
+    from temp_data_pipeline_spark.operators.temporal import sessionize
+
+    data = [
+        (i, k, datetime(2024, 1, 1) + timedelta(seconds=t))
+        for i, (k, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "eid long, user_id long, ts timestamp")
+    out = sessionize(df, key="user_id", ts="ts", gap_minutes=gap_minutes)
+    got = {r["eid"]: r["session_idx"] for r in out.collect()}
+
+    want = {}
+    for k in {k for _, k, _ in data}:
+        evs = sorted((t, i) for i, kk, t in data if kk == k)
+        idx = 0
+        prev = None
+        for t, i in evs:
+            if prev is None or (t - prev).total_seconds() > gap_minutes * 60:
+                idx += 1
+            want[i] = idx
+            prev = t
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(-50, 50)),
+        min_size=1, max_size=25,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_resample_fill_vs_brute_force(spark, rows):
+    """Grid resample + forward fill ≡ a sequential model: one bucket
+    per step over [min, max] per key, last value carried forward."""
+    from temp_data_pipeline_spark.operators.temporal import resample_fill
+
+    step = 600  # 10-minute buckets over minute-resolution inputs
+    data = [
+        (k, datetime(2024, 1, 1) + timedelta(minutes=m), float(v))
+        for k, m, v in rows
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    out = resample_fill(
+        df, key_col="user_id", ts_col="ts", value_col="value", step_seconds=step
+    )
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["n_rows"], r["value"])
+        for r in out.collect()
+    }
+
+    import math as _math
+
+    base = int(datetime(2024, 1, 1).timestamp())
+    want = {}
+    for k in {k for k, _, _ in data}:
+        evs = sorted(
+            (int(t.timestamp()), v)
+            for kk, t, v in data
+            if kk == k
+        )
+        # last value per bucket = value of the latest ts in the bucket
+        # (ties on ts: the operator picks deterministically; our
+        # generator never creates (key, ts) duplicates with distinct
+        # values in the same bucket unless ts collides — allow either)
+        lo = _math.floor(evs[0][0] / step) * step
+        hi = _math.floor(evs[-1][0] / step) * step
+        last = None
+        for b in range(lo, hi + step, step):
+            in_b = [(t, v) for t, v in evs if b <= t < b + step]
+            if in_b:
+                last = max(in_b)[1]
+            want[(k, b)] = (len(in_b), last)
+    # ts collisions with different values make "last" ambiguous — skip those
+    by_kt = {}
+    ambiguous = False
+    for k, t, v in data:
+        key = (k, int(t.timestamp()))
+        if key in by_kt and by_kt[key] != v:
+            ambiguous = True
+        by_kt[key] = v
+    if not ambiguous:
+        assert got == want
+    else:
+        assert set(got) == set(want)
+        assert {kb: got[kb][0] for kb in got} == {kb: want[kb][0] for kb in want}
