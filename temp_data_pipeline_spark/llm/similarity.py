@@ -271,6 +271,7 @@ def semdedup(
     seed: int = 42,
     max_bucket: int | None = 1000,
     centroids: list[list[float]] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     the embedding space with coarse k-means, then compare vectors only
@@ -297,6 +298,12 @@ def semdedup(
     assigned = assign_cells(df, centroids, vec_col, id_col).select(
         id_col, vec_col, "_cell"
     )
+    # assigned feeds the self-join (both sides) AND the final labeling
+    # join — without materialization the n_centroids-distance
+    # assignment executes three times (see the LSH pair generators for
+    # the same pattern)
+    if materialize:
+        assigned = assigned.localCheckpoint()
     # Pre-normalize ONCE per row (norm materialized behind its own
     # explode-of-1 barrier so the division lambda captures a scalar
     # attribute, not a re-evaluated fold): the per-PAIR verify is then
@@ -324,6 +331,9 @@ def semdedup(
         ).alias("_nv"),
     )
     capped = cap_bucket(base, ["_cell"], id_col, max_bucket)
+    if materialize:
+        # normalized vectors compute once, not once per join side
+        capped = capped.localCheckpoint()
     a, b = capped.alias("a"), capped.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._nv"), F.col("b._nv"), lambda x, y: x * y),
