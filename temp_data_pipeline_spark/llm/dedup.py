@@ -24,6 +24,7 @@ is layered on the same pair output in `llm/cluster.py`.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -498,6 +499,73 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def plane_bands_udf(planes, bands: int):
+    """Arrow pandas UDF computing hyperplane-LSH band values for a
+    vector column: one numpy matmul per Arrow batch instead of
+    nbits×dim interpreted Catalyst lambda steps per row (measured
+    >10× on the signature stage — dense linear algebra is the one
+    place the vectorized-UDF path beats built-in Column algebra,
+    because higher-order functions are interpreted, not codegen'd).
+
+    Band b's value packs sign bits of planes [b·per_band, (b+1)·per_band)
+    with weight ``1 << i`` — bit-layout-identical to the DuckDB oracle
+    (_BAND_SQL in plans/llm_queries.py) and to the previous fold-based
+    form.  Sign(dot) is robust to summation-order ulp differences
+    except for |dot| ≲ 1e-13·‖v‖‖p‖, a measure-zero event for
+    Gaussian planes; the exact-cosine verify stage stays in
+    sequential-fold Column form, so emitted VALUES are unaffected.
+    """
+    import numpy as np
+
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, nbits)
+    nbits = mat.shape[1]
+    per_band = nbits // bands
+    weights = (np.int64(1) << np.arange(per_band, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _bands(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (m @ mat) >= 0.0  # (n, nbits)
+        vals = bits.reshape(len(m), bands, per_band).astype(np.int64) @ weights
+        return pd.Series(list(vals))
+
+    return _bands
+
+
+def l2_normalize_udf():
+    """Arrow pandas UDF: L2-normalize an array<float/double> column in
+    float64 (zero-norm vectors pass through unscaled, matching the
+    ``CASE WHEN nrm > 0`` oracle form). Batch numpy replaces two
+    interpreted 64-element folds per row."""
+    import numpy as np
+
+    @F.pandas_udf("array<double>")
+    def _norm(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        np.divide(m, n, out=m, where=n > 0)
+        return pd.Series(list(m))
+
+    return _norm
+
+
+def pair_dot_udf():
+    """Arrow pandas UDF: elementwise dot of two equal-length
+    array<double> columns — the per-candidate-pair verify kernel.
+    One batched einsum instead of an interpreted zip_with/aggregate
+    fold per pair (candidate pairs outnumber vectors by orders of
+    magnitude, so this is the hot loop of LSH verification)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy())
+        mb = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _dot
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -522,75 +590,33 @@ def embedding_neardup_pairs(
     dim = int(first["d"])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
-    per_band = nbits // bands
-
-    # The nbits×dim plane matrix rides in as a broadcast ONE-ROW
-    # DataFrame, not as expression-tree literals: inlining ~1000
-    # float literals into a plan that Catalyst then duplicates across
-    # the self-join and both verify join-backs made analysis/codegen
-    # the dominant cost (measured 2x wall-clock at sf0.1). As data,
-    # the matrix is one broadcast row and the dot products are one
-    # compact nested-lambda expression.
-    spark = df.sparkSession
-    planes_df = spark.createDataFrame(
-        [([list(map(float, p)) for p in planes],)], "_pl: array<array<double>>"
-    )
-    dots = F.transform(
-        F.col("_pl"),
-        lambda p: F.aggregate(
-            F.zip_with(F.col(vec_col), p, lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    # sign bits -> one long signature (SQL shiftleft takes a column
-    # bit position; the python F.shiftleft only takes an int literal)
-    sig = F.expr(
-        "aggregate(zip_with(_dots, sequence(0, size(_dots) - 1), "
-        "(d, i) -> IF(d >= 0.0, shiftleft(1L, i), 0L)), 0L, (a, v) -> a + v)"
-    )
-    sig_df = (
-        ensure_parallelism(df)
-        .join(F.broadcast(planes_df))
-        .withColumn("_dots", dots)
-        .select(F.col(id_col), F.explode(F.array(sig)).alias("sig"))
-    )
 
     # L2-normalization lives on its OWN branch: the verify join-backs
     # below re-scan the source for vectors only and never pay for the
-    # signature computation. Pre-normalizing moves the two norm folds
-    # out of the per-PAIR verify — candidates outnumber rows by orders
-    # of magnitude, so verify cost drops to one dot per pair.
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    # signature computation. Pre-normalizing moves the norm work out
+    # of the per-PAIR verify — candidates outnumber rows by orders of
+    # magnitude, so verify cost drops to one dot per pair.  Normalize
+    # and the per-pair dot are Arrow pandas UDFs (batch numpy): the
+    # pair count is quadratic-ish in bucket occupancy, and interpreted
+    # per-element lambdas on ~1e5-1e6 pairs were the dominant cost.
+    # Only the ≥ threshold DECISION leaves this stage (ids are the
+    # output), so numpy-vs-sequential summation ulp differences can't
+    # reach the emitted values.
     vecs = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(
-            F.array(F.transform(F.col(vec_col), lambda x: x.cast("double") / safe))
-        ).alias("_vn"),
+        F.col(id_col), l2_normalize_udf()(F.col(vec_col)).alias("_vn")
     )
 
-    mask = (1 << per_band) - 1
     # Candidate generation carries ONLY ids: the (band join → pair
     # dedup) shuffles move 16 bytes per candidate instead of two
     # 64-float vectors — the join-back below re-attaches vectors once
-    # per SURVIVING pair, keyed by id.
-    banded = sig_df.select(
+    # per SURVIVING pair, keyed by id.  Band values come from ONE
+    # Arrow-batched numpy matmul (plane_bands_udf) rather than
+    # interpreted per-element lambdas.
+    banded = ensure_parallelism(df).select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sig"), per_band * i).bitwiseAND(mask)
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_val"),
+        F.posexplode(plane_bands_udf(planes, bands)(F.col(vec_col))).alias(
+            "band_id", "band_val"
+        ),
     )
     # materialize capped bands before the self-join — else both sides
     # re-run the plane-dot signature pipeline (see simhash_neardup_pairs)
@@ -611,15 +637,10 @@ def embedding_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
         cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_vn").alias("_va")), "id_a")
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb")), "id_b")
-        .withColumn("cosine", dot)
+        .withColumn("cosine", pair_dot_udf()(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -17,10 +17,16 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from temp_data_pipeline_spark.llm.dedup import cosine_sim
+from temp_data_pipeline_spark.llm.dedup import (
+    cosine_sim,
+    l2_normalize_udf,
+    pair_dot_udf,
+    plane_bands_udf,
+)
 from temp_data_pipeline_spark.session import ensure_parallelism
 
 
@@ -43,43 +49,6 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def _matrix_df(df: DataFrame, name: str, rows: list[list[float]]):
-    """A float matrix as a broadcast ONE-ROW DataFrame column.
-
-    Embedding a plane/centroid matrix as ~1000 expression-tree
-    literals makes Catalyst analysis + codegen the dominant cost once
-    the plan is duplicated across self-joins and join-backs (measured
-    2-3x wall-clock on the LSH operators at sf0.1). As data, the
-    matrix is one broadcast row and the per-row math is one compact
-    nested-lambda expression."""
-    spark = df.sparkSession
-    mat = spark.createDataFrame(
-        [([list(map(float, r)) for r in rows],)], f"{name}: array<array<double>>"
-    )
-    return df.join(F.broadcast(mat))
-
-
-def _plane_signature(vec_col, planes_col, nbits: int, bands: int):
-    """Band hashes of the hyperplane sign signature, from a plane
-    matrix COLUMN (see _matrix_df). Same fold order as the literal
-    form: dot = left-to-right aggregate over zip_with products."""
-    per_band = nbits // bands
-    dots = F.transform(
-        planes_col,
-        lambda p: F.aggregate(
-            F.zip_with(vec_col, p, lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
-    )
-    return F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"aggregate(sequence(0, {per_band - 1}), 0L, (a, i) -> "
-        f"a + IF(element_at(_dots, b * {per_band} + i + 1) >= 0.0, "
-        "shiftleft(1L, i), 0L)))"
-    ), dots
-
-
 def ann_lsh_topk(
     df: DataFrame,
     query_vec,
@@ -98,16 +67,13 @@ def ann_lsh_topk(
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
 
-    sig, dots = _plane_signature(F.col(vec_col), F.col("_pl"), nbits, bands)
-    # explode-of-1 barrier: the band-match filter references the
-    # signature once per band — keep it a real attribute so the 16
-    # hyperplane dot products run once per row, not once per band
-    with_sig = (
-        _matrix_df(ensure_parallelism(df), "_pl", planes)
-        .withColumn("_dots", dots)
-        .select(
-            F.col(id_col), F.col(vec_col), F.explode(F.array(sig)).alias("_sig")
-        )
+    # band signature via one Arrow-batched numpy matmul per batch
+    # (plane_bands_udf) — the UDF result is a real attribute, so the
+    # band-match filter's per-band element_at reads don't recompute it
+    with_sig = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        plane_bands_udf(planes, bands)(F.col(vec_col)).alias("_sig"),
     )
 
     # query signature computed driver-side with the same planes
@@ -169,36 +135,48 @@ def fit_kmeans(
     return [[float(x) for x in c] for c in cents]
 
 
+def cell_assign_udf(centroids):
+    """Arrow pandas UDF: nearest-centroid cell id for a vector column.
+    One batched ‖v−c‖² matrix computation per Arrow batch instead of
+    n_centroids interpreted 64-element folds per row (higher-order
+    functions are not codegen'd; measured seconds per 2k rows at 16
+    centroids).  np.argmin takes the FIRST minimum — same lowest-cell
+    tie-break as the previous array_position(min) form and the
+    oracle's list_position.  Near-tie argmin flips from summation-
+    order ulp differences require two centroids equidistant to
+    ~1e-13 — measure-zero for real-valued data."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cnorm = (cents * cents).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 constant per
+        # row, so argmin needs only the cross and centroid terms...
+        # but the oracle compares FULL squared distances, whose argmin
+        # is identical; compute full distances the direct way to keep
+        # the float error of each entry independent of the others.
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _cell
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid cell assignment as a pure map-side expression:
-    the centroid matrix rides in as a broadcast one-row DataFrame (see
-    _matrix_df — literals made analysis/codegen dominate), per-centroid
-    squared distances land behind an explode-of-1 barrier (so the
-    n_centroids aggregates run once per row), argmin = array_position
-    of the minimum (first match = lowest cell id, deterministic).
-    Emits (id, vec, _d, _cell)."""
-    d2 = F.transform(
-        F.col("_cents"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col(vec_col), c, lambda x, y: ((x - y) * (x - y)).cast("double")
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
-    )
-    return (
-        _matrix_df(ensure_parallelism(df), "_cents", centroids)
-        .select(F.col(id_col), F.col(vec_col), F.explode(F.array(d2)).alias("_d"))
-        .withColumn(
-            "_cell",
-            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"),
-        )
+    """Nearest-centroid cell assignment, map-only: the centroid matrix
+    ships inside the Arrow kernel (cell_assign_udf); no shuffle, no
+    join, one Python eval per batch.  Emits (id, vec, _cell)."""
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        cell_assign_udf(centroids)(F.col(vec_col)).alias("_cell"),
     )
 
 
@@ -304,49 +282,29 @@ def semdedup(
     # the same pattern)
     if materialize:
         assigned = assigned.localCheckpoint()
-    # Pre-normalize ONCE per row (norm materialized behind its own
-    # explode-of-1 barrier so the division lambda captures a scalar
-    # attribute, not a re-evaluated fold): the per-PAIR verify is then
-    # a single dot product instead of dot + two norms — pairs
-    # outnumber rows by orders of magnitude inside dense cells, so
-    # this is the difference between O(pairs·d) and O(3·pairs·d) with
-    # a much larger constant.
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    with_norm = assigned.select(
-        F.col(id_col), F.col("_cell"), F.col(vec_col),
-        F.explode(F.array(norm)).alias("_nrm"),
-    )
-    safe = F.when(F.col("_nrm") > 0, F.col("_nrm")).otherwise(F.lit(1.0))
-    base = with_norm.select(
+    # Pre-normalize ONCE per row: the per-PAIR verify is then a single
+    # dot product instead of dot + two norms — pairs outnumber rows by
+    # orders of magnitude inside dense cells.  Normalize and the
+    # per-pair dot are Arrow numpy kernels (see dedup.l2_normalize_udf
+    # / pair_dot_udf); only the ≥ threshold decision leaves the verify,
+    # so summation-order ulp differences can't reach emitted values.
+    base = assigned.select(
         F.col(id_col),
         F.col("_cell"),
-        F.explode(
-            F.array(F.transform(F.col(vec_col), lambda x: x.cast("double") / safe))
-        ).alias("_nv"),
+        l2_normalize_udf()(F.col(vec_col)).alias("_nv"),
     )
     capped = cap_bucket(base, ["_cell"], id_col, max_bucket)
     if materialize:
         # normalized vectors compute once, not once per join side
         capped = capped.localCheckpoint()
     a, b = capped.alias("a"), capped.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a._nv"), F.col("b._nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     dup_ids = (
         a.join(
             b,
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(dot >= threshold)
+        .filter(pair_dot_udf()(F.col("a._nv"), F.col("b._nv")) >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
