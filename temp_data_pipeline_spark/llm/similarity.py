@@ -217,6 +217,143 @@ def ivf_topk(
     )
 
 
+def fit_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into
+    ``m`` contiguous subvectors and k-means each subspace
+    independently (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).  Driver-fit on a bounded seeded
+    sample, like fit_kmeans — PQ training needs a few thousand rows
+    regardless of corpus size.  Returns codebooks[m][k][dim/m] as
+    plain floats so callers and oracles can pin them as literals."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()], dtype=float
+    )
+    dsub = sample.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(k, len(sub)), replace=False)]
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(cents)):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = sub[msk].mean(0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode_udf(codebooks):
+    """Arrow pandas UDF: PQ codes for a vector column — per subspace,
+    the index of the nearest codebook centroid.  One batched distance
+    computation per (subspace, batch); codes are m small ints per
+    vector (the 100 TB win: 64-dim float vectors compress 32× to an
+    8-byte code row, and the scan reads codes, not vectors).
+    np.argmin takes the first minimum — identical tie-break to the
+    oracle's list_position(list_min).  Per-subspace distances are
+    float64 sums of dim/m squared terms; numpy's pairwise order can
+    differ from a sequential fold by ~1 ulp, which flips an argmin
+    only when two centroids are equidistant to ~1e-13 — measure-zero
+    for real-valued data (same argument as cell_assign_udf)."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.empty((len(mat), len(books)), dtype=np.int32)
+        for s, cb in enumerate(books):
+            sub = mat[:, s * dsub : (s + 1) * dsub]  # (n, dsub)
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return _codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — map-only, no shuffle.  At scale this
+    is the materialized PQ index: write (id, codes) to parquet once,
+    and every subsequent query scans the 8-bytes-per-row code table
+    instead of the raw vectors."""
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    codebooks=None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query's squared
+    distance to every codebook centroid is a driver-side m×k lookup
+    table; each database vector's approximate distance is the sum of
+    m table entries selected by its codes.  The scan never touches the
+    raw vectors — per row it reads m small ints and does m lookups +
+    adds, the memory-bandwidth shape that makes PQ the standard
+    billion-vector index layout.  TakeOrdered finishes (per-partition
+    top-k + driver merge of k rows, no global sort).
+
+    Pass ``codebooks`` to reuse a trained/pinned quantizer (and to let
+    an external oracle replay codes and distances from literals)."""
+    import numpy as np
+
+    books = codebooks if codebooks is not None else fit_pq(
+        df, vec_col, m, n_codes, sample_size, iters, seed
+    )
+    bk = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = bk[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    # lut[s][c] = ||q_sub(s) - codebook[s][c]||^2, driver-side
+    lut = [
+        [float(((q[s * dsub : (s + 1) * dsub] - cb[c]) ** 2).sum()) for c in range(len(cb))]
+        for s, cb in enumerate(bk)
+    ]
+
+    codes = pq_encode(df, books, vec_col, id_col)
+    lut_np = np.asarray(lut, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _adc(c: pd.Series) -> pd.Series:
+        mat = np.stack(c.to_numpy())  # (n, m) int codes
+        return pd.Series(lut_np[np.arange(lut_np.shape[0]), mat].sum(axis=1))
+
+    return (
+        codes.select(F.col(id_col), _adc(F.col("codes")).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def label_centroids(
     df: DataFrame, *, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

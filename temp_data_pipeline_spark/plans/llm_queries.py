@@ -805,6 +805,81 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+# PQ with m=8 subspaces of 8 dims, k=16 codes pinned to the first 16
+# vectors' subvectors (0 training iterations, semdedup/IVF-style), so
+# DuckDB replays encode + ADC from the table itself.  dist ordering is
+# (adc, vec_id); vectors sharing all 8 codes have EXACTLY equal adc on
+# both engines, so the id tie-break is exercised, not float luck.
+_PQ_ORACLE = """
+    WITH cb AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cl
+      FROM embeddings WHERE vec_id < 16
+    ), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT e.vec_id,
+             list_transform(range(8), s ->
+               list_transform(range(16), c ->
+                 list_sum(list_transform(range(1, 9), i ->
+                   (CAST(e.embedding[s * 8 + i] AS DOUBLE)
+                      - cb.cl[c + 1][s * 8 + i])
+                   * (CAST(e.embedding[s * 8 + i] AS DOUBLE)
+                      - cb.cl[c + 1][s * 8 + i]))))) AS dl
+      FROM embeddings e, cb WHERE e.vec_id <> 0
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(dl, d -> list_position(d, list_min(d)) - 1) AS code
+      FROM enc
+    ),
+    lut AS (
+      SELECT list_transform(range(8), s ->
+               list_transform(range(16), c ->
+                 list_sum(list_transform(range(1, 9), i ->
+                   (q.qv[s * 8 + i] - cb.cl[c + 1][s * 8 + i])
+                   * (q.qv[s * 8 + i] - cb.cl[c + 1][s * 8 + i]))))) AS t
+      FROM q, cb
+    )
+    SELECT vec_id FROM (
+      SELECT c.vec_id,
+             list_sum(list_transform(range(8), s ->
+               lut.t[s + 1][c.code[s + 1] + 1])) AS adc
+      FROM codes c, lut
+    ) ORDER BY adc, vec_id LIMIT 10
+"""
+
+
+@_register(
+    "llm_pq_topk",
+    ["similarity"],
+    _PQ_ORACLE,
+    note=(
+        "Product-quantization ADC top-10: vectors compress to m=8 "
+        "codebook indices; query distance = sum of 8 lookup-table "
+        "entries — the scan reads codes, never raw vectors (the "
+        "billion-vector index layout).  Codebooks pinned to the first "
+        "16 vectors' subvectors so DuckDB replays encode AND the ADC "
+        "ranking from the table; the trained-codebook path (fit_pq) "
+        "is pinned by tests/test_llm_ops.py recall bounds instead."
+    ),
+)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    first16 = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    # codebook for subspace s = the 16 pinned vectors' s-th subvector
+    books = [[v[s * 8 : (s + 1) * 8] for v in first16] for s in range(8)]
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.pq_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, codebooks=books
+    ).select("vec_id")
+
+
 @_register(
     "llm_multimodal",
     ["multimodal"],

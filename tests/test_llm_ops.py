@@ -277,6 +277,50 @@ def test_ivf_topk_contains_true_neighbor(spark):
     assert 13 in [r.vec_id for r in out.collect()]
 
 
+def test_pq_topk_contains_true_neighbor(spark):
+    import random
+
+    rng = random.Random(17)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(80)]
+    vecs[23] = [x + rng.gauss(0, 0.005) for x in base]
+    df = emb_df(spark, vecs)
+    out = similarity.pq_topk(df, base, k=5, m=4, n_codes=8, sample_size=80)
+    assert 23 in [r.vec_id for r in out.collect()]
+
+
+def test_pq_encode_identical_vectors_identical_codes(spark):
+    """PQ codes are a pure function of the vector: exact duplicates
+    must collapse to the same code row (the property that makes the
+    code table a 32x-smaller dedup/index surface)."""
+    import random
+
+    rng = random.Random(3)
+    v = [rng.gauss(0, 1) for _ in range(16)]
+    w = [rng.gauss(0, 1) for _ in range(16)]
+    df = emb_df(spark, [v, w, list(v), list(w)])
+    books = similarity.fit_pq(df, m=4, k=4, sample_size=4, iters=2)
+    rows = {r.vec_id: list(r.codes) for r in similarity.pq_encode(df, books).collect()}
+    assert rows[0] == rows[2] and rows[1] == rows[3]
+    assert len(rows[0]) == 4
+
+
+def test_pq_adc_ranks_by_true_distance_when_codes_exact(spark):
+    """With k >= n_distinct_vectors each vector is its own centroid,
+    codes reconstruct exactly, and the ADC ranking must equal the true
+    squared-distance ranking."""
+    vecs = [
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],
+        [2.0, 0.0, 0.0, 0.0],
+        [3.0, 0.0, 0.0, 0.0],
+    ]
+    df = emb_df(spark, vecs)
+    books = similarity.fit_pq(df, m=2, k=4, sample_size=4, iters=3)
+    out = similarity.pq_topk(df, [0.9, 0.0, 0.0, 0.0], k=4, codebooks=books)
+    assert [r.vec_id for r in out.collect()] == [1, 0, 2, 3]
+
+
 def test_embedding_neardup_pairs(spark):
     import random
 

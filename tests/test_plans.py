@@ -77,6 +77,7 @@ _ARROW_ALLOWED = {
     "llm_ann_lsh_topk",
     "llm_semdedup",
     "llm_ivf_topk",
+    "llm_pq_topk",
 }
 
 
