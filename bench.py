@@ -22,6 +22,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # noqa: F401  (resolves pandas UDF type hints)
+
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -87,6 +89,19 @@ def main() -> None:
     ).filter("r <= 5").count()
     spark.range(1000).dropDuplicates(["id"]).count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
+
+    # Arrow scalar-UDF workers importing numpy: every executor thread's
+    # Python worker pays the numpy import once — do it here, not inside
+    # the first LSH/PQ query's timing
+    @F.pandas_udf("double")
+    def _warm_np(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return v * float(np.float64(1.0))
+
+    spark.range(2000).repartition(int(cpus)).select(
+        _warm_np(F.col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     # streaming state store (window agg, availableNow -> memory sink)
     import shutil

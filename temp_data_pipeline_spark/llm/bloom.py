@@ -91,7 +91,15 @@ def bloom_decontam(
     positives) → per-doc count. Same result as the exact join, with
     the shuffle carrying only the Bloom survivors.
     """
-    test_grams = _doc_grams(test, text_col, id_col, n).select("gram").distinct()
+    # materialize the distinct eval grams ONCE: they feed two
+    # consumers (the bitset build collects their bit positions; the
+    # confirm join reads them again) and are bounded by the eval-set
+    # size, so the checkpoint is small — without it the eval-side
+    # tokenize/shingle/distinct pipeline executes twice
+    test_grams = (
+        _doc_grams(test, text_col, id_col, n).select("gram").distinct()
+        .localCheckpoint()
+    )
     words = bloom_bits(test_grams, "gram", m_bits, k)
     # bitset as a broadcast ONE-ROW frame, not an array literal: the
     # probe references _bf k times, and Catalyst inlines a literal

@@ -32,6 +32,7 @@ from temp_data_pipeline_spark.llm.text import md5_int60
 __all__ = [
     "dup_ngram_stats",
     "hash_split",
+    "intra_dup_ngram_stats",
     "ngram_overlap",
     "repetition_stats",
     "stratified_sample",
@@ -259,6 +260,46 @@ def repetition_stats(
         (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"),
         (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
         F.sum("c").alias("n_tokens"),
+    )
+
+
+def intra_dup_ngram_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """WITHIN-document duplicate n-gram fraction — the Gopher
+    (Rae et al. 2021, Table A1) intra-document repetition filter:
+    what share of a document's n-gram occurrences are repeats of an
+    n-gram already seen in the SAME document.  Complements
+    `dup_ngram_stats` (inter-document boilerplate) and
+    `repetition_stats` (token-level): a looping generation or a
+    copy-pasted paragraph lights this up even when every token is
+    common and no other document shares the text.
+
+    Shape: one explode + one (id, gram-hash) aggregation + one (id)
+    aggregation — dup occurrences of a gram = count − 1.  Keys hash to
+    8 bytes before the shuffle (same birthday-bound collision argument
+    as dup_ngram_stats: a collision can only merge two grams WITHIN
+    one document).  All map-reduce, linear at any corpus size.
+
+    Returns (id, n_grams, n_intra_dup, dup_frac) with
+    dup_frac = n_intra_dup / n_grams (0.0 for docs shorter than n).
+    """
+    t = tokenized(df, text_col, keep=[id_col])
+    grams = t.select(
+        F.col(id_col),
+        F.explode(ngrams_of(F.col("_tok"), n)).alias("gram"),
+    ).select(F.col(id_col), F.xxhash64("gram").alias("g"))
+    per = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_intra_dup"),
+        ((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).cast("double").alias(
+            "dup_frac"
+        ),
     )
 
 

@@ -1440,6 +1440,42 @@ def llm_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_intra_dup",
+    ["curation", "text-analysis"],
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks
+    ), per AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_intra_dup,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS dup_frac
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+    note=(
+        "WITHIN-document duplicate 3-gram fraction (Gopher Table A1 "
+        "intra-doc repetition): repeats of a gram inside the same "
+        "document, the looping-generation / copy-paste filter that "
+        "token-level and inter-document signals miss. Integer counts "
+        "plus one exact double ratio of those integers."
+    ),
+)
+def llm_intra_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import intra_dup_ngram_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return intra_dup_ngram_stats(d, n=3).orderBy("doc_id")
+
+
+@_register(
     "llm_heavy_hitters",
     ["text-analysis", "A1"],
     """

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.llm.curate import (
     top_keywords,
     hash_split,
+    intra_dup_ngram_stats,
     ngram_overlap,
     repetition_stats,
     stratified_sample,
@@ -23,6 +24,7 @@ CURATION_QUERIES = [
     "llm_hash_split",
     "llm_decontam",
     "llm_repetition",
+    "llm_intra_dup",
     "llm_topk_lang",
     "llm_centroid",
     "llm_stratified",
@@ -128,6 +130,31 @@ class TestRepetitionStats:
             for r in repetition_stats(df).collect()
         }
         assert got == {1: (0.75, 0.5, 4), 2: (0.25, 1.0, 4)}
+
+
+class TestIntraDupNgrams:
+    def test_golden(self, spark):
+        # doc 1: "a b c" occurs twice (positions 1 and 4) -> 1 dup of 4
+        # trigram occurrences; doc 2: all distinct; doc 3: shorter than
+        # n -> single truncated gram, no dups, frac 0.0
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "p q r s"), (3, "x y")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_intra_dup"], r["dup_frac"])
+            for r in intra_dup_ngram_stats(df, n=3).collect()
+        }
+        assert got == {1: (4, 1, 0.25), 2: (2, 0, 0.0), 3: (1, 0, 0.0)}
+
+    def test_blind_to_cross_document_repeats(self, spark):
+        """The INTRA metric must ignore inter-document duplication —
+        that's dup_ngram_stats' job."""
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        )
+        out = intra_dup_ngram_stats(df, n=3).collect()
+        assert all(r["n_intra_dup"] == 0 for r in out)
 
 
 class TestTopkPerGroup:
