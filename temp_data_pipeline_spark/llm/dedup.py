@@ -345,15 +345,63 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: Column | str, nbits: int = 64, hash_fn: str = "xxhash64") -> Column:
+def simhash_vote_udf(nbits: int):
+    """Arrow pandas UDF: token-hash array → packed SimHash signature.
+
+    The per-bit majority vote is a (tokens × nbits) bit-matrix
+    reduction — the same dense-kernel class as plane_bands_udf, and
+    like it, >5× faster as one numpy expression per Arrow batch than
+    as an interpreted Catalyst fold (higher-order functions are not
+    codegen'd; the fold walks tokens×nbits expression-tree nodes per
+    row).  Input hashes stay JVM-computed (xxhash64 / md5_int60), so
+    the hash definition — and DuckDB oracle parity — lives in exactly
+    one place; this kernel is integer-only (no float summation-order
+    concerns).  Bit 63 packs via uint64→int64 view, identical to the
+    fold's two's-complement -(1<<63) place value.
+    """
+    import numpy as np
+
+    shifts = np.arange(nbits, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _sig(tok_h: pd.Series) -> pd.Series:
+        out = []
+        for arr in tok_h:
+            if arr is None:
+                out.append(None)
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(h) == 0:
+                out.append(0)
+                continue
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            packed = ((votes > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+            out.append(int(packed.astype(np.int64)))
+        return pd.Series(out, dtype="object")
+
+    return _sig
+
+
+def simhash(
+    col: Column | str,
+    nbits: int = 64,
+    hash_fn: str = "xxhash64",
+    kernel: str = "arrow",
+) -> Column:
     """SimHash signature over distinct tokens: per-bit majority vote of
     token hashes; bit set when the vote is strictly positive.
 
-    One fold over the token-hash array carrying the length-nbits vote
-    counter vector (an nbits-separate-aggregates formulation would make
-    CollapseProject re-evaluate the tokenize+hash expression nbits
-    times). Bit positions are Python-literal shift amounts so every op
-    stays in codegen.
+    Token hashing is always JVM-side (codegen); the vote/pack runs as
+    an Arrow numpy kernel by default (see simhash_vote_udf), or as a
+    pure-Catalyst fold with kernel="fold" — one fold carrying the
+    length-nbits vote counter (an nbits-separate-aggregates
+    formulation would make CollapseProject re-evaluate tokenize+hash
+    nbits times).  Both produce identical signatures (integer-only
+    arithmetic); the fold keeps plans UDF-free where that matters
+    more than the ~5× vote-stage speedup.
     """
     t = F.array_distinct(tokens(col))
     if hash_fn == "xxhash64":
@@ -361,6 +409,9 @@ def simhash(col: Column | str, nbits: int = 64, hash_fn: str = "xxhash64") -> Co
     else:
         tok_h = F.transform(t, lambda x: md5_int60(x))
         nbits = min(nbits, 60)
+
+    if kernel == "arrow":
+        return simhash_vote_udf(nbits)(tok_h)
 
     votes = F.aggregate(
         tok_h,

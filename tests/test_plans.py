@@ -66,10 +66,12 @@ def test_clean_stage_shares_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-# Operators whose hot loop is dense vector linear algebra (plane-dot
-# signatures, per-pair cosine verify): these run Arrow-batched numpy
-# kernels by design — Catalyst higher-order functions are interpreted,
-# and measurement showed them 3-10x slower on nbits×dim matmuls.
+# Operators whose hot loop is dense matrix math (plane-dot signatures,
+# per-pair cosine verify, the tokens×nbits SimHash bit-vote): these run
+# Arrow-batched numpy kernels by design — Catalyst higher-order
+# functions are interpreted, and measurement showed them 3-10x slower
+# on nbits×dim matmuls and ~5x on the SimHash vote.  Token/content
+# HASHING stays JVM-side everywhere (one definition, oracle parity).
 # Row-at-a-time Python remains banned EVERYWHERE.
 _ARROW_ALLOWED = {
     "llm_multimodal",
@@ -78,6 +80,9 @@ _ARROW_ALLOWED = {
     "llm_semdedup",
     "llm_ivf_topk",
     "llm_pq_topk",
+    "llm_simhash",
+    "llm_simhash_neardup",
+    "llm_dup_clusters",
 }
 
 
