@@ -33,8 +33,10 @@ __all__ = [
     "dup_ngram_stats",
     "hash_split",
     "intra_dup_ngram_stats",
+    "mix_temperature",
     "ngram_overlap",
     "repetition_stats",
+    "span_dedup",
     "stratified_sample",
     "top_keywords",
     "topk_per_group",
@@ -301,6 +303,161 @@ def intra_dup_ngram_stats(
             "dup_frac"
         ),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Corpus-wide EXACT substring (token-span) deduplication — the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") ExactSubstr family, at span granularity: the text
+    is cut into non-overlapping ``n``-token chunks, every chunk whose
+    exact text already occurred at an earlier (doc, position) anywhere
+    in the corpus is REMOVED, and each document is reassembled from
+    its surviving chunks. Unlike document-level dedup this deletes
+    boilerplate (licence blocks, navigation, templated headers)
+    embedded inside otherwise-unique documents. (The reference has no
+    sub-document dedup at all; its whole-row distinct is SURVEY §2.3.)
+
+    Canonical occurrence = first in (doc_id, position) order, so the
+    output is deterministic and rerun-stable. The trailing ``len % n``
+    tokens are always kept (too short to be a chunk).
+
+    Physical shape — linear, one logical clustering:
+      tokenize map-side → posexplode chunk spans → 60-bit md5 key
+      (8-byte shuffle keys; the md5 family keeps DuckDB replayable,
+      switch to xxhash64 off the conformance path for cheaper hashes)
+      → ONE hash exchange on the key; row_number picks the canonical
+      occurrence on that exchange → re-key by doc for reassembly
+      (sort_array over each doc's kept chunks) → left join back so
+      fully-deduplicated documents still emit a row (empty text).
+    No window ever spans more than one chunk-key's occurrence list, so
+    skewed spans (a chunk repeated millions of times) cost one
+    partition's sort of (doc_id, pos) pairs — payload text is dropped
+    before the exchange for dropped occurrences only after the rank,
+    so carry is (key, doc, pos, span): ~span bytes per occurrence,
+    the unavoidable minimum for reassembly.
+
+    Returns (id, text_clean, n_spans, n_kept): total span count
+    (chunks + trailing remainder, if any) and surviving count.
+    """
+    t = tokenized(df, text_col, keep=[id_col])
+    nc = F.floor(F.size("_tok") / n).cast("int")
+    chunk_spans = F.transform(
+        F.when(nc > 0, F.sequence(F.lit(0), nc - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda p: F.concat_ws(" ", F.slice(F.col("_tok"), p * n + 1, n)),
+    )
+    rem_len = F.size("_tok") - nc * n
+    rem_span = F.when(
+        rem_len > 0,
+        F.array(F.concat_ws(" ", F.slice(F.col("_tok"), nc * n + 1, rem_len))),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = t.select(
+        F.col(id_col),
+        nc.alias("_nc"),
+        F.posexplode(F.concat(chunk_spans, rem_span)).alias("pos", "span"),
+    ).select(
+        id_col,
+        "pos",
+        "span",
+        # the remainder (pos == _nc) gets a per-doc unique key: it
+        # never participates in dedup but rides the same pipeline
+        F.when(
+            F.col("pos") < F.col("_nc"), md5_int60(F.col("span"))
+        ).otherwise(
+            md5_int60(
+                F.concat(
+                    F.lit("rem:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            )
+        ).alias("_k"),
+    )
+    w = Window.partitionBy("_k").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = (
+        occ.repartition("_k")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = t.select(
+        F.col(id_col),
+        (nc + F.when(rem_len > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+def mix_temperature(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: downsample each stratum so
+    the surviving distribution follows ``n_s^alpha`` — the standard
+    multilingual/source rebalancing step (alpha = 1 keeps the natural
+    mix, alpha → 0 approaches uniform; alpha 0.3–0.7 are the published
+    LM-pretraining settings).
+
+    Keep fraction per stratum: f_s = (n_s / n_min)^(alpha-1) — the
+    smallest stratum keeps everything, larger ones shed by a power of
+    their size ratio. Membership is the same deterministic md5 bucket
+    as stratified_sample/hash_split, so reruns keep identical rows and
+    DuckDB reproduces them exactly.
+
+    The per-stratum counts are ONE tiny aggregate (bounded by the
+    number of strata — languages/sources, not rows) collected to the
+    driver; the filter itself is map-only. For alpha=0.5 the fraction
+    routes through sqrt (IEEE-correctly-rounded, so the conformance
+    oracle reproduces thresholds bit-exactly); other alphas use pow.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    thr: dict[str, int] = {}
+    for s, cn in counts.items():
+        if alpha == 0.5:
+            f = math.sqrt(n_min / cn)
+        else:
+            f = (cn / n_min) ** (alpha - 1.0)
+        thr[s] = int(math.floor(f * 1_000_000))
+    bucket = md5_int60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    expr = None
+    for s, t_ in thr.items():
+        cond = F.col(strata_col) == s
+        expr = F.when(cond, F.lit(t_)) if expr is None else expr.when(cond, F.lit(t_))
+    return df.filter(bucket < expr.otherwise(F.lit(0)))
 
 
 def topk_per_group(

@@ -1560,3 +1560,148 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return similarity.semdedup(e, threshold=0.4, centroids=cents).orderBy("vec_id")
+
+
+@_register(
+    "llm_span_dedup",
+    ["dedup", "curation"],
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ), base AS (
+      SELECT doc_id, len(tok) AS L,
+             CAST(floor(len(tok) / 6) AS INT) AS nc, tok
+      FROM t
+    ), chunks AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(tok[CAST(u.i AS INT) * 6 + 1
+                                 : CAST(u.i AS INT) * 6 + 6], ' ') AS span,
+             TRUE AS dedupable
+      FROM base, LATERAL unnest(range(nc)) u(i)
+      UNION ALL
+      SELECT doc_id, nc AS pos,
+             array_to_string(tok[nc * 6 + 1 : L], ' ') AS span, FALSE
+      FROM base WHERE L % 6 <> 0
+    ), keyed AS (
+      SELECT doc_id, pos, span,
+             CASE WHEN dedupable THEN {_INT60_SQL.format(x="span")}
+                  ELSE {_INT60_SQL.format(
+                      x="concat('rem:', CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))"
+                  )}
+             END AS k
+      FROM chunks
+    ), kept AS (
+      SELECT doc_id, pos, span FROM (
+        SELECT doc_id, pos, span,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_clean,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(a.text_clean, '') AS text_clean,
+           CAST(b.nc + CASE WHEN b.L % 6 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_spans,
+           COALESCE(a.n_kept, 0) AS n_kept
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    note=(
+        "Corpus-wide exact substring (6-token span) dedup — the Lee "
+        "et al. 2022 ExactSubstr family: every repeated chunk keeps "
+        "only its first (doc, pos) occurrence and documents are "
+        "reassembled from survivors, deleting boilerplate inside "
+        "otherwise-unique documents. One hash exchange on the 60-bit "
+        "md5 span key ranks occurrences; reassembly is a per-doc "
+        "sort_array. String output — no float in the hash compare."
+    ),
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, n=6).orderBy("doc_id")
+
+
+@_register(
+    "llm_mix_temperature",
+    ["curation"],
+    f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), m AS (SELECT MIN(n) AS nmin FROM c),
+    thr AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000) AS BIGINT) AS t
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE ({_INT60_SQL.format(x="concat('mixT:', CAST(doc_id AS VARCHAR))")})
+          % 1000000 < thr.t
+    ORDER BY d.doc_id
+    """,
+    note=(
+        "Temperature-flattened corpus mixing (alpha = 0.5): keep "
+        "fraction sqrt(n_min/n_s) per language, so the surviving mix "
+        "follows n^alpha — the multilingual rebalancing step of "
+        "published LM pipelines. Per-stratum counts are one tiny "
+        "aggregate; membership is the deterministic md5 bucket family "
+        "(rerun-stable, DuckDB-replayable: sqrt/divide/floor are all "
+        "IEEE-correctly-rounded, so thresholds agree bit-exactly)."
+    ),
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import mix_temperature
+
+    d = load_table(spark, sf_dir, "documents")
+    return mix_temperature(d, strata_col="lang", alpha=0.5, salt="mixT:").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "llm_classifier",
+    ["curation", "text-analysis"],
+    f"""
+    WITH wt AS (
+      SELECT CAST(u.i AS BIGINT) AS bucket,
+             CAST(({_INT60_SQL.format(x="concat('w:', CAST(u.i AS VARCHAR))")})
+                  % 2001 - 1000 AS DOUBLE) AS w
+      FROM range(512) u(i)
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id, ({_INT60_SQL.format(x="tok")}) % 512 AS bucket FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           COALESCE(SUM(w), 0.0) AS w_sum,
+           COALESCE(SUM(w), 0.0) / COUNT(*) AS score
+    FROM b LEFT JOIN wt USING (bucket)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    note=(
+        "Hashed linear quality-classifier inference (fastText-style): "
+        "tokens hash into 512 buckets, a broadcast weight table joins "
+        "map-side, ONE per-document aggregation sums the weights. The "
+        "conformance weights are md5-derived integers in [-1000,1000] "
+        "(llm/classifier.py::hashed_weights), so the double sum is "
+        "exact and order-independent and both engines agree on every "
+        "score bit. The trained path (train_log_odds, one-pass NB "
+        "log-odds) is pinned by tests/test_classifier.py."
+    ),
+)
+def llm_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.classifier import (
+        classifier_score,
+        hashed_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = hashed_weights(spark, 512)
+    return classifier_score(d, w, dim=512).orderBy("doc_id")

@@ -10,8 +10,10 @@ from temp_data_pipeline_spark.llm.curate import (
     top_keywords,
     hash_split,
     intra_dup_ngram_stats,
+    mix_temperature,
     ngram_overlap,
     repetition_stats,
+    span_dedup,
     stratified_sample,
     topk_per_group,
 )
@@ -28,6 +30,8 @@ CURATION_QUERIES = [
     "llm_topk_lang",
     "llm_centroid",
     "llm_stratified",
+    "llm_span_dedup",
+    "llm_mix_temperature",
 ]
 
 
@@ -261,3 +265,88 @@ def test_dup_ngram_stats_within_doc_repeat_not_dup(spark):
     }
     assert out[1] == (3, 0)
     assert out[2] == (1, 0)
+
+
+class TestSpanDedup:
+    def _run(self, spark, rows, n=2):
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_kept"])
+            for r in span_dedup(docs, n=n).collect()
+        }
+
+    def test_cross_doc_and_within_doc_repeats_removed(self, spark):
+        out = self._run(
+            spark,
+            [(1, "a b c d e f g h"), (2, "c d x y c d")],
+        )
+        # doc 1 is entirely first occurrences
+        assert out[1] == ("a b c d e f g h", 4, 4)
+        # doc 2: both "c d" chunks lose to (1, pos 1); "x y" survives
+        assert out[2] == ("x y", 3, 1)
+
+    def test_remainder_always_kept(self, spark):
+        out = self._run(spark, [(1, "p q r"), (2, "p q p")])
+        # doc 1: chunk "p q" + remainder "r"
+        assert out[1] == ("p q r", 2, 2)
+        # doc 2: chunk "p q" duplicates doc 1; remainder "p" is kept
+        # even though the TOKEN appears elsewhere (spans, not tokens)
+        assert out[2] == ("p", 2, 1)
+
+    def test_fully_deduplicated_doc_still_emits_row(self, spark):
+        out = self._run(spark, [(1, "a b"), (2, "a b")])
+        assert out[1] == ("a b", 1, 1)
+        assert out[2] == ("", 1, 0)
+
+    def test_first_occurrence_is_doc_then_pos_order(self, spark):
+        # same span at (1, 1) and (2, 0): doc order wins, not position
+        out = self._run(spark, [(1, "x x a b"), (2, "a b z z")])
+        assert out[1] == ("x x a b", 2, 2)
+        assert out[2] == ("z z", 2, 1)
+
+    def test_deterministic(self, spark):
+        rows = [(i, f"w{i % 3} w{i % 5} common span here w{i}") for i in range(40)]
+        a = self._run(spark, rows, n=3)
+        b = self._run(spark, rows, n=3)
+        assert a == b
+
+
+class TestMixTemperature:
+    def _df(self, spark, sizes):
+        rows = []
+        i = 0
+        for lang, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, lang))
+                i += 1
+        return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def test_uniform_strata_keep_everything(self, spark):
+        df = self._df(spark, {"en": 50, "fr": 50})
+        assert mix_temperature(df, alpha=0.5).count() == 100
+
+    def test_alpha_one_is_identity(self, spark):
+        df = self._df(spark, {"en": 300, "fr": 20})
+        assert mix_temperature(df, alpha=1.0).count() == 320
+
+    def test_sqrt_flattening(self, spark):
+        df = self._df(spark, {"en": 400, "fr": 100})
+        out = mix_temperature(df, alpha=0.5).groupBy("lang").count().collect()
+        counts = {r["lang"]: r["count"] for r in out}
+        # smallest stratum keeps all; en keeps ~sqrt(100/400)=50%
+        assert counts["fr"] == 100
+        assert 140 < counts["en"] < 260
+
+    def test_general_alpha_path(self, spark):
+        df = self._df(spark, {"en": 400, "fr": 100})
+        out = mix_temperature(df, alpha=0.3).groupBy("lang").count().collect()
+        counts = {r["lang"]: r["count"] for r in out}
+        assert counts["fr"] == 100
+        # (400/100)^(0.3-1) = 4^-0.7 ≈ 0.379
+        assert 90 < counts["en"] < 220
+
+    def test_deterministic_rerun(self, spark):
+        df = self._df(spark, {"en": 123, "fr": 45, "de": 67})
+        a = sorted(r["doc_id"] for r in mix_temperature(df).collect())
+        b = sorted(r["doc_id"] for r in mix_temperature(df).collect())
+        assert a == b and len(a) > 0
