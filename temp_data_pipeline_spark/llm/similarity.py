@@ -101,6 +101,70 @@ def ann_lsh_topk(
     )
 
 
+def filtered_topk(
+    df: DataFrame,
+    query_vec,
+    predicate,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-k over the
+    rows satisfying ``predicate`` (a Column, e.g. label/lang/date
+    constraints) — the "filtered ANN" query every vector store serves.
+
+    The predicate is applied BEFORE any vector arithmetic, so Catalyst
+    pushes it into the parquet scan (PushedFilters / partition
+    pruning): at 100 TB a selective filter prunes row groups and
+    partitions and the dot products only run on survivors. This is the
+    pre-filter strategy; for low-selectivity predicates compose with
+    `ann_lsh_topk`/`ivf_topk` on the filtered frame instead (same
+    call shape — they all take a DataFrame).
+    """
+    return cosine_topk(df.filter(predicate), query_vec, k, vec_col, id_col)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    scale = max|x| / 127, code_i = round(x_i / scale) ∈ [-127, 127] —
+    the standard 4× storage/bandwidth compression for vector search
+    (scales per-vector, so outlier dimensions in one vector don't
+    crush another's resolution; reconstruction x̂ = code · scale).
+
+    Map-only JVM array expressions — no shuffle, no UDF: at 100 TB
+    this runs at scan speed and writes a quarter of the bytes. The
+    arithmetic (cast-to-double, multiply-by-127, divide-by-amax,
+    floor(x+0.5) rounding) is IEEE-deterministic, so codes are
+    bit-identical across engines — unlike the float vectors they
+    compress. All-zero vectors quantize to scale 0 and all-zero codes.
+
+    Returns (id, scale, codes); pair with `pq_encode` (llm/similarity
+    PQ tier) when 32× compression with ADC scoring is wanted instead.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    code = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    zeros = F.transform(v, lambda x: F.lit(0))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(0.0)).alias("scale"),
+        F.when(amax > 0.0, code).otherwise(zeros).alias("codes"),
+    )
+
+
 def fit_kmeans(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1705,3 +1705,65 @@ def llm_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = hashed_weights(spark, 512)
     return classifier_score(d, w, dim=512).orderBy("doc_id")
+
+
+@_register(
+    "llm_filtered_ann",
+    ["similarity"],
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id, {_COS_SQL} AS sim
+        FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank,
+           vec_id
+    FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    note=(
+        "Metadata-filtered vector search (label = 1 pre-filter, then "
+        "exact cosine top-10): the predicate is applied before any "
+        "vector arithmetic so it reaches the parquet scan as a pushed "
+        "filter — the filtered-ANN query pattern of vector stores. "
+        "Only (rank, vec_id) emitted, as llm_ann_topk."
+    ),
+)
+def llm_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    topk = similarity.filtered_topk(
+        e.filter(F.col("vec_id") != 0), qvec, F.col("label") == 1, k=10
+    )
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return topk.select(F.row_number().over(w).cast("int").alias("rank"), "vec_id")
+
+
+@_register(
+    "llm_quantize_int8",
+    ["similarity"],
+    """
+    SELECT vec_id,
+           CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+           CASE WHEN amax > 0.0
+                THEN list_transform(v, x -> CAST(greatest(-127.0,
+                       least(127.0, floor(x * 127.0 / amax + 0.5))) AS INT))
+                ELSE list_transform(v, x -> 0)
+           END AS codes
+    FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               AS amax
+      FROM embeddings
+    ) ORDER BY vec_id
+    """,
+    note=(
+        "Symmetric per-vector int8 quantization (scale = max|x|/127, "
+        "round-half-up codes clamped to ±127): 4x embedding "
+        "compression as map-only JVM array expressions — no shuffle, "
+        "no UDF, runs at scan speed. Codes are integers and the scale "
+        "is one IEEE-exact divide, so the compare is bit-exact."
+    ),
+)
+def llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(e).orderBy("vec_id")

@@ -574,3 +574,66 @@ def test_semdedup_fitted_quantizer_runs(spark):
     b = semdedup(e, threshold=0.4, n_centroids=4).orderBy("vec_id").collect()
     assert a == b
     assert len(a) == e.count()
+
+
+class TestFilteredTopk:
+    def test_filter_applied_before_ranking(self, spark):
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.14], "b"),   # closest to q but filtered out
+            (3, [0.8, 0.6], "a"),
+            (4, [0.0, 1.0], "a"),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "tag"])
+        out = similarity.filtered_topk(
+            df, [1.0, 0.0], F.col("tag") == "a", k=2
+        ).collect()
+        assert [r["vec_id"] for r in out] == [1, 3]
+
+    def test_predicate_reaches_scan(self, spark, tmp_path):
+        """The metadata filter must appear as a pushed parquet filter,
+        not a post-scan residual only."""
+        p = str(tmp_path / "vecs")
+        spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 3) for i in range(50)],
+            "vec_id long, embedding array<double>, label int",
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = similarity.filtered_topk(
+            df, [1.0, 0.0], F.col("label") == 1, k=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "label" in plan.split("PushedFilters")[1][:80]
+
+
+class TestQuantizeInt8:
+    def test_codes_and_scale_golden(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            ["vec_id", "embedding"],
+        )
+        out = {r["vec_id"]: (r["scale"], r["codes"])
+               for r in similarity.quantize_int8(df).collect()}
+        assert out[1] == (1.0 / 127.0, [127, -63, 32, 0])  # round half up
+        assert out[2] == (0.0, [0, 0, 0, 0])  # zero vector → zero codes
+
+    def test_reconstruction_error_bounded(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(100)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {r["vec_id"]: (r["scale"], r["codes"])
+               for r in similarity.quantize_int8(df).collect()}
+        for vid, vec in rows:
+            scale, codes = got[vid]
+            assert all(-127 <= c <= 127 for c in codes)
+            for x, c in zip(vec, codes):
+                # symmetric quantization error ≤ scale/2 per element
+                assert abs(x - c * scale) <= scale / 2 + 1e-12
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+        )
+        plan = similarity.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # map-only: runs at scan speed
