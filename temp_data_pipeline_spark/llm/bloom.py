@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.llm.dedup import shingles_of, tokenized
 
 
+def auto_m_bits(n_eval: int) -> int:
+    """Bitset size for n distinct eval grams: next power of two ≥
+    64·n, floor 2^16 — holds FPR ≈ 1.5e-5 at k=4 at ANY eval-set
+    size (a fixed m degrades to a pass-everything gate as the suite
+    grows). 64 bits/gram = 8 MiB broadcast per million grams."""
+    return max(1 << 16, 1 << (64 * max(n_eval, 1) - 1).bit_length())
+
+
 def bloom_bits(df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 4) -> list[int]:
     """Build the bitset words (signed int64, Spark-literal-ready).
 
@@ -81,7 +89,7 @@ def bloom_decontam(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 6,
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k: int = 4,
 ) -> DataFrame:
     """Exactly ``curate.ngram_overlap``, with the map-side Bloom gate.
@@ -90,16 +98,27 @@ def bloom_decontam(
     inner join with the distinct eval grams (confirms, killing false
     positives) → per-doc count. Same result as the exact join, with
     the shuffle carrying only the Bloom survivors.
+
+    ``m_bits=None`` (default) sizes the bitset from the OBSERVED
+    distinct eval-gram count: the next power of two ≥ 64·n_eval,
+    floor 2^16 — FPR ≈ 1.5e-5 at k=4 regardless of eval-set size.
+    A fixed m silently degrades as the eval suite grows (at 2^16
+    bits a 100k-gram suite would pass ~everything and the gate
+    becomes a no-op shuffle); the count is free here because the
+    checkpoint below materializes the grams anyway. 64 bits/gram =
+    8 MiB broadcast per million eval grams — trivial.
     """
-    # materialize the distinct eval grams ONCE: they feed two
-    # consumers (the bitset build collects their bit positions; the
-    # confirm join reads them again) and are bounded by the eval-set
-    # size, so the checkpoint is small — without it the eval-side
-    # tokenize/shingle/distinct pipeline executes twice
+    # materialize the distinct eval grams ONCE: they feed three
+    # consumers (the m sizing, the bitset build, the confirm join)
+    # and are bounded by the eval-set size, so the checkpoint is
+    # small — without it the eval-side tokenize/shingle/distinct
+    # pipeline executes per consumer
     test_grams = (
         _doc_grams(test, text_col, id_col, n).select("gram").distinct()
         .localCheckpoint()
     )
+    if m_bits is None:
+        m_bits = auto_m_bits(test_grams.count())
     words = bloom_bits(test_grams, "gram", m_bits, k)
     # bitset as a broadcast ONE-ROW frame, not an array literal: the
     # probe references _bf k times, and Catalyst inlines a literal

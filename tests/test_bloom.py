@@ -67,3 +67,47 @@ def test_probe_plan_is_jvm_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_auto_m_bits_tracks_eval_size():
+    from temp_data_pipeline_spark.llm.bloom import auto_m_bits
+
+    assert auto_m_bits(0) == 1 << 16
+    assert auto_m_bits(100) == 1 << 16          # floor
+    assert auto_m_bits(24_000) == 1 << 21       # 64*24k = 1.5M -> 2M
+    assert auto_m_bits(1_000_000) == 1 << 26    # 8 MiB of bits
+    for n in (1, 10, 1000, 123_456):
+        m = auto_m_bits(n)
+        assert m >= 64 * n              # FPR bound holds
+        assert m & (m - 1) == 0         # power of two (cheap pmod)
+
+
+def test_bloom_gate_stays_selective_at_large_eval_sets(spark):
+    """The sizing exists so FP survivors stay ~0 even when the eval
+    set outgrows the old fixed 2^16 bitset."""
+    from temp_data_pipeline_spark.llm.bloom import (
+        auto_m_bits,
+        bloom_bits,
+        might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    n_eval = 30_000
+    ev = spark.range(n_eval).select(
+        F.concat(F.lit("eval-gram-"), F.col("id").cast("string")).alias("gram")
+    )
+    m = auto_m_bits(n_eval)
+    assert m == 1 << 21
+    words = bloom_bits(ev, "gram", m, 4)
+    probe = spark.range(100_000).select(
+        F.concat(F.lit("train-gram-"), F.col("id").cast("string")).alias("gram")
+    )
+    bf = spark.createDataFrame([(words,)], "_bf: array<bigint>")
+    fps = (
+        probe.join(F.broadcast(bf))
+        .filter(might_contain("gram", words, m, 4))
+        .count()
+    )
+    # disjoint corpora: every survivor is a false positive;
+    # E[fps] ≈ 100k * 1.5e-5 ≈ 1.5
+    assert fps < 50
