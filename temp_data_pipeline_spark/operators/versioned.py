@@ -1,0 +1,181 @@
+"""Versioned snapshot tables: atomic commits + time-travel reads.
+
+The missing piece between "write parquet" and a table format: readers
+must never see a half-written snapshot, yesterday's pipeline output
+must stay queryable after today's run, and a crashed writer must leave
+nothing visible. The standard lakehouse answer (Delta/Iceberg) is a
+commit log of manifests; this is that protocol reduced to public
+Hadoop-FS primitives:
+
+  <path>/v=<N>/...parquet     immutable snapshot data, one dir/version
+  <path>/_manifest/<N>.json   commit marker — a version EXISTS only
+                              once its manifest file does
+
+Write protocol: data lands in ``v=<N>`` first (invisible — readers
+only trust manifested versions), then the manifest is created with a
+write-temp-then-rename, which is atomic on HDFS and object-store
+committers alike. A crash at any point leaves an orphan data dir that
+no reader resolves; ``vacuum`` deletes it later. Rename-onto-existing
+fails, so two racing writers of the same version cannot both commit —
+the loser retries at the next number (single-writer pipelines never
+hit this).
+
+Scale posture: a commit costs ONE distributed write of the snapshot
+plus two driver-side metadata ops (mkdir + rename); reads are plain
+parquet scans of one directory, so partition pruning, pushdown, and
+every other Catalyst behavior apply unchanged. Snapshots share
+nothing, which trades storage for total isolation — at 100 TB, pair
+with partitioned snapshots (write only changed partitions per
+version) exactly as `streaming/sink.py::stream_upsert_parquet`
+documents for its swap.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from temp_data_pipeline_spark.operators.upsert import merge_upsert
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _manifest_dir(path: str) -> str:
+    return f"{path}/_manifest"
+
+
+def _data_dir(path: str, version: int) -> str:
+    return f"{path}/v={version}"
+
+
+def versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, ascending. Orphan data dirs (crashed or
+    in-flight writers) are excluded by construction — only the
+    manifest names count."""
+    fs, jvm = _fs(spark, path)
+    mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def commit_version(
+    df: DataFrame,
+    path: str,
+    *,
+    meta: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as the next snapshot version and make it visible
+    atomically. Returns the committed version number.
+
+    Data first (invisible until manifested), then the manifest via
+    temp-file + rename. If another writer committed the same number
+    concurrently, the rename fails and we retry with the next one —
+    optimistic concurrency without a lock service.
+    """
+    spark = df.sparkSession
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(_manifest_dir(path)))
+    existing = versions(spark, path)
+    version = (existing[-1] + 1) if existing else 1
+    while True:
+        data = _data_dir(path, version)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data)
+        doc = {"version": version, "data_dir": data, **(meta or {})}
+        tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        out.close()
+        final = Path(f"{_manifest_dir(path)}/{version}.json")
+        if fs.rename(tmp, final):
+            return version
+        # lost the race for this number: discard our data dir and
+        # manifest temp, take the next slot
+        fs.delete(tmp, False)
+        fs.delete(Path(data), True)
+        version += 1
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the snapshot at ``version``, or the latest
+    committed one. Plain parquet scan — pruning/pushdown unchanged."""
+    committed = versions(spark, path)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = committed[-1]
+    elif version not in committed:
+        raise FileNotFoundError(
+            f"version {version} not committed under {path} (have {committed})"
+        )
+    return spark.read.parquet(_data_dir(path, version))
+
+
+def commit_merge(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    *,
+    tiebreak: str | None = None,
+    meta: dict | None = None,
+) -> int:
+    """MERGE-with-history: resolve ``updates`` against the latest
+    snapshot (last-writer-wins per key, operators/upsert.py) and
+    commit the result as a NEW version — previous versions stay
+    queryable. First commit = the updates themselves."""
+    spark = updates.sparkSession
+    if versions(spark, path):
+        base = read_version(spark, path)
+        merged = merge_upsert(base, updates, keys, ts_col, tiebreak)
+    else:
+        merged = updates
+    return commit_version(merged, path, meta=meta)
+
+
+def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+    """Expire history: keep the newest ``keep_last`` versions, delete
+    older snapshots AND orphan data dirs (crashed writers). Manifest
+    removal first, then data — a reader holding an expired version
+    number fails loudly at manifest resolution instead of scanning a
+    half-deleted directory. Returns the dropped version numbers."""
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    committed = versions(spark, path)
+    drop = committed[:-keep_last] if keep_last > 0 else committed
+    keep = set(committed) - set(drop)
+    for v in drop:
+        fs.delete(Path(f"{_manifest_dir(path)}/{v}.json"), False)
+        fs.delete(Path(_data_dir(path, v)), True)
+    root = Path(path)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    v = int(name[2:])
+                except ValueError:
+                    continue
+                if v not in keep:  # orphan or just-expired
+                    fs.delete(st.getPath(), True)
+    return drop

@@ -1,0 +1,99 @@
+"""Versioned snapshot tables: atomic commits, time travel, merge
+history, crash-orphan invisibility, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_merge,
+    commit_version,
+    read_version,
+    vacuum,
+    versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string, ts long")
+
+
+class TestCommitAndTimeTravel:
+    def test_versions_accumulate_and_stay_queryable(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        v1 = commit_version(_df(spark, [(1, "a", 10)]), p)
+        v2 = commit_version(_df(spark, [(1, "b", 20), (2, "c", 20)]), p)
+        assert (v1, v2) == (1, 2)
+        assert versions(spark, p) == [1, 2]
+        assert read_version(spark, p, 1).count() == 1
+        assert read_version(spark, p, 2).count() == 2
+        # latest = v2
+        assert {r["val"] for r in read_version(spark, p).collect()} == {"b", "c"}
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        with pytest.raises(FileNotFoundError):
+            read_version(spark, p)
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        with pytest.raises(FileNotFoundError, match="not committed"):
+            read_version(spark, p, 7)
+
+    def test_partitioned_snapshot(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_version(_df(spark, [(1, "a", 10), (2, "b", 10)]), p,
+                       partition_by=["k"])
+        got = read_version(spark, p)
+        assert got.count() == 2
+        assert os.path.isdir(str(tmp_path / "tbl" / "v=1" / "k=1"))
+
+
+class TestCrashSafety:
+    def test_orphan_data_dir_is_invisible(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        # simulate a writer that crashed after data, before manifest
+        _df(spark, [(9, "ghost", 1)]).write.parquet(f"{p}/v=2")
+        assert versions(spark, p) == [1]
+        assert {r["val"] for r in read_version(spark, p).collect()} == {"a"}
+        # the next committer skips past the orphan number is NOT
+        # required — it must simply never make the orphan visible;
+        # vacuum removes it
+        dropped = vacuum(spark, p, keep_last=5)
+        assert dropped == []
+        assert not os.path.exists(f"{p}/v=2")
+        assert versions(spark, p) == [1]
+
+
+class TestCommitMerge:
+    def test_merge_history(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge(_df(spark, [(1, "a", 10), (2, "b", 10)]), p, ["k"], "ts")
+        commit_merge(_df(spark, [(1, "a2", 20), (3, "c", 20)]), p, ["k"], "ts")
+        latest = {r["k"]: r["val"] for r in read_version(spark, p).collect()}
+        assert latest == {1: "a2", 2: "b", 3: "c"}
+        # time travel: version 1 still shows the pre-merge world
+        first = {r["k"]: r["val"] for r in read_version(spark, p, 1).collect()}
+        assert first == {1: "a", 2: "b"}
+
+    def test_stale_update_loses(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge(_df(spark, [(1, "new", 100)]), p, ["k"], "ts")
+        commit_merge(_df(spark, [(1, "old", 50)]), p, ["k"], "ts")
+        latest = {r["k"]: r["val"] for r in read_version(spark, p).collect()}
+        assert latest == {1: "new"}
+
+
+class TestVacuum:
+    def test_expires_old_versions_keeps_recent(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        for i in range(4):
+            commit_version(_df(spark, [(i, f"v{i}", i)]), p)
+        dropped = vacuum(spark, p, keep_last=2)
+        assert dropped == [1, 2]
+        assert versions(spark, p) == [3, 4]
+        assert not os.path.exists(f"{p}/v=1")
+        assert read_version(spark, p, 4).count() == 1
+        with pytest.raises(FileNotFoundError):
+            read_version(spark, p, 1)
