@@ -30,6 +30,7 @@ from temp_data_pipeline_spark.llm.dedup import ngrams_of, shingles_of, tokenized
 from temp_data_pipeline_spark.llm.text import md5_int60
 
 __all__ = [
+    "curation_funnel",
     "dup_ngram_stats",
     "hash_split",
     "intra_dup_ngram_stats",
@@ -458,6 +459,107 @@ def mix_temperature(
         cond = F.col(strata_col) == s
         expr = F.when(cond, F.lit(t_)) if expr is None else expr.when(cond, F.lit(t_))
     return df.filter(bucket < expr.otherwise(F.lit(0)))
+
+
+def curation_funnel(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher_kwargs: dict | None = None,
+    max_top_token_frac: float = 0.2,
+    min_distinct_ratio: float = 0.4,
+    classifier_dim: int = 512,
+    classifier_salt: str = "w:",
+    min_score: float = 0.0,
+) -> DataFrame:
+    """The end-to-end curation pipeline as ONE pass, with a per-stage
+    survivor funnel — the report every data team publishes next to a
+    training corpus ("N crawled → N after quality rules → N after
+    repetition → N after classifier → N after dedup"):
+
+      raw → Gopher rule suite → repetition gates (top-token fraction,
+      type/token ratio) → hashed linear classifier score ≥ threshold
+      → exact dedup (first doc per md5 fingerprint *among survivors*)
+
+    Physical shape: every gate including the classifier score is a
+    map-only expression computed in ONE scan (the classifier here
+    derives its weight from the bucket hash inline — the md5 weight
+    family of llm/classifier.py::hashed_weights; swap in the
+    broadcast-join path of classifier_score for trained weights).
+    Dedup canonicalization is one window over the md5 fingerprint,
+    and the funnel itself is one tiny aggregate — so the whole
+    pipeline costs one scan + one hash exchange at any corpus size,
+    versus five sequential filter jobs.
+
+    Returns 5 rows: (stage_idx, stage, n_docs), cumulative — each
+    stage counts documents surviving it AND all previous stages.
+    """
+    from temp_data_pipeline_spark.llm import text as T
+
+    c = F.col(text_col)
+    t = T.tokens(c)
+    nt = F.size(t)
+    flags = T.gopher_flags(text_col, **(gopher_kwargs or {}))
+    g_ok = flags["gopher_pass"]
+
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / nt
+    top_token_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
+            )
+        ).cast("double")
+        / nt
+    )
+    r_ok = (top_token_frac <= max_top_token_frac) & (
+        distinct_ratio >= min_distinct_ratio
+    )
+
+    # integer-valued weights summed as BIGINT: exact, order-independent
+    w_sum = F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc
+        + (
+            (
+                md5_int60(
+                    F.concat(
+                        F.lit(classifier_salt),
+                        (md5_int60(tok) % classifier_dim).cast("string"),
+                    )
+                )
+                % 2001
+            )
+            - 1000
+        ),
+    )
+    score = w_sum.cast("double") / nt
+    c_ok = score >= min_score
+
+    base = df.select(
+        F.col(id_col),
+        F.md5(c).alias("_fp"),
+        g_ok.alias("_g"),
+        (g_ok & r_ok).alias("_gr"),
+        (g_ok & r_ok & c_ok).alias("_grc"),
+    )
+    w = Window.partitionBy("_fp")
+    canonical = F.min(F.when(F.col("_grc"), F.col(id_col))).over(w) == F.col(id_col)
+    staged = base.withColumn("_all", F.col("_grc") & canonical)
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("_g").cast("long")).alias("n1"),
+        F.sum(F.col("_gr").cast("long")).alias("n2"),
+        F.sum(F.col("_grc").cast("long")).alias("n3"),
+        F.sum(F.col("_all").cast("long")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'raw', n0, 1, 'gopher', n1, 2, 'repetition', n2, "
+            "3, 'classifier', n3, 4, 'dedup', n4) AS (stage_idx, stage, n_docs)"
+        )
+    )
 
 
 def topk_per_group(

@@ -1767,3 +1767,98 @@ def llm_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.quantize_int8(e).orderBy("vec_id")
+
+
+_W_TOK_SQL = (
+    "("
+    + _INT60_SQL.format(
+        x="concat('w:', CAST(({h}) % 512 AS VARCHAR))".format(
+            h=_INT60_SQL.format(x="tok")
+        )
+    )
+    + ") % 2001 - 1000"
+)
+
+_FUNNEL_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS w,
+               string_split(text, chr(10)) AS ln,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               ((length(text) - length(regexp_replace(text, '\\#', '', 'g'))) / 1
+                + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+                + (length(text) - length(regexp_replace(text, '…', '', 'g'))) / 1
+               ) AS nsym,
+               (length(text) - (len(string_split(text, ' ')) - 1))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_len
+        FROM documents
+    ), f AS (
+        SELECT doc_id, md5(text) AS fp,
+               (nw >= 30 AND nw <= 100000
+                AND mean_len >= 3.0 AND mean_len <= 10.0
+                AND nsym / greatest(nw, 1) <= 0.1
+                AND len(list_filter(ln, l -> starts_with(l, '- ')
+                        OR starts_with(l, '* ') OR starts_with(l, '• ')))
+                    / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.9
+                AND len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                    / CAST(greatest(len(ln), 1) AS DOUBLE) <= 0.3
+                AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                    / greatest(nw, 1) >= 0.8
+                AND len(list_filter(list_distinct(w), x -> x IN
+                        ('the','be','to','of','and','that','have','with'))) >= 1
+               ) AS gok,
+               (list_max(list_transform(list_distinct(w),
+                         x -> len(list_filter(w, y -> y = x)))) / nw <= 0.2
+                AND len(list_distinct(w)) / nw >= 0.4) AS rok,
+               (CAST(list_sum(list_transform(w, tok -> {_W_TOK_SQL}))
+                     AS BIGINT) >= 0) AS cok
+        FROM g
+    ), s AS (
+        SELECT doc_id, fp, gok,
+               gok AND rok AS grok,
+               gok AND rok AND cok AS grcok
+        FROM f
+    ), d AS (
+        SELECT *,
+               (grcok AND doc_id = MIN(CASE WHEN grcok THEN doc_id END)
+                              OVER (PARTITION BY fp)) AS allok
+        FROM s
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CAST(gok AS INT)) AS BIGINT) AS n1,
+               CAST(SUM(CAST(grok AS INT)) AS BIGINT) AS n2,
+               CAST(SUM(CAST(grcok AS INT)) AS BIGINT) AS n3,
+               CAST(SUM(CAST(allok AS INT)) AS BIGINT) AS n4
+        FROM d
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM a
+    UNION ALL SELECT 1, 'gopher', n1 FROM a
+    UNION ALL SELECT 2, 'repetition', n2 FROM a
+    UNION ALL SELECT 3, 'classifier', n3 FROM a
+    UNION ALL SELECT 4, 'dedup', n4 FROM a
+    ORDER BY stage_idx
+    """
+
+
+@_register(
+    "llm_curation_funnel",
+    ["curation", "text-analysis", "dedup"],
+    _FUNNEL_ORACLE,
+    note=(
+        "The whole curation pipeline in ONE pass with a per-stage "
+        "survivor funnel: Gopher rules (min_words=30, ≥1 stopword — "
+        "corpus-suited config) → repetition gates (top-token ≤ 0.2, "
+        "type/token ≥ 0.4) → inline hashed classifier score ≥ 0 → "
+        "exact-dup canonicalization among survivors. Every gate "
+        "including the classifier is a map-only expression in one "
+        "scan; dedup is one fingerprint window; the funnel is one "
+        "tiny aggregate. Cumulative integer counts only."
+    ),
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import curation_funnel
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation_funnel(
+        d, gopher_kwargs={"min_words": 30, "min_stopword_hits": 1}
+    ).orderBy("stage_idx")

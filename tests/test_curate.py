@@ -350,3 +350,60 @@ class TestMixTemperature:
         a = sorted(r["doc_id"] for r in mix_temperature(df).collect())
         b = sorted(r["doc_id"] for r in mix_temperature(df).collect())
         assert a == b and len(a) > 0
+
+
+class TestCurationFunnel:
+    def _counts(self, spark, rows, **kw):
+        from temp_data_pipeline_spark.llm.curate import curation_funnel
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = curation_funnel(docs, **kw).collect()
+        assert [r["stage_idx"] for r in sorted(out, key=lambda r: r["stage_idx"])] \
+            == [0, 1, 2, 3, 4]
+        return {r["stage"]: r["n_docs"] for r in out}
+
+    def test_each_stage_kills_its_target(self, spark):
+        good = "the " + " ".join(f"tok{i}word" for i in range(40))  # passes all
+        short = "the tok one"                                        # gopher: too few words
+        repeat = "the " + "same " * 40                               # repetition: top-token frac
+        rows = [
+            (1, good),
+            (2, short),
+            (3, repeat),
+            (4, good),  # exact duplicate of 1 -> dies at dedup
+        ]
+        got = self._counts(
+            spark, rows,
+            gopher_kwargs={"min_words": 5, "min_stopword_hits": 1},
+            min_score=-10_000.0,  # classifier gate open: isolate other stages
+        )
+        assert got["raw"] == 4
+        assert got["gopher"] == 3       # short died
+        assert got["repetition"] == 2   # repeat died
+        assert got["classifier"] == 2
+        assert got["dedup"] == 1        # doc 4 is doc 1's twin
+
+    def test_funnel_is_cumulative(self, spark):
+        rows = [(i, "the " + " ".join(f"w{i}x{j}" for j in range(30)))
+                for i in range(10)]
+        got = self._counts(
+            spark, rows, gopher_kwargs={"min_words": 5, "min_stopword_hits": 1}
+        )
+        assert (got["raw"] >= got["gopher"] >= got["repetition"]
+                >= got["classifier"] >= got["dedup"])
+
+    def test_classifier_threshold_gates(self, spark):
+        rows = [(i, "the " + " ".join(f"w{i}x{j}" for j in range(30)))
+                for i in range(20)]
+        open_ = self._counts(
+            spark, rows,
+            gopher_kwargs={"min_words": 5, "min_stopword_hits": 1},
+            min_score=-10_000.0,
+        )
+        shut = self._counts(
+            spark, rows,
+            gopher_kwargs={"min_words": 5, "min_stopword_hits": 1},
+            min_score=10_000.0,
+        )
+        assert open_["classifier"] == open_["repetition"]
+        assert shut["classifier"] == 0 and shut["dedup"] == 0
