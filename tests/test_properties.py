@@ -477,3 +477,115 @@ def test_resample_fill_vs_brute_force(spark, rows):
     else:
         assert set(got) == set(want)
         assert {kb: got[kb][0] for kb in got} == {kb: want[kb][0] for kb in want}
+
+
+def _int60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_span_dedup_vs_sequential_model(spark, texts, n):
+    """Distributed span dedup must agree with a sequential one-pass
+    model that scans documents in (doc_id, pos) order."""
+    from temp_data_pipeline_spark.llm.curate import span_dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        nc = len(toks) // n
+        kept = []
+        n_kept = 0
+        for p in range(nc):
+            s = " ".join(toks[p * n : (p + 1) * n])
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+                n_kept += 1
+        n_spans = nc
+        if len(toks) % n:
+            kept.append(" ".join(toks[nc * n :]))
+            n_spans += 1
+            n_kept += 1
+        want[doc_id] = (" ".join(kept), n_spans, n_kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_kept"])
+        for r in span_dedup(df, n=n).collect()
+    }
+    assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 60), min_size=1, max_size=5),
+    alpha=st.sampled_from([0.3, 0.5, 0.7, 1.0]),
+)
+@settings(max_examples=10, deadline=None)
+def test_mix_temperature_invariants(spark, sizes, alpha):
+    """Smallest stratum always survives whole; output is a
+    deterministic subset; alpha=1 is the identity."""
+    from temp_data_pipeline_spark.llm.curate import mix_temperature
+
+    rows, i = [], 0
+    for s, sz in enumerate(sizes):
+        for _ in range(sz):
+            rows.append((i, f"lang{s}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_temperature(df, strata_col="lang", alpha=alpha)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert set(kept) <= {r[0] for r in rows}
+    assert kept == sorted(
+        r["doc_id"] for r in mix_temperature(df, strata_col="lang", alpha=alpha).collect()
+    )
+    by_lang = {r[0]: r[1] for r in rows}
+    counts: dict[str, int] = {}
+    for d in kept:
+        counts[by_lang[d]] = counts.get(by_lang[d], 0) + 1
+    smallest = f"lang{min(range(len(sizes)), key=lambda s: (sizes[s], s))}"
+    assert counts.get(smallest, 0) == min(sizes)
+    if alpha == 1.0:
+        assert len(kept) == len(rows)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=0, max_size=5),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_classifier_score_vs_python_model(spark, texts):
+    """The md5 weight bridge: Spark's hashed classifier score must
+    equal a pure-Python replay of bucket → weight → mean."""
+    from temp_data_pipeline_spark.llm.classifier import classifier_score, hashed_weights
+
+    dim = 64
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["w_sum"], r["score"])
+        for r in classifier_score(df, hashed_weights(spark, dim), dim=dim).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        ws = sum((_int60(f"w:{_int60(t) % dim}") % 2001) - 1000 for t in toks)
+        assert got[doc_id] == (len(toks), float(ws), ws / len(toks))
