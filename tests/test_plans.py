@@ -210,3 +210,48 @@ def test_temporal_joins_never_cartesian(spark):
         plan = _plan(specs[name].builder(spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_funnel_all_gates_in_one_scan(spark):
+    """Every curation-funnel gate (gopher, repetition, classifier) is
+    a map-only expression: exactly two exchanges total — the dedup
+    fingerprint window and the final count aggregate — and no Python
+    in the plan."""
+    plan = _plan(LLM_QUERIES["llm_curation_funnel"].builder(spark, SF))
+    assert plan.count("Exchange") <= 3  # fp window + partial/final agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1  # one pass over documents
+
+
+def test_classifier_weights_broadcast(spark):
+    """The weight table joins as a broadcast dim, never a shuffle
+    join, and scoring stays Python-free."""
+    plan = _plan(LLM_QUERIES["llm_classifier"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_no_cartesian_no_python(spark):
+    plan = _plan(LLM_QUERIES["llm_span_dedup"].builder(spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filtered_ann_pushes_label_filter(spark):
+    plan = _plan(LLM_QUERIES["llm_filtered_ann"].builder(spark, SF))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "label" in pushed
+
+
+def test_mix_temperature_filter_is_maponly(spark):
+    """After the strata-count collect, membership is one filter over
+    the scan — no join, no window, no extra exchange on the kept path."""
+    from temp_data_pipeline_spark.llm.curate import mix_temperature
+    from temp_data_pipeline_spark.sources.registry import load_table
+
+    d = load_table(spark, SF, "documents")
+    plan = _plan(mix_temperature(d, strata_col="lang", alpha=0.5))
+    assert "Join" not in plan and "Window" not in plan
+    assert "Exchange" not in plan
