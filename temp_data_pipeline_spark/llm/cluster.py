@@ -37,6 +37,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1 << 20,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in `pairs`, where
     cluster_id = min node id in the node's connected component.
@@ -86,6 +87,44 @@ def connected_components(
     # join skips the edge-side exchange — the dominant shuffle, since
     # edges outnumber labels (nodes) by the average degree
     edges = edges.repartition("dst").persist()
+
+    # After contraction the graph is usually a few inter-clique
+    # bridges — orders of magnitude below the corpus. When it fits
+    # the explicit bound (default 2^20 edges ≈ 16 MiB of longs — the
+    # same bounded-driver-collect budget as the IVF sample and the
+    # Bloom bitset), finish with a driver union-find: the distributed
+    # loop costs ~4 jobs PER ROUND regardless of size, so on a tiny
+    # remainder graph the fixed round overhead dominates everything.
+    # Larger contracted graphs take the O(log diameter) loop below —
+    # the count is the gate, never an assumption.
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = _find(r["src"]), _find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        spark = pairs.sparkSession
+        labels = spark.createDataFrame(
+            [(n, _find(n)) for n in parent], "node long, label long"
+        )
+        edges.unpersist()
+        contracted = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("_clabel")
+        )
+        return seed.join(F.broadcast(contracted), "label", "left").select(
+            F.col("node"),
+            F.coalesce(F.col("_clabel"), F.col("label")).alias("cluster_id"),
+        )
+
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nmin"))

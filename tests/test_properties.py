@@ -263,6 +263,12 @@ def test_connected_components_vs_union_find(spark, edges):
         return
     df = spark.createDataFrame(norm, "id_a long, id_b long")
     got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+    # the distributed-loop path must agree (driver_max_edges=0 forces it)
+    got_loop = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got == got_loop
 
     parent: dict[int, int] = {}
     def find(x):
