@@ -1862,3 +1862,59 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(
         d, gopher_kwargs={"min_words": 30, "min_stopword_hits": 1}
     ).orderBy("stage_idx")
+
+
+# Pinned BPE merge table for the conformance query (fit_bpe's learned
+# tables are pinned by tests/test_bpe.py instead — the fit is
+# inherently sequential, like fit_kmeans/fit_pq, so the oracle replays
+# only the distributed APPLY). Ranked to build common corpus words.
+_BPE_MERGES = [
+    ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
+    ("s", "t"), ("o", "r"), ("a", "n"), ("s", "c"), ("sc", "an"),
+    ("r", "o"), ("ro", "w"), ("w", "i"), ("n", "d"), ("wi", "nd"),
+    ("wind", "o"), ("windo", "w"),
+]
+
+
+def _bpe_chain_sql(col: str) -> str:
+    """The encode as a nested-replace chain over the \\x01sym\\x02
+    wrapped representation — byte-identical to apply_bpe's fold."""
+    chain = f"regexp_replace({col}, '([^ ])', '\x01\\1\x02', 'g')"
+    for a, b in _BPE_MERGES:
+        chain = f"replace({chain}, '\x01{a}\x02\x01{b}\x02', '\x01{a}{b}\x02')"
+    return chain
+
+
+_BPE_ORACLE = f"""
+    WITH e AS (
+        SELECT doc_id, {_bpe_chain_sql("text")} AS enc FROM documents
+    )
+    SELECT doc_id,
+           replace(replace(replace(enc, '\x02\x01', '|'), '\x01', ''),
+                   '\x02', '') AS bpe,
+           CAST(length(enc) - length(replace(enc, '\x01', '')) AS BIGINT)
+             AS n_subwords
+    FROM e ORDER BY doc_id
+    """
+
+
+@_register(
+    "llm_bpe_encode",
+    ["text-analysis", "curation"],
+    _BPE_ORACLE,
+    note=(
+        "BPE tokenization (Sennrich et al.) with a pinned 16-merge "
+        "table: every non-space char wraps as \\x01c\\x02, each merge "
+        "is one plain string replace on that representation (the "
+        "sentinels make leftmost non-overlapping replacement EXACTLY "
+        "the classic per-word merge semantics — fuzz-pinned against a "
+        "sequential reference in tests/test_bpe.py), then boundaries "
+        "unwrap to '|'. Pure JVM string exprs, map-only, no UDF; "
+        "n_subwords is the real model-token count."
+    ),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.bpe import apply_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return apply_bpe(d, _BPE_MERGES).orderBy("doc_id")
