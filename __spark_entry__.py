@@ -114,13 +114,16 @@ _LAST_VERIFIED = {
 #     kernels round 4 (plane_bands_udf / cell_assign_udf / pair_dot_udf /
 #     hashed-gram single-exchange dup_ngram);
 #   - llm_bloom_decontam: bitset auto-sizing (same result by contract —
-#     the gate is FP-transparent — but the gate math changed).
+#     the gate is FP-transparent — but the gate math changed);
+#   - llm_dup_clusters: bounded driver union-find finish for small
+#     contracted graphs (both paths property-pinned equal).
 _RECHECK = [
     "q_asof_join", "q_asof_forward", "q_sessionize", "q_session_window",
     "q_range_join", "q_gap_fill", "q_keep_latest", "q_window_range",
     "q_stream_events", "q_stream_join", "q_stream_sessions",
     "llm_embed_neardup", "llm_ann_lsh_topk", "llm_semdedup",
     "llm_ivf_topk", "llm_dup_ngram_frac", "llm_bloom_decontam",
+    "llm_dup_clusters",
 ]
 
 

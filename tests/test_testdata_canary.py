@@ -108,3 +108,29 @@ def test_stream_reader_handles_directory_layout(spark, tmp_path):
     q.awaitTermination()
     assert spark.table(sink).count() == 200
     assert dict(spark.table(sink).dtypes)["ts"] == "timestamp"
+
+
+def test_documents_and_embeddings_shape_assumptions(spark):
+    """The LLM tier assumes: documents has (doc_id,text,lang,source)
+    and embeddings carries fixed-width float vectors with a label.
+    If the driver regenerates these with different columns, widths, or
+    types, fail HERE first — not in thirty conformance queries."""
+    d = dict(load_table(spark, SF, "documents").dtypes)
+    for col, typ in (
+        ("doc_id", "bigint"), ("text", "string"),
+        ("lang", "string"), ("source", "string"),
+    ):
+        assert d.get(col) == typ, f"documents.{col}: {d.get(col)!r} != {typ!r}"
+
+    e = load_table(spark, SF, "embeddings")
+    et = dict(e.dtypes)
+    assert et.get("vec_id") == "bigint", et
+    assert et.get("embedding") == "array<float>", et
+    assert "label" in et, et
+    dims = e.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64], (
+        "embedding width changed — the 64-dim constant is baked into "
+        "the LSH/IVF/PQ oracle SQL (range(1,65), 8x8 PQ subspaces)"
+    )
+    ids = e.agg(F.min("vec_id").alias("mn")).first()
+    assert ids["mn"] == 0, "vec_id=0 is the pinned ANN query vector"
