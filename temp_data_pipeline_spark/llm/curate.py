@@ -456,7 +456,10 @@ def mix_temperature(
     bucket = md5_int60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
     expr = None
     for s, t_ in thr.items():
-        cond = F.col(strata_col) == s
+        # NULL strata count toward n_min like any group, so their rows
+        # must get their threshold too — a plain == comparison is
+        # never true for NULL and would silently drop the whole group
+        cond = F.col(strata_col).isNull() if s is None else F.col(strata_col) == s
         expr = F.when(cond, F.lit(t_)) if expr is None else expr.when(cond, F.lit(t_))
     return df.filter(bucket < expr.otherwise(F.lit(0)))
 

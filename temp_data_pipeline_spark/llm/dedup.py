@@ -656,6 +656,11 @@ def embedding_neardup_pairs(
     vecs = ensure_parallelism(df).select(
         F.col(id_col), l2_normalize_udf()(F.col(vec_col)).alias("_vn")
     )
+    if materialize:
+        # both verify join-backs read this branch; without the
+        # checkpoint each side re-runs the Arrow normalize over the
+        # full corpus (same reuse pattern as semdedup's assignment)
+        vecs = vecs.localCheckpoint()
 
     # Candidate generation carries ONLY ids: the (band join → pair
     # dedup) shuffles move 16 bytes per candidate instead of two

@@ -83,22 +83,49 @@ def commit_version(
     atomically. Returns the committed version number.
 
     Data first (invisible until manifested), then the manifest via
-    temp-file + rename. If another writer committed the same number
-    concurrently, the rename fails and we retry with the next one —
-    optimistic concurrency without a lock service.
+    temp-file + rename. Races resolve at BOTH stages: a data dir that
+    appears between the version scan and our errorifexists write, or
+    a manifest rename that loses to a concurrent committer, each bump
+    to the next number and retry — optimistic concurrency without a
+    lock service. Orphan data dirs from crashed writers are skipped
+    (never reused) so a crash can never wedge future commits; vacuum
+    reclaims them. The manifest rename is the single commit point.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     spark = df.sparkSession
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(_manifest_dir(path)))
-    existing = versions(spark, path)
-    version = (existing[-1] + 1) if existing else 1
+    # next slot must clear BOTH committed versions and orphan data
+    # dirs (a crashed writer's v=N would otherwise make every future
+    # errorifexists write fail until vacuum — the table would wedge)
+    taken = set(versions(spark, path))
+    root = Path(path)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    taken.add(int(name[2:]))
+                except ValueError:
+                    pass
+    version = (max(taken) + 1) if taken else 1
     while True:
         data = _data_dir(path, version)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data)
+        try:
+            writer.parquet(data)
+        except AnalysisException:
+            # another writer (or an unseen orphan) took this data dir
+            # between our scan and the write — retry at the next slot;
+            # re-raise anything that is not a path collision
+            if not fs.exists(Path(data)):
+                raise
+            version += 1
+            continue
         doc = {"version": version, "data_dir": data, **(meta or {})}
         tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
         out = fs.create(tmp, True)
@@ -107,8 +134,8 @@ def commit_version(
         final = Path(f"{_manifest_dir(path)}/{version}.json")
         if fs.rename(tmp, final):
             return version
-        # lost the race for this number: discard our data dir and
-        # manifest temp, take the next slot
+        # lost the manifest race for this number: discard our data
+        # dir and manifest temp, take the next slot
         fs.delete(tmp, False)
         fs.delete(Path(data), True)
         version += 1

@@ -32,14 +32,17 @@ TABLES = (
 )
 
 
-def parquet_ts_units(path: str) -> dict[str, str]:
-    """Footer probe: timestamp column name → physical unit ('ns'/'us'/
-    'ms'/'s') for one parquet file or the first file of a directory.
+def parquet_ts_meta(path: str) -> dict[str, tuple[str, str | None]]:
+    """Footer probe: timestamp column name → (physical unit, tz) for
+    one parquet file or the first file of a directory. tz is None for
+    local/unzoned (isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ)
+    and a zone string (usually 'UTC') for instant-semantics columns
+    (→ Spark reads true TIMESTAMP).
 
     The driver regenerates the testdata between rounds and has already
     switched ``events.ts`` from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)
-    once; every reader routes through this probe so the physical unit
-    is an input, never an assumption.
+    once; every reader routes through this probe so the physical
+    layout is an input, never an assumption.
     """
     import glob as _glob
 
@@ -51,8 +54,15 @@ def parquet_ts_units(path: str) -> dict[str, str]:
         path = hits[0] if hits else path
     schema = pq.ParquetFile(path).schema_arrow
     return {
-        f.name: f.type.unit for f in schema if pa.types.is_timestamp(f.type)
+        f.name: (f.type.unit, f.type.tz)
+        for f in schema
+        if pa.types.is_timestamp(f.type)
     }
+
+
+def parquet_ts_units(path: str) -> dict[str, str]:
+    """Unit-only view of parquet_ts_meta (name → 'ns'/'us'/'ms'/'s')."""
+    return {name: unit for name, (unit, _tz) in parquet_ts_meta(path).items()}
 
 
 def _normalize_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -108,10 +118,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     events_path = os.path.join(sf_dir, "events.parquet")
-    unit = parquet_ts_units(events_path).get("ts", "us")
+    unit, tz = parquet_ts_meta(events_path).get("ts", ("us", None))
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_field, fix = "ts long", F.expr("timestamp_micros(ts div 1000)")
+    elif tz is not None:
+        # isAdjustedToUTC=true (the Spark/pandas default layout):
+        # Spark reads a true TIMESTAMP natively — declaring NTZ here
+        # would either fail the conversion or drift from load_table
+        ts_field, fix = "ts timestamp", F.col("ts")
     else:
         ts_field, fix = "ts timestamp_ntz", F.col("ts").cast("timestamp")
     schema = (

@@ -9,8 +9,9 @@ simhash_neardup_pairs`` + keep-first policy.
 Design: foreachBatch + a persistent band-index table, NOT an
 in-memory state store. Each batch:
 
-1. computes 60-bit SimHash signatures map-side (the same JVM
-   expression as batch — no Python in the signature path),
+1. computes 60-bit SimHash signatures — token hashing is JVM-side,
+   the bit-majority vote runs in the same Arrow numpy kernel the
+   batch operator uses (llm/dedup.py::simhash, kernel="arrow"),
 2. explodes them into 4 x 16-bit band keys,
 3. equi-joins the batch's band keys against the on-disk band index
    (prior batches' survivors) and verifies candidates with
@@ -42,8 +43,6 @@ conformance query.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,6 +50,19 @@ from temp_data_pipeline_spark.llm.dedup import cap_bucket, hamming64, simhash
 
 _BANDS = 4
 _BAND_SCHEMA = "doc_id long, chunk_id int, chunk long, _sig long"
+
+
+def _index_exists(spark: SparkSession, index_dir: str) -> bool:
+    """Scheme-agnostic (Hadoop FS) probe for a non-empty band index —
+    os.path would silently report 'no index' on HDFS/S3 and disable
+    cross-batch dedup forever."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    glob = jvm.org.apache.hadoop.fs.Path(index_dir + "/*.parquet")
+    return len(fs.globStatus(glob) or []) > 0
 
 
 def _banded_sigs(
@@ -109,15 +121,39 @@ def neardup_ingest_batch(
         docs, text_col, id_col, nbits, hash_fn, max_bucket
     ).localCheckpoint()
 
-    # 1) cross-batch: candidates share a band with an indexed doc
-    if os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(index_dir) for f in fs
-    ):
+    # 1) cross-batch: candidates share a band with an indexed doc.
+    if _index_exists(spark, index_dir):
         idx = spark.read.schema(_BAND_SCHEMA).parquet(index_dir)
+        # REPLAY SAFETY: a crash between the band append and the
+        # survivor write makes foreachBatch re-run this batch with its
+        # own bands already indexed — without exclusion every doc
+        # matches itself (hamming 0) and the whole batch silently
+        # vanishes from the output. Anti-joining the batch's ids out
+        # of the index side makes the step idempotent: within-batch
+        # ordering is re-derived by step 2, cross-batch matches are
+        # unaffected (a genuine re-arrival carries a different id).
+        idx = idx.join(bands.select("doc_id").distinct(), "doc_id", "left_anti")
+        # a replayed append also leaves duplicate index ROWS; dedupe
+        # so the cap ranking below counts each doc once per band
+        idx = idx.dropDuplicates(["doc_id", "chunk_id"])
+        # GLOBAL CAP PARITY: the batch operator (and the conformance
+        # oracle's QUALIFY) caps each band bucket at the `max_bucket`
+        # LOWEST ids over the whole corpus; the per-batch cap inside
+        # _banded_sigs only bounds this batch. Re-rank index ∪ batch
+        # together so a bucket that filled up in earlier batches stops
+        # pairing — ids arrive in order (the documented equivalence
+        # precondition), so earlier rows always outrank later ones and
+        # the combined cap reproduces the batch cap exactly.
+        combined = cap_bucket(
+            idx.unionByName(bands), ["chunk_id", "chunk"], "doc_id", max_bucket
+        ).localCheckpoint()
+        batch_ids = bands.select("doc_id").distinct()
+        b_side = combined.join(batch_ids, "doc_id", "left_semi")
+        i_side = combined.join(batch_ids, "doc_id", "left_anti")
         cross_dup = (
-            bands.alias("b")
+            b_side.alias("b")
             .join(
-                idx.alias("i"),
+                i_side.alias("i"),
                 (F.col("b.chunk_id") == F.col("i.chunk_id"))
                 & (F.col("b.chunk") == F.col("i.chunk")),
             )
@@ -125,15 +161,17 @@ def neardup_ingest_batch(
             .select(F.col("b.doc_id"))
             .distinct()
         )
+        pair_bands = b_side  # within-batch pairs obey the global cap too
     else:
         cross_dup = spark.createDataFrame([], "doc_id long")
+        pair_bands = bands
 
     # 2) within-batch: drop any doc pairing with a lower id — the
     # same band self-join as llm/dedup.simhash_neardup_pairs, run on
     # the ALREADY-checkpointed band table so signatures compute once
     # per batch (calling the standalone operator would re-tokenize and
     # re-hash everything a second time)
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = pair_bands.alias("a"), pair_bands.alias("b")
     within_dup = (
         a.join(
             b,
@@ -177,10 +215,12 @@ def stream_neardup_ingest(
     ``index_dir``. Returns the started StreamingQuery.
 
     Restart note: foreachBatch may replay the last uncommitted batch;
-    the band append is per-(doc, band) idempotent at read time because
-    duplicate index rows only create duplicate CANDIDATES, never
-    duplicate emissions (survivor output is replayed identically), and
-    compaction dedupes the index (maintenance ops).
+    the ingest step is replay-idempotent because the batch's own ids
+    are anti-joined out of the index side (a crashed run's premature
+    band append can never make a doc match itself) and duplicate index
+    rows are deduped before cap ranking — survivor output replays
+    identically; compaction dedupes the index at rest (maintenance
+    ops).
     """
 
     def _run(batch_df: DataFrame, batch_id: int) -> None:

@@ -407,3 +407,16 @@ class TestCurationFunnel:
         )
         assert open_["classifier"] == open_["repetition"]
         assert shut["classifier"] == 0 and shut["dedup"] == 0
+
+
+def test_mix_temperature_null_stratum_kept(spark):
+    """NULL strata are a real group: they set/respect thresholds like
+    any other instead of being silently dropped."""
+    rows = [(i, None if i < 10 else "en") for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_temperature(df, alpha=0.5)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # null group is the smallest stratum -> keeps everything
+    assert counts.get(None) == 10
+    # en keeps ~sqrt(10/100) ~= 32%
+    assert 10 < counts.get("en", 0) < 60

@@ -101,3 +101,39 @@ def test_index_survives_restart(spark, tmp_path):
     q.awaitTermination()
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {9}  # doc 2 is a near-dup of indexed doc 0
+
+
+def test_replayed_batch_does_not_match_itself(spark, tmp_path):
+    """Crash-replay regression: if a batch's bands landed in the index
+    but the survivor write never committed, re-running the SAME batch
+    must emit the same survivors — not drop everything as hamming-0
+    self-matches."""
+    idx = str(tmp_path / "index")
+    first = _df(spark, _DOCS[0:3])
+    want = {r["doc_id"] for r in neardup_ingest_batch(first, idx).collect()}
+    assert want == {0, 1}  # doc 2 is a near-dup of 0
+
+    # simulate the crash: bands are in the index; the batch replays
+    got = {r["doc_id"] for r in neardup_ingest_batch(first, idx).collect()}
+    assert got == want
+
+
+def test_cap_is_global_across_batches(spark, tmp_path):
+    """A band bucket that fills to max_bucket in batch 1 must stop
+    generating candidates in batch 2 — the batch operator's (and the
+    oracle's) lowest-N global cap, not a fresh per-batch cap."""
+    idx = str(tmp_path / "index")
+    base = _long("token")
+    # batch 1: two byte-identical docs — every band bucket fills to
+    # exactly the cap with ids {0, 1}
+    b1 = _df(spark, [(0, base), (1, base)])
+    s1 = {r["doc_id"] for r in
+          neardup_ingest_batch(b1, idx, max_bucket=2).collect()}
+    assert s1 == {0}  # 1 drops against 0
+    # batch 2: a third identical doc; all its band buckets already
+    # hold ids {0, 1} = cap, so doc 2 pairs with NOTHING and survives
+    # (exactly what the batch QUALIFY <= 2 cap yields for rank-3 rows)
+    b2 = _df(spark, [(2, base)])
+    s2 = {r["doc_id"] for r in
+          neardup_ingest_batch(b2, idx, max_bucket=2).collect()}
+    assert s2 == {2}

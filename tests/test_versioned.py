@@ -57,13 +57,17 @@ class TestCrashSafety:
         _df(spark, [(9, "ghost", 1)]).write.parquet(f"{p}/v=2")
         assert versions(spark, p) == [1]
         assert {r["val"] for r in read_version(spark, p).collect()} == {"a"}
-        # the next committer skips past the orphan number is NOT
-        # required — it must simply never make the orphan visible;
-        # vacuum removes it
+        # a later commit must NOT wedge on the orphan dir: it skips to
+        # the next free number and the ghost rows never surface
+        v = commit_version(_df(spark, [(2, "b", 20)]), p)
+        assert v == 3
+        assert versions(spark, p) == [1, 3]
+        assert {r["val"] for r in read_version(spark, p).collect()} == {"b"}
+        # vacuum reclaims the orphan (and expired history)
         dropped = vacuum(spark, p, keep_last=5)
         assert dropped == []
         assert not os.path.exists(f"{p}/v=2")
-        assert versions(spark, p) == [1]
+        assert versions(spark, p) == [1, 3]
 
 
 class TestCommitMerge:
