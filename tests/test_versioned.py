@@ -101,3 +101,41 @@ class TestVacuum:
         assert read_version(spark, p, 4).count() == 1
         with pytest.raises(FileNotFoundError):
             read_version(spark, p, 1)
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import snapshot_diff
+
+        p = str(tmp_path / "tbl")
+        commit_version(_df(spark, [(1, "a", 10), (2, "b", 10), (3, "c", 10)]), p)
+        commit_version(_df(spark, [(1, "a", 10), (2, "B", 20), (4, "d", 20)]), p)
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(spark, p, 1, 2, ["k"]).collect()
+        }
+        # 1 unchanged (absent), 2 changed, 3 removed, 4 added
+        assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_transitions_count_as_changed(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import snapshot_diff
+
+        p = str(tmp_path / "tbl")
+        commit_version(_df(spark, [(1, None, 10), (2, "x", 10)]), p)
+        commit_version(_df(spark, [(1, "now-set", 10), (2, "x", 10)]), p)
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(spark, p, 1, 2, ["k"]).collect()
+        }
+        assert got == {1: "changed"}
+
+    def test_missing_key_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from temp_data_pipeline_spark.operators.versioned import snapshot_diff
+
+        p = str(tmp_path / "tbl")
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        with _pytest.raises(ValueError, match="absent"):
+            snapshot_diff(spark, p, 1, 2, ["no_such_col"])
