@@ -634,69 +634,62 @@ def embedding_neardup_pairs(
     full signature to match has vanishing recall below cosine ≈ 0.95);
     exact cosine verifies candidates. Emits pairs ≥ threshold.
     Band buckets are capped at `max_bucket` rows (see cap_bucket).
+
+    Verify is BUCKET-LOCAL BLOCK COMPUTE (the FAISS-style shape):
+    every capped band bucket ships its ≤max_bucket normalized rows to
+    ONE applyInPandas group, which scores all within-bucket pairs as
+    a single numpy matmul and emits only survivors. Candidates never
+    exist as rows — versus the previous (band self-join → pair dedup
+    → two vector join-backs → per-pair dot) plan this removes the
+    quadratic candidate exchange entirely: what moves is bucket rows
+    (corpus × bands × vector bytes, cap-bounded per bucket), not
+    candidate pairs × two vectors (orders of magnitude more at any
+    realistic collision rate). A pair sharing several buckets scores
+    in each; the final dedup shuffles survivors only.
     """
     import random
+
+    import numpy as np
 
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nbits)]
 
-    # L2-normalization lives on its OWN branch: the verify join-backs
-    # below re-scan the source for vectors only and never pay for the
-    # signature computation. Pre-normalizing moves the norm work out
-    # of the per-PAIR verify — candidates outnumber rows by orders of
-    # magnitude, so verify cost drops to one dot per pair.  Normalize
-    # and the per-pair dot are Arrow pandas UDFs (batch numpy): the
-    # pair count is quadratic-ish in bucket occupancy, and interpreted
-    # per-element lambdas on ~1e5-1e6 pairs were the dominant cost.
-    # Only the ≥ threshold DECISION leaves this stage (ids are the
-    # output), so numpy-vs-sequential summation ulp differences can't
-    # reach the emitted values.
-    vecs = ensure_parallelism(df).select(
-        F.col(id_col), l2_normalize_udf()(F.col(vec_col)).alias("_vn")
-    )
-    if materialize:
-        # both verify join-backs read this branch; without the
-        # checkpoint each side re-runs the Arrow normalize over the
-        # full corpus (same reuse pattern as semdedup's assignment)
-        vecs = vecs.localCheckpoint()
-
-    # Candidate generation carries ONLY ids: the (band join → pair
-    # dedup) shuffles move 16 bytes per candidate instead of two
-    # 64-float vectors — the join-back below re-attaches vectors once
-    # per SURVIVING pair, keyed by id.  Band values come from ONE
-    # Arrow-batched numpy matmul (plane_bands_udf) rather than
-    # interpreted per-element lambdas.
-    banded = ensure_parallelism(df).select(
-        id_col,
+    # one scan computes both Arrow kernels (normalize + band matmul)
+    rows = ensure_parallelism(df).select(
+        F.col(id_col),
+        l2_normalize_udf()(F.col(vec_col)).alias("_vn"),
         F.posexplode(plane_bands_udf(planes, bands)(F.col(vec_col))).alias(
             "band_id", "band_val"
         ),
     )
-    # materialize capped bands before the self-join — else both sides
-    # re-run the plane-dot signature pipeline (see simhash_neardup_pairs)
-    banded = cap_bucket(banded, ["band_id", "band_val"], id_col, max_bucket)
+    rows = cap_bucket(rows, ["band_id", "band_val"], id_col, max_bucket)
     if materialize:
-        banded = banded.localCheckpoint()
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        rows = rows.localCheckpoint()
+
+    thr = float(threshold)
+    _id = id_col
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[_id].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["_vn"].to_numpy())[order]
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "cosine": sims[iu][keep],
+            }
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+
+    # cap_bucket's window and this groupBy share the (band_id,
+    # band_val) clustering — one exchange feeds both
+    pairs = rows.groupBy("band_id", "band_val").applyInPandas(
+        _bucket_pairs, "id_a long, id_b long, cosine double"
     )
-    return (
-        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_vn").alias("_va")), "id_a")
-        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb")), "id_b")
-        .withColumn("cosine", pair_dot_udf()(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
