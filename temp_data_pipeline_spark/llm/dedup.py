@@ -600,23 +600,6 @@ def l2_normalize_udf():
     return _norm
 
 
-def pair_dot_udf():
-    """Arrow pandas UDF: elementwise dot of two equal-length
-    array<double> columns — the per-candidate-pair verify kernel.
-    One batched einsum instead of an interpreted zip_with/aggregate
-    fold per pair (candidate pairs outnumber vectors by orders of
-    magnitude, so this is the hot loop of LSH verification)."""
-    import numpy as np
-
-    @F.pandas_udf("double")
-    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy())
-        mb = np.stack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-    return _dot
-
-
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.llm.dedup import (
     cosine_sim,
     l2_normalize_udf,
-    pair_dot_udf,
     plane_bands_udf,
 )
 from temp_data_pipeline_spark.session import ensure_parallelism
@@ -483,32 +482,41 @@ def semdedup(
     # the same pattern)
     if materialize:
         assigned = assigned.localCheckpoint()
-    # Pre-normalize ONCE per row: the per-PAIR verify is then a single
-    # dot product instead of dot + two norms — pairs outnumber rows by
-    # orders of magnitude inside dense cells.  Normalize and the
-    # per-pair dot are Arrow numpy kernels (see dedup.l2_normalize_udf
-    # / pair_dot_udf); only the ≥ threshold decision leaves the verify,
-    # so summation-order ulp differences can't reach emitted values.
+    # Pre-normalize ONCE per row, then verify each capped cell as ONE
+    # bucket-local numpy matmul (the same FAISS-style block compute as
+    # dedup.embedding_neardup_pairs): the cell's rows ship once to one
+    # applyInPandas group, all within-cell pair scores come from a
+    # single M @ M.T, and only duplicate IDS leave the kernel —
+    # candidate pairs never materialize as rows. Only the ≥ threshold
+    # decision is emitted, so summation-order ulp differences can't
+    # reach emitted values.
     base = assigned.select(
         F.col(id_col),
         F.col("_cell"),
         l2_normalize_udf()(F.col(vec_col)).alias("_nv"),
     )
     capped = cap_bucket(base, ["_cell"], id_col, max_bucket)
-    if materialize:
-        # normalized vectors compute once, not once per join side
-        capped = capped.localCheckpoint()
-    a, b = capped.alias("a"), capped.alias("b")
-    dup_ids = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter(pair_dot_udf()(F.col("a._nv"), F.col("b._nv")) >= threshold)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-    )
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    _id = id_col
+
+    def _cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[_id].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["_nv"].to_numpy())[order]
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        dup = np.unique(ids[iu[1][sims[iu] >= thr]])
+        return pd.DataFrame({_id: dup})
+
+    # cap_bucket's window and this groupBy share the _cell clustering;
+    # cells partition the id space, so the per-cell np.unique already
+    # makes dup ids globally distinct — no extra exchange needed
+    dup_ids = capped.groupBy("_cell").applyInPandas(_cell_dups, f"{id_col} long")
     return (
         assigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
         .select(
