@@ -89,6 +89,12 @@ def main() -> None:
     ).filter("r <= 5").count()
     spark.range(1000).dropDuplicates(["id"]).count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
+    # grouped-map (applyInPandas) runs a DIFFERENT Arrow eval path
+    # (FlatMapGroupsInPandas) than mapInPandas — warm it too, or the
+    # first bucket-matmul verify query pays its worker/JIT startup
+    spark.range(100).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], "id long"
+    ).count()
 
     # Arrow scalar-UDF workers importing numpy: every executor thread's
     # Python worker pays the numpy import once — do it here, not inside
