@@ -58,7 +58,8 @@ def fit_bpe(
     Returns the ranked merge list [(a, b), ...] — feed to apply_bpe.
     """
     rows = (
-        df.select(F.col(text_col).alias("t"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(text_col).alias("t"))
         .orderBy(F.col(id_col))
         .limit(sample_docs)
         .collect()
@@ -110,12 +111,14 @@ def bpe_encode_expr(
     codegen-friendly, zero Python, and replayable in DuckDB with the
     byte-identical replace sequence."""
     c = F.col(col) if isinstance(col, str) else col
-    enc = _encoded(c, merges)
-    return F.replace(F.replace(F.replace(enc, F.lit(_E + _S), F.lit(sep)), F.lit(_S), F.lit("")), F.lit(_E), F.lit(""))
+    return _unwrap(_encoded(c, merges), sep)
 
 
 def _encoded(c: Column, merges: list[tuple[str, str]]) -> Column:
-    wrapped = F.regexp_replace(c, "([^ ])", f"{_S}$1{_E}")
+    # raw \x01/\x02 bytes in crawled text would read as sentinels and
+    # corrupt the unwrap — strip them first (mirror this in any oracle)
+    clean = F.regexp_replace(c, f"[{_S}{_E}]", "")
+    wrapped = F.regexp_replace(clean, "([^ ])", f"{_S}$1{_E}")
     if not merges:  # empty F.array() types as array<void> — skip the fold
         return wrapped
     pairs = F.array(
@@ -128,6 +131,16 @@ def _encoded(c: Column, merges: list[tuple[str, str]]) -> Column:
         ]
     )
     return F.aggregate(pairs, wrapped, lambda acc, m: F.replace(acc, m["p"], m["r"]))
+
+
+def _unwrap(enc: Column, sep: str) -> Column:
+    """Sentinel-wrapped encoding → human form: within-word subword
+    boundaries become ``sep``, sentinels vanish, spaces stay."""
+    return F.replace(
+        F.replace(F.replace(enc, F.lit(_E + _S), F.lit(sep)), F.lit(_S), F.lit("")),
+        F.lit(_E),
+        F.lit(""),
+    )
 
 
 def apply_bpe(
@@ -148,9 +161,6 @@ def apply_bpe(
     n_sub = (F.length(enc) - F.length(F.replace(enc, F.lit(_S), F.lit("")))).cast(
         "long"
     )
-    bpe = F.replace(
-        F.replace(F.replace(enc, F.lit(_E + _S), F.lit(sep)), F.lit(_S), F.lit("")),
-        F.lit(_E),
-        F.lit(""),
+    return df.select(
+        F.col(id_col), _unwrap(enc, sep).alias("bpe"), n_sub.alias("n_subwords")
     )
-    return df.select(F.col(id_col), bpe.alias("bpe"), n_sub.alias("n_subwords"))

@@ -661,18 +661,25 @@ def embedding_neardup_pairs(
         m = np.stack(pdf["_vn"].to_numpy())[order]
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= thr
+        upper = sims[iu]
+        keep = upper >= thr
         return pd.DataFrame(
             {
                 "id_a": ids[iu[0][keep]],
                 "id_b": ids[iu[1][keep]],
-                "cosine": sims[iu][keep],
+                "cosine": upper[keep],
             }
         )
 
     # cap_bucket's window and this groupBy share the (band_id,
-    # band_val) clustering — one exchange feeds both
+    # band_val) clustering — one exchange feeds both. The id schema
+    # follows the input (string/decimal ids work; ordering semantics
+    # are whatever `<` means for the type, as in the join-based plan).
+    id_type = dict(rows.dtypes)[id_col]
     pairs = rows.groupBy("band_id", "band_val").applyInPandas(
-        _bucket_pairs, "id_a long, id_b long, cosine double"
+        _bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    # max over co-bucketed duplicates: different-shaped per-bucket
+    # matmuls may disagree in the last ulp, and dropDuplicates would
+    # keep an arbitrary one — max is deterministic
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))

@@ -516,7 +516,10 @@ def semdedup(
     # cap_bucket's window and this groupBy share the _cell clustering;
     # cells partition the id space, so the per-cell np.unique already
     # makes dup ids globally distinct — no extra exchange needed
-    dup_ids = capped.groupBy("_cell").applyInPandas(_cell_dups, f"{id_col} long")
+    id_type = dict(capped.dtypes)[id_col]
+    dup_ids = capped.groupBy("_cell").applyInPandas(
+        _cell_dups, f"{id_col} {id_type}"
+    )
     return (
         assigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
         .select(

@@ -208,15 +208,26 @@ def snapshot_diff(
     shared = [c for c in new.columns if c in set(old.columns)]
     missing = [k for k in keys if k not in shared]
     if missing:
-        raise ValueError(f"key columns absent from both versions: {missing}")
+        raise ValueError(
+            f"key columns absent from at least one version: {missing}"
+        )
     val_cols = [c for c in shared if c not in keys]
     # all-key tables degrade to presence-only diff (added/removed)
     payload = (lambda: F.struct(*val_cols)) if val_cols else (lambda: F.lit(True))
-    o = old.select(*keys, payload().alias("_vo"))
-    n = new.select(*keys, payload().alias("_vn"))
-    j = o.withColumn("_po", F.lit(True)).join(
-        n.withColumn("_pn", F.lit(True)), list(keys), "full_outer"
-    )
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys], payload().alias("_vo")
+    ).withColumn("_po", F.lit(True))
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys], payload().alias("_vn")
+    ).withColumn("_pn", F.lit(True))
+    # NULL-safe key equality: a plain equi-join never matches NULL
+    # keys, which would report an unchanged NULL-key row as both
+    # added and removed
+    cond = None
+    for k in keys:
+        c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_po").isNull(), F.lit("added"))
         .when(F.col("_pn").isNull(), F.lit("removed"))
@@ -225,7 +236,13 @@ def snapshot_diff(
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*keys, "change_type")
+        .select(
+            *[
+                F.coalesce(F.col(f"_kn_{k}"), F.col(f"_ko_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
     )
 
 

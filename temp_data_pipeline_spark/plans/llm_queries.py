@@ -1878,8 +1878,10 @@ _BPE_MERGES = [
 
 def _bpe_chain_sql(col: str) -> str:
     """The encode as a nested-replace chain over the \\x01sym\\x02
-    wrapped representation — byte-identical to apply_bpe's fold."""
-    chain = f"regexp_replace({col}, '([^ ])', '\x01\\1\x02', 'g')"
+    wrapped representation — byte-identical to apply_bpe's fold
+    (including the sentinel-byte pre-strip)."""
+    stripped = f"regexp_replace({col}, '[\x01\x02]', '', 'g')"
+    chain = f"regexp_replace({stripped}, '([^ ])', '\x01\\1\x02', 'g')"
     for a, b in _BPE_MERGES:
         chain = f"replace({chain}, '\x01{a}\x02\x01{b}\x02', '\x01{a}{b}\x02')"
     return chain

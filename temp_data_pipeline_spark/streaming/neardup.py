@@ -144,6 +144,12 @@ def neardup_ingest_batch(
         # pairing — ids arrive in order (the documented equivalence
         # precondition), so earlier rows always outrank later ones and
         # the combined cap reproduces the batch cap exactly.
+        # Only buckets this batch TOUCHES can pair this batch, so the
+        # index is semi-joined to the batch's bucket keys before the
+        # re-rank — per-batch work stays O(batch × occupancy), not
+        # O(total index), and the output is identical.
+        touched = bands.select("chunk_id", "chunk").distinct()
+        idx = idx.join(touched, ["chunk_id", "chunk"], "left_semi")
         combined = cap_bucket(
             idx.unionByName(bands), ["chunk_id", "chunk"], "doc_id", max_bucket
         ).localCheckpoint()

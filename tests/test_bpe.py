@@ -105,3 +105,18 @@ class TestFitBpe:
         merges = fit_bpe(df, n_merges=2, sample_docs=5)
         # only the first 5 docs (by id) feed the fit
         assert set(merges) <= {("a", "a"), ("b", "b")}
+
+
+def test_sentinel_bytes_in_text_are_stripped_not_corrupting(spark):
+    """Raw \\x01/\\x02 bytes in crawled text must not be read as
+    symbol sentinels (they would delete neighbors and inflate counts)."""
+    got = _run(spark, ["a\x01b c\x02"], [])
+    assert got[0] == ("a|b c", 3)
+
+
+def test_null_text_does_not_crash_fit(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "aa bb aa")], "doc_id long, text string"
+    )
+    merges = fit_bpe(df, n_merges=1)
+    assert merges == [("a", "a")]

@@ -637,3 +637,27 @@ class TestQuantizeInt8:
         )
         plan = similarity.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # map-only: runs at scan speed
+
+
+def test_embedding_neardup_supports_string_ids(spark):
+    from temp_data_pipeline_spark.llm.dedup import embedding_neardup_pairs
+
+    rows = [("docA", [1.0, 0.0]), ("docB", [0.999, 0.04]), ("docC", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(df, threshold=0.9, nbits=8, bands=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {("docA", "docB")}
+
+
+def test_embedding_neardup_cosine_deterministic_across_runs(spark):
+    import random
+
+    from temp_data_pipeline_spark.llm.dedup import embedding_neardup_pairs
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, embedding_neardup_pairs(df, threshold=0.2).collect()))
+    b = sorted(map(tuple, embedding_neardup_pairs(df, threshold=0.2).collect()))
+    assert a == b and len(a) > 0  # max-over-buckets makes values stable

@@ -139,3 +139,24 @@ class TestSnapshotDiff:
         commit_version(_df(spark, [(1, "a", 10)]), p)
         with _pytest.raises(ValueError, match="absent"):
             snapshot_diff(spark, p, 1, 2, ["no_such_col"])
+
+
+def test_snapshot_diff_null_keys_match_nullsafe(spark, tmp_path):
+    """An unchanged NULL-key row must NOT be reported (plain equi-join
+    would split it into added+removed)."""
+    from temp_data_pipeline_spark.operators.versioned import snapshot_diff
+
+    p = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(None, "a", 10), (1, "b", 10)], "k long, val string, ts long"
+    )
+    df2 = spark.createDataFrame(
+        [(None, "a", 10), (1, "B", 20)], "k long, val string, ts long"
+    )
+    commit_version(df1, p)
+    commit_version(df2, p)
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(spark, p, 1, 2, ["k"]).collect()
+    }
+    assert got == {1: "changed"}  # the NULL-key row is unchanged
