@@ -80,12 +80,6 @@ _DRIVER_WINDOW = 50
 _LAST_VERIFIED = {
     # r2 green (not re-snapshotted since)
     **{n: 2 for n in (
-        "q_window_roll", "q_window_expand", "q_split", "q_union",
-        "q_datetime", "q_harmonic", "q_quantile", "q_metrics",
-        "q_events_window", "q_quantile_group", "llm_token_count",
-        "llm_token_bpe", "llm_text_quality", "llm_gopher", "llm_lang_id",
-        "llm_fingerprint", "llm_dedup_exact", "llm_minhash", "llm_simhash",
-        "llm_ann_topk", "llm_neardup_window", "llm_simhash_neardup",
         "llm_hash_split", "llm_decontam", "llm_repetition",
         "llm_stratified", "llm_keywords", "llm_topk_lang", "llm_centroid",
         "llm_lm_score", "llm_chunk", "llm_pack", "llm_pii",
@@ -93,37 +87,47 @@ _LAST_VERIFIED = {
     )},
     # r3 green
     **{n: 3 for n in (
-        "llm_bloom_decontam", "llm_dup_ngram_frac", "llm_heavy_hitters",
-        "llm_semdedup", "q_pipeline_clean", "q_skew_agg",
+        "llm_heavy_hitters", "q_pipeline_clean", "q_skew_agg",
         "q_pipeline_daily", "q_isd_parse", "q_ghcnh_parse", "q_ts_parse",
         "q_lead_hours", "q_season", "q_units", "q_json_extract",
         "q_semi_join", "q_anti_join", "q_intersect", "q_except",
         "q_rollup", "q_pivot", "q_cube", "q_rank_topn", "q_cardinality",
-        "q_incr_rollup", "llm_dup_clusters", "llm_embed_neardup",
-        "llm_minhash_dedup", "llm_ann_lsh_topk", "llm_multimodal",
+        "q_incr_rollup", "llm_minhash_dedup", "llm_multimodal",
         "q_agg", "q_scan", "q_filter", "q_project", "q_case", "q_dedup",
         "q_join", "q_multijoin", "q_bitor", "q_window_lag",
     )},
+    # r4 green (CORRECTNESS_r04.json: 49 of 50 snapshotted)
+    **{n: 4 for n in (
+        "llm_ann_lsh_topk", "llm_ann_topk", "llm_bloom_decontam",
+        "llm_bpe_encode", "llm_classifier", "llm_curation_funnel",
+        "llm_dedup_exact", "llm_dup_clusters", "llm_dup_ngram_frac",
+        "llm_embed_neardup", "llm_filtered_ann", "llm_fingerprint",
+        "llm_gopher", "llm_intra_dup", "llm_ivf_topk", "llm_lang_id",
+        "llm_minhash", "llm_mix_temperature", "llm_neardup_window",
+        "llm_pq_topk", "llm_semdedup", "llm_simhash",
+        "llm_simhash_neardup", "llm_span_dedup", "llm_text_quality",
+        "llm_token_bpe", "llm_token_count", "q_asof_forward",
+        "q_asof_join", "q_datetime", "q_events_window", "q_gap_fill",
+        "q_harmonic", "q_keep_latest", "q_metrics", "q_quantile",
+        "q_quantile_group", "q_range_join", "q_session_window",
+        "q_sessionize", "q_split", "q_stream_events", "q_stream_join",
+        "q_stream_neardup", "q_stream_sessions", "q_union",
+        "q_window_expand", "q_window_range", "q_window_roll",
+    )},
 }
 
-# Implementations (or their physical inputs) changed since each query's
-# last green driver record:
-#   - the 11 queries broken by the events.ts ns→µs regeneration (repaired
-#     round 4 via registry._normalize_ts / events_stream, no r4 driver run);
-#   - the 5 vector/ngram queries whose hot loops moved to Arrow numpy
-#     kernels round 4 (plane_bands_udf / cell_assign_udf / pair_dot_udf /
-#     hashed-gram single-exchange dup_ngram);
-#   - llm_bloom_decontam: bitset auto-sizing (same result by contract —
-#     the gate is FP-transparent — but the gate math changed);
-#   - llm_dup_clusters: bounded driver union-find finish for small
-#     contracted graphs (both paths property-pinned equal).
+# Implementations changed in round 5 since their last green record:
+#   - llm_quantize_int8: never green (r4's only red) — output reshaped
+#     to scalar codes_csv so the driver canonicalizer can sort it;
+#   - llm_dup_clusters: fixpoint detector generalized to non-numeric
+#     ids (hash-sum signature; numeric path byte-identical);
+#   - llm_keywords: unused eager n_docs count removed from the
+#     rank-only path (plan changed, ranking math untouched);
+#   - llm_curation_funnel: top_token_frac reworked from O(distinct·n)
+#     transform×filter to sort_array + linear run-length fold.
 _RECHECK = [
-    "q_asof_join", "q_asof_forward", "q_sessionize", "q_session_window",
-    "q_range_join", "q_gap_fill", "q_keep_latest", "q_window_range",
-    "q_stream_events", "q_stream_join", "q_stream_sessions",
-    "llm_embed_neardup", "llm_ann_lsh_topk", "llm_semdedup",
-    "llm_ivf_topk", "llm_dup_ngram_frac", "llm_bloom_decontam",
-    "llm_dup_clusters",
+    "llm_quantize_int8", "llm_dup_clusters", "llm_keywords",
+    "llm_curation_funnel",
 ]
 
 

@@ -113,8 +113,14 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         spark = pairs.sparkSession
+        # schema follows the caller's id type (string doc ids are as
+        # valid as longs — the distributed path below is type-generic,
+        # and a hard-coded `long` here would throw
+        # FIELD_DATA_TYPE_UNACCEPTABLE on the common small-graph path)
+        id_type = dict(seed.dtypes)["node"]
         labels = spark.createDataFrame(
-            [(n, _find(n)) for n in parent], "node long, label long"
+            [(n, _find(n)) for n in parent],
+            f"node {id_type}, label {id_type}",
         )
         edges.unpersist()
         contracted = labels.select(
@@ -135,6 +141,27 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = None
 
+    # Fixpoint detector: labels are monotonically non-increasing, so
+    # for numeric ids an unchanged exact SUM(label) proves a fixpoint.
+    # For non-numeric ids (string doc ids) sum two independent 64-bit
+    # label hashes instead: a changed round would need its hash deltas
+    # to cancel in BOTH sums (≈2^-128) — and max_iter still bounds the
+    # loop. This keeps the check one tiny aggregate, no extra join.
+    numeric = dict(labels.dtypes)["label"] in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dict(labels.dtypes)["label"].startswith("decimal")
+
+    def _fixpoint_sig(lab):
+        if numeric:
+            return lab.agg(F.sum("label")).first()[0]
+        # decimal(38,0) accumulator: |hash| ≤ 2^63 ≈ 9.2e18, so the sum
+        # stays inside 38 digits up to ~1e19 rows — no ANSI long overflow
+        row = lab.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("label", F.lit(1)).cast("decimal(38,0)")),
+        ).first()
+        return (row[0], row[1])
+
     for _ in range(max_iter):
         # neighbor minimum, merged with own label in ONE aggregation
         # (union instead of join-back: one shuffle fewer per round)
@@ -152,8 +179,8 @@ def connected_components(
             merged.join(parent, "label", "left")
             .select("node", F.coalesce(F.col("_plabel"), F.col("label")).alias("label"))
         ).localCheckpoint()  # truncate lineage; materializes the round
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:  # labels only decrease ⇒ equal sum = fixpoint
+        cur_sum = _fixpoint_sig(labels)
+        if cur_sum == prev_sum:  # labels only decrease ⇒ equal sig = fixpoint
             break
         prev_sum = cur_sum
     edges.unpersist()

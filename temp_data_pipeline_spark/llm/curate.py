@@ -100,7 +100,6 @@ def top_keywords(
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
     joined = tf.join(dfreq, "term")
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
@@ -111,6 +110,10 @@ def top_keywords(
         .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tf", "df")
     )
     if with_score:
+        # the corpus size is only needed for the idf magnitude; keep
+        # this count inside the branch — the rank-only path (the
+        # conformance query) must not pay an eager extra scan for it
+        n_docs = df.select(id_col).distinct().count()
         out = out.withColumn(
             "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
         )
@@ -507,14 +510,32 @@ def curation_funnel(
     g_ok = flags["gopher_pass"]
 
     distinct_ratio = F.size(F.array_distinct(t)).cast("double") / nt
-    top_token_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
-            )
-        ).cast("double")
-        / nt
+    # max token multiplicity == longest run in the sorted token array:
+    # sort_array + one linear fold, O(n log n) per document, vs the
+    # naive distinct × per-element filter which is O(distinct · n)
+    # and quadratic on distinct-heavy long docs (ADVICE r4)
+    _sorted = F.sort_array(t)
+    _runstep = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
     )
+    _max_count = F.aggregate(
+        _sorted,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _runstep,
+        lambda acc: acc["best"],
+    )
+    top_token_frac = _max_count.cast("double") / nt
     r_ok = (top_token_frac <= max_top_token_frac) & (
         distinct_ratio >= min_distinct_ratio
     )

@@ -246,17 +246,35 @@ def snapshot_diff(
     )
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    orphan_grace: float = 86400.0,
+) -> list[int]:
     """Expire history: keep the newest ``keep_last`` versions, delete
     older snapshots AND orphan data dirs (crashed writers). Manifest
     removal first, then data — a reader holding an expired version
     number fails loudly at manifest resolution instead of scanning a
-    half-deleted directory. Returns the dropped version numbers."""
+    half-deleted directory. Returns the dropped version numbers.
+
+    An unmanifested ``v=N`` dir is only an *orphan* once it is older
+    than ``orphan_grace`` seconds (modification time): a concurrent
+    writer sits in exactly that state between its parquet write and
+    its manifest rename, and deleting the in-flight dir would let the
+    rename still succeed and commit a version pointing at deleted
+    data (ADVICE r4). Pass ``orphan_grace=0`` only when no writer can
+    be running. Expired *committed* versions carry no such race —
+    their manifests exist and are removed first."""
+    import time
+
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     committed = versions(spark, path)
     drop = committed[:-keep_last] if keep_last > 0 else committed
     keep = set(committed) - set(drop)
+    dropped = set(drop)
+    now_ms = time.time() * 1000.0
     for v in drop:
         fs.delete(Path(f"{_manifest_dir(path)}/{v}.json"), False)
         fs.delete(Path(_data_dir(path, v)), True)
@@ -269,6 +287,9 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
                     v = int(name[2:])
                 except ValueError:
                     continue
-                if v not in keep:  # orphan or just-expired
+                if v in keep or v in dropped:
+                    continue
+                # never-manifested dir: possibly an in-flight writer
+                if now_ms - st.getModificationTime() >= orphan_grace * 1000.0:
                     fs.delete(st.getPath(), True)
     return drop

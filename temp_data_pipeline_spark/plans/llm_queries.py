@@ -1745,10 +1745,11 @@ def llm_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS scale,
            CASE WHEN amax > 0.0
-                THEN list_transform(v, x -> CAST(greatest(-127.0,
-                       least(127.0, floor(x * 127.0 / amax + 0.5))) AS INT))
-                ELSE list_transform(v, x -> 0)
-           END AS codes
+                THEN array_to_string(list_transform(v, x ->
+                       CAST(greatest(-127.0, least(127.0,
+                         floor(x * 127.0 / amax + 0.5))) AS INT)), ',')
+                ELSE array_to_string(list_transform(v, x -> 0), ',')
+           END AS codes_csv
     FROM (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
@@ -1761,12 +1762,23 @@ def llm_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round-half-up codes clamped to ±127): 4x embedding "
         "compression as map-only JVM array expressions — no shuffle, "
         "no UDF, runs at scan speed. Codes are integers and the scale "
-        "is one IEEE-exact divide, so the compare is bit-exact."
+        "is one IEEE-exact divide, so the compare is bit-exact. The "
+        "driver-facing shape flattens codes to one CSV string per "
+        "vector (the harness canonicalizer can't sort list cells — "
+        "same flattening pattern as llm_minhash's mh0..mh3); the "
+        "in-engine API (similarity.quantize_int8) keeps array<int>."
     ),
 )
 def llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(e).orderBy("vec_id")
+    q = similarity.quantize_int8(e)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
+    ).orderBy("vec_id")
 
 
 _W_TOK_SQL = (

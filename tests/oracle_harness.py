@@ -54,8 +54,26 @@ def run_oracle(name: str, sql: str, sf_dir: str):
     return cols, rows
 
 
+def assert_driver_canonicalizable(name: str, schema) -> None:
+    """The driver's canonicalizer sorts a pandas frame of the result;
+    array/map/struct top-level columns make that sort throw
+    (`unhashable type: 'list'`) and the query ships never-green.
+    Flatten vector outputs (CSV string / posexplode / mh0..mhN scalar
+    columns) before registering — this gate makes the mistake fail in
+    pytest instead of in the driver (VERDICT r4 item 1)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: driver-facing column {f.name!r} has non-scalar type "
+            f"{f.dataType.simpleString()}; flatten it (array_join / "
+            "posexplode / per-element columns) before registering"
+        )
+
+
 def compare_query(spark, spec, sf_dir: str) -> None:
     sdf = spec.builder(spark, sf_dir)
+    assert_driver_canonicalizable(spec.name, sdf.schema)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     d_cols, d_rows = run_oracle(spec.name, spec.oracle, sf_dir)

@@ -64,3 +64,38 @@ def test_empty_pairs_all_singletons(spark):
     out = cluster_labels(docs, _pairs(spark, [])).collect()
     assert all(r["is_representative"] for r in out)
     assert cluster_dedup(docs, _pairs(spark, [])).count() == 3
+
+
+def test_string_ids_take_driver_fast_path(spark):
+    # ADVICE r4: the driver union-find finish hard-coded `node long`;
+    # string doc ids on a small contracted graph (the common case)
+    # raised FIELD_DATA_TYPE_UNACCEPTABLE. Schema now follows id type.
+    schema = StructType(
+        [StructField("id_a", StringType()), StructField("id_b", StringType())]
+    )
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")], schema
+    )
+    comp = {r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }
+
+
+def test_string_ids_distributed_path_matches(spark):
+    # same graph forced through the O(log d) loop (driver_max_edges=0):
+    # both paths must label identically for non-long ids
+    schema = StructType(
+        [StructField("id_a", StringType()), StructField("id_b", StringType())]
+    )
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")], schema
+    )
+    comp = {r["node"]: r["cluster_id"]
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
+    assert comp == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }

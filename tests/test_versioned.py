@@ -63,8 +63,15 @@ class TestCrashSafety:
         assert v == 3
         assert versions(spark, p) == [1, 3]
         assert {r["val"] for r in read_version(spark, p).collect()} == {"b"}
-        # vacuum reclaims the orphan (and expired history)
+        # default vacuum leaves a FRESH unmanifested dir alone — it is
+        # indistinguishable from a writer mid-commit (data written,
+        # manifest rename pending); deleting it would race the rename
         dropped = vacuum(spark, p, keep_last=5)
+        assert dropped == []
+        assert os.path.exists(f"{p}/v=2")
+        # with the grace window waived (no concurrent writers), the
+        # orphan is reclaimed
+        dropped = vacuum(spark, p, keep_last=5, orphan_grace=0)
         assert dropped == []
         assert not os.path.exists(f"{p}/v=2")
         assert versions(spark, p) == [1, 3]
