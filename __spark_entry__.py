@@ -124,10 +124,13 @@ _LAST_VERIFIED = {
 #   - llm_keywords: unused eager n_docs count removed from the
 #     rank-only path (plan changed, ranking math untouched);
 #   - llm_curation_funnel: top_token_frac reworked from O(distinct·n)
-#     transform×filter to sort_array + linear run-length fold.
+#     transform×filter to sort_array + linear run-length fold;
+#   - llm_decontam: single-scan + xxhash64 gram keys + count_distinct
+#     semantics (matches the oracle's DISTINCT exactly now);
+#   - llm_bm25: new this round (never verified — priority 0 anyway).
 _RECHECK = [
     "llm_quantize_int8", "llm_dup_clusters", "llm_keywords",
-    "llm_curation_funnel",
+    "llm_curation_funnel", "llm_decontam", "llm_bm25",
 ]
 
 

@@ -147,18 +147,25 @@ def main() -> None:
             print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock of all declared queries (noop sink)",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total wall-clock of all declared queries (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver's stored copy of the stdout line has been observed
+    # truncated (BENCH_r04 lost its ~8-entry tail), so also persist
+    # the full per-query dict as an artifact for round-over-round
+    # diffs. Failure to write must not fail the bench.
+    try:
+        with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH-ARTIFACT-FAIL: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
 
 

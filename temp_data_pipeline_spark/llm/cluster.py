@@ -231,3 +231,38 @@ def cluster_labels(
         )
         .withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def cluster_dedup_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: keep the HIGHEST-``score_col`` row
+    of every near-dup component (ties broken by ascending id), not the
+    minimum-id one — production corpora keep the best-quality copy of
+    boilerplate families (longest extraction, highest classifier
+    score), and min-id keep-first throws that information away.
+
+    One window over cluster_id after the component join: the labeling
+    cost is connected_components'; selection adds a single hash
+    exchange on cluster_id. Rows absent from `pairs` are singleton
+    clusters and always survive.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    labeled = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cluster_id")
+    )

@@ -34,13 +34,16 @@ __all__ = [
     "dup_ngram_stats",
     "hash_split",
     "intra_dup_ngram_stats",
+    "line_dedup",
     "mix_temperature",
     "ngram_overlap",
+    "ngram_overlap_single",
     "repetition_stats",
     "span_dedup",
     "stratified_sample",
     "top_keywords",
     "topk_per_group",
+    "vocab_coverage",
 ]
 
 
@@ -160,16 +163,23 @@ def ngram_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 6,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Per-train-document count of distinct token ``n``-grams shared
     with ANY test document — the eval-decontamination primitive.
 
     Physical shape: both corpora tokenize map-side, explode to
     (gram) rows, the test side is reduced to DISTINCT grams, and one
-    hash join on the gram string + a count-by-doc finishes it.  The
-    join key is the gram text itself so Catalyst can hash-partition
-    it; at 100 TB replace the string key with ``xxhash64(gram)`` to
-    cut shuffle bytes (same plan shape).
+    hash join + a count-by-doc finishes it. With ``hash_grams`` the
+    join/distinct key is ``xxhash64(gram)`` instead of the gram text:
+    8-byte shuffle keys in place of ~n-word strings (measured ~1.3×
+    at sf0.1, and the ratio grows with gram width) — counts are then
+    exact up to 64-bit gram-hash collisions (~q²/2⁶⁵ for q distinct
+    grams; immaterial below ~10¹⁸ grams). Pass ``hash_grams=False``
+    for the byte-exact contract.
+
+    When train and test are filters of the SAME corpus, prefer
+    ``ngram_overlap_single`` — one scan instead of two.
 
     Documents shorter than ``n`` tokens contribute their single
     truncated gram (concat_ws skips the null picks) — identical to
@@ -178,16 +188,53 @@ def ngram_overlap(
     """
     def grams(df: DataFrame) -> DataFrame:
         t = tokenized(df, text_col, keep=[id_col])
-        return t.select(
+        g = t.select(
             F.col(id_col), F.explode(shingles_of(F.col("_tok"), n)).alias("gram")
         )
+        if hash_grams:
+            g = g.select(id_col, F.xxhash64("gram").alias("gram"))
+        return g
 
     test_grams = grams(test).select("gram").distinct()
     train_grams = grams(train)
+    # count_distinct, not count: a gram repeated inside one train doc
+    # is still ONE shared gram (the documented contract and the
+    # DuckDB oracle's DISTINCT) — plain count was only accidentally
+    # equal on corpora without intra-doc n-gram repeats
     return (
         train_grams.join(test_grams, "gram", "inner")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct(F.col("gram")).alias("n_shared"))
+    )
+
+
+def ngram_overlap_single(
+    df: DataFrame,
+    test_cond,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """`ngram_overlap` when train and test are partitions of ONE
+    corpus (``test_cond`` a boolean Column): gram generation runs in
+    a single scan that tags each row's side, so the source is read
+    once — at 100 TB that halves the dominant cost (two full
+    tokenize+shingle passes become one).
+    """
+    t = tokenized(df, text_col, keep=[id_col])
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    g = t.select(
+        F.col(id_col),
+        F.explode(shingles_of(F.col("_tok"), n)).alias("gram"),
+    ).select(id_col, key.alias("g"), test_cond.alias("_is_test"))
+    test_grams = g.filter(F.col("_is_test")).select("g").distinct()
+    return (
+        g.filter(~F.col("_is_test"))
+        .join(test_grams, "g", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("g")).alias("n_shared"))
     )
 
 
@@ -657,4 +704,90 @@ def corpus_report(
         "n_tokens",
         "p50_tokens",
         (F.floor(avg * 100.0 + 0.5) / 100.0).alias("avg_chars"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document exact line deduplication — the C4/RefinedWeb
+    page-cleaning step that strips repeated nav bars, cookie banners,
+    and boilerplate lines a crawler stamps onto every paragraph
+    boundary. Keeps each line's FIRST occurrence, preserving order.
+
+    Map-only array expressions (split on newline → keep line i iff
+    its first occurrence index is i → rejoin): zero shuffles, runs at
+    scan speed at any corpus size. Per-document cost is O(lines²)
+    via array_position, which is the right trade for web pages
+    (tens-to-hundreds of lines) because it keeps the operator in
+    whole-stage codegen; corpora with pathological line counts should
+    pre-chunk. The same (l, i) -> position = i filter is expressible
+    verbatim in DuckDB, so the op is oracle-exact.
+
+    Returns (id, text_clean, n_lines, n_kept).
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines, lambda l, i: (F.array_position(lines, l) - 1) == i
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    coverage: float = 0.95,
+) -> DataFrame:
+    """Corpus vocabulary with cumulative-coverage trim — the
+    sentencepiece-style "keep the smallest vocabulary covering X% of
+    token occurrences" report that sizes tokenizers and OOV budgets.
+
+    Ranks tokens by (count DESC, token ASC) and keeps every token
+    whose PRECEDING cumulative occurrence share is < ``coverage``
+    (so the vocabulary is the minimal prefix reaching it). All-integer
+    rank/count columns; the coverage test multiplies out the division
+    (cum_before · 10⁶ < coverage · 10⁶ · total) so the cut is exact
+    integer math in both engines.
+
+    Physical shape: explode → count per token (map-side combine, one
+    exchange at vocabulary cardinality, not corpus size) → one window
+    over the vocab for the running sum. The window is a single
+    partition, which is correct here: a vocabulary is small by
+    definition (≤ a few million rows even at 100 TB of text).
+
+    Returns (rank, token, n_occ, cum_occ) for the kept prefix.
+    """
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("token").asc())
+    thr = int(round(coverage * 1_000_000))
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n_occ",
+        F.sum("n_occ").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum_occ"),
+    )
+    total = counts.agg(F.sum("n_occ").cast("long").alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("cum_occ") - F.col("n_occ")) * F.lit(1_000_000)
+            < F.lit(thr) * F.col("_total")
+        )
+        .select("rank", "token", "n_occ", "cum_occ")
     )

@@ -10,12 +10,15 @@ real and tested. Codec work is two-tier:
   (pseudo-dimensions + checksum-derived features) so the pipeline
   shape — schema in, schema out, batch iteration — is fully
   exercised end-to-end and oracle-replayable (DuckDB sha256/md5).
-- `real=True`: a working codec path. Images/resize use PIL behind an
-  import gate (raises NotImplementedError where PIL is absent, runs
-  for real where it's installed). Audio decodes WAV containers with
-  the stdlib `wave` module — no external dependency, so the real
-  audio path executes and is tested even in this container; swap in
-  librosa/ffmpeg for compressed formats on a real cluster.
+- `real=True`: a working codec path that ALWAYS executes. Images and
+  resize prefer PIL when importable; where PIL is absent they fall
+  back to the pure-stdlib PNG codec in `png_lite` (same pattern as
+  sources/netcdf_lite for ERA5), so real PNG bytes are decoded,
+  resized, and re-encoded end-to-end even in a bare container —
+  non-PNG/undecodable bytes map to the documented zero row. Audio
+  decodes WAV containers with the stdlib `wave` module — no external
+  dependency either; swap in librosa/ffmpeg for compressed formats
+  on a real cluster.
 """
 
 from __future__ import annotations
@@ -26,6 +29,18 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.llm import png_lite
+
+# Ship png_lite BY VALUE inside the pickled closures: executors' Python
+# workers must not need this package on their import path (the other
+# codec closures keep themselves stdlib-only for the same reason).
+try:  # cloudpickle >= 2.0 (vendored by pyspark)
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(png_lite)
+except Exception:  # pragma: no cover - older vendored cloudpickle
+    pass
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -88,11 +103,64 @@ def extract_image_features(
     if real:
         try:
             from PIL import Image  # noqa: F401 - driver-side gate only
-        except ImportError as exc:
-            raise NotImplementedError(
-                "Real image decoding requires PIL, not installed in this "
-                "environment. Call with real=False for the deterministic stub."
-            ) from exc
+
+            _has_pil = True
+        except ImportError:
+            _has_pil = False
+
+        if not _has_pil:
+            # pure-stdlib fallback: decode REAL PNG bytes with png_lite
+            # (shipped by value into the closure — workers need no
+            # package import). Same contract as the PIL branch:
+            # undecodable/non-PNG bytes yield the zero row.
+            _decode, _to_gray, _resize = (
+                png_lite.decode, png_lite.to_gray, png_lite.resize_nearest,
+            )
+
+            def decode_batches_lite(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                import hashlib as _hl
+
+                import pandas as _pd
+
+                for pdf in batches:
+                    rows = []
+                    for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                        raw = bytes(content) if content is not None else b""
+                        try:
+                            w, h, ch, px = _decode(raw)
+                            # n_features-bucket mean-intensity profile of
+                            # a 16x16 grayscale thumbnail, mirroring the
+                            # PIL branch's feature math
+                            thumb = _resize(_to_gray(px, w, h, ch), w, h, 1, 16, 16)
+                            step = max(len(thumb) // nf, 1)
+                            feats = [
+                                (
+                                    sum(chunk) / (255.0 * len(chunk))
+                                    if (chunk := thumb[i * step : (i + 1) * step])
+                                    else 0.0
+                                )
+                                for i in range(nf)
+                            ]
+                        except Exception:  # undecodable bytes -> null-ish row
+                            w = h = 0
+                            feats = [0.0] * nf
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "width": w,
+                                "height": h,
+                                "n_bytes": len(raw),
+                                "checksum": _hl.md5(raw).hexdigest(),
+                                "features": feats,
+                            }
+                        )
+                    yield _pd.DataFrame(rows, columns=out_cols)
+
+            return media_df.select("asset_id", "content").mapInPandas(
+                decode_batches_lite, IMAGE_FEATURES_SCHEMA
+            )
 
         def decode_batches_real(
             batches: Iterator[pd.DataFrame],
@@ -328,11 +396,58 @@ def resize_images(
     if real:
         try:
             from PIL import Image  # noqa: F401 - driver-side gate only
-        except ImportError as exc:
-            raise NotImplementedError(
-                "Real image resizing requires PIL, not installed in this "
-                "environment. Call with real=False for the deterministic stub."
-            ) from exc
+
+            _has_pil = True
+        except ImportError:
+            _has_pil = False
+
+        if not _has_pil:
+            # pure-stdlib fallback: decode → nearest-neighbor resample →
+            # re-encode as PNG, all with png_lite (shipped by value).
+            # Undecodable bytes become empty content, like the PIL branch.
+            _decode, _resize, _encode = (
+                png_lite.decode, png_lite.resize_nearest, png_lite.encode,
+            )
+
+            def resize_batches_lite(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                import pandas as _pd
+
+                for pdf in batches:
+                    rows = []
+                    for rec in pdf.to_dict("records"):
+                        raw = (
+                            bytes(rec["content"])
+                            if rec["content"] is not None
+                            else b""
+                        )
+                        tw, th = rec["target_width"], rec["target_height"]
+                        try:
+                            w, h, ch, px = _decode(raw)
+                            tw_, th_ = max(tw, 1), max(th, 1)
+                            content = _encode(
+                                tw_, th_, ch, _resize(px, w, h, ch, tw_, th_)
+                            )
+                        except Exception:
+                            content = b""
+                        rows.append(
+                            {
+                                "asset_id": rec["asset_id"],
+                                "modality": rec["modality"],
+                                "mime_type": "image/png",
+                                "content": content,
+                                "uri": rec["uri"],
+                                "width": tw,
+                                "height": th,
+                                "duration_ms": rec["duration_ms"],
+                            }
+                        )
+                    yield _pd.DataFrame(
+                        rows, columns=[f.name for f in out_schema.fields]
+                    )
+
+            return spec.mapInPandas(resize_batches_lite, out_schema)
 
         def resize_batches_real(
             batches: Iterator[pd.DataFrame],

@@ -975,18 +975,21 @@ def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     note=(
         "Eval decontamination: distinct 6-gram collisions between each "
-        "train doc and the test corpus (held out by doc_id % 10). One "
-        "hash join on the gram; short docs contribute their truncated "
-        "gram identically in both engines."
+        "train doc and the test corpus (held out by doc_id % 10). "
+        "Single-scan form (train/test are partitions of one corpus, so "
+        "the source is read once), xxhash64 gram keys (8-byte shuffle "
+        "keys; exact up to 64-bit collisions), one hash join; short "
+        "docs contribute their truncated gram identically in both "
+        "engines."
     ),
 )
 def llm_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from temp_data_pipeline_spark.llm.curate import ngram_overlap
+    from temp_data_pipeline_spark.llm.curate import ngram_overlap_single
 
     d = load_table(spark, sf_dir, "documents")
-    test = d.filter(F.col("doc_id") % 10 == 0)
-    train = d.filter(F.col("doc_id") % 10 != 0)
-    return ngram_overlap(train, test, n=6).orderBy("doc_id")
+    return ngram_overlap_single(
+        d, F.col("doc_id") % 10 == 0, n=6
+    ).orderBy("doc_id")
 
 
 @_register(
@@ -1932,3 +1935,175 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return apply_bpe(d, _BPE_MERGES).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (BM25)
+# ---------------------------------------------------------------------------
+
+from temp_data_pipeline_spark.llm.retrieval import bm25_oracle_sql, bm25_topk  # noqa: E402
+
+_BM25_QUERY = "hash join stream"
+
+
+@_register(
+    "llm_bm25",
+    ["retrieval"],
+    bm25_oracle_sql(_BM25_QUERY, k=10),
+    note=(
+        "Okapi BM25 top-10 for a fixed query over documents: per-doc "
+        "term frequencies are map-side array exprs (no per-term "
+        "explode/shuffle), corpus stats (N, sum dl, per-term df) "
+        "reduce to ONE global aggregate row broadcast back, scoring "
+        "is map-only, and the top-k is TakeOrderedAndProject. Each "
+        "term's contribution quantizes to integer nano-units BEFORE "
+        "the sum (same integer-weight trick as llm_classifier), so "
+        "scores are order-independent exact BIGINTs and the rank "
+        "compare is engine-stable despite the ln()."
+    ),
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERY, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Line dedup / vocabulary coverage / quality-aware cluster dedup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "llm_line_dedup",
+    ["curation", "dedup"],
+    """
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS t2 FROM documents
+    ), d AS (
+      SELECT doc_id, string_split(t2, chr(10)) AS ln FROM lined
+    ), k AS (
+      SELECT doc_id, ln,
+             list_filter(
+               list_transform(range(1, len(ln) + 1),
+                 i -> CASE WHEN list_position(ln, ln[i]) = i
+                           THEN ln[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM d
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text_clean,
+           CAST(len(ln) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k ORDER BY doc_id
+    """,
+    note=(
+        "Intra-document exact line dedup (C4/RefinedWeb page "
+        "cleaning): keep each line's first occurrence, order "
+        "preserved — map-only array exprs, zero shuffles. The corpus "
+        "has no newlines, so the conformance query derives line "
+        "breaks deterministically first (replace ' the ' -> \\n, "
+        "identical leftmost-non-overlap semantics in both engines); "
+        "real corpora pass text through unchanged."
+    ),
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import line_dedup
+
+    d = _docs_sorted(spark, sf_dir)
+    lined = d.select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    return line_dedup(lined)
+
+
+@_register(
+    "llm_vocab_coverage",
+    ["text-analysis", "curation"],
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT token, COUNT(*) AS n_occ FROM t GROUP BY token
+    ), r AS (
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token ASC)
+                  AS BIGINT) AS rank,
+             token, n_occ,
+             CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_occ
+      FROM c
+    ), tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total FROM c)
+    SELECT rank, token, n_occ, cum_occ
+    FROM r, tot
+    WHERE (cum_occ - n_occ) * 1000000 < 950000 * total
+    ORDER BY rank
+    """,
+    note=(
+        "Sentencepiece-style vocabulary trim: smallest token prefix "
+        "(by count DESC, token ASC) covering 95% of occurrences. One "
+        "exchange at vocabulary cardinality + one single-partition "
+        "window (a vocabulary is small by definition); the coverage "
+        "cut is cross-multiplied integer math — no float division "
+        "reaches the compare."
+    ),
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, coverage=0.95).orderBy("rank")
+
+
+_CLUSTER_BEST_ORACLE = f"""
+    WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+    ver AS (
+        SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM ver
+        UNION
+        SELECT id_b, id_a FROM ver
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    lab AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(comp.cluster_id, d.doc_id) AS cid
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    )
+    SELECT doc_id, n_chars FROM lab
+    QUALIFY row_number() OVER (PARTITION BY cid
+                               ORDER BY n_chars DESC, doc_id ASC) = 1
+    ORDER BY doc_id
+"""
+
+
+@_register(
+    "llm_cluster_best",
+    ["dedup"],
+    _CLUSTER_BEST_ORACLE,
+    note=(
+        "Quality-aware cluster dedup: connected components over the "
+        "SimHash near-dup pairs, then keep the HIGHEST-n_chars member "
+        "of each cluster (tiebreak min doc_id) instead of the min-id "
+        "one — the production policy (keep the best-quality copy of "
+        "each boilerplate family). Selection is one window on "
+        "cluster_id on top of the CC labeling."
+    ),
+)
+def llm_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.cluster import cluster_dedup_best
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        full = load_table(spark, sf_dir, "documents")
+        pairs = simhash_neardup_pairs(full, hash_fn="md5", nbits=60)
+        out = cluster_dedup_best(d, pairs, "n_chars").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("doc_id")

@@ -420,3 +420,62 @@ def test_mix_temperature_null_stratum_kept(spark):
     assert counts.get(None) == 10
     # en keeps ~sqrt(10/100) ~= 32%
     assert 10 < counts.get("en", 0) < 60
+
+
+def test_line_dedup_keeps_first_occurrence_in_order(spark):
+    from temp_data_pipeline_spark.llm.curate import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\nbody two\nnav"),
+         (2, "only line"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text_clean"] == "nav\nbody one\nbody two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
+    assert out[2]["text_clean"] == "only line"
+    # empty text splits to one empty line, kept
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 1)
+
+
+def test_line_dedup_is_map_only(spark):
+    from temp_data_pipeline_spark.llm.curate import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_vocab_coverage_prefix_and_exact_cut(spark):
+    from temp_data_pipeline_spark.llm.curate import vocab_coverage
+
+    # counts: a=5, b=3, c=1, d=1 (total 10). coverage=0.8:
+    #   a: cum_before 0  < 8  -> keep
+    #   b: cum_before 5  < 8  -> keep
+    #   c: cum_before 8  !< 8 -> cut (exact boundary)
+    df = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "a a b c d")], "doc_id long, text string"
+    )
+    rows = vocab_coverage(df, coverage=0.8).orderBy("rank").collect()
+    assert [(r["rank"], r["token"], r["n_occ"], r["cum_occ"]) for r in rows] == [
+        (1, "a", 5, 5), (2, "b", 3, 8)
+    ]
+    # coverage=1.0 keeps the whole vocabulary
+    assert vocab_coverage(df, coverage=1.0).count() == 4
+
+
+def test_cluster_dedup_best_keeps_highest_score(spark):
+    from temp_data_pipeline_spark.llm.cluster import cluster_dedup_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (7, 5.0), (9, 5.0), (4, 1.0)],
+        "doc_id long, score double",
+    )
+    # chain {1,2,3}, pair {7,9} (tie -> min id), 4 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"] for r in
+            cluster_dedup_best(docs, pairs, "score").collect()}
+    assert kept == {2, 7, 4}
