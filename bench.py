@@ -145,6 +145,24 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - record, don't abort the suite
             timings[name] = -1.0
             print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
+        # Outside the timed span: release blocks this query pinned.
+        # localCheckpoint() RDDs (connected components, cluster labels)
+        # cannot be unpersisted by their operators before consumption
+        # (local checkpoints are not replayable), so without this every
+        # subsequent query inherits the accumulated block-manager
+        # pressure — measured as a uniform ~2-3x drift on the
+        # alphabetically-late queries (q_stream_*) in the 95-query r4
+        # suite while the same queries run 2-4x faster in isolation.
+        try:
+            # blocking=True: block removal must finish inside this
+            # untimed gap, not overlap (and slow) the next timed query
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist(True)
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 - hygiene must not fail the run
+            print(f"BENCH-CLEANUP {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
