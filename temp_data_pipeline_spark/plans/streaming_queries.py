@@ -188,3 +188,30 @@ STREAMING_QUERIES["q_stream_neardup"] = QuerySpec(
         "the oracle is the same pair CTE as llm_simhash_neardup."
     ),
 )
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.streaming.ingest import (
+        run_events_dedup_batchlike,
+    )
+
+    return run_events_dedup_batchlike(spark, sf_dir)
+
+
+STREAMING_QUERIES["q_stream_dedup"] = QuerySpec(
+    name="q_stream_dedup",
+    builder=_q_stream_dedup,
+    oracle="""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id
+    FROM events ORDER BY event_id
+    """,
+    families=("streaming", "D1", "D2"),
+    note=(
+        "Streaming exact dedup via dropDuplicatesWithinWatermark: the "
+        "event stream is deterministically doubled (every 10th event "
+        "twice) and the watermark-bounded state must collapse it back "
+        "to exactly the source rows (oracle = plain batch SELECT). "
+        "State is one key per event inside the watermark and expires "
+        "with it — the unbounded-stream-safe dedup."
+    ),
+)

@@ -129,3 +129,55 @@ def flag_spikes_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_events_dedup_batchlike(spark: SparkSession, sf_dir: str):
+    """Drive ``dropDuplicatesWithinWatermark`` end-to-end for the
+    conformance harness: the event stream is deterministically DOUBLED
+    first (every 10th event emitted twice via explode) so the dedup
+    has real work, and the watermarked exact dedup on event_id must
+    collapse the stream back to exactly the source rows — the oracle
+    is a plain batch SELECT of events. State carries one 8-byte key
+    per event inside the watermark and expires with it, the property
+    that makes this operator viable on unbounded streams (plain
+    dropDuplicates state grows forever).
+
+    availableNow over one parquet source runs as a single micro-batch,
+    so the initial watermark cannot drop any of the injected
+    duplicates' originals — the collapse is exact, not approximate.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.sources.registry import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    doubled = stream.withColumn(
+        "_copy",
+        F.explode(
+            F.when(
+                F.col("event_id") % 10 == 0, F.array(F.lit(1), F.lit(2))
+            ).otherwise(F.array(F.lit(1)))
+        ),
+    ).drop("_copy")
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id")
+    )
+    sink = f"events_dedup_{_uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink).orderBy("event_id")

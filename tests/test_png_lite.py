@@ -116,3 +116,30 @@ def test_to_gray_bt601_weights():
     # gray & gray+alpha passthrough
     assert list(png_lite.to_gray(bytes([7, 8]), 2, 1, 1)) == [7, 8]
     assert list(png_lite.to_gray(bytes([7, 255, 8, 0]), 2, 1, 2)) == [7, 8]
+
+
+def test_roundtrip_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        data=st.data(),
+    )
+    def run(w, h, ch, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        w2, h2, ch2, px2 = png_lite.decode(png_lite.encode(w, h, ch, px))
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert bytes(px2) == px
+
+    run()

@@ -236,3 +236,12 @@ def test_stream_interval_join_matches_batch(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_dedup_query_collapses_injected_duplicates(spark):
+    """q_stream_dedup doubles every 10th event then dedups within the
+    watermark — output must equal the plain batch event set exactly."""
+    from temp_data_pipeline_spark.plans.streaming_queries import STREAMING_QUERIES
+    from tests.oracle_harness import compare_query
+
+    compare_query(spark, STREAMING_QUERIES["q_stream_dedup"], SF_SMOKE)
