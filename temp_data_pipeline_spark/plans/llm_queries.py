@@ -2107,3 +2107,133 @@ def llm_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed text embeddings + text-to-text kNN
+# ---------------------------------------------------------------------------
+
+_SPARSE_EMBED_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), sgn AS (
+      SELECT doc_id,
+             ({_INT60_SQL.format(x='tok')}) % 64 AS dim_idx,
+             (({_INT60_SQL.format(x="concat('s:', tok)")}) % 2) * 2 - 1 AS sg
+      FROM toks
+    ), sparse AS (
+      SELECT doc_id, dim_idx, CAST(SUM(sg) AS BIGINT) AS weight
+      FROM sgn GROUP BY doc_id, dim_idx HAVING SUM(sg) <> 0
+    )
+"""
+
+
+@_register(
+    "llm_hash_embed",
+    ["embedding", "text-analysis"],
+    f"""
+    WITH {_SPARSE_EMBED_SQL}
+    SELECT doc_id, dim_idx, weight FROM sparse
+    WHERE doc_id % 20 = 0
+    ORDER BY doc_id, dim_idx
+    """,
+    note=(
+        "Signed feature-hashing embeddings (Weinberger et al. 2009): "
+        "token -> dimension md5%64 with an independent ±1 sign hash, "
+        "summed to exact BIGINT weights. Sparse (id, dim_idx, weight) "
+        "layout — exchanges carry only non-zeros, and the rows are "
+        "already driver-canonicalizable. The conformance window "
+        "checks every 20th document; the operator is unfiltered."
+    ),
+)
+def llm_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.embed import hash_embed_sparse
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_embed_sparse(d, dim=64)
+        .filter(F.col("doc_id") % 20 == 0)
+        .orderBy("doc_id", "dim_idx")
+    )
+
+
+@_register(
+    "llm_text_knn",
+    ["embedding", "similarity"],
+    f"""
+    WITH {_SPARSE_EMBED_SQL},
+    n AS (
+      SELECT doc_id, CAST(SUM(weight * weight) AS BIGINT) AS n2
+      FROM sparse GROUP BY doc_id
+    ),
+    q AS (SELECT dim_idx, weight AS qw FROM sparse WHERE doc_id = 0),
+    qn AS (SELECT n2 AS qn2 FROM n WHERE doc_id = 0),
+    d AS (
+      SELECT sparse.doc_id, CAST(SUM(sparse.weight * q.qw) AS BIGINT) AS dot
+      FROM sparse JOIN q USING (dim_idx)
+      WHERE sparse.doc_id <> 0 GROUP BY sparse.doc_id
+    ),
+    sc AS (
+      SELECT d.doc_id, dot,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+               AS cosine
+      FROM d JOIN n ON n.doc_id = d.doc_id, qn
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id, dot, cosine
+    FROM sc ORDER BY cosine DESC, doc_id ASC LIMIT 10
+    """,
+    note=(
+        "Text-to-text similar-document search with NO external "
+        "embedding table: hashed sparse embeddings, broadcast query "
+        "vector, equi-join on dim_idx (only docs sharing a non-zero "
+        "dimension are scored), integer dot/norms with IEEE-exact "
+        "sqrt/divide cosine — bit-identical ranking in both engines."
+    ),
+)
+def llm_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.embed import text_knn
+
+    d = load_table(spark, sf_dir, "documents")
+    return text_knn(d, 0, dim=64, k=10)
+
+
+@_register(
+    "llm_ivf_index_topk",
+    ["similarity"],
+    _IVF_ORACLE,
+    note=(
+        "Persisted IVF index lifecycle: build (cell-partitioned "
+        "parquet + atomic centroid manifest) then probe — the probe "
+        "scans ONLY the nprobe=4 matching _cell= partitions via "
+        "planning-time partition pruning, the at-rest serving shape "
+        "(nprobe/nlist of the bytes per query at any scale). Same "
+        "pinned first-16-vector quantizer as llm_ivf_topk, so the "
+        "persisted path must return exactly the ad-hoc path's answer "
+        "and shares its oracle."
+    ),
+)
+def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from temp_data_pipeline_spark.llm.vector_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(
+        e.filter(F.col("vec_id") != 0), path, centroids=cents
+    )
+    return ivf_index_topk(spark, path, qvec, k=10, nprobe=4).select("vec_id")

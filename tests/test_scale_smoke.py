@@ -133,3 +133,28 @@ def test_range_join_at_10x(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert pairs.count() > 0
+
+
+def test_bm25_at_10x(spark):
+    """BM25 over 50k docs: the plan is scan + one stats row broadcast +
+    top-k, so 10x data is ~10x scan work and nothing superlinear."""
+    from temp_data_pipeline_spark.llm.retrieval import bm25_topk
+
+    big = _big_docs(spark)
+    rows = bm25_topk(big, "hash join stream", k=10).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_hash_embed_knn_at_10x(spark):
+    """Hashed-embedding kNN over 50k docs: sparse layout keeps the
+    similarity join at (docs sharing a dimension with the query),
+    never a cartesian. The 9 shifted copies of doc 0 differ only by a
+    ' vN' suffix, so they dominate the neighbor list."""
+    from temp_data_pipeline_spark.llm.embed import text_knn
+
+    big = _big_docs(spark)
+    rows = text_knn(big, 0, dim=64, k=10).collect()
+    assert len(rows) == 10
+    near_copies = {5000 * i for i in range(1, 10)}
+    assert near_copies <= {r["doc_id"] for r in rows}
