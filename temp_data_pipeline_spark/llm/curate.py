@@ -223,12 +223,18 @@ def ngram_overlap_single(
     once — at 100 TB that halves the dominant cost (two full
     tokenize+shingle passes become one).
     """
-    t = tokenized(df, text_col, keep=[id_col])
+    # evaluate test_cond BEFORE tokenizing: tokenized() prunes every
+    # column except id_col + the token array, so a condition over any
+    # other column (split labels, source, dates) would fail to resolve
+    # if applied downstream
+    tagged = df.withColumn("_is_test", test_cond)
+    t = tokenized(tagged, text_col, keep=[id_col, "_is_test"])
     key = F.xxhash64("gram") if hash_grams else F.col("gram")
     g = t.select(
         F.col(id_col),
+        F.col("_is_test"),
         F.explode(shingles_of(F.col("_tok"), n)).alias("gram"),
-    ).select(id_col, key.alias("g"), test_cond.alias("_is_test"))
+    ).select(id_col, key.alias("g"), "_is_test")
     test_grams = g.filter(F.col("_is_test")).select("g").distinct()
     return (
         g.filter(~F.col("_is_test"))
@@ -730,7 +736,14 @@ def line_dedup(
 
     Returns (id, text_clean, n_lines, n_kept).
     """
-    lines = F.split(F.col(text_col), sep)
+    import re as _re
+
+    # F.split takes a REGEX; array_join takes a literal. Escape the
+    # separator so both sides agree for any sep (e.g. "|" would
+    # otherwise split between every character while rejoining with a
+    # literal pipe). re.escape only backslash-escapes non-alphanumerics,
+    # which Java regex accepts identically.
+    lines = F.split(F.col(text_col), _re.escape(sep))
     kept = F.filter(
         lines, lambda l, i: (F.array_position(lines, l) - 1) == i
     )
@@ -758,7 +771,10 @@ def vocab_coverage(
     (so the vocabulary is the minimal prefix reaching it). All-integer
     rank/count columns; the coverage test multiplies out the division
     (cum_before · 10⁶ < coverage · 10⁶ · total) so the cut is exact
-    integer math in both engines.
+    integer math in both engines. The cross-multiply runs in
+    decimal(38,0): occurrence totals are corpus-sized (~2e13 tokens at
+    100 TB of text), so a BIGINT product would overflow right at the
+    advertised scale — DuckDB's HUGEINT product is already safe.
 
     Physical shape: explode → count per token (map-side combine, one
     exchange at vocabulary cardinality, not corpus size) → one window
@@ -783,11 +799,12 @@ def vocab_coverage(
         ).cast("long").alias("cum_occ"),
     )
     total = counts.agg(F.sum("n_occ").cast("long").alias("_total"))
+    dec = "decimal(38,0)"
     return (
         ranked.crossJoin(F.broadcast(total))
         .filter(
-            (F.col("cum_occ") - F.col("n_occ")) * F.lit(1_000_000)
-            < F.lit(thr) * F.col("_total")
+            (F.col("cum_occ") - F.col("n_occ")).cast(dec) * F.lit(1_000_000)
+            < F.lit(thr).cast(dec) * F.col("_total").cast(dec)
         )
         .select("rank", "token", "n_occ", "cum_occ")
     )

@@ -135,13 +135,8 @@ def text_knn(
             )
         ).alias("cosine"),
     )
-    top = scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
-    from pyspark.sql import Window
+    from temp_data_pipeline_spark.llm.similarity import ranked_topk
 
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return top.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        id_col,
-        "dot",
-        "cosine",
+    return ranked_topk(
+        scored, [F.col("cosine").desc(), F.col(id_col).asc()], k
     )

@@ -143,19 +143,13 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents for `query` by BM25: (rank, id, score_nano),
     rank 1 = best, ties broken by ascending id (deterministic)."""
+    from temp_data_pipeline_spark.llm.similarity import ranked_topk
+
     scored = bm25_score(
         df, query, text_col=text_col, id_col=id_col, k1=k1, b=b
     )
-    # orderBy+limit compiles to TakeOrderedAndProject: each partition
-    # keeps k rows, the driver merges — no global sort exchange
-    top = scored.orderBy(F.col("score_nano").desc(), F.col(id_col).asc()).limit(k)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("score_nano").desc(), F.col(id_col).asc())
-    return top.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        id_col,
-        "score_nano",
+    return ranked_topk(
+        scored, [F.col("score_nano").desc(), F.col(id_col).asc()], k
     )
 
 
@@ -172,9 +166,12 @@ def bm25_oracle_sql(
     """DuckDB replay of bm25_topk — identical expression tree, same
     nano quantization, same tie-break."""
     terms = _query_terms(query)
+    # SQL-escape: real-text queries contain apostrophes, and an
+    # unescaped quote terminates the literal (parser error at best)
+    lits = [tm.replace("'", "''") for tm in terms]
     tf_cols = ",\n               ".join(
         f"len(list_filter(w, x -> x = '{tm}')) AS tf{i}"
-        for i, tm in enumerate(terms)
+        for i, tm in enumerate(lits)
     )
     df_cols = ",\n               ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"

@@ -33,6 +33,22 @@ def _vec_lit(vec) -> "F.Column":
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def ranked_topk(df: DataFrame, order_cols, k: int, rank_col: str = "rank") -> DataFrame:
+    """orderBy + limit(k) — which compiles to TakeOrderedAndProject
+    (each partition keeps k rows, the driver merges; no global sort
+    exchange) — then a row_number rank over the k survivors with the
+    SAME ordering. The shared tail of every top-k query (BM25, text
+    kNN, ...); `order_cols` must give a total order or the rank is
+    nondeterministic."""
+    from pyspark.sql import Window
+
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.select(
+        F.row_number().over(w).cast("int").alias(rank_col), "*"
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec,
@@ -269,8 +285,10 @@ def ivf_topk(
     )
     assigned = assign_cells(df, [list(c) for c in cents], vec_col, id_col)
 
+    # stable: ties between equidistant centroids break by ascending
+    # cell index, matching the oracle's ORDER BY d, k
     qd = ((cents - np.array(query_vec)) ** 2).sum(1)
-    probe_cells = [int(c) for c in qd.argsort()[:nprobe]]
+    probe_cells = [int(c) for c in np.argsort(qd, kind="stable")[:nprobe]]
     q = _vec_lit(query_vec)
     return (
         assigned.filter(F.col("_cell").isin(probe_cells))

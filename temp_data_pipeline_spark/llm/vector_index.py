@@ -30,7 +30,6 @@ swap for refresh, exactly like the snapshot tables.
 from __future__ import annotations
 
 import json
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,12 +40,11 @@ from temp_data_pipeline_spark.llm.similarity import (
     fit_kmeans,
     _vec_lit,
 )
-
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+from temp_data_pipeline_spark.operators.versioned import (
+    _fs,
+    atomic_write_text,
+    read_text,
+)
 
 
 def build_ivf_index(
@@ -86,17 +84,7 @@ def build_ivf_index(
         "id_col": id_col,
         "n_vectors": n,
     }
-    fs, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    tmp = Path(f"{path}/.index.json.{uuid.uuid4().hex[:8]}.tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    out.close()
-    final = Path(f"{path}/index.json")
-    if fs.exists(final):
-        fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"manifest rename failed for {path}")
+    atomic_write_text(spark, f"{path}/index.json", json.dumps(manifest))
     return manifest
 
 
@@ -109,14 +97,7 @@ def read_ivf_manifest(spark: SparkSession, path: str) -> dict:
             f"no IVF index at {path} (index.json missing — build crashed "
             "or still in flight; only manifested indexes are readable)"
         )
-    stream = fs.open(p)
-    try:
-        # py4j COPIES byte[] arguments, so a fill-this-buffer read
-        # loop silently reads nothing — let the JVM drain the stream
-        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    return json.loads(data.decode("utf-8"))
+    return json.loads(read_text(spark, f"{path}/index.json"))
 
 
 def ivf_index_topk(
@@ -135,7 +116,10 @@ def ivf_index_topk(
     man = read_ivf_manifest(spark, path)
     cents = np.array(man["centroids"], dtype=float)
     qd = ((cents - np.array(query_vec, dtype=float)) ** 2).sum(1)
-    probe_cells = [int(c) for c in qd.argsort()[:nprobe]]
+    # stable: equidistant centroids (possible with corpus-pinned
+    # quantizers) must break ties by ascending cell index, matching
+    # the oracle's ORDER BY d, k — default argsort is unstable
+    probe_cells = [int(c) for c in np.argsort(qd, kind="stable")[:nprobe]]
     q = _vec_lit(query_vec)
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("_cell").isin(probe_cells)

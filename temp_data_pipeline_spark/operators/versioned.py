@@ -45,6 +45,41 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small metadata file with the temp+rename commit point
+    (overwriting any previous file): readers either see the complete
+    old content or the complete new content, never a partial write.
+    The shared primitive behind this module's manifests and the
+    vector-index manifest (llm/vector_index.py)."""
+    import uuid as _uuid
+
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(f"{path}.{_uuid.uuid4().hex[:8]}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    final = Path(path)
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"atomic rename failed for {path}")
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small metadata file through the Hadoop FS (py4j COPIES
+    byte[] args, so a fill-this-buffer loop reads nothing — drain the
+    stream JVM-side instead)."""
+    fs, jvm = _fs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _manifest_dir(path: str) -> str:
     return f"{path}/_manifest"
 

@@ -2232,8 +2232,20 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    import shutil
+
     path = tempfile.mkdtemp(prefix="ivf_index_")
-    build_ivf_index(
-        e.filter(F.col("vec_id") != 0), path, centroids=cents
-    )
-    return ivf_index_topk(spark, path, qvec, k=10, nprobe=4).select("vec_id")
+    try:
+        build_ivf_index(
+            e.filter(F.col("vec_id") != 0), path, centroids=cents
+        )
+        # materialize the probe before deleting the index files —
+        # repeated harness runs must not accumulate table copies in
+        # the system temp dir
+        return (
+            ivf_index_topk(spark, path, qvec, k=10, nprobe=4)
+            .select("vec_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -180,4 +180,9 @@ def run_events_dedup_batchlike(spark: SparkSession, sf_dir: str):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink).orderBy("event_id")
+    # materialize, then drop the memory-sink view: each run's sink
+    # otherwise holds a full event-table copy in driver memory for
+    # the session's lifetime (the harness runs builders repeatedly)
+    out = spark.table(sink).orderBy("event_id").localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return out

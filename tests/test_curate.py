@@ -479,3 +479,32 @@ def test_cluster_dedup_best_keeps_highest_score(spark):
     kept = {r["doc_id"] for r in
             cluster_dedup_best(docs, pairs, "score").collect()}
     assert kept == {2, 7, 4}
+
+
+def test_ngram_overlap_single_cond_on_non_id_column(spark):
+    # review r5: test_cond used to be evaluated after tokenized()
+    # pruned every column but the id — a condition on another column
+    # (the documented general case) raised UNRESOLVED_COLUMN
+    from temp_data_pipeline_spark.llm.curate import ngram_overlap_single
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "train"), (2, "a b c x", "test"), (3, "z z z z", "train")],
+        "doc_id long, text string, split string",
+    )
+    out = {r["doc_id"]: r["n_shared"]
+           for r in ngram_overlap_single(
+               df, F.col("split") == "test", n=3).collect()}
+    assert out == {1: 1}  # doc 1 shares the "a b c" trigram; doc 3 none
+
+
+def test_line_dedup_regex_metachar_separator(spark):
+    # review r5: F.split takes a regex while array_join is literal —
+    # sep="|" used to split between every character
+    from temp_data_pipeline_spark.llm.curate import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "nav|body|nav|tail")], "doc_id long, text string"
+    )
+    row = line_dedup(df, sep="|").collect()[0]
+    assert row["text_clean"] == "nav|body|tail"
+    assert (row["n_lines"], row["n_kept"]) == (4, 3)

@@ -114,3 +114,20 @@ def test_bm25_oracle_matches_duckdb_inline(spark, query):
     con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
     want = con.execute(bm25_oracle_sql(query, k=4)).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_bm25_oracle_escapes_quoted_terms(spark):
+    # review r5: unescaped apostrophes terminated the SQL literal
+    import duckdb
+
+    from temp_data_pipeline_spark.llm.retrieval import bm25_oracle_sql
+
+    docs = [(1, "don't panic now"), (2, "panic later"), (3, "calm")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["rank"], r["doc_id"], r["score_nano"])
+           for r in bm25_topk(df, "don't panic", k=3).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = con.execute(bm25_oracle_sql("don't panic", k=3)).fetchall()
+    assert got == [tuple(w) for w in want]
