@@ -127,10 +127,17 @@ _LAST_VERIFIED = {
 #     transform×filter to sort_array + linear run-length fold;
 #   - llm_decontam: single-scan + xxhash64 gram keys + count_distinct
 #     semantics (matches the oracle's DISTINCT exactly now);
-#   - llm_bm25: new this round (never verified — priority 0 anyway).
+#   - review-pass fixes touching query plans: vocab_coverage decimal
+#     cross-multiply, line_dedup separator escaping, IVF stable
+#     tie-break (ad-hoc + persisted index), ranked_topk refactor
+#     (bm25 / text_knn), stream-dedup sink materialization.
+# New this round (never verified — priority 0 automatically): llm_bm25,
+# llm_line_dedup, llm_vocab_coverage, llm_cluster_best, llm_hash_embed,
+# llm_text_knn, llm_ivf_index_topk, q_stream_dedup.
 _RECHECK = [
     "llm_quantize_int8", "llm_dup_clusters", "llm_keywords",
-    "llm_curation_funnel", "llm_decontam", "llm_bm25",
+    "llm_curation_funnel", "llm_decontam", "llm_vocab_coverage",
+    "llm_line_dedup", "llm_ivf_topk", "q_stream_dedup",
 ]
 
 

@@ -546,3 +546,24 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def ann_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an approximate top-k against the exact top-k: ONE row
+    (n_hit, n_truth) of exact integers — divide for recall@k. The
+    routine quality gate for every ANN tier (LSH / IVF / PQ): run it
+    on a sampled query set whenever index parameters change, because
+    nprobe/bands/bucket caps trade recall for cost and the trade must
+    be MEASURED, not assumed. Both inputs are k-row frames, so the
+    join and counts are driver-trivial at any corpus size — the cost
+    is producing the two top-k's."""
+    t = truth.select(id_col)
+    hit = t.join(approx.select(id_col), id_col, "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return hit.crossJoin(n)

@@ -2249,3 +2249,57 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH p AS (SELECT {_PLANES_SQL} AS pl),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT {_BAND_SQL.format(v='q.qv')} AS qb FROM q, p),
+    sigs AS (
+        SELECT e.vec_id, e.embedding,
+               {_BAND_SQL.format(v='e.embedding')} AS eb
+        FROM embeddings e, p WHERE e.vec_id <> 0
+    ),
+    cand AS (
+        SELECT s.vec_id, s.embedding
+        FROM sigs s, qs
+        WHERE s.eb[1] = qs.qb[1] OR s.eb[2] = qs.qb[2]
+           OR s.eb[3] = qs.qb[3] OR s.eb[4] = qs.qb[4]
+    ),
+    lsh AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_COS_SQL} AS sim FROM cand e, q
+        ) ORDER BY sim DESC, vec_id LIMIT 10
+    ),
+    brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_COS_SQL} AS sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ) ORDER BY sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM brute JOIN lsh USING (vec_id)) AS BIGINT)
+               AS n_hit,
+           CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS n_truth
+"""
+
+
+@_register(
+    "llm_ann_recall",
+    ["similarity", "eval"],
+    _ANN_RECALL_ORACLE,
+    note=(
+        "ANN quality gate: recall@10 of the seed-42 hyperplane-LSH "
+        "top-k against the exact cosine top-k, as exact integer "
+        "(n_hit, n_truth). Both engines replay both searches; the "
+        "evaluator itself (similarity.ann_recall) grades any ANN tier "
+        "— the measurement that justifies nprobe/band/bucket-cap "
+        "choices instead of assuming them."
+    ),
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    base = e.filter(F.col("vec_id") != 0)
+    truth = similarity.cosine_topk(base, qvec, k=10)
+    approx = similarity.ann_lsh_topk(base, qvec, k=10)
+    return similarity.ann_recall(truth, approx)

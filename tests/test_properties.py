@@ -595,3 +595,46 @@ def test_classifier_score_vs_python_model(spark, texts):
         toks = text.split(" ")
         ws = sum((_int60(f"w:{_int60(t) % dim}") % 2001) - 1000 for t in toks)
         assert got[doc_id] == (len(toks), float(ws), ws / len(toks))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["hash", "join", "scan", "sort", "x", "y"]),
+            min_size=1, max_size=10,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    query=st.lists(
+        st.sampled_from(["hash", "join", "scan", "zzz"]),
+        min_size=1, max_size=3,
+    ).map(" ".join),
+)
+@settings(max_examples=10, deadline=None)
+def test_bm25_vs_python_model(spark, texts, query):
+    """Distributed BM25 nano-unit scores equal a sequential python
+    model on random corpora (same formula, same quantization)."""
+    import math
+
+    from temp_data_pipeline_spark.llm.retrieval import _query_terms, bm25_score
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    terms = _query_terms(query)
+    toks = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {tm: sum(1 for w in toks.values() if tm in w) for tm in terms}
+    want = {}
+    for i, w in toks.items():
+        s = 0
+        for tm in terms:
+            tf = w.count(tm)
+            idf = math.log(1.0 + (n - dfreq[tm] + 0.5) / (dfreq[tm] + 0.5))
+            sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(w) / avgdl)))
+            s += math.floor(idf * sat * 1e9 + 0.5)
+        if s > 0:
+            want[i] = s
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score_nano"] for r in bm25_score(df, query).collect()}
+    assert got == want
