@@ -31,6 +31,7 @@ from temp_data_pipeline_spark.llm.text import md5_int60
 
 __all__ = [
     "curation_funnel",
+    "curation_gate_columns",
     "dup_ngram_stats",
     "hash_split",
     "intra_dup_ngram_stats",
@@ -554,6 +555,53 @@ def curation_funnel(
     Returns 5 rows: (stage_idx, stage, n_docs), cumulative — each
     stage counts documents surviving it AND all previous stages.
     """
+    staged = curation_gate_columns(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        gopher_kwargs=gopher_kwargs,
+        max_top_token_frac=max_top_token_frac,
+        min_distinct_ratio=min_distinct_ratio,
+        classifier_dim=classifier_dim,
+        classifier_salt=classifier_salt,
+        min_score=min_score,
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("_g").cast("long")).alias("n1"),
+        F.sum(F.col("_gr").cast("long")).alias("n2"),
+        F.sum(F.col("_grc").cast("long")).alias("n3"),
+        F.sum(F.col("_all").cast("long")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'raw', n0, 1, 'gopher', n1, 2, 'repetition', n2, "
+            "3, 'classifier', n3, 4, 'dedup', n4) AS (stage_idx, stage, n_docs)"
+        )
+    )
+
+
+def curation_gate_columns(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: list[str] | None = None,
+    gopher_kwargs: dict | None = None,
+    max_top_token_frac: float = 0.2,
+    min_distinct_ratio: float = 0.4,
+    classifier_dim: int = 512,
+    classifier_salt: str = "w:",
+    min_score: float = 0.0,
+) -> DataFrame:
+    """The funnel's gate computation as a reusable frame: (id, *keep,
+    _fp, _g, _gr, _grc, _all) where _g/_gr/_grc are the cumulative
+    Gopher / +repetition / +classifier gates and _all additionally
+    requires being the canonical (min-id) surviving copy of the md5
+    fingerprint. ONE scan of map-only expressions plus ONE window on
+    the fingerprint — shared by `curation_funnel` (which aggregates
+    the counts) and `llm/pipeline.prepare_training_shards` (which
+    keeps the surviving rows)."""
     from temp_data_pipeline_spark.llm import text as T
 
     c = F.col(text_col)
@@ -616,6 +664,7 @@ def curation_funnel(
 
     base = df.select(
         F.col(id_col),
+        *[F.col(k) for k in (keep or [])],
         F.md5(c).alias("_fp"),
         g_ok.alias("_g"),
         (g_ok & r_ok).alias("_gr"),
@@ -623,20 +672,7 @@ def curation_funnel(
     )
     w = Window.partitionBy("_fp")
     canonical = F.min(F.when(F.col("_grc"), F.col(id_col))).over(w) == F.col(id_col)
-    staged = base.withColumn("_all", F.col("_grc") & canonical)
-    agg = staged.agg(
-        F.count(F.lit(1)).alias("n0"),
-        F.sum(F.col("_g").cast("long")).alias("n1"),
-        F.sum(F.col("_gr").cast("long")).alias("n2"),
-        F.sum(F.col("_grc").cast("long")).alias("n3"),
-        F.sum(F.col("_all").cast("long")).alias("n4"),
-    )
-    return agg.select(
-        F.expr(
-            "stack(5, 0, 'raw', n0, 1, 'gopher', n1, 2, 'repetition', n2, "
-            "3, 'classifier', n3, 4, 'dedup', n4) AS (stage_idx, stage, n_docs)"
-        )
-    )
+    return base.withColumn("_all", F.col("_grc") & canonical)
 
 
 def topk_per_group(

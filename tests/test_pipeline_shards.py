@@ -1,0 +1,72 @@
+"""End-to-end shard preparation (llm/pipeline.py): gates, dedup,
+packing layout, versioned commit, re-run isolation."""
+
+from __future__ import annotations
+
+import pytest
+
+from temp_data_pipeline_spark.llm.pipeline import prepare_training_shards
+from temp_data_pipeline_spark.operators.versioned import read_version, versions
+
+GOOD = (
+    "the data and that pipeline have with many good tokens here to "
+    "be kept because they look like real sentences with the usual "
+    "words and enough length to clear the gopher gates easily today "
+    "and the second half of this paragraph keeps adding varied plain "
+    "prose so that the fifty word minimum of the gopher rule suite "
+    "is comfortably satisfied by every surviving document in the set"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),               # exact duplicate of 1 -> dropped
+        (3, GOOD + " extra tail words for variety and more content"),
+        (4, "spam spam spam spam spam spam spam spam"),  # repetition gate
+        (5, "x"),                # too short -> gopher gate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pipeline_gates_dedups_packs_and_commits(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    man = prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},  # hashed-classifier gate off
+    )
+    assert man["version"] == 1
+    assert man["n_docs_raw"] == 5
+    assert man["n_docs_kept"] == 2  # 1 (canonical of {1,2}) and 3
+
+    out = {r["doc_id"]: r for r in read_version(spark, path).collect()}
+    assert set(out) == {1, 3}
+    # packing invariants: doc 1 starts the stream; doc 3 starts right
+    # after doc 1's tokens; offsets locate them within seq_len packs
+    assert out[1]["begin"] == 0 and out[1]["pack_id"] == 0
+    assert out[3]["begin"] == out[1]["n_tokens"]
+    assert out[3]["pack_id"] == out[3]["begin"] // 16
+    assert out[3]["pack_off"] == out[3]["begin"] % 16
+    assert out[3]["shard"] == out[3]["pack_id"] // 2
+    assert man["n_tokens_kept"] == out[1]["n_tokens"] + out[3]["n_tokens"]
+
+
+def test_pipeline_recommit_is_new_version(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    m1 = prepare_training_shards(
+        _docs(spark), path, seq_len=16, gate_kwargs={"min_score": -1e9})
+    m2 = prepare_training_shards(
+        _docs(spark), path, seq_len=16, gate_kwargs={"min_score": -1e9})
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert versions(spark, path) == [1, 2]
+    # time travel: v1 is still exactly readable after v2 commits
+    v1 = {(r["doc_id"], r["pack_id"]) for r in read_version(spark, path, 1).collect()}
+    v2 = {(r["doc_id"], r["pack_id"]) for r in read_version(spark, path, 2).collect()}
+    assert v1 == v2  # same input -> identical layout, different version
+
+
+def test_pipeline_empty_survivors(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y y y y y y")],
+                               "doc_id long, text string")
+    man = prepare_training_shards(df, str(tmp_path / "s"))
+    assert man["n_docs_kept"] == 0 and man["n_packs"] == 0
