@@ -193,6 +193,24 @@ def read_version(
     return spark.read.parquet(_data_dir(path, version))
 
 
+def read_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The commit manifest of ``version`` (default: latest) — the
+    metadata a committer recorded (pipeline parameters, row/token
+    stats), parsed from the commit marker itself."""
+    committed = versions(spark, path)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = committed[-1]
+    elif version not in committed:
+        raise FileNotFoundError(
+            f"version {version} not committed under {path} (have {committed})"
+        )
+    return json.loads(read_text(spark, f"{_manifest_dir(path)}/{version}.json"))
+
+
 def commit_merge(
     updates: DataFrame,
     path: str,

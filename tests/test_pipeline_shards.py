@@ -70,3 +70,47 @@ def test_pipeline_empty_survivors(spark, tmp_path):
                                "doc_id long, text string")
     man = prepare_training_shards(df, str(tmp_path / "s"))
     assert man["n_docs_kept"] == 0 and man["n_packs"] == 0
+
+
+def test_append_continues_stream_and_dedups_corpus_wide(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    m1 = prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+
+    new = spark.createDataFrame(
+        [
+            (10, GOOD),  # content duplicate of committed doc 1 -> dropped
+            (11, GOOD + " a genuinely new closing sentence follows here"),
+            (12, "y"),   # gopher-gated
+        ],
+        "doc_id long, text string",
+    )
+    m2 = append_training_shards(
+        new, path, gate_kwargs={"min_score": -1e9}
+    )
+    assert m2["version"] == 2
+    assert m2["n_docs_raw"] == m1["n_docs_raw"] + 3
+    assert m2["n_docs_kept"] == m1["n_docs_kept"] + 1  # only doc 11
+
+    out = {r["doc_id"]: r for r in read_version(spark, path).collect()}
+    assert set(out) == {1, 3, 11}
+    # v1 rows are byte-identical (frozen pack layout)...
+    v1 = {r["doc_id"]: r for r in read_version(spark, path, 1).collect()}
+    for d in (1, 3):
+        assert (out[d]["begin"], out[d]["pack_id"], out[d]["pack_off"]) == (
+            v1[d]["begin"], v1[d]["pack_id"], v1[d]["pack_off"])
+    # ...and the new doc continues exactly after the committed tokens
+    assert out[11]["begin"] == m1["n_tokens_kept"]
+    assert out[11]["pack_id"] == out[11]["begin"] // 16
+    assert out[11]["pack_off"] == out[11]["begin"] % 16
+    assert m2["n_tokens_kept"] == m1["n_tokens_kept"] + out[11]["n_tokens"]
+
+
+def test_append_requires_existing_table(spark, tmp_path):
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+
+    with pytest.raises(FileNotFoundError):
+        append_training_shards(_docs(spark), str(tmp_path / "none"))

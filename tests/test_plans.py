@@ -77,6 +77,7 @@ _ARROW_ALLOWED = {
     "llm_multimodal",
     "llm_embed_neardup",
     "llm_ann_lsh_topk",
+    "llm_ann_recall",  # composes ann_lsh_topk's declared kernel
     "llm_semdedup",
     "llm_ivf_topk",
     "llm_pq_topk",

@@ -167,3 +167,16 @@ def test_snapshot_diff_null_keys_match_nullsafe(spark, tmp_path):
         for r in snapshot_diff(spark, p, 1, 2, ["k"]).collect()
     }
     assert got == {1: "changed"}  # the NULL-key row is unchanged
+
+
+def test_read_manifest_returns_commit_meta(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    p = str(tmp_path / "tbl")
+    commit_version(_df(spark, [(1, "a", 10)]), p, meta={"note": "first"})
+    commit_version(_df(spark, [(2, "b", 20)]), p, meta={"note": "second"})
+    assert read_manifest(spark, p)["note"] == "second"
+    assert read_manifest(spark, p, 1)["note"] == "first"
+    assert read_manifest(spark, p, 1)["version"] == 1
+    with pytest.raises(FileNotFoundError):
+        read_manifest(spark, p, 99)
