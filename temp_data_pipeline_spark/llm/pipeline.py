@@ -25,8 +25,9 @@ run can pin "shards v3" forever while tomorrow's backfill commits v4
     → concat-and-chunk packing to seq_len      (chunk.pack_documents:
       two-level prefix sum, no global window)
     → shard assignment                         (pack_id // packs_per_shard —
-      pure arithmetic, keeps every training sequence's tokens in one
-      shard directory)
+      pure arithmetic; documents are grouped by their STARTING pack,
+      so shard dirs give approximate locality — straddling documents
+      are found by an offset range query on `begin`)
     → atomic versioned commit, partitioned by shard
       (readers of version N see all of it or none of it)
 
@@ -128,63 +129,77 @@ def prepare_training_shards(
     token stream of any pack: documents are concatenated in id order
     and split every ``seq_len`` tokens, and a document's tokens start
     at offset ``pack_off`` of ``pack_id`` (straddling packs exactly
-    as trainers consume them). ``shard`` groups ``packs_per_shard``
-    consecutive packs per directory.
+    as trainers consume them). ``shard`` groups documents whose
+    STARTING pack falls in the same ``packs_per_shard`` window —
+    approximate locality, not containment: to materialize pack P a
+    loader range-scans ``begin < (P+1)·seq_len AND begin + n_tokens >
+    P·seq_len``, which may reach documents filed under earlier shards
+    (any document longer than a shard's token budget must).
 
     Returns the manifest: version number plus corpus statistics
     (documents in/kept, tokens kept, packs, shards) — the numbers the
     funnel report publishes, pinned to the committed version.
     """
+    # persist the gate frame: the gates (md5 window + gopher exprs)
+    # feed n_raw, the survivor set, packing, stats, AND the final
+    # write — without a cache boundary the whole DAG re-executes for
+    # each of those actions, ~4x the dominant scan cost
     gates = curation_gate_columns(
         df,
         text_col=text_col,
         id_col=id_col,
         keep=[text_col],
         **(gate_kwargs or {}),
-    )
-    survivors = gates.filter(F.col("_all")).select(id_col, text_col)
+    ).persist()
+    try:
+        n_raw = gates.count()
+        survivors = gates.filter(F.col("_all")).select(id_col, text_col)
 
-    packed = pack_documents(
-        survivors, id_col=id_col, text_col=text_col, seq_len=seq_len
-    )
-    sharded = (
-        survivors.join(packed, id_col)
-        .withColumn(
+        packed = pack_documents(
+            survivors, id_col=id_col, text_col=text_col, seq_len=seq_len
+        )
+        sharded = survivors.join(packed, id_col).withColumn(
             "shard",
             F.floor(F.col("pack_id") / F.lit(packs_per_shard)).cast("bigint"),
         )
-    )
 
-    stats_row = sharded.agg(
+        stats = _shard_stats(sharded, seq_len, packs_per_shard)
+        version = commit_version(
+            sharded,
+            path,
+            partition_by=["shard"],
+            meta={
+                "pipeline": "prepare_training_shards",
+                "seq_len": seq_len,
+                "packs_per_shard": packs_per_shard,
+                "n_docs_raw": int(n_raw),
+                **stats,
+            },
+        )
+    finally:
+        gates.unpersist()
+    return {"version": version, "n_docs_raw": int(n_raw), **stats}
+
+
+def _shard_stats(sharded: DataFrame, seq_len: int, packs_per_shard: int) -> dict:
+    """Manifest statistics. Pack/shard counts derive from the TOKEN
+    total, not document start packs: the stream fills
+    ceil(tokens/seq_len) packs regardless of where documents begin
+    (a single 67-token doc at seq_len=16 occupies 5 packs, though its
+    start pack is 0)."""
+    row = sharded.agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
-        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
-        F.count_distinct(F.col("shard")).cast("long").alias("n_shards"),
     ).first()
-    n_raw = df.count()
-
-    version = commit_version(
-        sharded,
-        path,
-        partition_by=["shard"],
-        meta={
-            "pipeline": "prepare_training_shards",
-            "seq_len": seq_len,
-            "packs_per_shard": packs_per_shard,
-            "n_docs_raw": int(n_raw),
-            "n_docs_kept": int(stats_row["n_docs_kept"] or 0),
-            "n_tokens_kept": int(stats_row["n_tokens_kept"] or 0),
-            "n_packs": int(stats_row["n_packs"] or 0),
-            "n_shards": int(stats_row["n_shards"] or 0),
-        },
-    )
+    n_docs = int(row["n_docs_kept"] or 0)
+    n_tokens = int(row["n_tokens_kept"] or 0)
+    n_packs = -(-n_tokens // seq_len) if n_tokens else 0
+    n_shards = -(-n_packs // packs_per_shard) if n_packs else 0
     return {
-        "version": version,
-        "n_docs_raw": int(n_raw),
-        "n_docs_kept": int(stats_row["n_docs_kept"] or 0),
-        "n_tokens_kept": int(stats_row["n_tokens_kept"] or 0),
-        "n_packs": int(stats_row["n_packs"] or 0),
-        "n_shards": int(stats_row["n_shards"] or 0),
+        "n_docs_kept": n_docs,
+        "n_tokens_kept": n_tokens,
+        "n_packs": n_packs,
+        "n_shards": n_shards,
     }
 
 
@@ -227,74 +242,69 @@ def append_training_shards(
     prev_tokens = int(prev_man["n_tokens_kept"])
     prev = read_version(spark, path)
 
+    # id-colliding rows leave the batch FIRST — before intra-batch
+    # canonical selection. Done after, a batch duplicate pair whose
+    # canonical copy's id is already committed would have its other
+    # copy dropped as "duplicate" and then lose the canonical to the
+    # id collision: genuinely new content silently vanishes. Removing
+    # collisions up front re-elects a surviving copy as canonical.
+    fresh = df_new.join(
+        prev.select(id_col), id_col, "left_anti"
+    )
     gates = curation_gate_columns(
-        df_new,
+        fresh,
         text_col=text_col,
         id_col=id_col,
         keep=[text_col],
         **(gate_kwargs or {}),
     )
-    survivors = gates.filter(F.col("_all")).select(
-        id_col, text_col, F.md5(F.col(text_col)).alias("_fp")
-    )
-    # corpus-wide dedup: drop new docs whose content (or id) already
-    # committed — fingerprints recompute from the carried text in one
-    # map-side expression over the previous snapshot
-    prev_keys = prev.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("_fp")
-    )
+    # corpus-wide content dedup: _fp is already the gate frame's md5
     survivors = (
-        survivors.join(prev_keys.select("_fp"), "_fp", "left_anti")
-        .join(prev_keys.select(id_col), id_col, "left_anti")
-        .select(id_col, text_col)
-    )
-
-    packed = pack_documents(
-        survivors, id_col=id_col, text_col=text_col, seq_len=seq_len
-    )
-    # continue the stream: shift begins past the committed tokens and
-    # re-derive pack coordinates from the shifted offsets
-    shifted = (
-        survivors.join(packed, id_col)
-        .withColumn("begin", F.col("begin") + F.lit(prev_tokens))
-        .withColumn("pack_id", F.floor(F.col("begin") / F.lit(seq_len)).cast("bigint"))
-        .withColumn("pack_off", (F.col("begin") % F.lit(seq_len)).cast("bigint"))
-        .withColumn(
-            "shard",
-            F.floor(F.col("pack_id") / F.lit(packs_per_shard)).cast("bigint"),
+        gates.filter(F.col("_all"))
+        .select(id_col, text_col, "_fp")
+        .join(
+            prev.select(F.md5(F.col(text_col)).alias("_fp")),
+            "_fp",
+            "left_anti",
         )
-        .select(*prev.columns)
+        .select(id_col, text_col)
+        .persist()  # feeds packing bounds, the join, stats, the write
     )
-    combined = prev.unionByName(shifted)
+    try:
+        packed = pack_documents(
+            survivors, id_col=id_col, text_col=text_col, seq_len=seq_len
+        )
+        # continue the stream: shift begins past the committed tokens
+        # and re-derive pack coordinates from the shifted offsets
+        shifted = (
+            survivors.join(packed, id_col)
+            .withColumn("begin", F.col("begin") + F.lit(prev_tokens))
+            .withColumn(
+                "pack_id", F.floor(F.col("begin") / F.lit(seq_len)).cast("bigint")
+            )
+            .withColumn("pack_off", (F.col("begin") % F.lit(seq_len)).cast("bigint"))
+            .withColumn(
+                "shard",
+                F.floor(F.col("pack_id") / F.lit(packs_per_shard)).cast("bigint"),
+            )
+            .select(*prev.columns)
+        )
+        combined = prev.unionByName(shifted)
 
-    stats_row = combined.agg(
-        F.count(F.lit(1)).alias("n_docs_kept"),
-        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
-        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
-        F.count_distinct(F.col("shard")).cast("long").alias("n_shards"),
-    ).first()
-    n_raw = int(prev_man["n_docs_raw"]) + df_new.count()
-
-    version = commit_version(
-        combined,
-        path,
-        partition_by=["shard"],
-        meta={
-            "pipeline": "prepare_training_shards",
-            "seq_len": seq_len,
-            "packs_per_shard": packs_per_shard,
-            "n_docs_raw": int(n_raw),
-            "n_docs_kept": int(stats_row["n_docs_kept"] or 0),
-            "n_tokens_kept": int(stats_row["n_tokens_kept"] or 0),
-            "n_packs": int(stats_row["n_packs"] or 0),
-            "n_shards": int(stats_row["n_shards"] or 0),
-        },
-    )
-    return {
-        "version": version,
-        "n_docs_raw": int(n_raw),
-        "n_docs_kept": int(stats_row["n_docs_kept"] or 0),
-        "n_tokens_kept": int(stats_row["n_tokens_kept"] or 0),
-        "n_packs": int(stats_row["n_packs"] or 0),
-        "n_shards": int(stats_row["n_shards"] or 0),
-    }
+        stats = _shard_stats(combined, seq_len, packs_per_shard)
+        n_raw = int(prev_man["n_docs_raw"]) + df_new.count()
+        version = commit_version(
+            combined,
+            path,
+            partition_by=["shard"],
+            meta={
+                "pipeline": "prepare_training_shards",
+                "seq_len": seq_len,
+                "packs_per_shard": packs_per_shard,
+                "n_docs_raw": int(n_raw),
+                **stats,
+            },
+        )
+    finally:
+        survivors.unpersist()
+    return {"version": version, "n_docs_raw": int(n_raw), **stats}

@@ -161,7 +161,14 @@ def commit_version(
                 raise
             version += 1
             continue
-        doc = {"version": version, "data_dir": data, **(meta or {})}
+        doc = {
+            "version": version,
+            "data_dir": data,
+            # writer schema: lets read_version reconstruct EMPTY
+            # partitioned snapshots (no part files to infer from)
+            "_schema": df.schema.jsonValue(),
+            **(meta or {}),
+        }
         tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
         out = fs.create(tmp, True)
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
@@ -176,21 +183,46 @@ def commit_version(
         version += 1
 
 
-def read_version(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Time-travel read: the snapshot at ``version``, or the latest
-    committed one. Plain parquet scan — pruning/pushdown unchanged."""
+def _resolve_version(
+    spark: SparkSession, path: str, version: int | None
+) -> int:
     committed = versions(spark, path)
     if not committed:
         raise FileNotFoundError(f"no committed versions under {path}")
     if version is None:
-        version = committed[-1]
-    elif version not in committed:
+        return committed[-1]
+    if version not in committed:
         raise FileNotFoundError(
             f"version {version} not committed under {path} (have {committed})"
         )
-    return spark.read.parquet(_data_dir(path, version))
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the snapshot at ``version``, or the latest
+    committed one. Plain parquet scan — pruning/pushdown unchanged.
+
+    An EMPTY partitioned snapshot has no part files to infer a schema
+    from (the dir holds only _SUCCESS); the manifest records the
+    writer's schema for exactly this case — the Delta/Iceberg answer
+    — so empty versions read back as empty frames instead of
+    UNABLE_TO_INFER_SCHEMA, and appends to an all-filtered first
+    commit don't wedge the table."""
+    version = _resolve_version(spark, path, version)
+    data = _data_dir(path, version)
+    try:
+        return spark.read.parquet(data)
+    except Exception:
+        man = read_manifest(spark, path, version)
+        if "_schema" not in man:
+            raise
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(man["_schema"])
+        ).parquet(data)
 
 
 def read_manifest(
@@ -199,15 +231,7 @@ def read_manifest(
     """The commit manifest of ``version`` (default: latest) — the
     metadata a committer recorded (pipeline parameters, row/token
     stats), parsed from the commit marker itself."""
-    committed = versions(spark, path)
-    if not committed:
-        raise FileNotFoundError(f"no committed versions under {path}")
-    if version is None:
-        version = committed[-1]
-    elif version not in committed:
-        raise FileNotFoundError(
-            f"version {version} not committed under {path} (have {committed})"
-        )
+    version = _resolve_version(spark, path, version)
     return json.loads(read_text(spark, f"{_manifest_dir(path)}/{version}.json"))
 
 

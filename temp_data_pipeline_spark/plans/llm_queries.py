@@ -700,8 +700,10 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_LSH_ORACLE = f"""
-    WITH p AS (SELECT {_PLANES_SQL} AS pl),
+# LSH candidate generation shared by the topk oracle AND the recall
+# oracle — ONE definition, so a future band-semantics fix cannot make
+# the recall grade against a different LSH than topk verifies
+_LSH_CAND_CTES = f"""p AS (SELECT {_PLANES_SQL} AS pl),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     qs AS (SELECT {_BAND_SQL.format(v='q.qv')} AS qb FROM q, p),
     sigs AS (
@@ -714,7 +716,10 @@ _ANN_LSH_ORACLE = f"""
         FROM sigs s, qs
         WHERE s.eb[1] = qs.qb[1] OR s.eb[2] = qs.qb[2]
            OR s.eb[3] = qs.qb[3] OR s.eb[4] = qs.qb[4]
-    )
+    )"""
+
+_ANN_LSH_ORACLE = f"""
+    WITH {_LSH_CAND_CTES}
     SELECT vec_id FROM (
         SELECT e.vec_id, {_COS_SQL} AS sim FROM cand e, q
     ) ORDER BY sim DESC, vec_id LIMIT 10
@@ -2252,20 +2257,7 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_RECALL_ORACLE = f"""
-    WITH p AS (SELECT {_PLANES_SQL} AS pl),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    qs AS (SELECT {_BAND_SQL.format(v='q.qv')} AS qb FROM q, p),
-    sigs AS (
-        SELECT e.vec_id, e.embedding,
-               {_BAND_SQL.format(v='e.embedding')} AS eb
-        FROM embeddings e, p WHERE e.vec_id <> 0
-    ),
-    cand AS (
-        SELECT s.vec_id, s.embedding
-        FROM sigs s, qs
-        WHERE s.eb[1] = qs.qb[1] OR s.eb[2] = qs.qb[2]
-           OR s.eb[3] = qs.qb[3] OR s.eb[4] = qs.qb[4]
-    ),
+    WITH {_LSH_CAND_CTES},
     lsh AS (
         SELECT vec_id FROM (
             SELECT e.vec_id, {_COS_SQL} AS sim FROM cand e, q

@@ -49,6 +49,11 @@ def test_pipeline_gates_dedups_packs_and_commits(spark, tmp_path):
     assert out[3]["pack_off"] == out[3]["begin"] % 16
     assert out[3]["shard"] == out[3]["pack_id"] // 2
     assert man["n_tokens_kept"] == out[1]["n_tokens"] + out[3]["n_tokens"]
+    # pack/shard counts are TOKEN geometry, not document start packs:
+    # the stream fills ceil(tokens/16) packs even though both docs
+    # START in the first packs (review r5 finding)
+    assert man["n_packs"] == -(-man["n_tokens_kept"] // 16)
+    assert man["n_shards"] == -(-man["n_packs"] // 2)
 
 
 def test_pipeline_recommit_is_new_version(spark, tmp_path):
@@ -66,10 +71,21 @@ def test_pipeline_recommit_is_new_version(spark, tmp_path):
 
 
 def test_pipeline_empty_survivors(spark, tmp_path):
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+
+    path = str(tmp_path / "s")
     df = spark.createDataFrame([(1, "x"), (2, "y y y y y y")],
                                "doc_id long, text string")
-    man = prepare_training_shards(df, str(tmp_path / "s"))
+    man = prepare_training_shards(df, path)
     assert man["n_docs_kept"] == 0 and man["n_packs"] == 0
+    # an EMPTY partitioned snapshot has no part files; the manifest
+    # schema makes it readable instead of UNABLE_TO_INFER_SCHEMA,
+    # and appends to it must work (review r5 finding)
+    assert read_version(spark, path).count() == 0
+    good = spark.createDataFrame([(7, GOOD)], "doc_id long, text string")
+    m2 = append_training_shards(good, path, gate_kwargs={"min_score": -1e9})
+    assert m2["version"] == 2 and m2["n_docs_kept"] == 1
+    assert read_version(spark, path).count() == 1
 
 
 def test_append_continues_stream_and_dedups_corpus_wide(spark, tmp_path):
@@ -114,3 +130,27 @@ def test_append_requires_existing_table(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         append_training_shards(_docs(spark), str(tmp_path / "none"))
+
+
+def test_append_id_collision_does_not_lose_new_content(spark, tmp_path):
+    """review r5: a batch-duplicate pair whose canonical copy's id is
+    already committed used to lose BOTH copies — genuinely new
+    content vanished. Colliding ids now leave the batch before
+    canonical selection, so the surviving copy is re-elected."""
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+
+    path = str(tmp_path / "shards")
+    prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    new_text = GOOD + " a closing run of words never committed before"
+    new = spark.createDataFrame(
+        [(1, new_text), (77, new_text)],  # id 1 already committed
+        "doc_id long, text string",
+    )
+    m = append_training_shards(new, path, gate_kwargs={"min_score": -1e9})
+    out = {r["doc_id"]: r["text"] for r in read_version(spark, path).collect()}
+    assert 77 in out and out[77] == new_text  # content survived via id 77
+    assert out[1] != new_text                 # committed doc 1 untouched
+    assert m["n_docs_kept"] == 3
