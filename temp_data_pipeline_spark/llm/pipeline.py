@@ -181,23 +181,37 @@ def prepare_training_shards(
     return {"version": version, "n_docs_raw": int(n_raw), **stats}
 
 
+def _batch_stats(frame: DataFrame) -> tuple[int, int, int]:
+    """(docs, tokens, max doc tokens) of one batch — ONE aggregate."""
+    row = frame.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.max("n_tokens").cast("long").alias("m"),
+    ).first()
+    return int(row["d"] or 0), int(row["t"] or 0), int(row["m"] or 0)
+
+
 def _shard_stats(sharded: DataFrame, seq_len: int, packs_per_shard: int) -> dict:
     """Manifest statistics. Pack/shard counts derive from the TOKEN
     total, not document start packs: the stream fills
     ceil(tokens/seq_len) packs regardless of where documents begin
     (a single 67-token doc at seq_len=16 occupies 5 packs, though its
-    start pack is 0)."""
-    row = sharded.agg(
-        F.count(F.lit(1)).alias("n_docs_kept"),
-        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
-    ).first()
-    n_docs = int(row["n_docs_kept"] or 0)
-    n_tokens = int(row["n_tokens_kept"] or 0)
+    start pack is 0). ``max_doc_tokens`` bounds how far back a pack's
+    content can start — the pack reader's lower partition-pruning
+    bound (`read_pack_range`)."""
+    n_docs, n_tokens, max_doc = _batch_stats(sharded)
+    return _geometry_stats(n_docs, n_tokens, max_doc, seq_len, packs_per_shard)
+
+
+def _geometry_stats(
+    n_docs: int, n_tokens: int, max_doc: int, seq_len: int, packs_per_shard: int
+) -> dict:
     n_packs = -(-n_tokens // seq_len) if n_tokens else 0
     n_shards = -(-n_packs // packs_per_shard) if n_packs else 0
     return {
         "n_docs_kept": n_docs,
         "n_tokens_kept": n_tokens,
+        "max_doc_tokens": max_doc,
         "n_packs": n_packs,
         "n_shards": n_shards,
     }
@@ -216,10 +230,12 @@ def append_training_shards(
     the last committed version ended, and commit old + new rows as
     the next version.
 
-    The expensive work — gating, tokenizing, packing — runs over the
-    NEW batch alone; existing rows are carried through untouched (the
-    full-snapshot versioning trade re-writes their bytes but never
-    recomputes them, and at 100 TB compute dominates the copy).
+    EVERYTHING is O(batch): gating, tokenizing, and packing run over
+    the new batch alone, and the commit is METADATA-LEVEL
+    (``commit_version(..., carry_from=prev)``) — the new version's
+    manifest references the previous version's data dirs instead of
+    copying them, so a daily backfill against a 100 TB corpus writes
+    the day's partitions plus one JSON file, never the corpus.
     Dedup is corpus-wide: a new document whose fingerprint (or id)
     already exists in the table is dropped, exactly as if both had
     been in one batch. New documents append AFTER the existing stream
@@ -237,10 +253,11 @@ def append_training_shards(
 
     spark = df_new.sparkSession
     prev_man = read_manifest(spark, path)
+    prev_version = int(prev_man["version"])
     seq_len = int(prev_man["seq_len"])
     packs_per_shard = int(prev_man["packs_per_shard"])
     prev_tokens = int(prev_man["n_tokens_kept"])
-    prev = read_version(spark, path)
+    prev = read_version(spark, path, prev_version)
 
     # id-colliding rows leave the batch FIRST — before intra-batch
     # canonical selection. Done after, a batch duplicate pair whose
@@ -289,14 +306,23 @@ def append_training_shards(
             )
             .select(*prev.columns)
         )
-        combined = prev.unionByName(shifted)
 
-        stats = _shard_stats(combined, seq_len, packs_per_shard)
+        # totals come from prev manifest + ONE aggregate of the batch —
+        # no scan of the carried corpus for bookkeeping either
+        b_docs, b_tokens, b_max = _batch_stats(shifted)
+        stats = _geometry_stats(
+            int(prev_man["n_docs_kept"]) + b_docs,
+            prev_tokens + b_tokens,
+            max(int(prev_man.get("max_doc_tokens", 0)), b_max),
+            seq_len,
+            packs_per_shard,
+        )
         n_raw = int(prev_man["n_docs_raw"]) + df_new.count()
         version = commit_version(
-            combined,
+            shifted,
             path,
             partition_by=["shard"],
+            carry_from=prev_version,
             meta={
                 "pipeline": "prepare_training_shards",
                 "seq_len": seq_len,

@@ -22,12 +22,21 @@ hit this).
 
 Scale posture: a commit costs ONE distributed write of the snapshot
 plus two driver-side metadata ops (mkdir + rename); reads are plain
-parquet scans of one directory, so partition pruning, pushdown, and
-every other Catalyst behavior apply unchanged. Snapshots share
-nothing, which trades storage for total isolation — at 100 TB, pair
-with partitioned snapshots (write only changed partitions per
-version) exactly as `streaming/sink.py::stream_upsert_parquet`
-documents for its swap.
+parquet scans of the manifested directories, so partition pruning,
+pushdown, and every other Catalyst behavior apply unchanged.
+
+Incremental (metadata-level) commits: a manifest lists its DATA DIRS
+(plural). ``commit_version(df, path, carry_from=N)`` writes only
+``df`` into its own ``v=<M>`` dir and records version N's dirs plus
+the new one — version M *references* version N's bytes instead of
+copying them, exactly the Iceberg/Delta move where a new snapshot's
+manifest lists the previous snapshot's unchanged files. An append-
+only backfill therefore costs O(batch), not O(corpus): at 100 TB a
+daily append writes the day's partitions and one JSON file. ``vacuum``
+respects references — a version's data dir survives as long as ANY
+kept manifest lists it, even after its own manifest expires.
+Fully-independent snapshots (no ``carry_from``) still behave as
+before: total isolation, storage traded for simplicity.
 """
 
 from __future__ import annotations
@@ -50,7 +59,14 @@ def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
     (overwriting any previous file): readers either see the complete
     old content or the complete new content, never a partial write.
     The shared primitive behind this module's manifests and the
-    vector-index manifest (llm/vector_index.py)."""
+    vector-index manifest (llm/vector_index.py).
+
+    Overwrites go through ``FileContext.rename(..., Rename.OVERWRITE)``
+    — a SINGLE atomic swap, so a concurrent reader never observes the
+    file absent (ADVICE r5: delete-then-rename had a not-found window).
+    Filesystems without FileContext support fall back to
+    delete+rename, where that transient-absence window exists; callers
+    on such stores should retry a FileNotFoundError once."""
     import uuid as _uuid
 
     fs, jvm = _fs(spark, path)
@@ -60,6 +76,17 @@ def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
     out.write(bytearray(text.encode("utf-8")))
     out.close()
     final = Path(path)
+    try:
+        gw = spark.sparkContext._gateway
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)
+        return
+    except Exception:
+        pass  # FS without FileContext: legacy two-step swap below
     if fs.exists(final):
         fs.delete(final, False)
     if not fs.rename(tmp, final):
@@ -113,6 +140,7 @@ def commit_version(
     *,
     meta: dict | None = None,
     partition_by: list[str] | None = None,
+    carry_from: int | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
@@ -125,6 +153,14 @@ def commit_version(
     lock service. Orphan data dirs from crashed writers are skipped
     (never reused) so a crash can never wedge future commits; vacuum
     reclaims them. The manifest rename is the single commit point.
+
+    ``carry_from=N`` makes this a METADATA-LEVEL append: only ``df``
+    (the new rows) is written; the manifest's ``data_dirs`` lists
+    version N's directories plus the new one, so the committed
+    snapshot = N's rows ∪ df without copying a byte of N. Requirements
+    the caller owns: ``df``'s columns must match N's schema (checked
+    by name here), and ``partition_by`` must match N's layout so the
+    union of directories stays one consistent partitioned table.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -132,6 +168,20 @@ def commit_version(
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(_manifest_dir(path)))
+    carried_dirs: list[str] = []
+    if carry_from is not None:
+        base_man = read_manifest(spark, path, carry_from)
+        carried_dirs = list(base_man.get("data_dirs") or [base_man["data_dir"]])
+        base_cols = (
+            sorted(f["name"] for f in base_man["_schema"]["fields"])
+            if "_schema" in base_man
+            else None
+        )
+        if base_cols is not None and sorted(df.columns) != base_cols:
+            raise ValueError(
+                f"carry_from={carry_from} schema mismatch: carried "
+                f"{base_cols} vs new {sorted(df.columns)}"
+            )
     # next slot must clear BOTH committed versions and orphan data
     # dirs (a crashed writer's v=N would otherwise make every future
     # errorifexists write fail until vacuum — the table would wedge)
@@ -164,6 +214,9 @@ def commit_version(
         doc = {
             "version": version,
             "data_dir": data,
+            # every directory this snapshot is the union of: carried
+            # (referenced, not copied) dirs first, own dir last
+            "data_dirs": carried_dirs + [data],
             # writer schema: lets read_version reconstruct EMPTY
             # partitioned snapshots (no part files to infer from)
             "_schema": df.schema.jsonValue(),
@@ -202,7 +255,11 @@ def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: the snapshot at ``version``, or the latest
-    committed one. Plain parquet scan — pruning/pushdown unchanged.
+    committed one. Plain parquet scan of the manifest's ``data_dirs``
+    (one dir for independent snapshots, several for metadata-level
+    appends) — pruning/pushdown unchanged; partition columns are
+    discovered per listed root, so carried and new dirs form one
+    consistent partitioned table.
 
     An EMPTY partitioned snapshot has no part files to infer a schema
     from (the dir holds only _SUCCESS); the manifest records the
@@ -211,18 +268,39 @@ def read_version(
     UNABLE_TO_INFER_SCHEMA, and appends to an all-filtered first
     commit don't wedge the table."""
     version = _resolve_version(spark, path, version)
-    data = _data_dir(path, version)
-    try:
-        return spark.read.parquet(data)
-    except Exception:
-        man = read_manifest(spark, path, version)
-        if "_schema" not in man:
-            raise
-        from pyspark.sql.types import StructType
+    man = read_manifest(spark, path, version)
+    dirs = list(man.get("data_dirs") or [man["data_dir"]])
+    if len(dirs) == 1:
+        try:
+            return spark.read.parquet(dirs[0])
+        except Exception:
+            # empty snapshot (no part files to infer a schema from):
+            # reconstruct from the writer schema the manifest recorded
+            if "_schema" not in man:
+                raise
+            from pyspark.sql.types import StructType
 
-        return spark.read.schema(
-            StructType.fromJson(man["_schema"])
-        ).parquet(data)
+            return spark.read.schema(
+                StructType.fromJson(man["_schema"])
+            ).parquet(dirs[0])
+    # multi-dir (carry_from) snapshot: each dir is its own partitioned
+    # root — one multi-path read would misparse the sibling v=<N> dirs
+    # as partition keys of the table parent. Per-dir scans unioned by
+    # name keep partition discovery per root (pruning intact: a filter
+    # on the partition column pushes into every branch), and the
+    # manifest schema makes empty dirs readable without inference.
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    reader = (
+        spark.read.schema(StructType.fromJson(man["_schema"]))
+        if "_schema" in man
+        else spark.read
+    )
+    return reduce(
+        lambda a, b: a.unionByName(b), [reader.parquet(d) for d in dirs]
+    )
 
 
 def read_manifest(
@@ -342,7 +420,15 @@ def vacuum(
     rename still succeed and commit a version pointing at deleted
     data (ADVICE r4). Pass ``orphan_grace=0`` only when no writer can
     be running. Expired *committed* versions carry no such race —
-    their manifests exist and are removed first."""
+    their manifests exist and are removed first.
+
+    Metadata-level appends make data dirs SHARED: a kept version's
+    manifest may reference an expired version's ``v=M`` dir
+    (``carry_from`` commits). Referenced dirs are never deleted — not
+    in the expiry pass (the manifest goes, the bytes stay) and not in
+    the orphan pass (a reference outlives its own manifest) — so time
+    travel on every KEPT version keeps working after vacuum; only the
+    expired version numbers stop resolving."""
     import time
 
     fs, jvm = _fs(spark, path)
@@ -351,10 +437,22 @@ def vacuum(
     drop = committed[:-keep_last] if keep_last > 0 else committed
     keep = set(committed) - set(drop)
     dropped = set(drop)
+    # version numbers whose v=<N> dir a KEPT manifest still references
+    referenced: set[int] = set()
+    for v in keep:
+        man = read_manifest(spark, path, v)
+        for d in man.get("data_dirs") or [man["data_dir"]]:
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("v="):
+                try:
+                    referenced.add(int(name[2:]))
+                except ValueError:
+                    pass
     now_ms = time.time() * 1000.0
     for v in drop:
         fs.delete(Path(f"{_manifest_dir(path)}/{v}.json"), False)
-        fs.delete(Path(_data_dir(path, v)), True)
+        if v not in referenced:
+            fs.delete(Path(_data_dir(path, v)), True)
     root = Path(path)
     if fs.exists(root):
         for st in fs.listStatus(root):
@@ -364,7 +462,7 @@ def vacuum(
                     v = int(name[2:])
                 except ValueError:
                     continue
-                if v in keep or v in dropped:
+                if v in keep or v in dropped or v in referenced:
                     continue
                 # never-manifested dir: possibly an in-flight writer
                 if now_ms - st.getModificationTime() >= orphan_grace * 1000.0:

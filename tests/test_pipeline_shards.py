@@ -3,6 +3,8 @@ packing layout, versioned commit, re-run isolation."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from temp_data_pipeline_spark.llm.pipeline import prepare_training_shards
@@ -154,3 +156,129 @@ def test_append_id_collision_does_not_lose_new_content(spark, tmp_path):
     assert 77 in out and out[77] == new_text  # content survived via id 77
     assert out[1] != new_text                 # committed doc 1 untouched
     assert m["n_docs_kept"] == 3
+
+
+def test_append_commit_is_metadata_level(spark, tmp_path):
+    """The last scale-killer (verdict r5): a backfill must write ONLY
+    the new batch's bytes. Version 2's own data dir holds just the new
+    doc; the committed corpus is reached by REFERENCE to version 1's
+    dir via the manifest's data_dirs — no byte of v1 is rewritten."""
+    import glob
+
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    path = str(tmp_path / "shards")
+    prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    v1_files = sorted(glob.glob(f"{path}/v=1/**/*.parquet", recursive=True))
+    v1_mtimes = {f: os.path.getmtime(f) for f in v1_files}
+    new = spark.createDataFrame(
+        [(11, GOOD + " a genuinely new closing sentence follows here")],
+        "doc_id long, text string",
+    )
+    append_training_shards(new, path, gate_kwargs={"min_score": -1e9})
+
+    # v2's own dir contains ONLY the new document's rows
+    own = spark.read.parquet(f"{path}/v=2")
+    assert {r["doc_id"] for r in own.collect()} == {11}
+    # v1 files were neither rewritten nor touched
+    assert sorted(glob.glob(f"{path}/v=1/**/*.parquet", recursive=True)) == v1_files
+    assert {f: os.path.getmtime(f) for f in v1_files} == v1_mtimes
+    # the manifest records the reference chain, oldest first
+    man = read_manifest(spark, path, 2)
+    assert man["data_dirs"] == [f"{path}/v=1", f"{path}/v=2"]
+    # and the logical snapshot is still the full corpus
+    assert {r["doc_id"] for r in read_version(spark, path, 2).collect()} == {1, 3, 11}
+
+
+def test_append_chain_and_vacuum_keeps_referenced_dirs(spark, tmp_path):
+    """Chained appends reference every ancestor dir; vacuum may expire
+    the ancestors' version NUMBERS but must keep their bytes while any
+    kept manifest references them (Iceberg expire-snapshots shape)."""
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+        vacuum,
+        versions,
+    )
+
+    path = str(tmp_path / "shards")
+    prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    for i, tail in enumerate(["first new tail here", "second new tail here"]):
+        new = spark.createDataFrame(
+            [(20 + i, GOOD + " " + tail)], "doc_id long, text string"
+        )
+        append_training_shards(new, path, gate_kwargs={"min_score": -1e9})
+    man3 = read_manifest(spark, path, 3)
+    assert man3["data_dirs"] == [f"{path}/v={v}" for v in (1, 2, 3)]
+    assert {r["doc_id"] for r in read_version(spark, path).collect()} == {1, 3, 20, 21}
+
+    # expire v1 and v2: their manifests go, their data stays (v3 refs it)
+    dropped = vacuum(spark, path, keep_last=1)
+    assert dropped == [1, 2]
+    assert versions(spark, path) == [3]
+    assert os.path.exists(f"{path}/v=1") and os.path.exists(f"{path}/v=2")
+    assert {r["doc_id"] for r in read_version(spark, path).collect()} == {1, 3, 20, 21}
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, path, 1)
+    # a later vacuum must STILL not reap the referenced orphans, even
+    # with the in-flight grace window waived
+    vacuum(spark, path, keep_last=1, orphan_grace=0)
+    assert os.path.exists(f"{path}/v=1") and os.path.exists(f"{path}/v=2")
+    assert read_version(spark, path).count() == 4
+
+
+def test_append_empty_batch_is_metadata_only(spark, tmp_path):
+    """A backfill where every document is gated/deduped away still
+    commits a valid (purely referencing) version."""
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+
+    path = str(tmp_path / "shards")
+    m1 = prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    dup = spark.createDataFrame([(99, GOOD)], "doc_id long, text string")
+    m2 = append_training_shards(dup, path, gate_kwargs={"min_score": -1e9})
+    assert m2["version"] == 2
+    assert m2["n_docs_kept"] == m1["n_docs_kept"]
+    assert m2["n_tokens_kept"] == m1["n_tokens_kept"]
+    assert {r["doc_id"] for r in read_version(spark, path, 2).collect()} == {1, 3}
+
+
+def test_carry_from_schema_mismatch_raises(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    commit_version(df, path)
+    other = spark.createDataFrame([(2,)], "k long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_version(other, path, carry_from=1)
+
+
+def test_snapshot_diff_across_carried_versions(spark, tmp_path):
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+    from temp_data_pipeline_spark.operators.versioned import snapshot_diff
+
+    path = str(tmp_path / "shards")
+    prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    new = spark.createDataFrame(
+        [(11, GOOD + " a genuinely new closing sentence follows here")],
+        "doc_id long, text string",
+    )
+    append_training_shards(new, path, gate_kwargs={"min_score": -1e9})
+    got = {
+        r["doc_id"]: r["change_type"]
+        for r in snapshot_diff(spark, path, 1, 2, ["doc_id"]).collect()
+    }
+    assert got == {11: "added"}  # carried rows are bit-identical -> silent
