@@ -124,3 +124,81 @@ def pack_documents(
             (begin % F.lit(seq_len)).cast("bigint").alias("pack_off"),
         )
     )
+
+
+def reassemble_packs(
+    df: DataFrame,
+    seq_len: int,
+    pack_lo: int = 0,
+    pack_hi: int | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The INVERSE of `pack_documents`: training sequences back from a
+    packed frame — (pack_id, n_tokens, tokens array<string>), one row
+    per pack in [pack_lo, pack_hi), each exactly ``seq_len`` tokens
+    (the final pack may be partial).
+
+    ``df`` carries (id, text, n_tokens, begin) — pack_documents output
+    joined back to the text, or a training-shard table row as-is
+    (`pipeline.read_pack_range` feeds this).
+
+    Shape: one map stage (explode each document onto the packs it
+    overlaps — at most ceil(n_tokens/seq_len)+1 rows per document),
+    then ONE shuffle keyed by pack_id whose reduce side sorts
+    segments by ``begin`` and
+    flattens. Every pack's payload is ≤ seq_len tokens, so reducers
+    are perfectly bounded regardless of document length — a 10M-token
+    document never lands on one reducer, its packs spread across the
+    cluster.
+    """
+    lo_tok = pack_lo * seq_len
+    pred = (F.col("begin") + F.col("n_tokens") > lo_tok) & (F.col("n_tokens") > 0)
+    if pack_hi is not None:
+        pred = pred & (F.col("begin") < pack_hi * seq_len)
+    covered = df.filter(pred)
+    p_first = F.greatest(
+        F.floor(F.col("begin") / F.lit(seq_len)), F.lit(pack_lo)
+    ).cast("bigint")
+    p_last = F.floor((F.col("begin") + F.col("n_tokens") - 1) / F.lit(seq_len))
+    if pack_hi is not None:
+        p_last = F.least(p_last, F.lit(pack_hi - 1))
+    p_last = p_last.cast("bigint")
+    ex = covered.select(
+        F.col("begin"),
+        F.col("n_tokens"),
+        F.split(F.col(text_col), " ").alias("_t"),
+        F.explode(F.sequence(p_first, p_last)).alias("pack_id"),
+    )
+    tok_lo = F.greatest(F.col("pack_id") * seq_len - F.col("begin"), F.lit(0))
+    tok_hi = F.least(
+        F.col("n_tokens"), (F.col("pack_id") + 1) * seq_len - F.col("begin")
+    )
+    seg = ex.select(
+        "pack_id",
+        "begin",
+        F.slice("_t", (tok_lo + 1).cast("int"), (tok_hi - tok_lo).cast("int")).alias(
+            "_seg"
+        ),
+    )
+    # array_sort on (begin, seg) structs orders segments by stream
+    # position (begins are globally unique); flatten concatenates
+    return (
+        seg.groupBy("pack_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("begin"), F.col("_seg")))
+                    ),
+                    lambda s: s["_seg"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "pack_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            "tokens",
+        )
+    )

@@ -217,6 +217,98 @@ def _geometry_stats(
     }
 
 
+def read_pack_range(
+    spark,
+    path: str,
+    pack_lo: int,
+    pack_hi: int,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Documents whose token stream overlaps packs [pack_lo, pack_hi)
+    of a committed shard table — the loader-side range query the shard
+    layout documents (`prepare_training_shards`), implemented once
+    instead of hand-written per trainer. Adds (tok_lo, tok_hi): the
+    half-open token slice of each document that falls inside the
+    range.
+
+    Partition pruning, both sides: a document STARTS in or before the
+    last requested pack, so ``shard <= (pack_hi-1)//packs_per_shard``
+    always prunes the upper tail at planning time; and since no
+    document exceeds the manifest's ``max_doc_tokens``, anything
+    overlapping pack_lo starts at ``begin >= pack_lo*seq_len -
+    max_doc_tokens + 1``, which prunes the lower shards too. At 100 TB
+    a trainer materializing one shard's packs scans a handful of
+    ``shard=`` directories, not the table.
+    """
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+        read_version,
+    )
+
+    if pack_hi <= pack_lo:
+        raise ValueError(f"empty pack range [{pack_lo}, {pack_hi})")
+    man = read_manifest(spark, path, version)
+    seq_len = int(man["seq_len"])
+    pps = int(man["packs_per_shard"])
+    lo_tok, hi_tok = pack_lo * seq_len, pack_hi * seq_len
+    df = read_version(spark, path, version)
+    pred = (
+        (F.col("begin") < hi_tok)
+        & (F.col("begin") + F.col("n_tokens") > lo_tok)
+        & (F.col("shard") <= (pack_hi - 1) // pps)
+    )
+    max_doc = int(man.get("max_doc_tokens", 0))
+    if max_doc > 0:
+        min_begin = lo_tok - max_doc + 1
+        if min_begin > 0:
+            pred = pred & (F.col("shard") >= (min_begin // seq_len) // pps)
+    return df.filter(pred).withColumns(
+        {
+            "tok_lo": F.greatest(F.lit(lo_tok) - F.col("begin"), F.lit(0)).cast(
+                "bigint"
+            ),
+            "tok_hi": F.least(
+                F.col("n_tokens"), F.lit(hi_tok) - F.col("begin")
+            ).cast("bigint"),
+        }
+    )
+
+
+def read_pack(
+    spark, path: str, pack_id: int, *, version: int | None = None
+) -> DataFrame:
+    """The documents contributing to ONE training sequence."""
+    return read_pack_range(spark, path, pack_id, pack_id + 1, version=version)
+
+
+def materialize_packs(
+    spark,
+    path: str,
+    pack_lo: int,
+    pack_hi: int,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Fully reassembled training sequences from a committed shard
+    table: (pack_id, n_tokens, tokens array<string>) for every pack in
+    [pack_lo, pack_hi) — `read_pack_range`'s pruned scan fed through
+    `chunk.reassemble_packs`. Pack boundaries ignore shard and version
+    boundaries by construction: a document committed under shard k-1
+    or carried from an earlier version contributes its straddling
+    tokens exactly where the stream contract places them."""
+    from temp_data_pipeline_spark.llm.chunk import reassemble_packs
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    man = read_manifest(spark, path, version)
+    return reassemble_packs(
+        read_pack_range(spark, path, pack_lo, pack_hi, version=version),
+        int(man["seq_len"]),
+        pack_lo,
+        pack_hi,
+    )
+
+
 def append_training_shards(
     df_new: DataFrame,
     path: str,

@@ -1273,6 +1273,63 @@ def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(d, seq_len=1024).orderBy("doc_id")
 
 
+@_register(
+    "llm_pack_read",
+    ["LLM-pack"],
+    """
+    WITH tc AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS begin
+      FROM tc),
+    ex AS (
+      SELECT t, n_tokens, begin, unnest(range(6)) AS pack_id FROM c),
+    ov AS (
+      SELECT pack_id, begin,
+             CAST(greatest(pack_id*32 - begin, 0) AS BIGINT) AS tok_lo,
+             CAST(least(n_tokens, (pack_id+1)*32 - begin) AS BIGINT) AS tok_hi,
+             t
+      FROM ex
+      WHERE begin < (pack_id+1)*32 AND begin + n_tokens > pack_id*32)
+    SELECT pack_id,
+           CAST(SUM(tok_hi - tok_lo) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(t[tok_lo+1 : tok_hi], ' '),
+                      ' ' ORDER BY begin) AS tokens_csv
+    FROM ov GROUP BY pack_id ORDER BY pack_id
+    """,
+    note=(
+        "Pack READER: the inverse of llm_pack — reassemble training "
+        "sequences 0..5 (seq_len 32) from the packed layout. Each "
+        "document explodes onto only the packs it overlaps, then ONE "
+        "shuffle keyed by pack_id sorts segments by stream offset and "
+        "flattens; reducer payload is bounded by seq_len however long "
+        "a document is. Same operator drives "
+        "pipeline.materialize_packs over committed shard tables with "
+        "shard-partition pruning from the manifest geometry."
+    ),
+)
+def llm_pack_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.chunk import pack_documents, reassemble_packs
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(d, seq_len=32).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    return (
+        reassemble_packs(packed, 32, 0, 6)
+        .select(
+            "pack_id",
+            "n_tokens",
+            F.array_join("tokens", " ").alias("tokens_csv"),
+        )
+        .orderBy("pack_id")
+    )
+
+
 _PII_INJECT_SQL = """concat('mail u', CAST(doc_id AS VARCHAR), '@ex',
         CAST(doc_id % 3 AS VARCHAR), '.com ip 10.',
         CAST(doc_id % 256 AS VARCHAR), '.0.',
