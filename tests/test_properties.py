@@ -638,3 +638,87 @@ def test_bm25_vs_python_model(spark, texts, query):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["score_nano"] for r in bm25_score(df, query).collect()}
     assert got == want
+
+
+@given(seed=st.integers(0, 10**9))
+@settings(max_examples=20, deadline=None)
+def test_shard_backfill_equals_one_shot(spark, tmp_path_factory, seed):
+    """Backfill invariant (verdict r6 item 6): prepare(batch1) +
+    append(batch2..K) must equal prepare(concat) when ids arrive in
+    order — identical survivor sets, pack layout, and manifest
+    geometry — and every earlier version must stay byte-stable across
+    appends (the metadata-level commits reference, never rewrite)."""
+    import random
+
+    from temp_data_pipeline_spark.llm.pipeline import (
+        append_training_shards,
+        prepare_training_shards,
+    )
+    from temp_data_pipeline_spark.operators.versioned import read_manifest, read_version
+
+    rng = random.Random(seed)
+    stop = ["the", "and", "of", "to", "a", "in", "is", "that"]
+    content = ["alpha", "bravo", "delta", "ember", "frost", "grove", "haven", "inlet"]
+
+    def make_doc():
+        length = rng.choice([5, 30, 52, 58, 64, 75])  # some gated, some kept
+        return " ".join(
+            rng.choice(stop if rng.random() < 0.4 else content)
+            for _ in range(length)
+        )
+
+    texts: list[str] = []
+    for _ in range(rng.randint(4, 9)):
+        if texts and rng.random() < 0.3:
+            texts.append(rng.choice(texts))  # cross/within-batch duplicate
+        else:
+            texts.append(make_doc())
+    docs = [(i, t) for i, t in enumerate(texts)]
+    k = rng.randint(2, 3)
+    cuts = sorted(rng.sample(range(1, len(docs)), k - 1)) if len(docs) > k else [1]
+    batches, prev = [], 0
+    for c in cuts + [len(docs)]:
+        batches.append(docs[prev:c])
+        prev = c
+    seq_len = rng.choice([8, 16])
+    pps = rng.choice([2, 4])
+    gk = {"min_score": -1e9}
+
+    base = tmp_path_factory.mktemp("fuzz")
+    p_inc, p_one = str(base / "inc"), str(base / "one")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    mans = [prepare_training_shards(
+        frame(batches[0]), p_inc, seq_len=seq_len, packs_per_shard=pps,
+        gate_kwargs=gk,
+    )]
+    history = {1: sorted(map(tuple, read_version(spark, p_inc, 1).collect()))}
+    for b in batches[1:]:
+        mans.append(append_training_shards(frame(b), p_inc, gate_kwargs=gk))
+        v = mans[-1]["version"]
+        history[v] = sorted(map(tuple, read_version(spark, p_inc, v).collect()))
+
+    one = prepare_training_shards(
+        frame(docs), p_one, seq_len=seq_len, packs_per_shard=pps,
+        gate_kwargs=gk,
+    )
+
+    cols = ["doc_id", "n_tokens", "begin", "pack_id", "pack_off", "shard"]
+    inc_rows = sorted(
+        tuple(r[c] for c in cols) for r in read_version(spark, p_inc).collect()
+    )
+    one_rows = sorted(
+        tuple(r[c] for c in cols) for r in read_version(spark, p_one).collect()
+    )
+    assert inc_rows == one_rows
+    final = mans[-1]
+    for key in ("n_docs_raw", "n_docs_kept", "n_tokens_kept",
+                "max_doc_tokens", "n_packs", "n_shards"):
+        assert final[key] == one[key], key
+    # manifest meta round-trips through the commit marker
+    assert read_manifest(spark, p_inc)["n_tokens_kept"] == final["n_tokens_kept"]
+    # earlier versions byte-stable after all appends
+    for v, want in history.items():
+        assert sorted(map(tuple, read_version(spark, p_inc, v).collect())) == want
