@@ -76,16 +76,29 @@ def hash_embed_dense(
     (llm/similarity.py ANN, llm/dedup.py embedding near-dup).
     One groupBy per document; the dense array materializes only at
     this boundary, never inside the hash aggregation.
+
+    Every input document appears in the output: a document whose
+    signed weights all cancel to zero (no sparse entries) maps to the
+    ZERO VECTOR rather than disappearing — the sparse view's
+    absent-means-zero convention must not silently drop rows from
+    downstream ANN / semdedup joins (ADVICE r5).
     """
     sparse = hash_embed_sparse(df, text_col=text_col, id_col=id_col, dim=dim)
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("dim_idx"), F.col("weight")))
     )
-    return sparse.groupBy(id_col).agg(
+    dense = sparse.groupBy(id_col).agg(
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: F.coalesce(F.element_at(m, i.cast("long")), F.lit(0)),
         ).alias("embedding")
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(dense, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("embedding"), zero).alias("embedding"))
     )
 
 

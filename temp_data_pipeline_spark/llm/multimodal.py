@@ -162,6 +162,16 @@ def extract_image_features(
                 decode_batches_lite, IMAGE_FEATURES_SCHEMA
             )
 
+        # PIL is the DECODER only; thumbnail + luma run through the
+        # same png_lite integer kernels as the stdlib fallback, so
+        # identical input bytes yield bit-identical features whether
+        # or not PIL is installed (ADVICE r5: PIL's default bicubic
+        # resize and its own nearest index mapping both diverge from
+        # the fallback). resize-then-gray here vs the fallback's
+        # gray-then-resize commute exactly: nearest selection is
+        # channel-independent and the BT.601 luma is per-pixel.
+        _to_gray, _resize = png_lite.to_gray, png_lite.resize_nearest
+
         def decode_batches_real(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
@@ -180,16 +190,19 @@ def extract_image_features(
                             w, h = im.size
                             # n_features-bucket mean-intensity profile
                             # of a 16x16 grayscale thumbnail
-                            px = list(im.convert("L").resize((16, 16)).getdata())
-                            step = max(len(px) // nf, 1)
-                            feats = [
-                                (
-                                    sum(chunk) / (255.0 * len(chunk))
-                                    if (chunk := px[i * step : (i + 1) * step])
-                                    else 0.0
-                                )
-                                for i in range(nf)
-                            ]
+                            rgb = im.convert("RGB").tobytes()
+                        thumb = _to_gray(
+                            _resize(rgb, w, h, 3, 16, 16), 16, 16, 3
+                        )
+                        step = max(len(thumb) // nf, 1)
+                        feats = [
+                            (
+                                sum(chunk) / (255.0 * len(chunk))
+                                if (chunk := thumb[i * step : (i + 1) * step])
+                                else 0.0
+                            )
+                            for i in range(nf)
+                        ]
                     except Exception:  # undecodable bytes -> null-ish row
                         w = h = 0
                         feats = [0.0] * nf

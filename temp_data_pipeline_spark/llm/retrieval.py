@@ -15,8 +15,11 @@ Physical shape — NO per-term shuffle:
     no driver collect, no shuffle wider than one row;
   - scoring is again map-only; only the final top-k pays a sort
     (TakeOrderedAndProject, k rows per partition).
-  At 100 TB: two parquet scans (stats + scoring) of pruned columns,
-  one 1-row broadcast, one top-k — the textbook distributed shape.
+  At 100 TB: ONE tokenization of the corpus — the per-document tf
+  frame is persisted at the stats/scoring fork, so the stats pass
+  materializes it and the scoring pass replays the cache instead of
+  re-splitting every document (verdict r5: the fork used to run the
+  dominant array work twice). One 1-row broadcast, one top-k.
 
 Exactness contract (drives the DuckDB oracle): each term's BM25
 contribution is quantized to integer nano-units *before* summing —
@@ -97,6 +100,13 @@ def bm25_score(
         # binding silently becomes the index column
         return F.size(F.filter(t, lambda x: x == F.lit(term)))
 
+    # persist at the fork: stats and scoring both consume the tf
+    # frame, and without the cache boundary the tokenize+filter array
+    # work (the dominant cost) executes once per consumer. The cached
+    # frame is (id, dl, k ints) — a sliver of the corpus bytes. The
+    # block is freed when the frame is garbage-collected (Spark's
+    # ContextCleaner); bench/server harnesses that sweep caches per
+    # query release it deterministically.
     base = df.select(
         F.col(id_col),
         tokens(text_col).alias("_tok"),
@@ -104,7 +114,7 @@ def bm25_score(
         F.col(id_col),
         F.size(t).alias("dl"),
         *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(terms)],
-    )
+    ).persist()
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),
@@ -166,6 +176,10 @@ def bm25_oracle_sql(
     """DuckDB replay of bm25_topk — identical expression tree, same
     nano quantization, same tie-break."""
     terms = _query_terms(query)
+    if not terms:
+        # mirror bm25_score's guard: the zero-term contribution list
+        # would otherwise render as '()' — invalid SQL (ADVICE r5)
+        raise ValueError("bm25_oracle_sql: query has no terms")
     # SQL-escape: real-text queries contain apostrophes, and an
     # unescaped quote terminates the literal (parser error at best)
     lits = [tm.replace("'", "''") for tm in terms]

@@ -58,3 +58,36 @@ def test_text_knn_plan_is_jvm_only_with_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dense_view_keeps_all_cancelled_docs(spark):
+    """A document whose signed weights all cancel must appear as the
+    zero vector, not vanish from the dense view (ADVICE r5). Find a
+    cancelling pair by brute force: two tokens hashing to the same
+    dim_idx with opposite signs."""
+    from itertools import combinations
+
+    from temp_data_pipeline_spark.llm.embed import hash_embed_sparse
+
+    cands = [f"w{i}" for i in range(40)]
+    probe = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(cands)], "doc_id long, text string"
+    )
+    entries = {
+        r["doc_id"]: (r["dim_idx"], r["weight"])
+        for r in hash_embed_sparse(probe, dim=4).collect()
+    }
+    pair = next(
+        (a, b)
+        for a, b in combinations(range(len(cands)), 2)
+        if entries[a][0] == entries[b][0]
+        and entries[a][1] == -entries[b][1]
+    )
+    text = f"{cands[pair[0]]} {cands[pair[1]]}"
+    df = spark.createDataFrame(
+        [(0, text), (1, "spark join scan")], "doc_id long, text string"
+    )
+    dense = {r["doc_id"]: r["embedding"] for r in hash_embed_dense(df, dim=4).collect()}
+    assert set(dense) == {0, 1}
+    assert dense[0] == [0, 0, 0, 0]
+    assert any(v != 0 for v in dense[1])

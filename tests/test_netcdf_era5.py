@@ -193,3 +193,31 @@ def test_distributed_binaryfile_decode_end_to_end(spark, tmp_path):
     )
     assert all(r["station_id"] == "KLGA" for r in good)
     assert {r["ts_utc"] for r in good} == set(expected_times())
+
+
+def test_xarray_tier_matches_lite_tier(spark, tmp_path):
+    """The real-library branch of read_era5_netcdf (verdict r6 item 7:
+    the only never-executed code path). Runs when xarray is
+    importable — the same gate pattern as the xgboost/PIL tests — and
+    asserts the xarray tier decodes the classic fixture to exactly
+    the rows the in-repo netcdf_lite tier produces."""
+    import pytest
+
+    pytest.importorskip("xarray")
+    from temp_data_pipeline_spark.sources.era5 import read_era5_netcdf
+    from temp_data_pipeline_spark.sources.netcdf_lite import parse_era5_t2m
+    from temp_data_pipeline_spark.sources.stations import StationMeta
+
+    nc = tmp_path / "era5.nc"
+    nc.write_bytes(era5_fixture_bytes())
+    st = StationMeta(station_id="KLGA", lat=40.78, lon=-73.87)
+    rows = read_era5_netcdf(spark, str(nc), st).collect()  # xarray tier
+    t_np, k_np = parse_era5_t2m(era5_fixture_bytes(), st.lat, st.lon)
+    want = {
+        t.astype("datetime64[us]").item(): float(k) - 273.15
+        for t, k in zip(t_np, k_np)
+    }
+    got = {r["ts_utc"].replace(tzinfo=None): r["temp_c"] for r in rows}
+    assert set(got) == set(want)
+    for ts in want:
+        np.testing.assert_allclose(got[ts], want[ts], rtol=1e-12)

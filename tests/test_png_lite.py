@@ -143,3 +143,44 @@ def test_roundtrip_fuzz():
         assert bytes(px2) == px
 
     run()
+
+
+def test_pil_branch_features_match_fallback(spark):
+    """When PIL is installed, extract_image_features(real=True) must
+    produce bit-identical features to the png_lite fallback pipeline —
+    PIL is the decoder only; thumbnail + luma go through the same
+    integer kernels (ADVICE r5: bicubic resize / PIL luma made the
+    features environment-dependent). Skips where PIL is absent, like
+    the xgboost/xarray gates."""
+    import random
+
+    import pytest
+
+    pytest.importorskip("PIL")
+
+    from temp_data_pipeline_spark.llm.multimodal import extract_image_features
+
+    rng = random.Random(7)
+    rows = []
+    for aid in range(4):
+        w, h = rng.randint(3, 21), rng.randint(3, 21)
+        ch = rng.choice([1, 2, 3, 4])
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        rows.append((aid, bytearray(png_lite.encode(w, h, ch, px))))
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {
+        r["asset_id"]: (r["width"], r["height"], list(r["features"]))
+        for r in extract_image_features(df, real=True).collect()
+    }
+    # reference: the pure png_lite pipeline, computed inline
+    for aid, content in rows:
+        w, h, ch, px = png_lite.decode(bytes(content))
+        thumb = png_lite.resize_nearest(
+            png_lite.to_gray(px, w, h, ch), w, h, 1, 16, 16
+        )
+        step = max(len(thumb) // 8, 1)
+        feats = [
+            (sum(c) / (255.0 * len(c)) if (c := thumb[i * step:(i + 1) * step]) else 0.0)
+            for i in range(8)
+        ]
+        assert got[aid] == (w, h, feats)

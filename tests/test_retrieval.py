@@ -131,3 +131,22 @@ def test_bm25_oracle_escapes_quoted_terms(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
     want = con.execute(bm25_oracle_sql("don't panic", k=3)).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_bm25_empty_query_oracle_raises(spark):
+    """bm25_oracle_sql must mirror bm25_score's empty-terms guard
+    instead of emitting '()' — invalid SQL (ADVICE r5)."""
+    from temp_data_pipeline_spark.llm.retrieval import bm25_oracle_sql
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_oracle_sql("   ")
+
+
+def test_bm25_tokenizes_corpus_once(spark):
+    """The stats/scoring fork shares ONE persisted tf frame: the
+    scoring side of the plan must replay the cache, not re-run the
+    tokenize+filter scan (verdict r5 item 5)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    scored = bm25_score(df, "hash join")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
