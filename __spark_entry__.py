@@ -78,31 +78,17 @@ _DRIVER_WINDOW = 50
 
 # name -> last round with a green driver record (CORRECTNESS_r{N}.json).
 _LAST_VERIFIED = {
-    # r2 green (not re-snapshotted since)
-    **{n: 2 for n in (
-        "llm_hash_split", "llm_decontam", "llm_repetition",
-        "llm_stratified", "llm_keywords", "llm_topk_lang", "llm_centroid",
-        "llm_lm_score", "llm_chunk", "llm_pack", "llm_pii",
-        "llm_corpus_report",
-    )},
-    # r3 green
+    # r3 green (the oldest remaining tail — leads round 6's window)
     **{n: 3 for n in (
-        "llm_heavy_hitters", "q_pipeline_clean", "q_skew_agg",
-        "q_pipeline_daily", "q_isd_parse", "q_ghcnh_parse", "q_ts_parse",
-        "q_lead_hours", "q_season", "q_units", "q_json_extract",
-        "q_semi_join", "q_anti_join", "q_intersect", "q_except",
-        "q_rollup", "q_pivot", "q_cube", "q_rank_topn", "q_cardinality",
-        "q_incr_rollup", "llm_minhash_dedup", "llm_multimodal",
-        "q_agg", "q_scan", "q_filter", "q_project", "q_case", "q_dedup",
-        "q_join", "q_multijoin", "q_bitor", "q_window_lag",
+        "q_cardinality", "q_cube", "q_except", "q_incr_rollup",
+        "q_intersect", "q_pivot", "q_rank_topn", "q_rollup",
     )},
-    # r4 green (CORRECTNESS_r04.json: 49 of 50 snapshotted)
+    # r4 green
     **{n: 4 for n in (
         "llm_ann_lsh_topk", "llm_ann_topk", "llm_bloom_decontam",
-        "llm_bpe_encode", "llm_classifier", "llm_curation_funnel",
-        "llm_dedup_exact", "llm_dup_clusters", "llm_dup_ngram_frac",
-        "llm_embed_neardup", "llm_filtered_ann", "llm_fingerprint",
-        "llm_gopher", "llm_intra_dup", "llm_ivf_topk", "llm_lang_id",
+        "llm_bpe_encode", "llm_classifier", "llm_dedup_exact",
+        "llm_dup_ngram_frac", "llm_embed_neardup", "llm_filtered_ann",
+        "llm_fingerprint", "llm_gopher", "llm_intra_dup", "llm_lang_id",
         "llm_minhash", "llm_mix_temperature", "llm_neardup_window",
         "llm_pq_topk", "llm_semdedup", "llm_simhash",
         "llm_simhash_neardup", "llm_span_dedup", "llm_text_quality",
@@ -114,30 +100,35 @@ _LAST_VERIFIED = {
         "q_stream_neardup", "q_stream_sessions", "q_union",
         "q_window_expand", "q_window_range", "q_window_roll",
     )},
+    # r5 green (CORRECTNESS_r05.json: 50/50 pass)
+    **{n: 5 for n in (
+        "llm_ann_recall", "llm_bm25", "llm_centroid", "llm_chunk",
+        "llm_cluster_best", "llm_corpus_report", "llm_curation_funnel",
+        "llm_decontam", "llm_dup_clusters", "llm_hash_embed",
+        "llm_hash_split", "llm_heavy_hitters", "llm_ivf_index_topk",
+        "llm_ivf_topk", "llm_keywords", "llm_line_dedup", "llm_lm_score",
+        "llm_minhash_dedup", "llm_multimodal", "llm_pack", "llm_pii",
+        "llm_quantize_int8", "llm_repetition", "llm_stratified",
+        "llm_text_knn", "llm_topk_lang", "llm_vocab_coverage", "q_agg",
+        "q_anti_join", "q_bitor", "q_case", "q_dedup", "q_filter",
+        "q_ghcnh_parse", "q_isd_parse", "q_join", "q_json_extract",
+        "q_lead_hours", "q_multijoin", "q_pipeline_clean",
+        "q_pipeline_daily", "q_project", "q_scan", "q_season",
+        "q_semi_join", "q_skew_agg", "q_stream_dedup", "q_ts_parse",
+        "q_units", "q_window_lag",
+    )},
 }
 
-# Implementations changed in round 5 since their last green record:
-#   - llm_quantize_int8: never green (r4's only red) — output reshaped
-#     to scalar codes_csv so the driver canonicalizer can sort it;
-#   - llm_dup_clusters: fixpoint detector generalized to non-numeric
-#     ids (hash-sum signature; numeric path byte-identical);
-#   - llm_keywords: unused eager n_docs count removed from the
-#     rank-only path (plan changed, ranking math untouched);
-#   - llm_curation_funnel: top_token_frac reworked from O(distinct·n)
-#     transform×filter to sort_array + linear run-length fold;
-#   - llm_decontam: single-scan + xxhash64 gram keys + count_distinct
-#     semantics (matches the oracle's DISTINCT exactly now);
-#   - review-pass fixes touching query plans: vocab_coverage decimal
-#     cross-multiply, line_dedup separator escaping, IVF stable
-#     tie-break (ad-hoc + persisted index), ranked_topk refactor
-#     (bm25 / text_knn), stream-dedup sink materialization.
-# New this round (never verified — priority 0 automatically): llm_bm25,
-# llm_line_dedup, llm_vocab_coverage, llm_cluster_best, llm_hash_embed,
-# llm_text_knn, llm_ivf_index_topk, q_stream_dedup.
+# Implementations changed in round 6 since their last green record:
+#   - llm_bm25: per-document tf frame persisted at the stats/scoring
+#     fork (one tokenization pass; values unchanged);
+#   - llm_ivf_index_topk: index layout moved to uniquely-named cell
+#     dirs resolved via the manifest (atomic rebuild + add_vectors
+#     appends; probe results unchanged).
+# New this round (never verified — priority 0 automatically):
+# llm_pack_read (pack reader — inverse of llm_pack).
 _RECHECK = [
-    "llm_quantize_int8", "llm_dup_clusters", "llm_keywords",
-    "llm_curation_funnel", "llm_decontam", "llm_vocab_coverage",
-    "llm_line_dedup", "llm_ivf_topk", "q_stream_dedup",
+    "llm_bm25", "llm_ivf_index_topk",
 ]
 
 
