@@ -401,6 +401,40 @@ def snapshot_diff(
     )
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Rewrite the LATEST snapshot as one fresh, self-contained
+    version — the maintenance counterpart of ``carry_from`` appends
+    (Delta OPTIMIZE / Iceberg rewrite_data_files). After K daily
+    appends a snapshot's manifest lists K+1 dirs and every read
+    unions K+1 partitioned roots; compaction collapses the chain back
+    to one dir (and one coherent file-size distribution), after which
+    vacuum can reclaim every superseded dir once the old versions
+    expire. Runs as ONE distributed read→write of the live snapshot —
+    schedule it when the chain length, not the data, is the problem.
+    Returns the new version number; history stays queryable."""
+    latest = versions(spark, path)
+    if not latest:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    man = read_manifest(spark, path, latest[-1])
+    carried = {
+        k: v
+        for k, v in man.items()
+        if k not in ("version", "data_dir", "data_dirs", "_schema")
+    }
+    return commit_version(
+        read_version(spark, path, latest[-1]),
+        path,
+        partition_by=partition_by,
+        meta={**carried, **(meta or {}), "compacted_from": latest[-1]},
+    )
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

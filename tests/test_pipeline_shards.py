@@ -282,3 +282,45 @@ def test_snapshot_diff_across_carried_versions(spark, tmp_path):
         for r in snapshot_diff(spark, path, 1, 2, ["doc_id"]).collect()
     }
     assert got == {11: "added"}  # carried rows are bit-identical -> silent
+
+
+def test_compact_snapshot_collapses_carry_chain(spark, tmp_path):
+    """After appends, compaction rewrites the live snapshot as one
+    self-contained version (single data dir, identical rows, manifest
+    stats carried over), and vacuum can then reclaim every superseded
+    dir — the Delta OPTIMIZE shape closing the append lifecycle."""
+    from temp_data_pipeline_spark.llm.pipeline import append_training_shards
+    from temp_data_pipeline_spark.operators.versioned import (
+        compact_snapshot,
+        read_manifest,
+        vacuum,
+        versions,
+    )
+
+    path = str(tmp_path / "shards")
+    prepare_training_shards(
+        _docs(spark), path, seq_len=16, packs_per_shard=2,
+        gate_kwargs={"min_score": -1e9},
+    )
+    for i, tail in enumerate(["first new tail here", "second new tail here"]):
+        new = spark.createDataFrame(
+            [(20 + i, GOOD + " " + tail)], "doc_id long, text string"
+        )
+        append_training_shards(new, path, gate_kwargs={"min_score": -1e9})
+    before = sorted(map(tuple, read_version(spark, path).collect()))
+    assert len(read_manifest(spark, path)["data_dirs"]) == 3
+
+    v4 = compact_snapshot(spark, path, partition_by=["shard"])
+    man = read_manifest(spark, path, v4)
+    assert man["data_dirs"] == [f"{path}/v={v4}"]          # self-contained
+    assert man["seq_len"] == 16 and man["compacted_from"] == 3
+    assert man["n_tokens_kept"] == read_manifest(spark, path, 3)["n_tokens_kept"]
+    assert sorted(map(tuple, read_version(spark, path, v4).collect())) == before
+
+    # once history expires, nothing references the old dirs any more
+    dropped = vacuum(spark, path, keep_last=1, orphan_grace=0)
+    assert dropped == [1, 2, 3]
+    assert versions(spark, path) == [v4]
+    for v in (1, 2, 3):
+        assert not os.path.exists(f"{path}/v={v}")
+    assert sorted(map(tuple, read_version(spark, path).collect())) == before
