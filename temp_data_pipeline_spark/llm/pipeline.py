@@ -112,12 +112,16 @@ def curation_report(
             F.when(ok, F.col(text_col))
         ).alias("n_exact"),
     ).first()
-    gated = gopher_filter(df, text_col, **(quality_rules or {}))
-    exact = exact_dedup(gated, text_col, id_col)
-    near = minhash_dedup(
-        exact, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    # the report describes curate_corpus — run THAT pipeline, don't
+    # restate its stages (a gate added there must show up here)
+    labeled = curate_corpus(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        salt=salt,
+        quality_rules=quality_rules,
     )
-    labeled = hash_split(near, id_col, salt=salt)
     split_counts = {
         r["split"]: r["n"]
         for r in labeled.groupBy("split").count().withColumnRenamed("count", "n").collect()
@@ -174,7 +178,11 @@ def prepare_training_shards(
     ).persist()
     try:
         n_raw = gates.count()
-        survivors = gates.filter(F.col("_all")).select(id_col, text_col)
+        # _fp (the gate frame's md5) is STORED in the table: appends
+        # dedup against this thin column instead of re-hashing every
+        # committed text byte (at 100 TB that re-hash was the last
+        # O(corpus) cost on the backfill path — review r6)
+        survivors = gates.filter(F.col("_all")).select(id_col, text_col, "_fp")
 
         packed = pack_documents(
             survivors, id_col=id_col, text_col=text_col, seq_len=seq_len
@@ -343,12 +351,15 @@ def append_training_shards(
     the last committed version ended, and commit old + new rows as
     the next version.
 
-    EVERYTHING is O(batch): gating, tokenizing, and packing run over
-    the new batch alone, and the commit is METADATA-LEVEL
+    Compute and WRITE are O(batch): gating, tokenizing, and packing
+    run over the new batch alone, and the commit is METADATA-LEVEL
     (``commit_version(..., carry_from=prev)``) — the new version's
     manifest references the previous version's data dirs instead of
     copying them, so a daily backfill against a 100 TB corpus writes
-    the day's partitions plus one JSON file, never the corpus.
+    the day's partitions plus one JSON file, never the corpus. The
+    only corpus-sized touch left is the dedup anti-join's READ of two
+    thin committed columns (id + the stored ``_fp`` fingerprint —
+    parquet column pruning; no text bytes, no re-hashing).
     Dedup is corpus-wide: a new document whose fingerprint (or id)
     already exists in the table is dropped, exactly as if both had
     been in one batch. New documents append AFTER the existing stream
@@ -388,16 +399,19 @@ def append_training_shards(
         keep=[text_col],
         **(gate_kwargs or {}),
     )
-    # corpus-wide content dedup: _fp is already the gate frame's md5
+    # corpus-wide content dedup: _fp is already the gate frame's md5.
+    # Tables written since r6 store _fp, so the anti-join reads ONE
+    # pruned column of the committed corpus; legacy tables fall back
+    # to hashing their text once more.
+    prev_fp = (
+        prev.select("_fp")
+        if "_fp" in prev.columns
+        else prev.select(F.md5(F.col(text_col)).alias("_fp"))
+    )
     survivors = (
         gates.filter(F.col("_all"))
         .select(id_col, text_col, "_fp")
-        .join(
-            prev.select(F.md5(F.col(text_col)).alias("_fp")),
-            "_fp",
-            "left_anti",
-        )
-        .select(id_col, text_col)
+        .join(prev_fp, "_fp", "left_anti")
         .persist()  # feeds packing bounds, the join, stats, the write
     )
     try:
@@ -423,10 +437,16 @@ def append_training_shards(
         # totals come from prev manifest + ONE aggregate of the batch —
         # no scan of the carried corpus for bookkeeping either
         b_docs, b_tokens, b_max = _batch_stats(shifted)
+        # a legacy manifest with NO max_doc_tokens means the true max
+        # is unknown — record 0 (pack-reader pruning disabled), never
+        # the batch max alone: an understated bound would make
+        # read_pack_range prune away straddling old documents
+        prev_max = prev_man.get("max_doc_tokens")
+        new_max = max(int(prev_max), b_max) if prev_max is not None else 0
         stats = _geometry_stats(
             int(prev_man["n_docs_kept"]) + b_docs,
             prev_tokens + b_tokens,
-            max(int(prev_man.get("max_doc_tokens", 0)), b_max),
+            new_max,
             seq_len,
             packs_per_shard,
         )

@@ -82,11 +82,21 @@ def bm25_score(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    single_scan: bool = True,
 ) -> DataFrame:
     """(id, score_nano) for every document with score > 0.
 
     score_nano is the BM25 score in integer nano-units (see module
     docstring); divide by 1e9 for the conventional float.
+
+    ``single_scan=True`` (default) persists the per-document tf frame
+    at the stats/scoring fork so the corpus is tokenized once. The
+    cache entry is held by Spark's CacheManager until released —
+    one-shot callers and harnesses that sweep caches per query
+    (bench.py's `spark.catalog.clearCache()`) get the fast path free;
+    a long-lived service issuing many DIFFERENT queries against the
+    same session should either clear the cache between queries or
+    pass ``single_scan=False`` for the stateless two-scan plan.
     """
     terms = _query_terms(query)
     if not terms:
@@ -103,10 +113,9 @@ def bm25_score(
     # persist at the fork: stats and scoring both consume the tf
     # frame, and without the cache boundary the tokenize+filter array
     # work (the dominant cost) executes once per consumer. The cached
-    # frame is (id, dl, k ints) — a sliver of the corpus bytes. The
-    # block is freed when the frame is garbage-collected (Spark's
-    # ContextCleaner); bench/server harnesses that sweep caches per
-    # query release it deterministically.
+    # frame is (id, dl, k ints) — a sliver of the corpus bytes. NOTE:
+    # CacheManager holds the entry until an explicit unpersist/
+    # clearCache — see the docstring for the lifecycle contract.
     base = df.select(
         F.col(id_col),
         tokens(text_col).alias("_tok"),
@@ -114,7 +123,9 @@ def bm25_score(
         F.col(id_col),
         F.size(t).alias("dl"),
         *[_tf(tm).alias(f"tf{i}") for i, tm in enumerate(terms)],
-    ).persist()
+    )
+    if single_scan:
+        base = base.persist()
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),

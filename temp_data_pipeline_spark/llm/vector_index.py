@@ -107,7 +107,12 @@ def build_ivf_index(
     assigned.write.mode("errorifexists").partitionBy("_cell").parquet(
         f"{path}/{cells_name}"
     )
-    n = spark.read.parquet(f"{path}/{cells_name}").count()
+    # explicit schema: an all-filtered (empty) build still reads back
+    n = (
+        spark.read.schema(assigned.schema)
+        .parquet(f"{path}/{cells_name}")
+        .count()
+    )
     manifest = {
         "format": "ivf-parquet-v2",
         "centroids": cents,
@@ -126,17 +131,36 @@ def add_vectors(df: DataFrame, path: str) -> dict:
     """Append a batch to an existing index without a rebuild: assign
     against the manifest's PINNED centroids, write one new immutable
     ``cells-<token>`` dir, swap the manifest. O(batch) compute and IO;
-    returns the updated manifest. Cell membership depends only on the
-    centroids, so probes over the appended index return exactly what
-    a full rebuild over the merged set would."""
+    returns the (possibly unchanged, for an empty batch) manifest.
+    Cell membership depends only on the centroids, so probes over the
+    appended index return exactly what a full rebuild over the merged
+    set would.
+
+    Concurrency contract: PROBES are always safe against any writer
+    (they resolve data only through one atomic manifest read), but
+    maintenance — build / add_vectors / vacuum — requires a SINGLE
+    writer, like FAISS/Annoy index files: two concurrent appends both
+    read manifest M and the second swap would silently drop the
+    first's dir. Serialize maintenance (one ingest job per index);
+    multi-writer commit logs are what `operators/versioned.py` is for.
+    """
     spark = df.sparkSession
     man = read_ivf_manifest(spark, path)
-    cells_name = f"cells-{uuid.uuid4().hex[:8]}"
     assigned = assign_cells(df, man["centroids"], man["vec_col"], man["id_col"])
+    if assigned.isEmpty():
+        # nothing to append: no orphan dir, no manifest churn (an
+        # empty partitioned dir would also break schema inference on
+        # the read-back — the empty-snapshot trap versioned.py guards)
+        return man
+    cells_name = f"cells-{uuid.uuid4().hex[:8]}"
     assigned.write.mode("errorifexists").partitionBy("_cell").parquet(
         f"{path}/{cells_name}"
     )
-    n_new = spark.read.parquet(f"{path}/{cells_name}").count()
+    n_new = (
+        spark.read.schema(assigned.schema)
+        .parquet(f"{path}/{cells_name}")
+        .count()
+    )
     manifest = {
         **man,
         "cells_dirs": _cells_dirs(man) + [cells_name],

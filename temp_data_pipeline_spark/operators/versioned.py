@@ -111,6 +111,16 @@ def _manifest_dir(path: str) -> str:
     return f"{path}/_manifest"
 
 
+def _manifest_dirs(man: dict) -> list[str]:
+    """A manifest's data dirs as RELATIVE names (``v=<N>``). Stored
+    relative since round 6 so a copied/relocated table resolves its
+    own files, not the committer's absolute location; absolute legacy
+    entries (and the single ``data_dir`` field) are normalized by
+    basename — every data dir lives directly under the table path."""
+    dirs = man.get("data_dirs") or [man["data_dir"]]
+    return [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+
+
 def _data_dir(path: str, version: int) -> str:
     return f"{path}/v={version}"
 
@@ -171,7 +181,7 @@ def commit_version(
     carried_dirs: list[str] = []
     if carry_from is not None:
         base_man = read_manifest(spark, path, carry_from)
-        carried_dirs = list(base_man.get("data_dirs") or [base_man["data_dir"]])
+        carried_dirs = _manifest_dirs(base_man)
         base_cols = (
             sorted(f["name"] for f in base_man["_schema"]["fields"])
             if "_schema" in base_man
@@ -215,8 +225,9 @@ def commit_version(
             "version": version,
             "data_dir": data,
             # every directory this snapshot is the union of: carried
-            # (referenced, not copied) dirs first, own dir last
-            "data_dirs": carried_dirs + [data],
+            # (referenced, not copied) dirs first, own dir last —
+            # RELATIVE names, so the table survives relocation
+            "data_dirs": carried_dirs + [f"v={version}"],
             # writer schema: lets read_version reconstruct EMPTY
             # partitioned snapshots (no part files to infer from)
             "_schema": df.schema.jsonValue(),
@@ -269,7 +280,7 @@ def read_version(
     commit don't wedge the table."""
     version = _resolve_version(spark, path, version)
     man = read_manifest(spark, path, version)
-    dirs = list(man.get("data_dirs") or [man["data_dir"]])
+    dirs = [f"{path}/{d}" for d in _manifest_dirs(man)]
     if len(dirs) == 1:
         try:
             return spark.read.parquet(dirs[0])
@@ -474,9 +485,7 @@ def vacuum(
     # version numbers whose v=<N> dir a KEPT manifest still references
     referenced: set[int] = set()
     for v in keep:
-        man = read_manifest(spark, path, v)
-        for d in man.get("data_dirs") or [man["data_dir"]]:
-            name = d.rstrip("/").rsplit("/", 1)[-1]
+        for name in _manifest_dirs(read_manifest(spark, path, v)):
             if name.startswith("v="):
                 try:
                     referenced.add(int(name[2:]))

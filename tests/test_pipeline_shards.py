@@ -189,7 +189,7 @@ def test_append_commit_is_metadata_level(spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in v1_files} == v1_mtimes
     # the manifest records the reference chain, oldest first
     man = read_manifest(spark, path, 2)
-    assert man["data_dirs"] == [f"{path}/v=1", f"{path}/v=2"]
+    assert man["data_dirs"] == ["v=1", "v=2"]  # relative: table relocatable
     # and the logical snapshot is still the full corpus
     assert {r["doc_id"] for r in read_version(spark, path, 2).collect()} == {1, 3, 11}
 
@@ -216,7 +216,7 @@ def test_append_chain_and_vacuum_keeps_referenced_dirs(spark, tmp_path):
         )
         append_training_shards(new, path, gate_kwargs={"min_score": -1e9})
     man3 = read_manifest(spark, path, 3)
-    assert man3["data_dirs"] == [f"{path}/v={v}" for v in (1, 2, 3)]
+    assert man3["data_dirs"] == [f"v={v}" for v in (1, 2, 3)]
     assert {r["doc_id"] for r in read_version(spark, path).collect()} == {1, 3, 20, 21}
 
     # expire v1 and v2: their manifests go, their data stays (v3 refs it)
@@ -312,7 +312,7 @@ def test_compact_snapshot_collapses_carry_chain(spark, tmp_path):
 
     v4 = compact_snapshot(spark, path, partition_by=["shard"])
     man = read_manifest(spark, path, v4)
-    assert man["data_dirs"] == [f"{path}/v={v4}"]          # self-contained
+    assert man["data_dirs"] == [f"v={v4}"]                 # self-contained
     assert man["seq_len"] == 16 and man["compacted_from"] == 3
     assert man["n_tokens_kept"] == read_manifest(spark, path, 3)["n_tokens_kept"]
     assert sorted(map(tuple, read_version(spark, path, v4).collect())) == before

@@ -180,3 +180,24 @@ def test_read_manifest_returns_commit_meta(spark, tmp_path):
     assert read_manifest(spark, p, 1)["version"] == 1
     with pytest.raises(FileNotFoundError):
         read_manifest(spark, p, 99)
+
+
+def test_table_survives_relocation(spark, tmp_path):
+    """Manifests record data dirs RELATIVE to the table root (review
+    r6): a copied/moved table must resolve its own files, not the
+    committer's absolute location."""
+    import shutil
+
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    p = str(tmp_path / "tbl")
+    commit_version(_df(spark, [(1, "a", 10)]), p)
+    commit_version(_df(spark, [(2, "b", 20)]), p, carry_from=1)
+    assert read_manifest(spark, p, 2)["data_dirs"] == ["v=1", "v=2"]
+
+    moved = str(tmp_path / "moved")
+    shutil.copytree(p, moved)
+    shutil.rmtree(p)  # the original is GONE — no silent fallback
+    got = {r["val"] for r in read_version(spark, moved, 2).collect()}
+    assert got == {"a", "b"}
+    assert read_version(spark, moved, 1).count() == 1
