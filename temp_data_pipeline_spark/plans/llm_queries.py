@@ -2115,6 +2115,82 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, coverage=0.95).orderBy("rank")
 
 
+@_register(
+    "llm_dsir",
+    ["curation", "selection"],
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               list_transform(range(1, len(t)),
+                              i -> concat(t[i], ' ', t[i+1])))) AS g
+      FROM toks
+    ),
+    bk AS (
+      SELECT doc_id,
+             CAST({_INT60_SQL.format(x="concat('d:', g)")} % 256 AS BIGINT)
+               AS bucket
+      FROM grams
+    ),
+    rb AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bk WHERE doc_id % 7 <> 0 GROUP BY doc_id, bucket
+    ),
+    tb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM bk WHERE doc_id % 7 = 0 GROUP BY bucket
+    ),
+    rt AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM rb GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(ct), 0) FROM tb) AS tt,
+             (SELECT COALESCE(SUM(cr), 0) FROM rt) AS tr
+    ),
+    dom AS (SELECT unnest(range(256)) AS bucket),
+    ratio AS (
+      SELECT dom.bucket,
+             CAST(floor(ln(
+               (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(tr + 256 AS DOUBLE))
+               / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))
+             ) * 1000000000.0 + 0.5) AS BIGINT) AS w_nano
+      FROM dom LEFT JOIN tb ON dom.bucket = tb.bucket
+               LEFT JOIN rt ON dom.bucket = rt.bucket, tot
+    ),
+    w AS (
+      SELECT doc_id, CAST(SUM(cnt * w_nano) AS BIGINT) AS dsir_nano
+      FROM rb JOIN ratio ON rb.bucket = ratio.bucket GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY dsir_nano DESC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id, dsir_nano
+    FROM w ORDER BY dsir_nano DESC, doc_id ASC LIMIT 20
+    """,
+    note=(
+        "DSIR importance selection (Xie et al. 2023, hashed-ngram "
+        "variant): unigram+bigram feature hashing into 256 buckets, "
+        "Laplace-smoothed target/raw bucket models, per-document log "
+        "importance ratio, top-20. Every corpus reduces to ONE "
+        "bucket-space aggregate; the D-row log-ratio table broadcasts "
+        "onto the sparse per-doc counts (equi-join, no dense vectors). "
+        "ln is the only non-IEEE scalar — each bucket's ratio is "
+        "quantized to integer nano-units before the exact BIGINT "
+        "per-document sum (the llm_bm25 pattern). Target = every 7th "
+        "document, raw = the rest."
+    ),
+)
+def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.dsir import dsir_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    return dsir_topk(raw, target, dim=256, k=20)
+
+
 _CLUSTER_BEST_ORACLE = f"""
     WITH RECURSIVE {_SIMHASH_PAIR_CTES},
     ver AS (
