@@ -2116,6 +2116,59 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_budget_select",
+    ["curation", "selection"],
+    f"""
+    WITH wt AS (
+      SELECT CAST(u.i AS BIGINT) AS bucket,
+             CAST(({_INT60_SQL.format(x="concat('w:', CAST(u.i AS VARCHAR))")})
+                  % 2001 - 1000 AS DOUBLE) AS w
+      FROM range(512) u(i)
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id, ({_INT60_SQL.format(x="tok")}) % 512 AS bucket FROM toks
+    ), per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             COALESCE(SUM(w), 0.0) AS w_sum
+      FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id
+    ), c AS (
+      SELECT doc_id, n_tokens, w_sum,
+             CAST(SUM(n_tokens) OVER (ORDER BY w_sum DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM per)
+    SELECT doc_id, n_tokens, w_sum, cum_tokens
+    FROM c WHERE cum_tokens <= 8000 ORDER BY cum_tokens
+    """,
+    note=(
+        "Token-budget corpus selection: greedy (weight desc, id asc) "
+        "prefix whose cumulative token count fits an 8000-token "
+        "budget, weighted by the hashed classifier's exact integer "
+        "w_sum. The global cumulative sum runs as the two-level "
+        "prefix-sum shape keyed on the SORT ORDER (descending weight-"
+        "range buckets + an n_buckets-row offset table broadcast "
+        "back) — never a single-partition global window; the oracle's "
+        "plain windowed SUM proves the decomposition exact."
+    ),
+)
+def llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.budget import select_within_budget
+    from temp_data_pipeline_spark.llm.classifier import (
+        classifier_score,
+        hashed_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(d, hashed_weights(spark, 512), dim=512).select(
+        "doc_id", "n_tokens", "w_sum"
+    )
+    return select_within_budget(
+        scored, 8000, weight_col="w_sum", token_col="n_tokens"
+    ).orderBy("cum_tokens")
+
+
+@_register(
     "llm_dsir",
     ["curation", "selection"],
     f"""
