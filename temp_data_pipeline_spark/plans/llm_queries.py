@@ -2115,6 +2115,83 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, coverage=0.95).orderBy("rank")
 
 
+_URL_NORM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower({x}), '^https?://', '', 'g'), "
+    "'^www\\.', '', 'g'), '#.*$', '', 'g'), '\\?.*$', '', 'g'), "
+    "'/$', '', 'g')"
+)
+
+
+@_register(
+    "llm_url_cap",
+    ["curation", "url"],
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                         ELSE 'HTTP://WWW.' END,
+                    'Site', CAST((doc_id // 2) % 23 AS VARCHAR),
+                    '.COM/Page/', CAST(doc_id // 2 AS VARCHAR),
+                    CASE WHEN doc_id % 2 = 1 THEN '?ref=dup#x'
+                         ELSE '' END) AS url
+      FROM documents
+    ), n AS (
+      SELECT doc_id, {_URL_NORM_SQL.format(x='url')} AS nu FROM u
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM n GROUP BY nu
+    ), s AS (
+      SELECT n.doc_id, nu FROM n JOIN keep USING (doc_id)
+    ), h AS (
+      SELECT doc_id, regexp_extract(nu, '^([^/]+)', 1) AS host FROM s
+    ), dd AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+                  THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                  ELSE host END AS domain
+      FROM h
+    )
+    SELECT doc_id, domain FROM dd
+    QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 5
+    ORDER BY domain, doc_id
+    """,
+    note=(
+        "URL tier (C4/RefinedWeb-style, llm/urls.py): canonicalize "
+        "injected crawl URLs (case, scheme, www, query, fragment, "
+        "trailing slash), collapse re-crawls of the same page to the "
+        "lowest id (every odd doc duplicates its even neighbor's page "
+        "under a differently-cased URL), then cap each registered "
+        "domain at 5 documents. String exprs + one groupBy + one "
+        "per-domain window — mass removal BEFORE the expensive "
+        "content-dedup stages; the domain window partitions on "
+        "millions of small keys at scale."
+    ),
+)
+def llm_url_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.urls import cap_per_domain, url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    half = F.floor(F.col("doc_id") / 2).cast("bigint")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("HTTP://WWW.")
+        ),
+        F.lit("Site"),
+        (half % 23).cast("string"),
+        F.lit(".COM/Page/"),
+        half.cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("?ref=dup#x")).otherwise(
+            F.lit("")
+        ),
+    )
+    withu = d.withColumn("url", url)
+    return (
+        cap_per_domain(url_dedup(withu), 5)
+        .select("doc_id", "domain")
+        .orderBy("domain", "doc_id")
+    )
+
+
 @_register(
     "llm_budget_select",
     ["curation", "selection"],
