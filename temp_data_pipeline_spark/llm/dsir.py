@@ -118,11 +118,22 @@ def dsir_weights(
     id_col: str = "doc_id",
     dim: int = 1024,
     salt: str = "d:",
+    single_scan: bool = False,
 ) -> DataFrame:
     """(id, dsir_nano): per-raw-document importance weight in integer
     nano-units. Positive ⇒ the document looks more like the target
-    corpus than like the raw pool average."""
+    corpus than like the raw pool average.
+
+    The raw corpus feeds BOTH the bucket model and the scoring join.
+    ``single_scan=True`` persists the per-doc bucket counts at that
+    fork (the bm25_score pattern and cache-lifecycle contract);
+    measured at sf0.1 the recompute is CHEAPER than caching the wide
+    (id, bucket, cnt) frame (4.2 s vs 4.7 s), so the default stays
+    off — flip it when the corpus scan itself dominates (cold object
+    storage), not the explode."""
     rb = gram_buckets(raw, text_col=text_col, id_col=id_col, dim=dim, salt=salt)
+    if single_scan:
+        rb = rb.persist()
     tgt = gram_buckets(
         target, text_col=text_col, id_col=id_col, dim=dim, salt=salt
     )
