@@ -112,13 +112,22 @@ def _manifest_dir(path: str) -> str:
 
 
 def _manifest_dirs(man: dict) -> list[str]:
-    """A manifest's data dirs as RELATIVE names (``v=<N>``). Stored
-    relative since round 6 so a copied/relocated table resolves its
-    own files, not the committer's absolute location; absolute legacy
-    entries (and the single ``data_dir`` field) are normalized by
-    basename — every data dir lives directly under the table path."""
+    """A manifest's data dirs as RELATIVE paths under the table root.
+    Stored relative since round 6 so a copied/relocated table resolves
+    its own files, not the committer's absolute location. Entries are
+    either a whole version dir (``v=<N>``) or — for partition-level
+    copy-on-write commits — one partition subdir of a version
+    (``v=<N>/date=2026-01-01``). Absolute legacy entries (and the
+    single ``data_dir`` field) predate both forms and were always
+    top-level, so they normalize by basename."""
     dirs = man.get("data_dirs") or [man["data_dir"]]
-    return [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+    out = []
+    for d in dirs:
+        d = d.rstrip("/")
+        if d.startswith("/") or "://" in d:
+            d = d.rsplit("/", 1)[-1]
+        out.append(d)
+    return out
 
 
 def _data_dir(path: str, version: int) -> str:
@@ -151,6 +160,7 @@ def commit_version(
     meta: dict | None = None,
     partition_by: list[str] | None = None,
     carry_from: int | None = None,
+    carry_dirs: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
@@ -171,14 +181,22 @@ def commit_version(
     the caller owns: ``df``'s columns must match N's schema (checked
     by name here), and ``partition_by`` must match N's layout so the
     union of directories stays one consistent partitioned table.
+
+    ``carry_dirs`` is the finer-grained form ``commit_merge_cow`` uses:
+    an explicit list of RELATIVE dirs (whole versions ``v=<N>`` or
+    single partition subdirs ``v=<N>/date=x``) to reference instead of
+    deriving them from one base version. Mutually exclusive with
+    ``carry_from``; schema compatibility is the caller's contract.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    if carry_from is not None and carry_dirs is not None:
+        raise ValueError("pass carry_from or carry_dirs, not both")
     spark = df.sparkSession
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(_manifest_dir(path)))
-    carried_dirs: list[str] = []
+    carried_dirs: list[str] = list(carry_dirs or [])
     if carry_from is not None:
         base_man = read_manifest(spark, path, carry_from)
         carried_dirs = _manifest_dirs(base_man)
@@ -280,10 +298,10 @@ def read_version(
     commit don't wedge the table."""
     version = _resolve_version(spark, path, version)
     man = read_manifest(spark, path, version)
-    dirs = [f"{path}/{d}" for d in _manifest_dirs(man)]
-    if len(dirs) == 1:
+    dirs = _manifest_dirs(man)
+    if len(dirs) == 1 and "/" not in dirs[0]:
         try:
-            return spark.read.parquet(dirs[0])
+            return spark.read.parquet(f"{path}/{dirs[0]}")
         except Exception:
             # empty snapshot (no part files to infer a schema from):
             # reconstruct from the writer schema the manifest recorded
@@ -293,25 +311,31 @@ def read_version(
 
             return spark.read.schema(
                 StructType.fromJson(man["_schema"])
-            ).parquet(dirs[0])
-    # multi-dir (carry_from) snapshot: each dir is its own partitioned
-    # root — one multi-path read would misparse the sibling v=<N> dirs
-    # as partition keys of the table parent. Per-dir scans unioned by
-    # name keep partition discovery per root (pruning intact: a filter
-    # on the partition column pushes into every branch), and the
-    # manifest schema makes empty dirs readable without inference.
+            ).parquet(f"{path}/{dirs[0]}")
+    # multi-dir (carry_from / COW-merge) snapshot: each dir is its own
+    # partitioned root — one multi-path read would misparse the sibling
+    # v=<N> dirs as partition keys of the table parent. Per-dir scans
+    # unioned by name keep partition discovery per root (pruning
+    # intact: a filter on the partition column pushes into every
+    # branch), and the manifest schema makes empty dirs readable
+    # without inference. A NESTED entry (``v=<N>/date=x``, one carried
+    # partition of a COW merge) reads with basePath at its version
+    # root, so the partition column survives the subdir scan.
     from functools import reduce
 
     from pyspark.sql.types import StructType
 
-    reader = (
-        spark.read.schema(StructType.fromJson(man["_schema"]))
-        if "_schema" in man
-        else spark.read
-    )
-    return reduce(
-        lambda a, b: a.unionByName(b), [reader.parquet(d) for d in dirs]
-    )
+    def _read_dir(d: str) -> DataFrame:
+        r = (
+            spark.read.schema(StructType.fromJson(man["_schema"]))
+            if "_schema" in man
+            else spark.read
+        )
+        if "/" in d:
+            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
+        return r.parquet(f"{path}/{d}")
+
+    return reduce(lambda a, b: a.unionByName(b), [_read_dir(d) for d in dirs])
 
 
 def read_manifest(
@@ -344,6 +368,120 @@ def commit_merge(
     else:
         merged = updates
     return commit_version(merged, path, meta=meta)
+
+
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_dir_value(name: str) -> str | None:
+    """Decode one Hive partition dir name (``col=escaped-value``) to
+    its raw value string; None for the null-partition sentinel. Hive
+    escaping is %XX on a fixed char set — urllib's unquote inverts it."""
+    from urllib.parse import unquote
+
+    raw = name.split("=", 1)[1]
+    return None if raw == _HIVE_NULL_DIR else unquote(raw)
+
+
+def commit_merge_cow(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    partition_col: str,
+    *,
+    tiebreak: str | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Partition-level COPY-ON-WRITE merge: like ``commit_merge``, but
+    the new version rewrites ONLY the partitions the update batch
+    touches and carries every other partition of the previous snapshot
+    by reference (nested ``v=<N>/part=x`` manifest entries) — the
+    Delta/Iceberg copy-on-write MERGE at partition granularity. A
+    daily CDC batch touching 1 of 1000 date partitions reads and
+    writes that one partition plus one JSON manifest; cost scales with
+    the batch, not the corpus, closing the same O(corpus)-rewrite gap
+    for MERGE that ``carry_from`` closed for appends.
+
+    Semantics match ``commit_merge`` exactly (last-writer-wins per key
+    via operators/upsert.py; first commit = the updates themselves);
+    every prior version stays time-travel readable. Requirements: the
+    base snapshot must have been committed ``partition_by=[partition_col]``,
+    update rows must carry ``partition_col``, and a key must never
+    MOVE between partitions (its old-partition row would survive — the
+    standard partition-pruned-merge contract). Upserts only, no
+    deletes. Driver holds one string per touched / carried partition.
+    """
+    from pyspark.sql import functions as F
+
+    spark = updates.sparkSession
+    vs = versions(spark, path)
+    if not vs:
+        return commit_version(
+            updates, path, partition_by=[partition_col], meta=meta
+        )
+    latest = vs[-1]
+    base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
+    touched_rows = updates.select(partition_col).distinct().collect()
+    touched = {
+        None if r[0] is None else str(r[0]) for r in touched_rows
+    }
+    cond = F.col(partition_col).cast("string").isin(
+        [t for t in touched if t is not None]
+    )
+    if None in touched:
+        cond = cond | F.col(partition_col).isNull()
+    base = read_version(spark, path, latest).filter(cond)
+    merged = merge_upsert(base, updates, keys, ts_col, tiebreak)
+
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    prefix = f"{partition_col}="
+    carried: list[str] = []
+    for d in base_dirs:
+        if "/" in d:
+            # already a single-partition reference from a prior COW
+            # merge: carry unless this batch supersedes it
+            root, part = d.split("/", 1)
+            if not part.startswith(prefix):
+                raise ValueError(
+                    f"base entry {d!r} is not partitioned by "
+                    f"{partition_col!r} — COW merge requires a stable "
+                    "partition layout"
+                )
+            if _partition_dir_value(part) not in touched:
+                carried.append(d)
+            continue
+        # whole version dir: reference each untouched partition subdir
+        statuses = list(fs.listStatus(Path(f"{path}/{d}")))
+        subdirs = [
+            st.getPath().getName() for st in statuses if st.isDirectory()
+        ]
+        part_subdirs = [s for s in subdirs if s.startswith(prefix)]
+        # an unpartitioned base writes part-*.parquet files directly at
+        # the version root — COW needs hive subdirs to carry by reference
+        loose_data = any(
+            not st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+            for st in statuses
+        )
+        if (loose_data or subdirs) and not part_subdirs:
+            raise ValueError(
+                f"base dir {d!r} has no {prefix}* subdirs — the base "
+                f"snapshot was not committed partition_by=[{partition_col!r}]"
+            )
+        carried.extend(
+            f"{d}/{s}"
+            for s in sorted(part_subdirs)  # listStatus order is not stable
+            if _partition_dir_value(s) not in touched
+        )
+    return commit_version(
+        merged,
+        path,
+        partition_by=[partition_col],
+        carry_dirs=carried,
+        meta=meta,
+    )
 
 
 def snapshot_diff(
@@ -483,12 +621,17 @@ def vacuum(
     keep = set(committed) - set(drop)
     dropped = set(drop)
     # version numbers whose v=<N> dir a KEPT manifest still references
+    # — a nested COW-merge entry (v=<N>/date=x) pins the WHOLE v=<N>
+    # dir: deletion is dir-granular, so one referenced partition
+    # keeps its version dir alive (conservative; compact_snapshot +
+    # a later vacuum reclaim it fully)
     referenced: set[int] = set()
     for v in keep:
         for name in _manifest_dirs(read_manifest(spark, path, v)):
-            if name.startswith("v="):
+            head = name.split("/", 1)[0]
+            if head.startswith("v="):
                 try:
-                    referenced.add(int(name[2:]))
+                    referenced.add(int(head[2:]))
                 except ValueError:
                     pass
     now_ms = time.time() * 1000.0

@@ -1,0 +1,183 @@
+"""Partition-level copy-on-write MERGE on versioned tables.
+
+The contract under test: `commit_merge_cow` must produce exactly the
+rows `commit_merge` (full-rewrite MERGE) would, while physically
+writing ONLY the partitions the update batch touches — every other
+partition of the previous snapshot is carried by manifest reference
+(nested ``v=<N>/part=x`` entries), never copied. Time travel, diffs,
+and reference-aware vacuum must keep working across COW chains.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from temp_data_pipeline_spark.operators.upsert import merge_upsert
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_merge_cow,
+    read_manifest,
+    read_version,
+    snapshot_diff,
+    vacuum,
+    versions,
+)
+
+SCHEMA = "k long, part string, val string, ts long"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("k", "part", "val", "ts").collect()}
+
+
+def _part_subdirs(table, version):
+    root = os.path.join(table, f"v={version}")
+    return sorted(
+        n for n in os.listdir(root)
+        if os.path.isdir(os.path.join(root, n)) and n.startswith("part=")
+    )
+
+
+BASE = [
+    (1, "a", "a1", 10),
+    (2, "a", "a2", 10),
+    (3, "b", "b1", 10),
+    (4, "c", "c1", 10),
+]
+
+
+class TestCowMerge:
+    def test_first_commit_then_cow_rewrites_only_touched(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        v1 = commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        assert v1 == 1
+        updates = _df(spark, [(3, "b", "b1'", 20), (5, "b", "b2", 20)])
+        v2 = commit_merge_cow(updates, p, ["k"], "ts", "part")
+        assert v2 == 2
+        # logical result == the full-rewrite merge
+        expect = _rows(merge_upsert(_df(spark, BASE), updates, ["k"], "ts"))
+        assert _rows(read_version(spark, p)) == expect
+        # physical: v=2 holds ONLY the touched partition
+        assert _part_subdirs(p, 2) == ["part=b"]
+        # manifest references v1's untouched partitions, never copies
+        man = read_manifest(spark, p, 2)
+        assert man["data_dirs"] == ["v=1/part=a", "v=1/part=c", "v=2"]
+        # time travel to v1 is intact
+        assert _rows(read_version(spark, p, 1)) == set(BASE)
+
+    def test_carried_files_are_untouched_bytes(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        before = {
+            (f, os.path.getmtime(os.path.join(p, "v=1", "part=a", f)))
+            for f in os.listdir(os.path.join(p, "v=1", "part=a"))
+        }
+        commit_merge_cow(
+            _df(spark, [(3, "b", "x", 20)]), p, ["k"], "ts", "part"
+        )
+        after = {
+            (f, os.path.getmtime(os.path.join(p, "v=1", "part=a", f)))
+            for f in os.listdir(os.path.join(p, "v=1", "part=a"))
+        }
+        assert before == after
+
+    def test_chained_cow_merges_and_new_partition(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        u2 = _df(spark, [(3, "b", "b1'", 20)])
+        commit_merge_cow(u2, p, ["k"], "ts", "part")
+        # third batch touches a carried-nested partition (a) AND an
+        # entirely new partition value (d)
+        u3 = _df(spark, [(1, "a", "a1'", 30), (9, "d", "d1", 30)])
+        v3 = commit_merge_cow(u3, p, ["k"], "ts", "part")
+        state = merge_upsert(_df(spark, BASE), u2, ["k"], "ts")
+        state = merge_upsert(state, u3, ["k"], "ts")
+        assert _rows(read_version(spark, p)) == _rows(state)
+        assert _part_subdirs(p, v3) == ["part=a", "part=d"]
+        man = read_manifest(spark, p, v3)
+        # superseded v=1/part=a dropped; c still from v1, b from v2
+        assert man["data_dirs"] == ["v=1/part=c", "v=2/part=b", "v=3"]
+        # every version still readable with pruning-friendly layout
+        assert read_version(spark, p, 2).count() == 4  # u2 updated, added none
+        assert read_version(spark, p, 3).count() == 5  # u3 added k=9
+
+    def test_matches_full_merge_rows_exactly(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import commit_merge
+
+        cow, full = str(tmp_path / "cow"), str(tmp_path / "full")
+        batches = [
+            _df(spark, BASE),
+            _df(spark, [(2, "a", "a2'", 20), (6, "c", "c2", 20)]),
+            _df(spark, [(6, "c", "c2'", 30)]),
+        ]
+        for b in batches:
+            commit_merge_cow(b, cow, ["k"], "ts", "part")
+            commit_merge(b, full, ["k"], "ts")
+        assert _rows(read_version(spark, cow)) == _rows(read_version(spark, full))
+
+    def test_null_partition_value(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        base = BASE + [(7, None, "n1", 10)]
+        commit_merge_cow(_df(spark, base), p, ["k"], "ts", "part")
+        u = _df(spark, [(7, None, "n1'", 20)])
+        v2 = commit_merge_cow(u, p, ["k"], "ts", "part")
+        got = _rows(read_version(spark, p))
+        assert (7, None, "n1'", 20) in got
+        assert (1, "a", "a1", 10) in got
+        # only the null partition was rewritten
+        man = read_manifest(spark, p, v2)
+        assert "v=1/part=a" in man["data_dirs"]
+        assert not any(d.endswith("__HIVE_DEFAULT_PARTITION__")
+                       for d in man["data_dirs"][:-1] if d.startswith("v=1"))
+
+    def test_vacuum_keeps_referenced_partition_dirs(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        commit_merge_cow(_df(spark, [(3, "b", "x", 20)]), p, ["k"], "ts", "part")
+        commit_merge_cow(_df(spark, [(4, "c", "y", 30)]), p, ["k"], "ts", "part")
+        dropped = vacuum(spark, p, keep_last=1, orphan_grace=0.0)
+        assert dropped == [1, 2]
+        assert versions(spark, p) == [3]
+        # v=1 and v=2 dirs survive: the kept manifest references them
+        assert os.path.isdir(os.path.join(p, "v=1"))
+        assert os.path.isdir(os.path.join(p, "v=2"))
+        expect = {(1, "a", "a1", 10), (2, "a", "a2", 10),
+                  (3, "b", "x", 20), (4, "c", "y", 30)}
+        assert _rows(read_version(spark, p)) == expect
+
+    def test_snapshot_diff_across_cow_versions(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        commit_merge_cow(
+            _df(spark, [(3, "b", "b1'", 20), (5, "b", "b2", 20)]),
+            p, ["k"], "ts", "part",
+        )
+        d = {r["k"]: r["change_type"]
+             for r in snapshot_diff(spark, p, 1, 2, ["k"]).collect()}
+        assert d == {3: "changed", 5: "added"}
+
+    def test_unpartitioned_base_raises(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import commit_version
+
+        p = str(tmp_path / "tbl")
+        commit_version(_df(spark, BASE), p)  # no partition_by
+        with pytest.raises(ValueError, match="not committed partition_by"):
+            commit_merge_cow(
+                _df(spark, [(3, "b", "x", 20)]), p, ["k"], "ts", "part"
+            )
+
+    def test_partition_filter_prunes_carried_branches(self, spark, tmp_path):
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        commit_merge_cow(_df(spark, [(3, "b", "x", 20)]), p, ["k"], "ts", "part")
+        plan = (
+            read_version(spark, p)
+            .filter("part = 'a'")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
