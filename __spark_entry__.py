@@ -126,7 +126,8 @@ _LAST_VERIFIED = {
 #     dirs resolved via the manifest (atomic rebuild + add_vectors
 #     appends; probe results unchanged).
 # New this round (never verified — priority 0 automatically):
-# llm_pack_read (pack reader — inverse of llm_pack).
+# llm_pack_read (pack reader — inverse of llm_pack), llm_url_cap,
+# llm_budget_select, llm_dsir, llm_corpus_line_dedup.
 _RECHECK = [
     "llm_bm25", "llm_ivf_index_topk",
 ]

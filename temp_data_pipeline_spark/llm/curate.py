@@ -30,6 +30,7 @@ from temp_data_pipeline_spark.llm.dedup import ngrams_of, shingles_of, tokenized
 from temp_data_pipeline_spark.llm.text import md5_int60
 
 __all__ = [
+    "corpus_line_dedup",
     "curation_funnel",
     "curation_gate_columns",
     "dup_ngram_stats",
@@ -788,6 +789,85 @@ def line_dedup(
         F.array_join(kept, sep).alias("text_clean"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-level frequent-line removal — the CCNet/RefinedWeb
+    boilerplate pass that deletes lines appearing in ``min_docs`` or
+    more DISTINCT documents (cookie banners, nav bars, license
+    footers stamped across a crawl). Complements ``line_dedup``,
+    which only dedups within one document: a banner occurring once
+    per page survives intra-doc dedup and only corpus statistics can
+    catch it. Keeps each surviving line in original order; documents
+    whose every line is boilerplate stay in the output with empty
+    text (dropping them is a separate quality gate's decision).
+
+    Physical shape, sized for 100 TB:
+    - posexplode lines (map-only; line order rides along as ``pos``),
+    - distinct (doc, line) → count docs per line — ONE exchange at
+      line cardinality with map-side partial distinct/combine,
+    - the frequent set (count ≥ min_docs) is tiny by construction —
+      boilerplate is by definition few distinct strings — so the
+      removal join back onto the line table is a broadcast-hash
+      LEFT ANTI join (hinted; AQE would pick it anyway),
+    - reassemble per document: one groupBy(doc) with sort_array over
+      (pos, line) structs — per-doc state is one web page, never
+      corpus-sized.
+    Lines join on their full text, not a hash: a 64-bit hash
+    collision would silently merge two distinct lines' counts, and
+    the shuffle already carries the line string for reassembly.
+
+    Returns (id, text_clean, n_lines, n_kept).
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    )
+    frequent = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    # left-join the full id set back: a document losing ALL its lines
+    # must surface as empty text, not vanish (same absent-means-zero
+    # contract as llm/embed.py's dense view)
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), _re.escape(sep)))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return n_lines.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
 
 

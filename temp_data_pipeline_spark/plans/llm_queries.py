@@ -2078,6 +2078,59 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_corpus_line_dedup",
+    ["curation", "dedup"],
+    """
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS t2 FROM documents
+    ), d AS (
+      SELECT doc_id, string_split(t2, chr(10)) AS ln FROM lined
+    ), ex AS (
+      SELECT doc_id,
+             unnest(ln) AS line,
+             unnest(range(1, len(ln) + 1)) AS pos
+      FROM d
+    ), freq AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY line
+      ) WHERE nd >= 2
+    ), kept AS (
+      SELECT doc_id, pos, line FROM ex
+      WHERE line NOT IN (SELECT line FROM freq)
+    ), agg AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.text_clean, '') AS text_clean,
+           CAST(len(d.ln) AS BIGINT) AS n_lines,
+           coalesce(agg.n_kept, CAST(0 AS BIGINT)) AS n_kept
+    FROM d LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+    note=(
+        "Corpus-level frequent-line removal (CCNet/RefinedWeb "
+        "boilerplate pass): drop lines occurring in >=2 distinct "
+        "documents, keep survivors in order, keep fully-boilerplate "
+        "docs as empty text. One distinct+count exchange at line "
+        "cardinality, broadcast anti-join removal, per-doc "
+        "reassembly. Line breaks derived via replace(' the ', \\n) "
+        "as in llm_line_dedup (corpus has no newlines)."
+    ),
+)
+def llm_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import corpus_line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    return presorted(corpus_line_dedup(lined, min_docs=2), "doc_id")
+
+
+@_register(
     "llm_vocab_coverage",
     ["text-analysis", "curation"],
     """

@@ -508,3 +508,54 @@ def test_line_dedup_regex_metachar_separator(spark):
     row = line_dedup(df, sep="|").collect()[0]
     assert row["text_clean"] == "nav|body|tail"
     assert (row["n_lines"], row["n_kept"]) == (4, 3)
+
+
+def test_corpus_line_dedup_removes_cross_doc_boilerplate(spark):
+    from temp_data_pipeline_spark.llm.curate import corpus_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nFOOTER"),
+            (2, "COOKIE BANNER\nunique beta\nFOOTER"),
+            (3, "COOKIE BANNER\nFOOTER"),  # pure boilerplate
+            (4, "solo page"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_line_dedup(df, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "unique alpha"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    assert out[2]["text_clean"] == "unique beta"
+    # doc whose every line is boilerplate survives as empty text
+    assert out[3]["text_clean"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+    assert out[4]["text_clean"] == "solo page"
+
+
+def test_corpus_line_dedup_intra_doc_repeat_is_not_frequent(spark):
+    # the SAME line 3x in ONE doc is not corpus boilerplate: the doc
+    # count is distinct-doc, so it must survive (that's line_dedup's
+    # job, not this operator's)
+    from temp_data_pipeline_spark.llm.curate import corpus_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "other")], "doc_id long, text string"
+    )
+    row = {r["doc_id"]: r for r in corpus_line_dedup(df, min_docs=2).collect()}
+    assert row[1]["text_clean"] == "x\nx\nx"
+    assert row[1]["n_kept"] == 3
+
+
+def test_corpus_line_dedup_broadcast_removal_join(spark):
+    from temp_data_pipeline_spark.llm.curate import corpus_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = (
+        corpus_line_dedup(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the anti-join against the (tiny) frequent set must broadcast,
+    # never shuffle the full line table a second time
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
