@@ -2078,6 +2078,94 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_dedup_index",
+    ["dedup", "index"],
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(t) - 2, 1) + 1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM tok
+    ), sig AS (
+      SELECT doc_id, list_transform(range(8), j ->
+          list_min(list_transform(s, x ->
+            CAST(concat('0x', substr(md5(concat('s', CAST(j AS VARCHAR),
+                 ':', x)), 1, 15)) AS BIGINT)
+          ))) AS sg
+      FROM sh
+    ), bnd AS (
+      SELECT doc_id, unnest(range(4)) AS band, sg FROM sig
+    ), keyed AS (
+      SELECT doc_id, band,
+             concat_ws(',', CAST(sg[2*band+1] AS VARCHAR),
+                            CAST(sg[2*band+2] AS VARCHAR)) AS bkey
+      FROM bnd
+    ), idx AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 0
+      QUALIFY row_number() OVER (PARTITION BY band, bkey
+                                 ORDER BY doc_id) <= 1000
+    ), bat AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 1
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS id_new, i.doc_id AS id_indexed
+      FROM bat b JOIN idx i ON b.band = i.band AND b.bkey = i.bkey
+    ), ver AS (
+      SELECT c.id_new, c.id_indexed,
+             CAST(len(list_filter(range(8),
+                  j -> sb.sg[j+1] = si.sg[j+1])) AS INT) AS n_eq
+      FROM cand c
+      JOIN sig sb ON sb.doc_id = c.id_new
+      JOIN sig si ON si.doc_id = c.id_indexed
+    )
+    SELECT id_new, id_indexed, n_eq FROM ver WHERE n_eq >= 4
+    ORDER BY id_new, id_indexed
+    """,
+    note=(
+        "Persisted MinHash dedup index lifecycle: build on the even-id "
+        "half (band keys + signatures as parquet, atomic manifest), "
+        "probe the odd-id half — candidates from the (band, band-hash) "
+        "equi-join pruned to the batch's _bh= shards, verified by "
+        "signature Jaccard (n_eq/k >= 0.5). md5-int60 hash family so "
+        "DuckDB replays signatures exactly; band-hash equality is "
+        "replayed as band-slice equality. The continuous-ingestion "
+        "scale path: a daily batch is checked against corpus history "
+        "without rescanning it (llm/dedup_index.py)."
+    ),
+)
+def llm_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.llm.dedup_index import (
+        build_dedup_index,
+        probe_neardups,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        build_dedup_index(
+            d.filter(F.col("doc_id") % 2 == 0),
+            path,
+            k=8,
+            bands=4,
+            hash_fn="md5",
+            max_bucket=1000,
+        )
+        return (
+            probe_neardups(
+                spark, path, d.filter(F.col("doc_id") % 2 == 1), threshold=0.5
+            )
+            .orderBy("id_new", "id_indexed")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
     "llm_corpus_line_dedup",
     ["curation", "dedup"],
     """
