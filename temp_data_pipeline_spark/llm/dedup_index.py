@@ -62,6 +62,7 @@ from temp_data_pipeline_spark.operators.versioned import (
 __all__ = [
     "append_documents",
     "build_dedup_index",
+    "compact_dedup_index",
     "filter_new",
     "probe_neardups",
     "read_dedup_manifest",
@@ -347,6 +348,33 @@ def filter_new(
         .distinct()
     )
     return batch.join(matched, man["id_col"], "left_anti")
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> dict:
+    """Collapse an append chain back to ONE bands dir + ONE sigs dir,
+    re-applying the bucket cap GLOBALLY. Per-append caps keep appends
+    O(batch) but weaken over time: 50 appends each capped at 1000 can
+    leave one bucket holding 50·1000 rows across dirs, and a probe
+    join pays the full product. Compaction restores the build-time
+    bound (and per-shard file counts) without touching signatures —
+    run it on the same cadence as parquet small-file compaction.
+    Old dirs stay until `vacuum_dedup_index` (readers on the old
+    manifest keep working; the swap is atomic)."""
+    man = read_dedup_manifest(spark, path)
+    if len(man["bands_dirs"]) <= 1 and len(man["sigs_dirs"]) <= 1:
+        return man
+    sigs = _read_union(spark, path, man["sigs_dirs"])
+    sigs_name = f"sigs-{uuid.uuid4().hex[:8]}"
+    sigs.write.mode("errorifexists").parquet(f"{path}/{sigs_name}")
+    bands = _read_union(spark, path, man["bands_dirs"])
+    capped = cap_bucket(bands, ["band", "band_hash"], "id", man["max_bucket"])
+    bands_name = f"bands-{uuid.uuid4().hex[:8]}"
+    capped.write.mode("errorifexists").partitionBy("_bh").parquet(
+        f"{path}/{bands_name}"
+    )
+    man = {**man, "bands_dirs": [bands_name], "sigs_dirs": [sigs_name]}
+    atomic_write_text(spark, f"{path}/index.json", json.dumps(man))
+    return man
 
 
 def vacuum_dedup_index(

@@ -433,7 +433,27 @@ def commit_merge_cow(
         cond = cond | F.col(partition_col).isNull()
     base = read_version(spark, path, latest).filter(cond)
     merged = merge_upsert(base, updates, keys, ts_col, tiebreak)
+    carried = _cow_carried_dirs(spark, path, base_dirs, partition_col, touched)
+    return commit_version(
+        merged,
+        path,
+        partition_by=[partition_col],
+        carry_dirs=carried,
+        meta=meta,
+    )
 
+
+def _cow_carried_dirs(
+    spark: SparkSession,
+    path: str,
+    base_dirs: list[str],
+    partition_col: str,
+    touched: set[str | None],
+) -> list[str]:
+    """The manifest entries a COW commit carries forward: every
+    partition of ``base_dirs`` whose value is NOT in ``touched``,
+    expressed as nested ``v=<N>/col=x`` references. Raises when the
+    base was not committed ``partition_by=[partition_col]``."""
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     prefix = f"{partition_col}="
@@ -441,12 +461,12 @@ def commit_merge_cow(
     for d in base_dirs:
         if "/" in d:
             # already a single-partition reference from a prior COW
-            # merge: carry unless this batch supersedes it
+            # commit: carry unless this batch supersedes it
             root, part = d.split("/", 1)
             if not part.startswith(prefix):
                 raise ValueError(
                     f"base entry {d!r} is not partitioned by "
-                    f"{partition_col!r} — COW merge requires a stable "
+                    f"{partition_col!r} — COW commits require a stable "
                     "partition layout"
                 )
             if _partition_dir_value(part) not in touched:
@@ -475,8 +495,59 @@ def commit_merge_cow(
             for s in sorted(part_subdirs)  # listStatus order is not stable
             if _partition_dir_value(s) not in touched
         )
+    return carried
+
+
+def commit_delete_cow(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Partition-level copy-on-write DELETE: commit a new version with
+    every row matching ``predicate`` removed, rewriting ONLY the
+    partitions that contain matching rows — the Delta-style
+    ``DELETE WHERE`` for right-to-erasure / retention sweeps. A GDPR
+    delete of one user whose rows live in 3 of 1000 date partitions
+    reads and rewrites those 3; everything else is carried by
+    reference. Returns the new version, or the CURRENT version
+    unchanged when nothing matches (an empty delete is a no-op, not
+    an empty commit).
+
+    ``predicate`` is a Column or SQL string. Prior versions still
+    contain the deleted rows (time travel is the versioned contract);
+    physical erasure = this delete + ``compact_snapshot`` +
+    ``vacuum`` of the old versions.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    latest = versions(spark, path)[-1]
+    base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
+    cur = read_version(spark, path, latest)
+    touched_rows = (
+        cur.filter(predicate).select(partition_col).distinct().collect()
+    )
+    if not touched_rows:
+        return latest
+    touched = {None if r[0] is None else str(r[0]) for r in touched_rows}
+    cond = F.col(partition_col).cast("string").isin(
+        [t for t in touched if t is not None]
+    )
+    if None in touched:
+        cond = cond | F.col(partition_col).isNull()
+    # SQL DELETE semantics: remove rows where predicate is TRUE; rows
+    # where it evaluates NULL are kept (a bare ~predicate would drop
+    # them — NULL negates to NULL, and filter discards NULL)
+    survivors = cur.filter(cond).filter(
+        ~F.coalesce(predicate, F.lit(False))
+    )
+    carried = _cow_carried_dirs(spark, path, base_dirs, partition_col, touched)
     return commit_version(
-        merged,
+        survivors,
         path,
         partition_by=[partition_col],
         carry_dirs=carried,

@@ -181,3 +181,84 @@ class TestCowMerge:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PartitionFilters" in plan
+
+
+class TestCowDelete:
+    def _seed(self, spark, p):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_merge_cow,
+        )
+
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+
+    def test_delete_rewrites_only_touched_partitions(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        self._seed(spark, p)
+        v2 = commit_delete_cow(spark, p, "k = 1", "part")
+        assert v2 == 2
+        got = _rows(read_version(spark, p))
+        assert got == {r for r in BASE if r[0] != 1}
+        # only partition a (where k=1 lives) was rewritten
+        assert _part_subdirs(p, 2) == ["part=a"]
+        man = read_manifest(spark, p, 2)
+        assert man["data_dirs"] == ["v=1/part=b", "v=1/part=c", "v=2"]
+        # v1 still has the deleted row (time travel contract)
+        assert _rows(read_version(spark, p, 1)) == set(BASE)
+
+    def test_delete_whole_partition_leaves_empty_rewrite(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        self._seed(spark, p)
+        commit_delete_cow(spark, p, "part = 'b'", "part")
+        got = _rows(read_version(spark, p))
+        assert got == {r for r in BASE if r[1] != "b"}
+
+    def test_noop_delete_returns_current_version(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+            versions,
+        )
+
+        p = str(tmp_path / "tbl")
+        self._seed(spark, p)
+        assert commit_delete_cow(spark, p, "k = 999", "part") == 1
+        assert versions(spark, p) == [1]
+
+    def test_null_predicate_rows_are_kept(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+            commit_merge_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        rows = BASE + [(8, "a", None, 10)]  # val NULL
+        commit_merge_cow(_df(spark, rows), p, ["k"], "ts", "part")
+        # predicate val = 'a1' is NULL for k=8 -> k=8 must survive
+        commit_delete_cow(spark, p, F.col("val") == "a1", "part")
+        got = _rows(read_version(spark, p))
+        assert (8, "a", None, 10) in got
+        assert all(r[0] != 1 for r in got)
+
+    def test_delete_then_merge_chain(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+            commit_merge_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        self._seed(spark, p)
+        commit_delete_cow(spark, p, "k = 3", "part")          # drops b's only row
+        commit_merge_cow(
+            _df(spark, [(9, "c", "c9", 30)]), p, ["k"], "ts", "part"
+        )
+        got = _rows(read_version(spark, p))
+        assert got == {(1, "a", "a1", 10), (2, "a", "a2", 10),
+                       (4, "c", "c1", 10), (9, "c", "c9", 30)}

@@ -145,3 +145,44 @@ class TestDedupIndex:
             build_dedup_index(
                 _df(spark, CORPUS), str(tmp_path / "x"), k=10, bands=4
             )
+
+
+class TestCompact:
+    def test_compact_collapses_dirs_probe_unchanged(self, spark, tmp_path):
+        from temp_data_pipeline_spark.llm.dedup_index import (
+            compact_dedup_index,
+            vacuum_dedup_index,
+        )
+
+        p = str(tmp_path / "idx")
+        build_dedup_index(_df(spark, CORPUS[:1]), p, k=8, bands=4)
+        append_documents(_df(spark, CORPUS[1:2]), p)
+        append_documents(_df(spark, CORPUS[2:]), p)
+        before = {
+            tuple(r)
+            for r in probe_neardups(spark, p, _df(spark, [NEAR_DUP])).collect()
+        }
+        man = compact_dedup_index(spark, p)
+        assert len(man["bands_dirs"]) == 1 and len(man["sigs_dirs"]) == 1
+        assert man["n_docs"] == 3
+        after = {
+            tuple(r)
+            for r in probe_neardups(spark, p, _df(spark, [NEAR_DUP])).collect()
+        }
+        assert before == after
+        # old dirs reclaimable only after compaction made them orphans
+        dropped = vacuum_dedup_index(spark, p, orphan_grace=0.0)
+        assert len(dropped) == 6  # 3 builds x (bands + sigs)
+        assert {
+            tuple(r)
+            for r in probe_neardups(spark, p, _df(spark, [NEAR_DUP])).collect()
+        } == before
+
+    def test_compact_single_dir_is_noop(self, spark, tmp_path):
+        from temp_data_pipeline_spark.llm.dedup_index import (
+            compact_dedup_index,
+        )
+
+        p = str(tmp_path / "idx")
+        m1 = build_dedup_index(_df(spark, CORPUS), p, k=8, bands=4)
+        assert compact_dedup_index(spark, p) == m1
