@@ -156,9 +156,13 @@ def _write_batch(
         sig_stored, k=man["k"], bands=man["bands"], n_shards=man["n_shards"]
     )
     capped = cap_bucket(banded, ["band", "band_hash"], "id", man["max_bucket"])
-    capped.write.mode("errorifexists").partitionBy("_bh").parquet(
-        f"{path}/{bands_name}"
-    )
+    # cluster by shard before the partitioned write: without it every
+    # shuffle task writes a sliver into every _bh= dir (tasks × shards
+    # small files); clustered, each dir gets ~one file and the probe
+    # scan opens n_shards files, not n_shards × tasks
+    capped.repartition(F.col("_bh")).write.mode("errorifexists").partitionBy(
+        "_bh"
+    ).parquet(f"{path}/{bands_name}")
     return [bands_name], [sigs_name], n
 
 
@@ -369,9 +373,9 @@ def compact_dedup_index(spark: SparkSession, path: str) -> dict:
     bands = _read_union(spark, path, man["bands_dirs"])
     capped = cap_bucket(bands, ["band", "band_hash"], "id", man["max_bucket"])
     bands_name = f"bands-{uuid.uuid4().hex[:8]}"
-    capped.write.mode("errorifexists").partitionBy("_bh").parquet(
-        f"{path}/{bands_name}"
-    )
+    capped.repartition(F.col("_bh")).write.mode("errorifexists").partitionBy(
+        "_bh"
+    ).parquet(f"{path}/{bands_name}")
     man = {**man, "bands_dirs": [bands_name], "sigs_dirs": [sigs_name]}
     atomic_write_text(spark, f"{path}/index.json", json.dumps(man))
     return man
