@@ -722,3 +722,76 @@ def test_shard_backfill_equals_one_shot(spark, tmp_path_factory, seed):
     # earlier versions byte-stable after all appends
     for v, want in history.items():
         assert sorted(map(tuple, read_version(spark, p_inc, v).collect())) == want
+
+
+@given(seed=st.integers(0, 10**9))
+@settings(max_examples=12, deadline=None)
+def test_cow_chain_equals_full_rewrite_chain(spark, tmp_path_factory, seed):
+    """Copy-on-write invariant: any interleaving of partition-level
+    COW merges and deletes must produce, at every version, exactly the
+    rows the full-rewrite chain (commit_merge + filtered commit)
+    produces — and earlier COW versions must stay stable after later
+    commits (carried partitions are referenced, never rewritten)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_delete_cow,
+        commit_merge,
+        commit_merge_cow,
+        commit_version,
+        read_version,
+        versions,
+    )
+
+    rng = random.Random(seed)
+    parts = ["a", "b", "c", None]
+
+    def batch(lo_k, n, ts):
+        rows = []
+        for _ in range(n):
+            k = rng.randint(lo_k, lo_k + 9)
+            # partition is a FUNCTION of the key: the COW contract
+            # forbids a key moving between partitions
+            rows.append((k, parts[k % 4], f"v{rng.randint(0, 99)}", ts))
+        # one row per key per batch (merge_upsert ties are separate)
+        return list({r[0]: r for r in rows}.values())
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, part string, val string, ts long")
+
+    base = tmp_path_factory.mktemp("cowfuzz")
+    p_cow, p_full = str(base / "cow"), str(base / "full")
+    seed_rows = batch(0, rng.randint(3, 8), ts=1)
+    commit_merge_cow(frame(seed_rows), p_cow, ["k"], "ts", "part")
+    commit_version(frame(seed_rows), p_full, partition_by=["part"])
+
+    history = {1: sorted(map(tuple, read_version(spark, p_cow, 1).collect()))}
+    for step in range(rng.randint(2, 4)):
+        ts = step + 2
+        if rng.random() < 0.35:
+            kdel = rng.randint(0, 9)
+            pred = f"k = {kdel}"
+            before = versions(spark, p_cow)[-1]
+            v = commit_delete_cow(spark, p_cow, pred, "part")
+            if v != before:  # matched rows -> mirror in the full chain
+                full_cur = read_version(spark, p_full).filter(
+                    ~F.coalesce(F.expr(pred), F.lit(False))
+                )
+                commit_version(full_cur, p_full, partition_by=["part"])
+        else:
+            up = batch(rng.randint(0, 4), rng.randint(1, 6), ts)
+            v = commit_merge_cow(frame(up), p_cow, ["k"], "ts", "part")
+            commit_merge(frame(up), p_full, ["k"], "ts")
+        v = versions(spark, p_cow)[-1]
+        history[v] = sorted(map(tuple, read_version(spark, p_cow, v).collect()))
+
+    # every version of the COW chain equals the full chain's version
+    assert versions(spark, p_cow) == versions(spark, p_full)
+    for v in versions(spark, p_cow):
+        cow_rows = sorted(map(tuple, read_version(spark, p_cow, v).collect()))
+        full_rows = sorted(map(tuple, read_version(spark, p_full, v).collect()))
+        assert cow_rows == full_rows, f"version {v} diverged"
+    # earlier COW versions unchanged by later commits
+    for v, want in history.items():
+        assert sorted(map(tuple, read_version(spark, p_cow, v).collect())) == want
