@@ -202,3 +202,58 @@ def reassemble_packs(
             "tokens",
         )
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_bucket: int = 16,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """Sequence-length bucket report — the batch-scheduler input for
+    length-bucketed training/inference (docs padded to the next
+    power-of-two length; one bucket per batch means padding waste is
+    bounded by 2× instead of max_len/len). Per bucket: document
+    count, real token count, and padding tokens the bucket would
+    spend (bucket_len − n_toks summed).
+
+    The bucket boundary is EXACT integer math in both engines:
+    ceil(log2(n)) computed as length(bin(n−1)) — no float log2 whose
+    rounding at exact powers of two could differ across engines.
+    Buckets clamp to [min_bucket, max_bucket]; longer docs land in
+    max_bucket with zero padding (they get chunked, not padded).
+    Map-only until ONE aggregation at bucket cardinality (≤ ~10
+    groups), with map-side partial aggregation — scan-speed at any
+    corpus size.
+
+    Returns (bucket_len, n_docs, n_tokens, n_pad) ordered by bucket.
+    """
+    n = token_count(text_col).cast("long")
+    # pyspark's F.shiftleft takes a literal bit count — route the
+    # column-valued shift through the SQL form instead
+    staged = df.select(n.alias("_n")).withColumn(
+        "_l2",
+        F.when(F.col("_n") <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("_n") - 1)))
+        .cast("int"),
+    )
+    raw = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _l2) AS BIGINT)")
+    bucket = F.least(
+        F.greatest(raw, F.lit(int(min_bucket)).cast("long")),
+        F.lit(int(max_bucket)).cast("long"),
+    )
+    pad = F.greatest(bucket - F.col("_n"), F.lit(0).cast("long"))
+    return (
+        staged.select(
+            bucket.alias("bucket_len"),
+            F.col("_n"),
+            pad.alias("_pad"),
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+            F.sum("_pad").alias("n_pad"),
+        )
+    )

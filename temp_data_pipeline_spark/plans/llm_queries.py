@@ -2078,6 +2078,45 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_length_buckets",
+    ["text-analysis", "training-prep"],
+    """
+    WITH n AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ), b AS (
+      SELECT nt,
+             least(greatest(
+               CASE WHEN nt <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT)
+                         << CAST(length(bin(nt - 1)) AS INT) END,
+               CAST(16 AS BIGINT)), CAST(8192 AS BIGINT)) AS bucket_len
+      FROM n
+    )
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(greatest(bucket_len - nt, 0)) AS BIGINT) AS n_pad
+    FROM b GROUP BY bucket_len ORDER BY bucket_len
+    """,
+    note=(
+        "Sequence-length bucketing report (batch-scheduler input for "
+        "length-bucketed training): docs binned to the next "
+        "power-of-two token length, per-bucket doc/token/padding "
+        "counts. ceil(log2) computed as length(bin(n-1)) so the "
+        "boundary is exact integer math in both engines — no float "
+        "log2 rounding at exact powers of two. Map-only + one "
+        "aggregation at bucket cardinality."
+    ),
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.chunk import length_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_buckets(d).orderBy("bucket_len")
+
+
+@_register(
     "llm_dedup_index",
     ["dedup", "index"],
     """

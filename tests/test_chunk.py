@@ -77,3 +77,30 @@ def test_pack_begin_is_exclusive_prefix(spark):
 def test_pack_empty_frame(spark):
     d = _df(spark, []).filter("doc_id < 0")
     assert pack_documents(d, seq_len=8).count() == 0
+
+
+def test_length_buckets_exact_boundaries(spark):
+    from temp_data_pipeline_spark.llm.chunk import length_buckets
+
+    def doc(n):
+        return " ".join(["t"] * n)
+
+    # 1 -> clamps to 16; 16 -> exact power stays 16; 17 -> 32;
+    # 9000 -> clamps to 8192 with zero pad
+    df = spark.createDataFrame(
+        [(1, doc(1)), (2, doc(16)), (3, doc(17)), (4, doc(9000))],
+        "doc_id long, text string",
+    )
+    out = {r["bucket_len"]: r for r in length_buckets(df).collect()}
+    assert set(out) == {16, 32, 8192}
+    assert (out[16]["n_docs"], out[16]["n_tokens"], out[16]["n_pad"]) == (2, 17, 15)
+    assert (out[32]["n_docs"], out[32]["n_pad"]) == (1, 15)
+    assert (out[8192]["n_docs"], out[8192]["n_pad"]) == (1, 0)
+
+
+def test_length_buckets_single_shuffle(spark):
+    from temp_data_pipeline_spark.llm.chunk import length_buckets
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = length_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the bucket-cardinality agg only
