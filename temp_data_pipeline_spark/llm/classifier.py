@@ -40,8 +40,10 @@ from temp_data_pipeline_spark.llm.text import md5_int60
 
 __all__ = [
     "classifier_score",
+    "fit_logistic",
     "hashed_bucket",
     "hashed_weights",
+    "logistic_score",
     "train_log_odds",
 ]
 
@@ -155,3 +157,113 @@ def classifier_score(
     if with_prob:
         out = out.withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))))
     return out
+
+
+def fit_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    *,
+    l2: float = 1e-6,
+    iters: int = 25,
+    tol: float = 1e-10,
+) -> dict:
+    """Distributed Newton/IRLS logistic regression over a SMALL
+    engineered feature set — the discriminative upgrade of
+    ``train_log_odds`` for the quality gate's decision layer (features
+    = the Gopher/repetition/lang-id signals already computed at scale;
+    label = a human- or LLM-annotated sample).
+
+    Per iteration ONE distributed aggregation computes the gradient
+    and Hessian moments (p² + p sums, p = len(feature_cols) + 1 with
+    the intercept — tens of numbers collected, like RidgeForecaster's
+    Gram pass); the p×p Newton solve runs on the driver. Cost is
+    iters × one scan; no training row ever reaches the driver, so the
+    fit is 100 TB-safe for any p where p² moments fit a collect
+    (hundreds). For hashed million-dim BoW models stay with
+    ``train_log_odds`` — a dense Hessian is the wrong tool there.
+
+    ``l2`` penalizes coefficients but not the intercept (sklearn
+    convention). Returns {"intercept", "coef", "n_iter", "converged",
+    "loss"} with loss = mean negative log-likelihood (unpenalized).
+    """
+    import numpy as np
+
+    p = len(feature_cols)
+    x = [F.coalesce(F.col(f).cast("double"), F.lit(0.0)) for f in feature_cols]
+    y = F.col(label_col).cast("double")
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    w = np.zeros(p + 1)  # [intercept, coef...]
+
+    def moments(wv: "np.ndarray"):
+        z = F.lit(float(wv[0]))
+        for i in range(p):
+            z = z + F.lit(float(wv[i + 1])) * x[i]
+        pr = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = pr - y                      # gradient residual
+        wt = pr * (F.lit(1.0) - pr)    # IRLS weight
+        # clamped log-loss: log(p) with p==0/1 would be -inf under
+        # extreme separation; the 1e-15 floor matches sklearn's
+        eps = F.lit(1e-15)
+        ll = -(
+            y * F.log(F.greatest(pr, eps))
+            + (F.lit(1.0) - y) * F.log(F.greatest(F.lit(1.0) - pr, eps))
+        )
+        aggs = [F.sum(ll).alias("loss"), F.sum(r).alias("g0")]
+        for i in range(p):
+            aggs.append(F.sum(r * x[i]).alias(f"g{i + 1}"))
+            aggs.append(F.sum(wt * x[i]).alias(f"h0_{i + 1}"))
+            for j in range(i, p):
+                aggs.append(F.sum(wt * x[i] * x[j]).alias(f"h{i + 1}_{j + 1}"))
+        aggs.append(F.sum(wt).alias("h0_0"))
+        row = df.agg(*aggs).first()
+        g = np.zeros(p + 1)
+        h = np.zeros((p + 1, p + 1))
+        g[0] = row["g0"]
+        h[0, 0] = row["h0_0"]
+        for i in range(p):
+            g[i + 1] = row[f"g{i + 1}"]
+            h[0, i + 1] = h[i + 1, 0] = row[f"h0_{i + 1}"]
+            for j in range(i, p):
+                h[i + 1, j + 1] = h[j + 1, i + 1] = row[f"h{i + 1}_{j + 1}"]
+        return g, h, float(row["loss"]) / n
+
+    reg = l2 * np.eye(p + 1)
+    reg[0, 0] = 0.0  # unpenalized intercept
+    loss = float("inf")
+    converged = False
+    it = 0
+    for it in range(1, iters + 1):
+        g, h, loss = moments(w)
+        g = g + reg @ w
+        step = np.linalg.solve(h + reg + 1e-12 * np.eye(p + 1), g)
+        w = w - step
+        if float(np.max(np.abs(step))) < tol:
+            converged = True
+            break
+    return {
+        "intercept": float(w[0]),
+        "coef": [float(c) for c in w[1:]],
+        "n_iter": it,
+        "converged": converged,
+        "loss": loss,
+    }
+
+
+def logistic_score(
+    df: DataFrame,
+    model: dict,
+    feature_cols: list[str],
+    *,
+    out: str = "prob",
+) -> DataFrame:
+    """Apply a ``fit_logistic`` model as a pure column expression —
+    map-only, zero shuffles, whole-stage codegen (the same zero-cost
+    inference shape as RidgeForecaster.predict_mu)."""
+    z = F.lit(float(model["intercept"]))
+    for f, c in zip(feature_cols, model["coef"]):
+        z = z + F.lit(float(c)) * F.coalesce(F.col(f).cast("double"), F.lit(0.0))
+    return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
