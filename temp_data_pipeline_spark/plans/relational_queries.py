@@ -405,3 +405,65 @@ def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [h1, h2], keys=["user_id", "day"], mergers={"n": "sum", "mx": "max"}
     )
     return merged.orderBy("user_id", "day")
+
+
+@_register(
+    "q_analyze",
+    ["extension-relational", "maintenance"],
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu0,
+             COUNT(DISTINCT o_orderkey) AS nd0,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn0,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx0,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+             COUNT(DISTINCT o_custkey) AS nd1,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn1,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx1,
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu2,
+             COUNT(DISTINCT o_orderstatus) AS nd2,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn2,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx2,
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu3,
+             COUNT(DISTINCT o_orderpriority) AS nd3,
+             CAST(MIN(o_orderpriority) AS VARCHAR) AS mn3,
+             CAST(MAX(o_orderpriority) AS VARCHAR) AS mx3
+      FROM orders
+    )
+    SELECT col_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_s, max_s
+    FROM (
+      SELECT 'o_orderkey' AS col_name, n_rows, nu0 AS n_null,
+             nd0 AS n_distinct, mn0 AS min_s, mx0 AS max_s FROM a
+      UNION ALL
+      SELECT 'o_custkey', n_rows, nu1, nd1, mn1, mx1 FROM a
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nu2, nd2, mn2, mx2 FROM a
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, nu3, nd3, mn3, mx3 FROM a
+    )
+    ORDER BY col_name
+    """,
+    note=(
+        "ANALYZE-style per-column statistics (null count, exact NDV, "
+        "native-typed min/max stringified for a uniform report "
+        "schema) in ONE pass — Catalyst rewrites the multiple "
+        "DISTINCT aggregates into a single Expand + two-stage hash "
+        "agg, then stack() unpivots the 1-row result. The CBO / "
+        "data-skipping / quality-monitor input (operators/stats.py; "
+        "approx=True swaps exact NDV for HyperLogLog++ at the "
+        "100 TB tier)."
+    ),
+)
+def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.stats import analyze_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return analyze_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("col_name")
