@@ -229,3 +229,75 @@ def rolling_fingerprint(col: Column | str, window: int = 8, base: int = 257, mod
     (see plans/llm_queries.py)."""
     tok_h = F.transform(tokens(col), lambda x: F.xxhash64(x))
     return rolling_hash_of(tok_h, window, base, mod)
+
+
+def normalize_text(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nfc: bool = True,
+) -> "DataFrame":
+    """Crawl-text normalization — the cleanup every curation pipeline
+    runs before hashing/dedup so that byte-level noise (stray control
+    chars, run-on whitespace, decomposed Unicode) can't make identical
+    content hash differently:
+
+    1. strip C0/C1 control characters (except \\t \\n),
+    2. collapse runs of spaces/tabs to one space; trim each line's
+       edges; collapse 3+ newlines to 2 (paragraph-preserving, the
+       C4/CCNet convention),
+    3. Unicode NFC composition — gated to rows that actually CONTAIN
+       non-ASCII (an rlike pre-filter), so the pandas-UDF tier never
+       runs on the overwhelmingly-ASCII bulk of a web corpus and the
+       hot path stays whole-stage codegen.
+
+    Steps 1–2 are JVM regexp_replace chains (map-only, zero
+    shuffles). Step 3 is an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` — Python, but only for the rows no
+    JVM builtin can serve, and only when ``nfc=True``.
+
+    Returns (id, text_norm, changed).
+    """
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql import functions as F
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    t = F.col(text_col)
+    # 1) control chars (keep \t \n; \r normalizes to \n first)
+    t = F.regexp_replace(t, "\r\n?", "\n")
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    # 2) whitespace discipline
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")      # trim line edges
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    t = F.trim(t)
+
+    if nfc:
+        _nfc = F.pandas_udf(_nfc_fn, "string")
+
+        # materialize the regexp chain once as an attribute, then the
+        # NFC gate references it twice without re-evaluation; original
+        # text rides along so `changed` needs no join back
+        staged = df.select(
+            F.col(id_col), F.col(text_col).alias("_orig"), t.alias("_t")
+        )
+        norm = F.when(
+            F.col("_t").rlike("[^\\x00-\\x7F]"), _nfc(F.col("_t"))
+        ).otherwise(F.col("_t"))
+    else:
+        staged = df.select(
+            F.col(id_col), F.col(text_col).alias("_orig"), t.alias("_t")
+        )
+        norm = F.col("_t")
+    return staged.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        (norm != F.col("_orig")).alias("changed"),
+    )

@@ -2078,6 +2078,51 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_normalize",
+    ["curation", "text-analysis"],
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             replace(text, ' a ', concat(' ', chr(11), '  a ')) AS t0
+      FROM documents
+    ), n AS (
+      SELECT doc_id, t0,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 t0, '\r\n?', chr(10), 'g'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[ \t]+', ' ', 'g'),
+                 ' ?\n ?', chr(10), 'g'),
+                 '\n{3,}', concat(chr(10), chr(10)), 'g')) AS text_norm
+      FROM m
+    )
+    SELECT doc_id, text_norm, text_norm <> t0 AS changed
+    FROM n ORDER BY doc_id
+    """,
+    note=(
+        "Crawl-text normalization (control-char strip, whitespace "
+        "collapse, paragraph-preserving newline discipline, gated NFC "
+        "tier): the pre-dedup cleanup that stops byte-level noise "
+        "making identical content hash apart. Map-only regexp chain, "
+        "zero shuffles; the NFC pandas-UDF tier only fires on rows "
+        "containing non-ASCII (none in this corpus — the Unicode "
+        "branch is pinned by tests/test_normalize.py). The query "
+        "injects deterministic mess (a VT control char + run-on "
+        "spaces at every ' a ') so normalization has real work."
+    ),
+)
+def llm_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.text import normalize_text
+
+    d = _docs_sorted(spark, sf_dir)
+    messy = d.select(
+        "doc_id",
+        F.regexp_replace("text", " a ", " \x0b  a ").alias("text"),
+    )
+    return normalize_text(messy)
+
+
+@_register(
     "llm_length_buckets",
     ["text-analysis", "training-prep"],
     """
