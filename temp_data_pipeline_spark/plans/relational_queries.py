@@ -467,3 +467,64 @@ def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     ).orderBy("col_name")
+
+
+@_register(
+    "q_hidden_partition",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                 AND TIMESTAMP '2024-01-14 23:59:59'
+    ORDER BY event_id
+    """,
+    note=(
+        "Hidden-partitioning lifecycle (operators/partitioning.py): "
+        "commit events to a versioned table under a days(ts) "
+        "transform (layout derived by the engine, spec recorded in "
+        "the manifest), then read with a filter on the SOURCE ts "
+        "column only — read_version_pruned adds the implied "
+        "_p_days_ts range predicate, so the scan prunes to 7 of 30 "
+        "day directories at planning time. Values must equal the "
+        "plain BETWEEN over the raw table (pruning never changes "
+        "results)."
+    ),
+)
+def q_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from temp_data_pipeline_spark.operators.partitioning import (
+        commit_version_transformed,
+        read_version_pruned,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="hidden_part_")
+    try:
+        commit_version_transformed(e, path, ["days(ts)"])
+        out = read_version_pruned(
+            spark,
+            path,
+            between={
+                "ts": (
+                    datetime(2024, 1, 8, 0, 0, 0),
+                    datetime(2024, 1, 14, 23, 59, 59),
+                )
+            },
+        )
+        return (
+            out.select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .orderBy("event_id")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
