@@ -567,3 +567,79 @@ def ann_recall(
     )
     n = t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     return hit.crossJoin(n)
+
+
+def probe_cells_udf(centroids, nprobe: int):
+    """Arrow pandas UDF: the ``nprobe`` nearest centroid cells of a
+    vector column, as an int array — the per-QUERY side of a batch
+    ANN join (single-query probes rank centroids driver-side instead;
+    see ivf_index_topk). Stable argsort, so equidistant centroids tie
+    toward the lower cell index — identical to the oracle's
+    ORDER BY d, k."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _cells
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN: top-k approximate neighbors for EVERY query row —
+    the many-query sibling of ``ivf_topk`` (which serves one vector).
+    The all-pairs problem that makes brute-force kNN quadratic is cut
+    to cell-co-resident pairs:
+
+      index  → nearest cell each (map-only Arrow kernel),
+      query  → nprobe nearest cells each, exploded (×nprobe rows),
+      equi-join on cell (hash exchange keyed by cell — never a
+      cartesian), exact cosine per surviving pair, per-query top-k
+      via a window partitioned by query id.
+
+    Per-query cost is nprobe/nlist of the index, same as a single
+    probe; the join fanout is |Q|·nprobe + |I| rows. Hot cells skew
+    the exchange — raise nlist (cells shrink) or pre-salt the index
+    side if one cell dominates; the conformance tier keeps the
+    pinned-16-centroid layout. Ties rank by (cosine DESC, neighbor
+    id) for a total order. Returns (query_id, rank, neighbor_id).
+    """
+    from pyspark.sql import Window
+
+    idx = assign_cells(index, centroids, vec_col, id_col)
+    q = ensure_parallelism(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        probe_cells_udf(centroids, nprobe)(F.col(vec_col)).alias("_cells"),
+    )
+    qx = q.select(
+        "query_id", "_qv", F.explode("_cells").alias("_cell")
+    )
+    pairs = qx.join(idx, "_cell")
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_sim(F.col(vec_col), F.col("_qv")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -2077,6 +2077,87 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(lined)
 
 
+_KNN_JOIN_ORACLE = """
+    WITH c AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cl
+      FROM embeddings WHERE vec_id < 16
+    ), a0 AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform(range(16), k ->
+               list_sum(list_transform(range(1, 65), i ->
+                 (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])))) AS d
+      FROM embeddings e, c WHERE e.vec_id % 25 <> 0
+    ), cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(d, list_min(d)) - 1 AS INT) AS cell
+      FROM a0
+    ), q0 AS (
+      SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv,
+             list_transform(range(16), k ->
+               list_sum(list_transform(range(1, 65), i ->
+                 (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.cl[k + 1][i])))) AS d
+      FROM embeddings e, c WHERE e.vec_id % 25 = 0
+    ), probe AS (
+      SELECT qid, qv, CAST(t.k AS INT) AS cell
+      FROM q0, range(16) t(k)
+      QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY q0.d[CAST(t.k AS INT) + 1], t.k) <= 4
+    ), scored AS (
+      SELECT p.qid, e.vec_id AS nid,
+             list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))))) AS sim
+      FROM cells e JOIN probe p ON e.cell = p.cell
+    )
+    SELECT qid AS query_id,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, nid) AS INT) AS rank,
+           nid AS neighbor_id
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@_register(
+    "llm_knn_join",
+    ["similarity"],
+    _KNN_JOIN_ORACLE,
+    note=(
+        "Batch ANN (kNN JOIN): top-5 approximate neighbors for EVERY "
+        "query row at once — index rows assigned to their nearest "
+        "cell, queries exploded onto their nprobe=4 nearest cells, "
+        "one cell-keyed equi-join (never a cartesian), exact cosine "
+        "re-rank per query via a window. The all-pairs O(Q x I) "
+        "problem cut to cell-co-resident pairs; same pinned "
+        "first-16-vector quantizer as llm_ivf_topk so DuckDB replays "
+        "both sides\' cell choices from the table itself."
+    ),
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = similarity.ivf_knn_join(
+        e.filter(F.col("vec_id") % 25 == 0),
+        e.filter(F.col("vec_id") % 25 != 0),
+        cents,
+        k=5,
+        nprobe=4,
+    )
+    return out.orderBy("query_id", "rank")
+
+
 @_register(
     "llm_normalize",
     ["curation", "text-analysis"],

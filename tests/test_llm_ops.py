@@ -679,3 +679,44 @@ def test_embedding_neardup_cosine_deterministic_across_runs(spark):
     a = sorted(map(tuple, embedding_neardup_pairs(df, threshold=0.2).collect()))
     b = sorted(map(tuple, embedding_neardup_pairs(df, threshold=0.2).collect()))
     assert a == b and len(a) > 0  # max-over-buckets makes values stable
+
+
+def test_ivf_knn_join_finds_planted_neighbors(spark):
+    import random
+
+    rng = random.Random(23)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(60)]
+    # plant: vec 50 ~ vec 10, vec 51 ~ vec 20 (distinct directions)
+    vecs[50] = [x * 1.01 for x in vecs[10]]
+    vecs[51] = [x * 0.99 for x in vecs[20]]
+    df = emb_df(spark, vecs)
+    cents = similarity.fit_kmeans(df, n_centroids=4, sample_size=60)
+    queries = df.filter("vec_id >= 50")
+    index = df.filter("vec_id < 50")
+    out = similarity.ivf_knn_join(
+        queries, index, cents, k=3, nprobe=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    # every query got ranked results, top-1 is its planted twin
+    assert sorted(r for r, _ in by_q[50]) == [1, 2, 3]
+    assert min(by_q[50])[1] == 10
+    assert min(by_q[51])[1] == 20
+
+
+def test_ivf_knn_join_no_cartesian(spark):
+    import random
+
+    rng = random.Random(29)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    df = emb_df(spark, vecs)
+    cents = similarity.fit_kmeans(df, n_centroids=4, sample_size=40)
+    plan = (
+        similarity.ivf_knn_join(
+            df.filter("vec_id >= 30"), df.filter("vec_id < 30"), cents
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
