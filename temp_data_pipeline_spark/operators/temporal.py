@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "resample_fill", "sessionize", "range_join"]
+__all__ = [
+    "asof_join",
+    "cohort_retention",
+    "funnel_counts",
+    "range_join",
+    "resample_fill",
+    "sessionize",
+]
 
 
 def _micros(c: Column) -> Column:
@@ -295,5 +302,111 @@ def resample_fill(
             F.col("_bucket").alias("bucket_start"),
             F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
             F.last(F.col("_last_v"), ignorenulls=True).over(w_fill).alias("value"),
+        )
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_hours: float | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: how many users reach each step,
+    where step k+1 must occur strictly AFTER the user's earliest
+    step-k completion (and within ``within_hours`` of it, when set) —
+    the product-analytics staple (view → click → purchase).
+
+    Physical shape per step: one filtered groupBy(user) MIN plus one
+    user-keyed equi-join against the previous step's table — the
+    step tables shrink monotonically, every join is keyed on the
+    user (hash-partitioned, broadcast when small under AQE), and the
+    event scan is pruned by the step's type filter. len(steps)
+    passes, never a cross product, no per-user state larger than one
+    timestamp. Returns (step, event_type, n_users), 1-indexed.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    bound_us = (
+        int(within_hours * 3_600_000_000) if within_hours is not None else None
+    )
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_ts"))
+    )
+    counts = [cur.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit(1).alias("step"), F.lit(steps[0]).alias(type_col), "n"
+    )]
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == step).select(
+            u.alias("_u"), t.alias("_evts")
+        )
+        cond = (F.col("_u") == F.col(user_col)) & (
+            F.col("_evts") > F.col("_ts")
+        )
+        if bound_us is not None:
+            cond = cond & (
+                F.unix_micros("_evts") <= F.unix_micros("_ts") + bound_us
+            )
+        cur = (
+            ev.join(cur, cond)
+            .groupBy(user_col)
+            .agg(F.min("_evts").alias("_ts"))
+        )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit(i).alias("step"), F.lit(step).alias(type_col), "n"
+            )
+        )
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), counts)
+    return out.select(
+        F.col("step").cast("int"), type_col, F.col("n").alias("n_users")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by FIRST-activity day,
+    counted on each subsequent day they return (distinct user-days),
+    offsets 0..max_offset_days.
+
+    Two user-keyed exchanges total: cohort assignment (groupBy MIN)
+    and the activity join share the same key, then one small
+    (cohort, offset) aggregation. Returns
+    (cohort_day, day_offset, n_users) ordered for the triangle.
+    """
+    cohort = df.groupBy(user_col).agg(
+        F.min(F.col(ts_col).cast("date")).alias("_c0")
+    )
+    act = (
+        df.select(F.col(user_col), F.col(ts_col).cast("date").alias("_d"))
+        .join(cohort, user_col)
+        .select(
+            user_col,
+            "_c0",
+            F.datediff(F.col("_d"), F.col("_c0")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= max_offset_days)
+        .distinct()
+    )
+    return (
+        act.groupBy("_c0", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("_c0").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("long"),
+            "n_users",
         )
     )

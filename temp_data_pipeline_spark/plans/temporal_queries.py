@@ -334,3 +334,82 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key_col="user_id", ts_col="ts", value_col="value", step_seconds=3600
     )
     return out.orderBy("user_id", "bucket_start")
+
+
+@_register(
+    "q_funnel",
+    ["extension-temporal", "events"],
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        AND e.ts <= t2.ts2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM t2
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM t3
+    ORDER BY step
+    """,
+    note=(
+        "Ordered conversion funnel (view -> click -> purchase, each "
+        "step within 24h of the previous step's earliest completion): "
+        "per step one type-pruned groupBy(user) MIN + one user-keyed "
+        "equi-join against the shrinking previous-step table — "
+        "len(steps) passes, no cross product, per-user state is one "
+        "timestamp (operators/temporal.py::funnel_counts)."
+    ),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.temporal import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        events, ["view", "click", "purchase"], within_hours=24
+    ).orderBy("step")
+
+
+@_register(
+    "q_retention",
+    ["extension-temporal", "events"],
+    """
+    WITH cohort AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS c0
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, c.c0,
+             datediff('day', c.c0, CAST(e.ts AS DATE)) AS offs
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT CAST(c0 AS VARCHAR) AS cohort_day,
+           CAST(offs AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act WHERE offs <= 7
+    GROUP BY c0, offs ORDER BY cohort_day, day_offset
+    """,
+    note=(
+        "Cohort retention triangle (first-activity day x day offset "
+        "0..7, distinct user-days): cohort assignment and the "
+        "activity join share one user-keyed exchange, then a tiny "
+        "(cohort, offset) aggregation "
+        "(operators/temporal.py::cohort_retention)."
+    ),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.operators.temporal import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, max_offset_days=7).orderBy(
+        "cohort_day", "day_offset"
+    )

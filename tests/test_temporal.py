@@ -288,3 +288,92 @@ class TestResampleFill:
             step_seconds=3600,
         ).collect()
         assert all(r["value"] == 7.0 for r in out if r["k"] == "b")
+
+
+class TestFunnel:
+    def _ev(self, spark, rows):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [(u, datetime(2026, 1, 1, h, m), t) for u, h, m, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+
+    def test_ordered_conversion_with_window(self, spark):
+        from temp_data_pipeline_spark.operators.temporal import funnel_counts
+
+        rows = [
+            # u1 converts fully in order
+            (1, 1, 0, "view"), (1, 2, 0, "click"), (1, 3, 0, "purchase"),
+            # u2 clicks BEFORE viewing -> click doesn't count
+            (2, 2, 0, "click"), (2, 3, 0, "view"),
+            # u3 views then clicks too late (window 1h)
+            (3, 1, 0, "view"), (3, 5, 0, "click"),
+            # u4 never views
+            (4, 1, 0, "purchase"),
+        ]
+        out = {
+            r["step"]: r
+            for r in funnel_counts(
+                self._ev(spark, rows), ["view", "click", "purchase"],
+                within_hours=1.0,
+            ).collect()
+        }
+        assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) == (3, 1, 1)
+        assert out[3]["event_type"] == "purchase"
+
+    def test_step_after_earliest_completion_only(self, spark):
+        from temp_data_pipeline_spark.operators.temporal import funnel_counts
+
+        # u1 has TWO views; click is after the 2nd view but within the
+        # window of neither the FIRST view + 1h -> must not convert
+        rows = [
+            (1, 1, 0, "view"), (1, 3, 0, "view"), (1, 3, 30, "click"),
+        ]
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(
+                self._ev(spark, rows), ["view", "click"], within_hours=1.0
+            ).collect()
+        }
+        assert out == {1: 1, 2: 0}
+
+    def test_unbounded_window(self, spark):
+        from temp_data_pipeline_spark.operators.temporal import funnel_counts
+
+        rows = [(1, 1, 0, "view"), (1, 23, 0, "click")]
+        out = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(
+                self._ev(spark, rows), ["view", "click"]
+            ).collect()
+        }
+        assert out == {1: 1, 2: 1}
+
+
+class TestRetention:
+    def test_triangle(self, spark):
+        from datetime import datetime
+
+        from temp_data_pipeline_spark.operators.temporal import (
+            cohort_retention,
+        )
+
+        rows = [
+            (1, datetime(2026, 1, 1, 9)), (1, datetime(2026, 1, 2, 9)),
+            (1, datetime(2026, 1, 2, 15)),   # same day twice -> once
+            (2, datetime(2026, 1, 1, 10)),
+            (3, datetime(2026, 1, 2, 8)), (3, datetime(2026, 1, 9, 8)),
+            (3, datetime(2026, 1, 20, 8)),   # offset 18 > 7 -> dropped
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["cohort_day"], r["day_offset"]): r["n_users"]
+            for r in cohort_retention(df, max_offset_days=7).collect()
+        }
+        assert got == {
+            ("2026-01-01", 0): 2,
+            ("2026-01-01", 1): 1,
+            ("2026-01-02", 0): 1,
+            ("2026-01-02", 7): 1,
+        }
