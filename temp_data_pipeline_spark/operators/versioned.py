@@ -443,6 +443,69 @@ def commit_merge_cow(
     )
 
 
+def commit_cdc_cow(
+    changes: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    partition_col: str,
+    *,
+    op_col: str = "op",
+    tiebreak: str | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Apply a FULL CDC batch — inserts, updates, AND deletes — as one
+    partition-level copy-on-write commit. ``changes`` carries an
+    ``op_col`` with 'I'/'U' (upsert, payload rows) or 'D' (delete by
+    key; payload ignored). The union of partitions any change touches
+    is rewritten once; everything else is carried by reference — the
+    Debezium-batch-to-lake apply step at O(batch) cost.
+
+    Within one batch, a key's upserts resolve last-writer-wins first
+    (merge_upsert on ts_col), then a delete for that key wins
+    REGARDLESS of timestamps — the Delta MERGE ``WHEN MATCHED DELETE``
+    convention (a batch is applied as a set, not a log replay; feed
+    finer-grained orderings as separate batches). Same contracts as
+    ``commit_merge_cow``: base committed partition_by=[partition_col],
+    keys never move partitions, delete rows must carry the partition
+    value of the rows they delete.
+    """
+    from pyspark.sql import functions as F
+
+    spark = changes.sparkSession
+    is_del = F.upper(F.col(op_col)) == "D"
+    upserts = changes.filter(~is_del).drop(op_col)
+    deletes = changes.filter(is_del).select(*keys, partition_col).distinct()
+    vs = versions(spark, path)
+    if not vs:
+        first = upserts.join(deletes.select(*keys), keys, "left_anti")
+        return commit_version(
+            first, path, partition_by=[partition_col], meta=meta
+        )
+    latest = vs[-1]
+    base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
+    touched_rows = (
+        changes.select(partition_col).distinct().collect()
+    )
+    touched = {None if r[0] is None else str(r[0]) for r in touched_rows}
+    cond = F.col(partition_col).cast("string").isin(
+        [t for t in touched if t is not None]
+    )
+    if None in touched:
+        cond = cond | F.col(partition_col).isNull()
+    base = read_version(spark, path, latest).filter(cond)
+    merged = merge_upsert(base, upserts, keys, ts_col, tiebreak)
+    survivors = merged.join(deletes.select(*keys), keys, "left_anti")
+    carried = _cow_carried_dirs(spark, path, base_dirs, partition_col, touched)
+    return commit_version(
+        survivors,
+        path,
+        partition_by=[partition_col],
+        carry_dirs=carried,
+        meta=meta,
+    )
+
+
 def _cow_carried_dirs(
     spark: SparkSession,
     path: str,

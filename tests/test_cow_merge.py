@@ -262,3 +262,60 @@ class TestCowDelete:
         got = _rows(read_version(spark, p))
         assert got == {(1, "a", "a1", 10), (2, "a", "a2", 10),
                        (4, "c", "c1", 10), (9, "c", "c9", 30)}
+
+
+class TestCdcCow:
+    def test_mixed_batch_applies_as_set(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_cdc_cow,
+            commit_merge_cow,
+            read_manifest,
+        )
+
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        changes = spark.createDataFrame(
+            [
+                (2, "a", "a2'", 20, "U"),   # update
+                (5, "b", "b5", 20, "I"),    # insert
+                (3, "b", None, 20, "D"),    # delete (payload ignored)
+            ],
+            "k long, part string, val string, ts long, op string",
+        )
+        v2 = commit_cdc_cow(changes, p, ["k"], "ts", "part")
+        got = _rows(read_version(spark, p))
+        assert got == {(1, "a", "a1", 10), (2, "a", "a2'", 20),
+                       (4, "c", "c1", 10), (5, "b", "b5", 20)}
+        # only a and b rewritten; c carried
+        man = read_manifest(spark, p, v2)
+        assert "v=1/part=c" in man["data_dirs"]
+        assert _part_subdirs(p, v2) == ["part=a", "part=b"]
+
+    def test_delete_beats_same_batch_upsert(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_cdc_cow,
+            commit_merge_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        changes = spark.createDataFrame(
+            [(3, "b", "resurrect", 99, "U"), (3, "b", None, 20, "D")],
+            "k long, part string, val string, ts long, op string",
+        )
+        commit_cdc_cow(changes, p, ["k"], "ts", "part")
+        assert all(r[0] != 3 for r in _rows(read_version(spark, p)))
+
+    def test_first_commit_with_deletes(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_cdc_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        changes = spark.createDataFrame(
+            [(1, "a", "a1", 10, "I"), (2, "a", "x", 10, "I"),
+             (2, "a", None, 10, "D")],
+            "k long, part string, val string, ts long, op string",
+        )
+        commit_cdc_cow(changes, p, ["k"], "ts", "part")
+        assert _rows(read_version(spark, p)) == {(1, "a", "a1", 10)}
