@@ -528,3 +528,40 @@ def q_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_fk_orphans",
+    ["extension-relational", "maintenance"],
+    """
+    WITH parent AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 10 <> 0
+    )
+    SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM parent)
+    GROUP BY o.o_custkey
+    ORDER BY o.o_custkey
+    """,
+    note=(
+        "Referential-integrity audit (schemas/validate.py::fk_orphans): "
+        "child rows with no matching parent via ONE key-only left-anti "
+        "join (parent side projects just its key — nothing but keys "
+        "shuffles, broadcast under AQE). The conformance query drops "
+        "every 10th customer from the parent side so the audit has "
+        "real violations to find."
+    ),
+)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.schemas.validate import fk_orphans
+
+    orders = load_table(spark, sf_dir, "orders")
+    parent = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 != 0
+    )
+    orphans = fk_orphans(orders, parent, "o_custkey", "c_custkey")
+    return (
+        orphans.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_custkey")
+    )

@@ -240,3 +240,19 @@ __all__ = [
     "validate_train_daily_tmax",
     "qc",
 ]
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity violations: child rows whose key has NO
+    matching parent — the FK audit a warehouse runs after every load.
+    One left-anti join on the key (parent side carries only its key
+    column, so nothing but keys shuffles; broadcast under AQE when
+    the parent key set is small). Returns the orphan child rows
+    unchanged; aggregate downstream for a report."""
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    return child.join(keys, child_key, "left_anti")

@@ -84,6 +84,8 @@ _ARROW_ALLOWED = {
     "llm_simhash",
     "llm_simhash_neardup",
     "llm_dup_clusters",
+    "llm_knn_join",  # cell-assign + probe-cells kernels (declared vector math)
+    "llm_normalize",  # NFC tier — gated to rows containing non-ASCII
 }
 
 

@@ -60,3 +60,17 @@ def test_single_logical_scan(spark):
     # per analyzed column
     assert plan.count("Scan ExistingRDD") <= 1
     assert "Expand" in plan
+
+
+def test_fk_orphans_finds_only_orphans(spark):
+    from temp_data_pipeline_spark.schemas.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99)], "id long, pk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "k long")
+    got = sorted(r["id"] for r in fk_orphans(child, parent, "pk", "k").collect())
+    assert got == [4]
+    # orphan rows come back with their full payload
+    cols = fk_orphans(child, parent, "pk", "k").columns
+    assert cols == ["pk", "id"] or cols == ["id", "pk"]
