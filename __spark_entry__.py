@@ -129,7 +129,8 @@ _LAST_VERIFIED = {
 # llm_pack_read (pack reader — inverse of llm_pack), llm_url_cap,
 # llm_budget_select, llm_dsir, llm_corpus_line_dedup, llm_dedup_index,
 # llm_length_buckets, q_analyze, llm_normalize, q_hidden_partition,
-# llm_knn_join, q_funnel, q_retention, q_fk_orphans.
+# llm_knn_join, q_funnel, q_retention, q_fk_orphans,
+# q_matview_refresh.
 _RECHECK = [
     "llm_bm25", "llm_ivf_index_topk",
 ]

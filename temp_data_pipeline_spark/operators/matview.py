@@ -1,0 +1,170 @@
+"""Incrementally maintained aggregate views over versioned tables.
+
+A "materialized view" here is itself a versioned table whose rows are
+``agg(base)`` grouped by ``keys``, plus a manifest record of WHICH
+base version it reflects. ``refresh_agg_view`` advances the view to
+the base's latest version at a cost proportional to what CHANGED,
+not to the base:
+
+  1. `snapshot_diff(base, reflected, latest)` lists added / changed /
+     removed rows — the ONLY scan of history, itself partition-pruned
+     by the versioned layout,
+  2. the distinct group keys in the diff are the TOUCHED groups;
+     every other group's aggregate is provably unchanged,
+  3. touched groups are recomputed from base@latest (group-pruned
+     scan: a semi-join on the touched key set — and a partition-
+     pruned one when the view partitions on a group key),
+  4. the recomputed rows apply to the view as ONE copy-on-write CDC
+     commit (`commit_cdc_cow`): upserts for groups that still exist,
+     deletes for groups whose rows all vanished — only the view
+     partitions holding touched groups are rewritten.
+
+Group recompute (not delta arithmetic) is the maintenance strategy:
+it supports EVERY aggregate — max/min/percentile/count-distinct, not
+just the subtractable sum/count family — and its cost scales with
+the touched groups' row count, which for time-keyed views (the
+common case: daily rollups, late-arriving backfills) is a handful of
+partitions. Subtractable-only delta maintenance is what
+`operators/incremental.py`'s mergeable partials provide when that
+trade is wanted.
+
+The view carries one bookkeeping column, ``_ts`` (the base version
+its row was computed from) — the merge ordering column for the CDC
+apply. Time travel works on the view like any versioned table; each
+refresh is one new view version whose manifest records
+``base_version``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_cdc_cow,
+    commit_version,
+    read_manifest,
+    read_version,
+    snapshot_diff,
+    versions,
+)
+
+__all__ = ["build_agg_view", "refresh_agg_view", "view_base_version"]
+
+
+def _check_agg(out: DataFrame, keys: list[str]) -> None:
+    missing = [k for k in keys if k not in out.columns]
+    if missing:
+        raise ValueError(
+            f"agg() result is missing group key columns {missing}; it "
+            f"must return one row per {keys} group"
+        )
+    if "_ts" in out.columns or "op" in out.columns:
+        raise ValueError("agg() result may not use reserved columns _ts/op")
+
+
+def _check_pcol(pcol: str, keys: list[str]) -> None:
+    # the view's partition column must be a GROUP key: COW deletes
+    # address rows by key, and a non-key partition column would also
+    # let a group's aggregate move partitions between refreshes —
+    # violating the COW never-moves contract
+    if pcol not in keys:
+        raise ValueError(
+            f"partition_col {pcol!r} must be one of the view keys {keys}"
+        )
+
+
+def build_agg_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    agg: Callable[[DataFrame], DataFrame],
+    keys: list[str],
+    *,
+    partition_col: str | None = None,
+    base_version: int | None = None,
+) -> int:
+    """Full build: materialize ``agg(base@version)`` as view version 1
+    (or the next version — rebuilding is always allowed). Returns the
+    committed view version."""
+    vs = versions(spark, base_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {base_path}")
+    bv = base_version if base_version is not None else vs[-1]
+    out = agg(read_version(spark, base_path, bv))
+    _check_agg(out, keys)
+    pcol = partition_col or keys[0]
+    _check_pcol(pcol, keys)
+    rows = out.withColumn("_ts", F.lit(bv).cast("long"))
+    return commit_version(
+        rows,
+        view_path,
+        partition_by=[pcol],
+        meta={"base_path": base_path, "base_version": bv, "view_keys": keys},
+    )
+
+
+def view_base_version(spark: SparkSession, view_path: str) -> int:
+    """The base version the view's LATEST snapshot reflects."""
+    man = read_manifest(spark, view_path, versions(spark, view_path)[-1])
+    return int(man["base_version"])
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    agg: Callable[[DataFrame], DataFrame],
+    keys: list[str],
+    *,
+    partition_col: str | None = None,
+) -> int:
+    """Advance the view to the base's latest version; cost scales
+    with the groups the diff touches. No-op (returns the current view
+    version) when the view is already current."""
+    pcol = partition_col or keys[0]
+    _check_pcol(pcol, keys)
+    base_latest = versions(spark, base_path)[-1]
+    reflected = view_base_version(spark, view_path)
+    view_latest = versions(spark, view_path)[-1]
+    if base_latest == reflected:
+        return view_latest
+
+    diff = snapshot_diff(spark, base_path, reflected, base_latest, keys)
+    touched = diff.select(*keys).distinct()
+    base_now = read_version(spark, base_path, base_latest)
+    # group-pruned recompute: only touched groups' rows are scanned
+    recomputed = agg(base_now.join(touched, keys, "left_semi"))
+    _check_agg(recomputed, keys)
+    upserts = recomputed.withColumn("_ts", F.lit(base_latest).cast("long"))
+
+    # groups whose rows all vanished: touched but absent from the
+    # recompute — they must leave the view (CDC delete rows carry the
+    # full view schema with null payload)
+    vanished = touched.join(recomputed.select(*keys), keys, "left_anti")
+    view_cols = read_version(spark, view_path, view_latest).drop("_ts").columns
+    del_rows = vanished
+    for c in view_cols:
+        if c not in keys:
+            del_rows = del_rows.withColumn(
+                c, F.lit(None).cast(dict(upserts.dtypes)[c])
+            )
+    del_rows = del_rows.withColumn("_ts", F.lit(base_latest).cast("long"))
+
+    changes = upserts.withColumn("op", F.lit("U")).unionByName(
+        del_rows.withColumn("op", F.lit("D"))
+    )
+    return commit_cdc_cow(
+        changes,
+        view_path,
+        keys,
+        "_ts",
+        pcol,
+        meta={
+            "base_path": base_path,
+            "base_version": base_latest,
+            "view_keys": keys,
+        },
+    )

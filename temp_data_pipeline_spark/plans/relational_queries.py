@@ -565,3 +565,71 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy("o_custkey")
     )
+
+
+@_register(
+    "q_matview_refresh",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note=(
+        "Incrementally maintained aggregate view lifecycle "
+        "(operators/matview.py): base v1 = orders keys%4=0, base v2 "
+        "merges in keys%4=1, the view (per-priority count + key sum) "
+        "is built at v1 and REFRESHED to v2 — the refresh recomputes "
+        "only the groups snapshot_diff touched and applies them as "
+        "one COW CDC commit. The refreshed view must equal a plain "
+        "GROUP BY over the final base state."
+    ),
+)
+def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.matview import (
+        build_agg_view,
+        refresh_agg_view,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_merge_cow,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    scratch = tempfile.mkdtemp(prefix="matview_")
+    bp, vp = f"{scratch}/base", f"{scratch}/view"
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+
+    try:
+        commit_merge_cow(
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+            bp, ["o_orderkey"], "o_orderkey", "o_orderpriority",
+        )
+        build_agg_view(spark, bp, vp, agg, ["o_orderpriority"])
+        commit_merge_cow(
+            orders.filter(F.col("o_orderkey") % 4 == 1),
+            bp, ["o_orderkey"], "o_orderkey", "o_orderpriority",
+        )
+        refresh_agg_view(spark, bp, vp, agg, ["o_orderpriority"])
+        return (
+            read_version(spark, vp)
+            .select("o_orderpriority", "n", "sum_key")
+            .orderBy("o_orderpriority")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1,0 +1,134 @@
+"""Incrementally maintained aggregate views (operators/matview.py).
+
+Invariant under test: after any chain of base commits (appends,
+merges, deletes), `refresh_agg_view` must leave the view equal to a
+full `agg(base@latest)` recompute — while physically rewriting only
+the view partitions whose groups the diff touched.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.matview import (
+    build_agg_view,
+    refresh_agg_view,
+    view_base_version,
+)
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_delete_cow,
+    commit_merge_cow,
+    read_manifest,
+    read_version,
+    versions,
+)
+
+SCHEMA = "k long, day string, val long, ts long"
+BASE = [
+    (1, "d1", 10, 1), (2, "d1", 20, 1),
+    (3, "d2", 30, 1), (4, "d3", 40, 1),
+]
+
+
+def _agg(df):
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("total"),
+        F.max("val").cast("long").alias("mx"),  # NOT subtractable
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _view_rows(spark, vp):
+    return {
+        r["day"]: (r["n"], r["total"], r["mx"])
+        for r in read_version(spark, vp).collect()
+    }
+
+
+def _full(spark, bp):
+    return {
+        r["day"]: (r["n"], r["total"], r["mx"])
+        for r in _agg(read_version(spark, bp)).collect()
+    }
+
+
+class TestMatView:
+    def _seed(self, spark, tmp_path):
+        bp, vp = str(tmp_path / "base"), str(tmp_path / "view")
+        commit_merge_cow(_df(spark, BASE), bp, ["k"], "ts", "day")
+        build_agg_view(spark, bp, vp, _agg, ["day"])
+        return bp, vp
+
+    def test_build_matches_full_agg(self, spark, tmp_path):
+        bp, vp = self._seed(spark, tmp_path)
+        assert _view_rows(spark, vp) == _full(spark, bp)
+        assert view_base_version(spark, vp) == 1
+
+    def test_refresh_after_merge_touches_only_changed_groups(self, spark, tmp_path):
+        bp, vp = self._seed(spark, tmp_path)
+        commit_merge_cow(
+            _df(spark, [(2, "d1", 25, 2), (9, "d1", 5, 2)]),
+            bp, ["k"], "ts", "day",
+        )
+        v = refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        assert _view_rows(spark, vp) == _full(spark, bp)
+        assert view_base_version(spark, vp) == 2
+        # COW: only the d1 view partition was rewritten
+        man = read_manifest(spark, vp, v)
+        assert "v=1/day=d2" in man["data_dirs"]
+        assert "v=1/day=d3" in man["data_dirs"]
+        subdirs = sorted(
+            d for d in os.listdir(os.path.join(vp, f"v={v}"))
+            if d.startswith("day=")
+        )
+        assert subdirs == ["day=d1"]
+
+    def test_refresh_after_delete_drops_vanished_group(self, spark, tmp_path):
+        bp, vp = self._seed(spark, tmp_path)
+        commit_delete_cow(spark, bp, "day = 'd2'", "day")
+        refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        got = _view_rows(spark, vp)
+        assert "d2" not in got
+        assert got == _full(spark, bp)
+
+    def test_refresh_noop_when_current(self, spark, tmp_path):
+        bp, vp = self._seed(spark, tmp_path)
+        v = refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        assert v == versions(spark, vp)[-1] == 1
+
+    def test_chained_refreshes_and_time_travel(self, spark, tmp_path):
+        bp, vp = self._seed(spark, tmp_path)
+        v1_rows = _view_rows(spark, vp)
+        commit_merge_cow(_df(spark, [(5, "d2", 100, 2)]), bp, ["k"], "ts", "day")
+        refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        commit_delete_cow(spark, bp, "k = 4", "day")  # empties d3
+        refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        assert _view_rows(spark, vp) == _full(spark, bp)
+        # the view's own history is intact
+        got_v1 = {
+            r["day"]: (r["n"], r["total"], r["mx"])
+            for r in read_version(spark, vp, 1).collect()
+        }
+        assert got_v1 == v1_rows
+
+    def test_max_shrinks_correctly(self, spark, tmp_path):
+        # the aggregate a delta-maintenance scheme can't fix: deleting
+        # the max row must LOWER mx — group recompute handles it
+        bp, vp = self._seed(spark, tmp_path)
+        commit_delete_cow(spark, bp, "k = 2", "day")  # d1's max (20)
+        refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        assert _view_rows(spark, vp)["d1"] == (1, 10, 10)
+
+    def test_partition_col_must_be_key(self, spark, tmp_path):
+        bp, vp = self._seed(spark, tmp_path)
+        with pytest.raises(ValueError, match="must be one of the view keys"):
+            refresh_agg_view(
+                spark, bp, vp, _agg, ["day"], partition_col="total"
+            )
