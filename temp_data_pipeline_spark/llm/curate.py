@@ -31,6 +31,7 @@ from temp_data_pipeline_spark.llm.text import md5_int60
 
 __all__ = [
     "corpus_line_dedup",
+    "deterministic_shuffle",
     "curation_funnel",
     "curation_gate_columns",
     "dup_ngram_stats",
@@ -924,3 +925,33 @@ def vocab_coverage(
         )
         .select("rank", "token", "n_occ", "cum_occ")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    out: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible global permutation — the epoch shuffle a training
+    run needs to be RESTARTABLE: order is a pure function of
+    (seed, id), so any worker, any restart, any engine derives the
+    same sequence; change the seed string per epoch for a fresh
+    permutation. Contrast with ``ORDER BY rand()``, which is neither
+    reproducible nor stable under retries — a task retry that
+    re-draws randomness can duplicate or drop rows from the epoch.
+
+    Rank is md5-derived (engine-replayable, like hash_split) with the
+    id as tiebreak for identical hashes. The sort is the unavoidable
+    cost of a global order; at 100 TB prefer writing the rank column
+    and range-partitioning by it (the two-level prefix-sum pattern)
+    over one global sort per epoch.
+
+    Returns the input plus (out) = 1-based dense position.
+    """
+    h = md5_int60(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(out, F.row_number().over(w).cast("long"))

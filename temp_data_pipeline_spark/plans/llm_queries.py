@@ -2159,6 +2159,36 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_shuffle",
+    ["curation", "training-prep"],
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY CAST(concat('0x', substr(md5(concat('epoch1:',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) ASC,
+               doc_id ASC
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    ORDER BY doc_id
+    """,
+    note=(
+        "Reproducible epoch shuffle: global permutation as a pure "
+        "function of (seed, id) — restart- and retry-stable where "
+        "ORDER BY rand() is neither; new seed string = new epoch "
+        "permutation. md5-derived rank replayed exactly by the "
+        "oracle (llm/curate.py::deterministic_shuffle)."
+    ),
+)
+def llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return presorted(
+        deterministic_shuffle(d, seed="epoch1"), "doc_id"
+    ).select("doc_id", "shuffle_rank")
+
+
+@_register(
     "llm_normalize",
     ["curation", "text-analysis"],
     r"""

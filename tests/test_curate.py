@@ -559,3 +559,20 @@ def test_corpus_line_dedup_broadcast_removal_join(spark):
     # the anti-join against the (tiny) frequent set must broadcast,
     # never shuffle the full line table a second time
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
+    from temp_data_pipeline_spark.llm.curate import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in deterministic_shuffle(df, seed="e1").collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in deterministic_shuffle(df.repartition(7), seed="e1").collect()}
+    c = {r["doc_id"]: r["shuffle_rank"]
+         for r in deterministic_shuffle(df, seed="e2").collect()}
+    assert a == b                        # partitioning-independent
+    assert a != c                        # new seed -> new permutation
+    assert sorted(a.values()) == list(range(1, 51))  # true permutation
+    # an actual shuffle, not identity order
+    assert [a[i] for i in range(50)] != list(range(1, 51))
