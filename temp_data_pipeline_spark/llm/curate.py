@@ -933,6 +933,7 @@ def deterministic_shuffle(
     id_col: str = "doc_id",
     seed: str = "epoch0",
     out: str = "shuffle_rank",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Reproducible global permutation — the epoch shuffle a training
     run needs to be RESTARTABLE: order is a pure function of
@@ -943,15 +944,43 @@ def deterministic_shuffle(
     re-draws randomness can duplicate or drop rows from the epoch.
 
     Rank is md5-derived (engine-replayable, like hash_split) with the
-    id as tiebreak for identical hashes. The sort is the unavoidable
-    cost of a global order; at 100 TB prefer writing the rank column
-    and range-partitioning by it (the two-level prefix-sum pattern)
-    over one global sort per epoch.
+    id as tiebreak for identical hashes. The rank is computed with
+    the same two-level prefix-sum shape as ``budget.py`` — NOT an
+    unpartitioned ``Window.orderBy`` (one task sorts the corpus):
+
+      1. bucket rows by the TOP BITS of the 60-bit hash (bucket
+         order == hash order, and a uniform hash means uniform
+         buckets — no skew regardless of id distribution),
+      2. row_number within each bucket (parallel windows),
+      3. per-bucket counts → cumulative offsets (a window over
+         n_buckets rows), broadcast back and added.
 
     Returns the input plus (out) = 1-based dense position.
     """
+    spark = df.sparkSession
+    B = n_buckets or spark.sparkContext.defaultParallelism * 4
+    k = max(1, (B - 1).bit_length())  # buckets = 2^k, shift = 60-k
     h = md5_int60(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
-    w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn(out, F.row_number().over(w).cast("long"))
+    part = df.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), 60 - k)
+    )
+    w_in = Window.partitionBy("_b").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    part = part.withColumn("_rn", F.row_number().over(w_in))
+    # 2^k rows — the single-partition window runs over the bucket
+    # summary, never the data
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_b), F.lit(0)))
+        .select("_b", "_off")
+    )
+    return (
+        part.join(F.broadcast(offsets), "_b")
+        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_h", "_b", "_rn", "_off")
+    )

@@ -272,7 +272,9 @@ def normalize_text(
     t = F.col(text_col)
     # 1) control chars (keep \t \n; \r normalizes to \n first)
     t = F.regexp_replace(t, "\r\n?", "\n")
-    t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", ""
+    )
     # 2) whitespace discipline
     t = F.regexp_replace(t, "[ \\t]+", " ")
     t = F.regexp_replace(t, " ?\\n ?", "\n")      # trim line edges

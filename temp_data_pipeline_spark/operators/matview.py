@@ -6,11 +6,12 @@ base version it reflects. ``refresh_agg_view`` advances the view to
 the base's latest version at a cost proportional to what CHANGED,
 not to the base:
 
-  1. `snapshot_diff(base, reflected, latest)` lists added / changed /
-     removed rows — the ONLY scan of history, itself partition-pruned
-     by the versioned layout,
-  2. the distinct group keys in the diff are the TOUCHED groups;
-     every other group's aggregate is provably unchanged,
+  1. both base versions reduce to ONE fingerprint row per group
+     (count + order-independent content-hash sum — a groupBy, not a
+     join, so group keys need not identify rows uniquely),
+  2. groups whose fingerprints differ between the two versions are
+     the TOUCHED groups; every other group's aggregate is provably
+     unchanged (up to 64-bit hash-sum collision),
   3. touched groups are recomputed from base@latest (group-pruned
      scan: a semi-join on the touched key set — and a partition-
      pruned one when the view partitions on a group key),
@@ -47,11 +48,48 @@ from temp_data_pipeline_spark.operators.versioned import (
     commit_version,
     read_manifest,
     read_version,
-    snapshot_diff,
     versions,
 )
 
 __all__ = ["build_agg_view", "refresh_agg_view", "view_base_version"]
+
+
+def _group_fingerprints(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One row per group: (keys..., _n, _fp) where _fp is the
+    order-independent sum of per-row content hashes (decimal(38,0)
+    accumulator — ANSI mode would overflow a BIGINT sum) over the
+    non-key columns. Two versions of a group share (_n, _fp) iff
+    their row multisets agree up to 64-bit hash collision."""
+    val_cols = [c for c in df.columns if c not in keys]
+    row_hash = F.xxhash64(*[F.col(c) for c in val_cols]) if val_cols else F.lit(0)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("_fp"),
+    )
+
+
+def _touched_groups(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Distinct group keys whose row content differs between two base
+    versions. Each side collapses to one fingerprint row per group
+    FIRST (map-side-combinable groupBy), so the full-outer join is
+    unique-per-key — never the m×n pairing a row-level diff on
+    non-unique keys would produce."""
+    o = _group_fingerprints(old, keys).alias("_o")
+    n = _group_fingerprints(new, keys).alias("_n")
+    cond = None
+    for k in keys:
+        c = F.col(f"_o.{k}").eqNullSafe(F.col(f"_n.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    same = (
+        F.col("_o._n").eqNullSafe(F.col("_n._n"))
+        & F.col("_o._fp").eqNullSafe(F.col("_n._fp"))
+    )
+    return j.filter(~same).select(
+        *[F.coalesce(F.col(f"_n.{k}"), F.col(f"_o.{k}")).alias(k) for k in keys]
+    )
 
 
 def _check_agg(out: DataFrame, keys: list[str]) -> None:
@@ -132,9 +170,9 @@ def refresh_agg_view(
     if base_latest == reflected:
         return view_latest
 
-    diff = snapshot_diff(spark, base_path, reflected, base_latest, keys)
-    touched = diff.select(*keys).distinct()
+    base_then = read_version(spark, base_path, reflected)
     base_now = read_version(spark, base_path, base_latest)
+    touched = _touched_groups(base_then, base_now, keys)
     # group-pruned recompute: only touched groups' rows are scanned
     recomputed = agg(base_now.join(touched, keys, "left_semi"))
     _check_agg(recomputed, keys)

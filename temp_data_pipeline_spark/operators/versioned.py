@@ -45,7 +45,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from temp_data_pipeline_spark.operators.upsert import merge_upsert
+from temp_data_pipeline_spark.operators.upsert import keep_latest, merge_upsert
 
 
 def _fs(spark: SparkSession, path: str):
@@ -249,6 +249,10 @@ def commit_version(
             # writer schema: lets read_version reconstruct EMPTY
             # partitioned snapshots (no part files to infer from)
             "_schema": df.schema.jsonValue(),
+            # recorded layout: maintenance ops (compact_snapshot)
+            # must preserve it or COW commits on the compacted
+            # table would find no hive subdirs to carry
+            "_partition_by": list(partition_by or []),
             **(meta or {}),
         }
         tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
@@ -383,6 +387,26 @@ def _partition_dir_value(name: str) -> str | None:
     return None if raw == _HIVE_NULL_DIR else unquote(raw)
 
 
+def _touched_values(df: DataFrame, partition_col: str) -> set[str | None]:
+    """The distinct partition values of ``df`` as SPARK-cast strings.
+
+    COW commits compare partition values in three places — the base
+    filter (``cast('string')``), the Hive dir names the writer
+    produced, and this touched set — and all three must agree on one
+    string form. Spark's cast and its partition-dir encoder share a
+    representation (booleans 'true'/'false', dates/timestamps ISO),
+    while Python ``str()`` does not (``str(True)`` = 'True'), so the
+    set is collected FROM the cast, never from driver-side str()."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(F.col(partition_col).cast("string").alias("_v"))
+        .distinct()
+        .collect()
+    )
+    return {r["_v"] for r in rows}
+
+
 def commit_merge_cow(
     updates: DataFrame,
     path: str,
@@ -422,10 +446,7 @@ def commit_merge_cow(
         )
     latest = vs[-1]
     base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
-    touched_rows = updates.select(partition_col).distinct().collect()
-    touched = {
-        None if r[0] is None else str(r[0]) for r in touched_rows
-    }
+    touched = _touched_values(updates, partition_col)
     cond = F.col(partition_col).cast("string").isin(
         [t for t in touched if t is not None]
     )
@@ -478,16 +499,18 @@ def commit_cdc_cow(
     deletes = changes.filter(is_del).select(*keys, partition_col).distinct()
     vs = versions(spark, path)
     if not vs:
-        first = upserts.join(deletes.select(*keys), keys, "left_anti")
+        # same within-batch resolution as the merge path: upserts
+        # collapse last-writer-wins per key BEFORE deletes win —
+        # the first commit honors the batch-as-a-set contract too
+        first = keep_latest(upserts, keys, ts_col, tiebreak).join(
+            deletes.select(*keys), keys, "left_anti"
+        )
         return commit_version(
             first, path, partition_by=[partition_col], meta=meta
         )
     latest = vs[-1]
     base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
-    touched_rows = (
-        changes.select(partition_col).distinct().collect()
-    )
-    touched = {None if r[0] is None else str(r[0]) for r in touched_rows}
+    touched = _touched_values(changes, partition_col)
     cond = F.col(partition_col).cast("string").isin(
         [t for t in touched if t is not None]
     )
@@ -588,15 +611,12 @@ def commit_delete_cow(
 
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    latest = versions(spark, path)[-1]
+    latest = _resolve_version(spark, path, None)
     base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
     cur = read_version(spark, path, latest)
-    touched_rows = (
-        cur.filter(predicate).select(partition_col).distinct().collect()
-    )
-    if not touched_rows:
+    touched = _touched_values(cur.filter(predicate), partition_col)
+    if not touched:
         return latest
-    touched = {None if r[0] is None else str(r[0]) for r in touched_rows}
     cond = F.col(partition_col).cast("string").isin(
         [t for t in touched if t is not None]
     )
@@ -628,6 +648,11 @@ def snapshot_diff(
     """Row-level change feed between two committed versions: which
     keys were added, removed, or changed — the audit/debug query a
     versioned table exists to answer ("what did yesterday's run do").
+    ``keys`` must uniquely identify rows in BOTH versions; on
+    non-unique keys the full-outer join pairs every old row with
+    every new row per key (m×n). For change detection at a coarser
+    grain, aggregate per group first (operators/matview.py's
+    fingerprint compare is that shape).
 
     One full-outer join on the keys; non-key columns compare as a
     single struct with null-safe equality, so a value flipping to or
@@ -700,20 +725,29 @@ def compact_snapshot(
     vacuum can reclaim every superseded dir once the old versions
     expire. Runs as ONE distributed read→write of the live snapshot —
     schedule it when the chain length, not the data, is the problem.
+    By default the compacted version KEEPS the layout the latest
+    manifest records (``_partition_by``) — compacting a COW table
+    must not flatten its hive subdirs, or every later COW commit
+    would fail to find partitions to carry. Pass ``partition_by``
+    explicitly (``[]`` for unpartitioned) to change the layout.
+
     Returns the new version number; history stays queryable."""
     latest = versions(spark, path)
     if not latest:
         raise FileNotFoundError(f"no committed versions under {path}")
     man = read_manifest(spark, path, latest[-1])
+    if partition_by is None:
+        partition_by = man.get("_partition_by") or None
     carried = {
         k: v
         for k, v in man.items()
-        if k not in ("version", "data_dir", "data_dirs", "_schema")
+        if k not in ("version", "data_dir", "data_dirs", "_schema",
+                     "_partition_by")
     }
     return commit_version(
         read_version(spark, path, latest[-1]),
         path,
-        partition_by=partition_by,
+        partition_by=partition_by or None,
         meta={**carried, **(meta or {}), "compacted_from": latest[-1]},
     )
 

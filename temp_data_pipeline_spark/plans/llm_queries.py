@@ -2201,7 +2201,7 @@ def llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(
                  t0, '\r\n?', chr(10), 'g'),
-                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
                  '[ \t]+', ' ', 'g'),
                  ' ?\n ?', chr(10), 'g'),
                  '\n{3,}', concat(chr(10), chr(10)), 'g')) AS text_norm

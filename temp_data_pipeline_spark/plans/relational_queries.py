@@ -539,7 +539,9 @@ def q_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
-    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM parent)
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM parent p
+                      WHERE p.c_custkey = o.o_custkey)
     GROUP BY o.o_custkey
     ORDER BY o.o_custkey
     """,
@@ -584,7 +586,8 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(operators/matview.py): base v1 = orders keys%4=0, base v2 "
         "merges in keys%4=1, the view (per-priority count + key sum) "
         "is built at v1 and REFRESHED to v2 — the refresh recomputes "
-        "only the groups snapshot_diff touched and applies them as "
+        "only the groups whose per-group fingerprints changed and "
+        "applies them as "
         "one COW CDC commit. The refreshed view must equal a plain "
         "GROUP BY over the final base state."
     ),

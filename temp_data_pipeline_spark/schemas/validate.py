@@ -252,7 +252,12 @@ def fk_orphans(
     matching parent — the FK audit a warehouse runs after every load.
     One left-anti join on the key (parent side carries only its key
     column, so nothing but keys shuffles; broadcast under AQE when
-    the parent key set is small). Returns the orphan child rows
-    unchanged; aggregate downstream for a report."""
+    the parent key set is small). SQL FK semantics: a NULL child key
+    is NOT a violation (MATCH SIMPLE), so NULL-key rows are excluded
+    — a plain anti-join would report them, since NULL never equals a
+    parent key. Returns the orphan child rows unchanged; aggregate
+    downstream for a report."""
     keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    return child.join(keys, child_key, "left_anti")
+    return child.filter(F.col(child_key).isNotNull()).join(
+        keys, child_key, "left_anti"
+    )

@@ -319,3 +319,82 @@ class TestCdcCow:
         )
         commit_cdc_cow(changes, p, ["k"], "ts", "part")
         assert _rows(read_version(spark, p)) == {(1, "a", "a1", 10)}
+
+    def test_first_commit_resolves_within_batch(self, spark, tmp_path):
+        # first commit honors the same batch-as-a-set contract as the
+        # merge path: duplicate-key upserts collapse last-writer-wins,
+        # never seed the table with two rows per key
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_cdc_cow,
+        )
+
+        p = str(tmp_path / "tbl")
+        changes = spark.createDataFrame(
+            [(1, "a", "old", 10, "U"), (1, "a", "new", 20, "U")],
+            "k long, part string, val string, ts long, op string",
+        )
+        commit_cdc_cow(changes, p, ["k"], "ts", "part")
+        assert _rows(read_version(spark, p)) == {(1, "a", "new", 20)}
+
+    def test_boolean_partition_column(self, spark, tmp_path):
+        # partition values compare via Spark's string cast everywhere:
+        # Python str(True)='True' vs Spark/Hive 'true' must not make
+        # the base filter miss (stale rows surviving the merge)
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+            commit_merge_cow,
+        )
+
+        schema = "k long, flag boolean, val string, ts long"
+        base = spark.createDataFrame(
+            [(1, True, "t1", 10), (2, False, "f1", 10)], schema
+        )
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(base, p, ["k"], "ts", "flag")
+        upd = spark.createDataFrame([(1, True, "t1'", 20)], schema)
+        commit_merge_cow(upd, p, ["k"], "ts", "flag")
+        got = {
+            tuple(r)
+            for r in read_version(spark, p)
+            .select("k", "flag", "val", "ts")
+            .collect()
+        }
+        assert got == {(1, True, "t1'", 20), (2, False, "f1", 10)}
+        # and the untouched partition was carried, not copied
+        man = read_manifest(spark, p, versions(spark, p)[-1])
+        assert any("flag=false" in d for d in man["data_dirs"])
+        # COW delete addresses the boolean partition too
+        commit_delete_cow(spark, p, "k = 1", "flag")
+        got = {tuple(r) for r in read_version(spark, p).select("k").collect()}
+        assert got == {(2,)}
+
+    def test_delete_on_uncommitted_table_raises(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_delete_cow,
+        )
+
+        with pytest.raises(FileNotFoundError, match="no committed versions"):
+            commit_delete_cow(
+                spark, str(tmp_path / "nope"), "k = 1", "part"
+            )
+
+    def test_compact_preserves_partition_layout(self, spark, tmp_path):
+        # compact_snapshot defaults to the layout the manifest records;
+        # the documented erasure recipe (delete + compact + vacuum)
+        # must leave a table that still takes COW commits
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_merge_cow,
+            compact_snapshot,
+        )
+
+        p = str(tmp_path / "tbl")
+        commit_merge_cow(_df(spark, BASE), p, ["k"], "ts", "part")
+        commit_merge_cow(
+            _df(spark, [(5, "b", "b2", 20)]), p, ["k"], "ts", "part"
+        )
+        v = compact_snapshot(spark, p)
+        assert _part_subdirs(p, v) == ["part=a", "part=b", "part=c"]
+        v2 = commit_merge_cow(
+            _df(spark, [(6, "c", "c2", 30)]), p, ["k"], "ts", "part"
+        )
+        assert len(_rows(read_version(spark, p, v2))) == 6

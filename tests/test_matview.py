@@ -132,3 +132,27 @@ class TestMatView:
             refresh_agg_view(
                 spark, bp, vp, _agg, ["day"], partition_col="total"
             )
+
+    def test_untouched_multirow_group_not_rewritten(self, spark, tmp_path):
+        # groups are change-detected by per-group fingerprint, so an
+        # untouched group with SEVERAL distinct rows must not be
+        # recomputed — a row-level diff on group keys would pair its
+        # rows m-by-n and flag it changed every refresh
+        bp, vp = str(tmp_path / "base"), str(tmp_path / "view")
+        commit_merge_cow(_df(spark, BASE), bp, ["k"], "ts", "day")
+        build_agg_view(spark, bp, vp, _agg, ["day"])
+        # touch ONLY d2; d1 keeps its two distinct rows untouched
+        commit_merge_cow(
+            _df(spark, [(3, "d2", 35, 2)]), bp, ["k"], "ts", "day"
+        )
+        refresh_agg_view(spark, bp, vp, _agg, ["day"])
+        assert _view_rows(spark, vp) == _full(spark, bp)
+        vlatest = versions(spark, vp)[-1]
+        man = read_manifest(spark, vp, vlatest)
+        own = os.path.join(vp, f"v={vlatest}")
+        rewritten = sorted(
+            n for n in os.listdir(own)
+            if os.path.isdir(os.path.join(own, n))
+        )
+        assert rewritten == ["day=d2"]          # only the touched group
+        assert any("day=d1" in d for d in man["data_dirs"])  # carried

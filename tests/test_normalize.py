@@ -61,3 +61,18 @@ def test_null_text_survives(spark):
     out = _out(spark, [(1, None), (2, "ok")])
     assert out[1]["text_norm"] is None
     assert out[2]["text_norm"] == "ok"
+
+
+def test_c1_controls_stripped(spark):
+    # C1 range (U+0080-U+009F) strips like C0 -- two docs differing
+    # only by a NEL must normalize identically or they hash apart in
+    # the dedup stages this op protects
+    from temp_data_pipeline_spark.llm.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "same\u0085 text"), (2, "same text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_norm"]
+           for r in normalize_text(df, nfc=False).collect()}
+    assert got[1] == got[2] == "same text"

@@ -74,3 +74,16 @@ def test_fk_orphans_finds_only_orphans(spark):
     # orphan rows come back with their full payload
     cols = fk_orphans(child, parent, "pk", "k").columns
     assert cols == ["pk", "id"] or cols == ["id", "pk"]
+
+
+def test_fk_orphans_null_child_key_is_not_a_violation(spark):
+    # SQL FK semantics (MATCH SIMPLE): a NULL FK never violates --
+    # a bare anti-join would report it, since NULL matches no parent
+    from temp_data_pipeline_spark.schemas.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id long, pk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "k long")
+    got = sorted(r["id"] for r in fk_orphans(child, parent, "pk", "k").collect())
+    assert got == [3]
