@@ -1,0 +1,391 @@
+"""File-level zone maps + Z-order clustering for versioned tables.
+
+Partition pruning (operators/partitioning.py) skips whole directories,
+but inside a partition every file is still scanned even when a filter
+touches a narrow value range. The lakehouse answer (Delta data
+skipping / Iceberg manifest min-max) is a per-FILE statistics sidecar:
+for each data file record min/max/null-count of the filterable
+columns, and at read time scan only the files whose range can satisfy
+the predicate. Clustering the table by a space-filling curve (Z-order)
+makes those ranges tight on several columns at once, so a 2-column
+range query touches O(matching) files instead of all of them.
+
+Layout (extends operators/versioned.py's protocol):
+
+  <path>/_zonemaps/<N>.parquet/   one row per data file of version N:
+                                  (file, n_rows, stats.<col>.{min,max,nulls})
+
+Stats are DERIVED metadata — rebuildable from the data at any time —
+so they use a plain temp-dir + rename publish (no manifest): a crash
+leaves a stale ``.tmp-*`` dir that never resolves, and a re-run
+overwrites atomically.
+
+Scale posture:
+- the stats build is ONE distributed scan grouped by the parquet
+  reader's ``_metadata.file_path`` hidden column (no per-file driver
+  loop; at 100 TB the group count = file count, thousands of times
+  smaller than the row count);
+- file selection evaluates the skip condition INSIDE Spark over the
+  stats table (metadata-sized) and collects only the surviving file
+  names — the driver never holds the full file inventory when the
+  predicate is selective;
+- the skipped read applies the real predicate as a normal ``filter``
+  on top, so skipping is a pure optimization: results are identical
+  to a full scan + filter by construction (and pinned by tests).
+
+Z-order here is the pragmatic linear-scaled form: each clustering
+column is bucketed into 2^bits equal-WIDTH cells between its global
+min and max (``width_bucket`` — O(1) per row, one tiny min/max agg
+up front), the per-column bucket numbers are bit-interleaved JVM-side
+into one BIGINT z-value, and the rewrite range-partitions + sorts on
+it so every output file covers a compact z-range. Heavily skewed
+columns get uneven cell populations (the Delta caveat too); an
+equi-depth variant would spend a quantile pass per column for better
+balance. Reference has no counterpart (pandas ETL, no file skipping);
+the protocol mirrors Delta's stats/OPTIMIZE ZORDER as published.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.versioned import (
+    _fs,
+    _manifest_dirs,
+    _resolve_version,
+    commit_version,
+    read_manifest,
+    read_version,
+)
+
+# (column, op, literal) conjunctions the skipper understands. All ops
+# are null-rejecting except the two null probes, mirroring SQL.
+_OPS = ("=", "<", "<=", ">", ">=", "is_null", "not_null")
+
+
+def _zonemap_dir(path: str, version: int) -> str:
+    return f"{path}/_zonemaps/{version}.parquet"
+
+
+def write_zone_maps(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    version: int | None = None,
+) -> int:
+    """Build the per-file min/max/null-count sidecar for ``version``
+    (default: latest) of the versioned table at ``path`` and publish
+    it atomically. Returns the version the stats describe.
+
+    One distributed aggregation keyed on ``_metadata.file_path`` —
+    the parquet source exposes the producing file of every row, so
+    per-file stats come out of a normal groupBy without listing or
+    touching files individually. Covers EVERY file the version's
+    manifest resolves, including dirs carried by reference from
+    earlier versions (metadata-level appends, COW merges)."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    version = _resolve_version(spark, path, version)
+    man = read_manifest(spark, path, version)
+    schema = (
+        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    )
+
+    # the `_metadata` hidden column only resolves directly on a file-
+    # source relation, never through a Union — so multi-dir snapshots
+    # (carry_from appends, COW merges) project file_path INSIDE each
+    # per-dir scan, then union the projected frames
+    def _scan_with_file(d: str) -> DataFrame:
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        if "/" in d:
+            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
+        branch = r.parquet(f"{path}/{d}")
+        return branch.select(
+            F.col("_metadata.file_path").alias("file"), *branch.columns
+        )
+
+    frames = []
+    for d in _manifest_dirs(man):
+        try:
+            frames.append(_scan_with_file(d))
+        except Exception:
+            # empty dir (all-filtered snapshot): nothing to describe
+            continue
+    if not frames:
+        raise FileNotFoundError(
+            f"version {version} under {path} has no data files to map"
+        )
+    df = reduce(lambda a, b: a.unionByName(b), frames)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in columns:
+        aggs.append(
+            F.struct(
+                F.min(c).alias("min"),
+                F.max(c).alias("max"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias("nulls"),
+            ).alias(f"stats_{c}")
+        )
+    stats = df.groupBy("file").agg(*aggs)
+    final = _zonemap_dir(path, version)
+    tmp = f"{path}/_zonemaps/.tmp-{uuid.uuid4().hex[:8]}"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(Path(final)):
+        fs.delete(Path(final), True)
+    if not fs.rename(Path(tmp), Path(final)):
+        raise IOError(f"zone-map publish failed for {final}")
+    return version
+
+
+def read_zone_maps(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The stats sidecar of ``version`` (default: latest). Raises
+    FileNotFoundError when no sidecar was built for it."""
+    version = _resolve_version(spark, path, version)
+    fs, jvm = _fs(spark, path)
+    d = _zonemap_dir(path, version)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+        raise FileNotFoundError(
+            f"no zone maps for version {version} under {path} — "
+            "run write_zone_maps first"
+        )
+    return spark.read.parquet(d)
+
+
+def _keep_condition(predicates: list[tuple]) -> Column:
+    """The file-KEEP condition over the stats schema: a file survives
+    only when every conjunct could match some row in it. Nulls fall
+    out naturally: an all-null file has NULL min/max, comparisons
+    against NULL are NULL, and filter() drops NULL — so range
+    predicates skip all-null files without a special case."""
+    cond = F.lit(True)
+    for col, op, *rest in predicates:
+        s = F.col(f"stats_{col}")
+        if op == "is_null":
+            c = s["nulls"] > 0
+        elif op == "not_null":
+            c = F.col("n_rows") > s["nulls"]
+        else:
+            v = F.lit(rest[0])
+            if op == "=":
+                c = (s["min"] <= v) & (s["max"] >= v)
+            elif op == "<":
+                c = s["min"] < v
+            elif op == "<=":
+                c = s["min"] <= v
+            elif op == ">":
+                c = s["max"] > v
+            elif op == ">=":
+                c = s["max"] >= v
+            else:
+                raise ValueError(f"unknown op {op!r}; expected one of {_OPS}")
+        cond = cond & c
+    return cond
+
+
+def _row_condition(predicates: list[tuple]) -> Column:
+    """The same conjunction as a ROW filter — always applied on top of
+    the pruned scan, so skipping can only ever remove non-matching
+    files, never change results."""
+    cond = F.lit(True)
+    for col, op, *rest in predicates:
+        c0 = F.col(col)
+        if op == "is_null":
+            c = c0.isNull()
+        elif op == "not_null":
+            c = c0.isNotNull()
+        else:
+            v = F.lit(rest[0])
+            c = {
+                "=": c0 == v,
+                "<": c0 < v,
+                "<=": c0 <= v,
+                ">": c0 > v,
+                ">=": c0 >= v,
+            }[op]
+        cond = cond & c
+    return cond
+
+
+def select_files(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> list[str]:
+    """File paths of ``version`` that may contain rows matching the
+    predicate conjunction — the skip decision, evaluated inside Spark
+    over the metadata-sized stats table; only survivors reach the
+    driver."""
+    for p in predicates:
+        if p[1] not in _OPS:
+            raise ValueError(f"unknown op {p[1]!r}; expected one of {_OPS}")
+    zm = read_zone_maps(spark, path, version)
+    missing = [
+        p[0] for p in predicates if f"stats_{p[0]}" not in zm.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"zone maps carry no stats for column(s) {missing} — "
+            "rebuild with write_zone_maps(columns=[...])"
+        )
+    return [
+        r["file"]
+        for r in zm.filter(_keep_condition(predicates)).select("file").collect()
+    ]
+
+
+def read_version_skipped(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping read: resolve ``version``, consult its zone maps,
+    scan ONLY the files whose min/max ranges can satisfy the
+    predicates — ``[(col, op, value), ...]`` ANDed, ops ``=, <, <=,
+    >, >=, is_null, not_null`` — then apply the predicates as a real
+    row filter. Result ≡ ``read_version(...).filter(...)`` always;
+    the zone maps only decide how few files get opened.
+
+    Files are grouped by their ``v=<N>`` version root and each group
+    scans with ``basePath`` at that root, so hive partition columns
+    survive explicit-file reads across carried directories. An empty
+    survivor set returns an empty frame with the manifest schema."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    version = _resolve_version(spark, path, version)
+    files = select_files(spark, path, predicates, version)
+    man = read_manifest(spark, path, version)
+    schema = (
+        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    )
+    if not files:
+        if schema is None:
+            # legacy manifest without a recorded schema: infer from data
+            schema = read_version(spark, path, version).schema
+        return spark.createDataFrame([], schema).filter(
+            _row_condition(predicates)
+        )
+    # group by version root: file paths look like .../<table>/v=3/[part=x/]f.parquet
+    marker = "/v="
+    by_root: dict[str, list[str]] = {}
+    for f in files:
+        i = f.rfind(marker)
+        if i < 0:
+            raise ValueError(f"unexpected data file path (no v= segment): {f}")
+        j = f.find("/", i + 1)
+        root = f[:j] if j > 0 else f
+        by_root.setdefault(root, []).append(f)
+
+    def _scan(root: str, fl: list[str]) -> DataFrame:
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        return r.option("basePath", root).parquet(*sorted(fl))
+
+    out = reduce(
+        lambda a, b: a.unionByName(b),
+        [_scan(root, fl) for root, fl in sorted(by_root.items())],
+    )
+    return out.filter(_row_condition(predicates))
+
+
+def zorder_key(
+    columns: list[str], bounds: dict[str, tuple], bits: int = 8
+) -> Column:
+    """The interleaved-bit Z-value of ``columns`` as one BIGINT column
+    expression. Each column is scaled into ``2^bits`` equal-width
+    cells between its global ``bounds[col] = (min, max)`` via
+    ``width_bucket`` (O(1) per row, pure JVM), then cell numbers are
+    bit-interleaved — bit i of column j lands at position
+    ``i*len(columns)+j`` — so nearby (x, y, ...) tuples share z-value
+    prefixes. NULL in any column yields z-value NULL (sorts first:
+    all-null rows cluster together, which is what skipping wants).
+    ``bits*len(columns)`` must fit a BIGINT (≤ 62)."""
+    k = len(columns)
+    if bits * k > 62:
+        raise ValueError(f"bits*columns = {bits * k} exceeds BIGINT range")
+    n_cells = 1 << bits
+    cells = []
+    for c in columns:
+        lo, hi = bounds[c]
+        if lo is None or hi is None or float(lo) == float(hi):
+            # constant or all-null column contributes nothing to the
+            # ordering — park it in cell 0 (coalesced so it cannot
+            # null the whole z-value)
+            cells.append(F.lit(0))
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi)),
+            F.lit(n_cells),
+        )
+        # width_bucket returns 0 below lo and n_cells+1 above hi;
+        # clamp into [0, n_cells-1]
+        cells.append(F.greatest(F.least(b - 1, F.lit(n_cells - 1)), F.lit(0)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, cell in enumerate(cells):
+            z = z + F.shiftleft(
+                F.shiftright(cell.cast("long"), i) % 2, i * k + j
+            )
+    return z
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    *,
+    target_files: int = 16,
+    bits: int = 8,
+    meta: dict | None = None,
+) -> int:
+    """Rewrite the LATEST snapshot clustered by the Z-order of
+    ``columns`` and commit it as a new version (Delta ``OPTIMIZE
+    ZORDER BY`` / Iceberg sort-order rewrite): range-partition the
+    rows by z-value into ``target_files`` output files, sort within
+    each, and build fresh zone maps for the new version — after which
+    ``read_version_skipped`` on any clustered column (or combination)
+    opens only the files whose cells intersect the query box.
+
+    One tiny min/max aggregation (1 row) for the scaling bounds, one
+    distributed sort-rewrite of the live snapshot, one stats scan.
+    History stays queryable; like compact_snapshot this is a
+    maintenance commit, scheduled when scan selectivity — not data
+    freshness — is the problem. Note: z-ordering flattens any hive
+    partition layout into the sort; tables relying on partition-level
+    COW maintenance should compact back afterwards."""
+    df = read_version(spark, path)
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in columns],
+        *[F.max(c).alias(f"mx_{c}") for c in columns],
+    ).collect()[0]
+    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in columns}
+    z = zorder_key(columns, bounds, bits)
+    clustered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    v = commit_version(
+        clustered,
+        path,
+        meta={
+            **(meta or {}),
+            "zorder_by": list(columns),
+            "zorder_bits": bits,
+        },
+    )
+    write_zone_maps(spark, path, columns, version=v)
+    return v

@@ -636,3 +636,67 @@ def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_zorder_skip",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 299
+      AND o_totalprice BETWEEN 50000.0 AND 150000.0
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Data-skipping lifecycle (operators/zonemap.py): commit orders "
+        "to a versioned table, OPTIMIZE ZORDER BY (o_custkey, "
+        "o_totalprice) — linear-scaled width_bucket cells bit-"
+        "interleaved into one BIGINT, range-partitioned + sorted so "
+        "each file covers a compact z-range — build the per-file "
+        "min/max zone maps, then answer a 2-column box query through "
+        "read_version_skipped: the driver opens only the files whose "
+        "cells intersect the box (file-level skipping on top of "
+        "partition pruning, the Delta/Iceberg stats move). Values "
+        "must equal the plain BETWEEN over the raw table — skipping "
+        "never changes results."
+    ),
+)
+def q_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.operators.zonemap import (
+        optimize_zorder,
+        read_version_skipped,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders, path)
+        v = optimize_zorder(
+            spark, path, ["o_custkey", "o_totalprice"], target_files=16
+        )
+        out = read_version_skipped(
+            spark,
+            path,
+            [
+                ("o_custkey", ">=", 100),
+                ("o_custkey", "<=", 299),
+                ("o_totalprice", ">=", 50000.0),
+                ("o_totalprice", "<=", 150000.0),
+            ],
+            version=v,
+        )
+        return (
+            out.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

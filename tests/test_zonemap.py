@@ -1,0 +1,189 @@
+"""File-level zone maps + Z-order clustering (operators/zonemap.py).
+
+The contract: `read_version_skipped` returns EXACTLY what
+`read_version(...).filter(...)` would — skipping only decides how few
+files get opened — and after `optimize_zorder` a multi-column box
+query must open strictly fewer files than the unclustered layout.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    read_version,
+)
+from temp_data_pipeline_spark.operators.zonemap import (
+    optimize_zorder,
+    read_version_skipped,
+    read_zone_maps,
+    select_files,
+    write_zone_maps,
+)
+
+
+def _grid(spark, n=10000, files=8):
+    # x walks 0..99 cyclically, y decorrelated — random-ish layout
+    return (
+        spark.range(0, n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 100).alias("x"),
+            ((F.col("id") * 37) % 100).alias("y"),
+        )
+        .repartition(files)
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "zm")
+    commit_version(_grid(spark), path)
+    write_zone_maps(spark, path, ["x", "y", "id"])
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stats_match_per_file_truth(spark, table):
+    zm = read_zone_maps(spark, table).collect()
+    truth = {
+        r["file"]: r
+        for r in read_version(spark, table)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    assert len(zm) == len(truth) > 1
+    for r in zm:
+        t = truth[r["file"]]
+        assert r["n_rows"] == t["n"]
+        assert r["stats_x"]["min"] == t["mn"]
+        assert r["stats_x"]["max"] == t["mx"]
+        assert r["stats_x"]["nulls"] == 0
+
+
+def test_skipped_read_is_transparent(spark, table):
+    preds = [("x", ">=", 10), ("x", "<=", 12)]
+    got = sorted(
+        r["id"] for r in read_version_skipped(spark, table, preds).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in read_version(spark, table)
+        .filter((F.col("x") >= 10) & (F.col("x") <= 12))
+        .collect()
+    )
+    assert got == want and len(got) == 300
+
+
+def test_zorder_box_query_opens_fewer_files(spark, table):
+    v2 = optimize_zorder(spark, table, ["x", "y"], target_files=16)
+    box = [("x", "<=", 20), ("y", "<=", 20)]
+    before = select_files(spark, table, box, version=1)
+    after = select_files(spark, table, box, version=v2)
+    # unclustered: every file spans the full x/y range → none skip
+    assert len(before) == 8
+    # z-ordered: the corner box lives in a handful of z-contiguous files
+    assert len(after) <= 4
+    got = sorted(
+        r["id"]
+        for r in read_version_skipped(spark, table, box, version=v2).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in read_version(spark, table, version=1)
+        .filter((F.col("x") <= 20) & (F.col("y") <= 20))
+        .collect()
+    )
+    assert got == want
+
+
+def test_all_null_file_skips_ranges_but_not_is_null(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "nulls")
+    good = spark.range(0, 100).select(
+        F.col("id"), F.col("id").cast("long").alias("x")
+    )
+    nulls = spark.range(100, 200).select(
+        F.col("id"), F.lit(None).cast("long").alias("x")
+    )
+    commit_version(
+        good.coalesce(1).unionByName(nulls.coalesce(1)).repartition(2, "id"),
+        path,
+    )
+    # force two files with a clean split instead: one all-null file
+    shutil.rmtree(path, ignore_errors=True)
+    commit_version(good.coalesce(1), path)
+    v = commit_version(nulls.coalesce(1), path, carry_from=1)
+    write_zone_maps(spark, path, ["x"], version=v)
+    # null-rejecting range predicate: the all-null file must not open
+    assert len(select_files(spark, path, [("x", ">=", 0)], version=v)) == 1
+    # IS NULL probe: only the all-null file opens
+    sel = select_files(spark, path, [("x", "is_null")], version=v)
+    assert len(sel) == 1
+    got = read_version_skipped(spark, path, [("x", "is_null")], version=v)
+    assert got.count() == 100
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_carried_dirs_and_partition_columns_survive(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "carried")
+    base = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", i * 10) for i in range(100)],
+        "k long, part string, val long",
+    )
+    commit_version(base, path, partition_by=["part"])
+    extra = spark.createDataFrame(
+        [(i, "c", i * 10) for i in range(100, 150)],
+        "k long, part string, val long",
+    )
+    v = commit_version(extra, path, carry_from=1, partition_by=["part"])
+    write_zone_maps(spark, path, ["val"], version=v)
+    out = read_version_skipped(spark, path, [("val", ">=", 400)], version=v)
+    # partition column must survive the explicit-file basePath scan
+    assert "part" in out.columns
+    want = {
+        (r["k"], r["part"], r["val"])
+        for r in read_version(spark, path, v)
+        .filter(F.col("val") >= 400)
+        .collect()
+    }
+    got = {(r["k"], r["part"], r["val"]) for r in out.collect()}
+    assert got == want and len(got) == 110
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_empty_survivor_set_returns_typed_empty_frame(spark, table):
+    out = read_version_skipped(spark, table, [("x", ">", 10_000)])
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "x", "y"}
+
+
+def test_guards(spark, table):
+    with pytest.raises(ValueError, match="unknown op"):
+        select_files(spark, table, [("x", "!=", 3)])
+    with pytest.raises(ValueError, match="no stats for column"):
+        select_files(spark, table, [("nope", ">=", 3)])
+    with pytest.raises(FileNotFoundError, match="no zone maps"):
+        # version 1 of a fresh table has no sidecar
+        path = table + "_fresh"
+        commit_version(_grid(spark, n=100, files=1), path)
+        try:
+            read_zone_maps(spark, path)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def test_rebuild_overwrites_atomically(spark, table):
+    # second build for the same version replaces the sidecar in place
+    write_zone_maps(spark, table, ["x"])
+    zm = read_zone_maps(spark, table)
+    assert "stats_x" in zm.columns and "stats_y" not in zm.columns
