@@ -159,6 +159,39 @@ def stratified_sample(
     return df.filter(bucket < frac)
 
 
+def exact_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "sample0",
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample: the ``k`` rows with the
+    smallest md5-derived rank of (seed, id) — "give me exactly one
+    million eval docs from the ten-billion-doc corpus", where
+    ``stratified_sample``'s fractional filter can only hit a count in
+    expectation. Same engine-stable hash family (membership
+    reproducible across reruns, backfills, and engines; new seed =
+    fresh sample, salts decorrelate from splits/shuffles).
+
+    Physical shape: orderBy(hash, id).limit(k) — Spark compiles this
+    to TakeOrderedAndProject, a per-partition top-k heap + driver
+    merge of k·P candidate rows, NOT a global sort: no shuffle of the
+    corpus, and memory bounded by k per task. The classic distributed
+    reservoir sample, expressed declaratively. Ranks are not
+    returned (a sample is a set); compose with
+    ``deterministic_shuffle`` for an ordered sample."""
+    h = md5_int60(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.withColumn("_h", h)
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_h")
+    )
+
+
 def ngram_overlap(
     train: DataFrame,
     test: DataFrame,

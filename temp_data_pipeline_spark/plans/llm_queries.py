@@ -2894,3 +2894,32 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = similarity.cosine_topk(base, qvec, k=10)
     approx = similarity.ann_lsh_topk(base, qvec, k=10)
     return similarity.ann_recall(truth, approx)
+
+
+@_register(
+    "llm_exact_sample",
+    ["curation", "eval"],
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+      ORDER BY ({_INT60_SQL.format(x="concat('eval1:', CAST(doc_id AS VARCHAR))")}) ASC,
+               doc_id ASC
+    ) <= 500
+    ORDER BY doc_id
+    """,
+    note=(
+        "Deterministic EXACT-k uniform sample (curate.exact_sample): "
+        "the k smallest md5(seed:id) ranks — an exact-count eval/dev "
+        "sample where stratified_sample's fractional filter only hits "
+        "k in expectation. orderBy+limit compiles to "
+        "TakeOrderedAndProject: per-partition top-k heaps + driver "
+        "merge, no global sort, memory bounded by k per task — the "
+        "distributed reservoir sample expressed declaratively."
+    ),
+)
+def llm_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.curate import exact_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_sample(d, 500, seed="eval1").orderBy("doc_id")

@@ -576,3 +576,32 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
     assert sorted(a.values()) == list(range(1, 51))  # true permutation
     # an actual shuffle, not identity order
     assert [a[i] for i in range(50)] != list(range(1, 51))
+
+
+class TestExactSample:
+    def test_exactly_k_and_partition_invariant(self, spark):
+        from temp_data_pipeline_spark.llm.curate import exact_sample
+
+        df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"] for r in exact_sample(df, 100).collect()}
+        b = {
+            r["doc_id"]
+            for r in exact_sample(df.repartition(13), 100).collect()
+        }
+        assert a == b and len(a) == 100
+
+    def test_seed_changes_sample(self, spark):
+        from temp_data_pipeline_spark.llm.curate import exact_sample
+
+        df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"] for r in exact_sample(df, 100, seed="s1").collect()}
+        b = {r["doc_id"] for r in exact_sample(df, 100, seed="s2").collect()}
+        assert a != b
+
+    def test_take_ordered_plan_no_global_sort_exchange(self, spark):
+        from temp_data_pipeline_spark.llm.curate import exact_sample
+
+        df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+        plan = exact_sample(df, 100)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan
