@@ -161,6 +161,7 @@ def commit_version(
     partition_by: list[str] | None = None,
     carry_from: int | None = None,
     carry_dirs: list[str] | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
@@ -187,6 +188,17 @@ def commit_version(
     single partition subdirs ``v=<N>/date=x``) to reference instead of
     deriving them from one base version. Mutually exclusive with
     ``carry_from``; schema compatibility is the caller's contract.
+
+    ``allow_evolution=True`` relaxes the ``carry_from`` schema check
+    to ADD-COLUMN evolution: ``df`` may carry a strict superset of
+    the base's columns. The manifest records the NEW (widest) schema,
+    and ``read_version`` applies the manifest schema to every carried
+    dir — parquet scans with an explicit schema surface absent
+    columns as NULL, so old files read back with the new column null
+    (the Iceberg/Delta add-column semantics) without rewriting a
+    byte. Dropping or retyping columns stays an error: those change
+    the meaning of bytes already on disk and need a rewrite
+    (``compact_snapshot`` after a select/cast), not metadata.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -206,10 +218,35 @@ def commit_version(
             else None
         )
         if base_cols is not None and sorted(df.columns) != base_cols:
-            raise ValueError(
-                f"carry_from={carry_from} schema mismatch: carried "
-                f"{base_cols} vs new {sorted(df.columns)}"
-            )
+            new_cols = set(df.columns)
+            if not (allow_evolution and new_cols > set(base_cols)):
+                raise ValueError(
+                    f"carry_from={carry_from} schema mismatch: carried "
+                    f"{base_cols} vs new {sorted(df.columns)}"
+                    + (
+                        ""
+                        if allow_evolution
+                        else " (add-column appends need allow_evolution=True)"
+                    )
+                )
+        if base_cols is not None:
+            # shared columns must keep their types: the manifest's new
+            # schema is applied to the carried files at read time, and
+            # a retyped column would make old bytes unreadable
+            base_types = {
+                f["name"]: f["type"] for f in base_man["_schema"]["fields"]
+            }
+            retyped = [
+                f.name
+                for f in df.schema.fields
+                if f.name in base_types
+                and f.dataType.jsonValue() != base_types[f.name]
+            ]
+            if retyped:
+                raise ValueError(
+                    f"carry_from={carry_from} retypes column(s) {retyped} — "
+                    "rewrite (compact_snapshot after a cast), don't carry"
+                )
     # next slot must clear BOTH committed versions and orphan data
     # dirs (a crashed writer's v=N would otherwise make every future
     # errorifexists write fail until vacuum — the table would wedge)

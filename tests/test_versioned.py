@@ -201,3 +201,73 @@ def test_table_survives_relocation(spark, tmp_path):
     got = {r["val"] for r in read_version(spark, moved, 2).collect()}
     assert got == {"a", "b"}
     assert read_version(spark, moved, 1).count() == 1
+
+
+class TestSchemaEvolution:
+    """Add-column appends: metadata-level schema evolution — old files
+    read back with the new column NULL, nothing is rewritten."""
+
+    def test_add_column_append(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        path = str(tmp_path / "evolve")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+        commit_version(v1, path)
+        v2_rows = spark.createDataFrame(
+            [(3, "c", 0.5)], "k long, val string, score double"
+        )
+        v = commit_version(v2_rows, path, carry_from=1, allow_evolution=True)
+        out = read_version(spark, path, v)
+        assert set(out.columns) == {"k", "val", "score"}
+        got = {(r["k"], r["val"], r["score"]) for r in out.collect()}
+        assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+        # time travel to v1 still shows the original schema
+        assert set(read_version(spark, path, 1).columns) == {"k", "val"}
+        # chain: another evolved append carries the widened schema
+        v3_rows = spark.createDataFrame(
+            [(4, "d", 1.5, True)],
+            "k long, val string, score double, flag boolean",
+        )
+        v3 = commit_version(v3_rows, path, carry_from=v, allow_evolution=True)
+        out3 = read_version(spark, path, v3)
+        assert out3.filter(F.col("flag").isNull()).count() == 3
+
+    def test_requires_flag(self, spark, tmp_path):
+        path = str(tmp_path / "noflag")
+        commit_version(
+            spark.createDataFrame([(1, "a")], "k long, val string"), path
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="allow_evolution"):
+            commit_version(
+                spark.createDataFrame(
+                    [(2, "b", 1.0)], "k long, val string, score double"
+                ),
+                path,
+                carry_from=1,
+            )
+
+    def test_drop_and_retype_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        path = str(tmp_path / "reject")
+        commit_version(
+            spark.createDataFrame([(1, "a")], "k long, val string"), path
+        )
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            commit_version(
+                spark.createDataFrame([(2,)], "k long"),
+                path,
+                carry_from=1,
+                allow_evolution=True,
+            )
+        with _pytest.raises(ValueError, match="retypes"):
+            commit_version(
+                spark.createDataFrame(
+                    [(2, 7, 0.1)], "k long, val long, score double"
+                ),
+                path,
+                carry_from=1,
+                allow_evolution=True,
+            )
