@@ -94,3 +94,73 @@ def stream_upsert_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_append_versioned(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once streaming appends into a VERSIONED table
+    (operators/versioned.py): every micro-batch lands as one
+    metadata-level commit — O(batch) data write + one manifest that
+    references all prior bytes (``carry_from``) — so the table stays
+    time-travelable while it ingests, and downstream batch readers
+    (``read_version``) always see a consistent manifested snapshot,
+    never a half-written batch.
+
+    Exactly-once: Structured Streaming replays the in-flight
+    micro-batch after a crash; each commit records its ``batch_id``
+    in the manifest, and a replayed batch whose id is ≤ the table's
+    high-water mark is skipped — the foreachBatch idempotent-sink
+    protocol from the Structured Streaming guide, with the versioned
+    manifest as the transaction log. The high-water mark is the MAX
+    over all live manifests (not just the latest), so interleaved
+    maintenance commits (compaction, COW deletes) never reopen the
+    door to duplicates.
+
+    Returns the started query. At 100 TB: each trigger costs the
+    batch's partitions plus one JSON manifest; schedule
+    ``compact_snapshot`` + ``vacuum`` to bound manifest-chain length,
+    exactly as for batch ``carry_from`` appenders.
+    """
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_manifest,
+        versions,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vs = versions(spark, path)
+        high = -1
+        for v in vs:
+            b = read_manifest(spark, path, v).get("_stream_batch_id")
+            if b is not None and b > high:
+                high = b
+        if batch_id <= high:
+            return  # replayed batch: already durably committed
+        if batch_df.isEmpty():
+            # nothing to append — don't mint empty versions (a replay
+            # of this batch is also empty, so skipping keeps the
+            # exactly-once contract without advancing the mark)
+            return
+        commit_version(
+            batch_df,
+            path,
+            partition_by=partition_by,
+            carry_from=vs[-1] if vs else None,
+            meta={"_stream_batch_id": batch_id},
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -245,3 +245,66 @@ def test_stream_dedup_query_collapses_injected_duplicates(spark):
     from tests.oracle_harness import compare_query
 
     compare_query(spark, STREAMING_QUERIES["q_stream_dedup"], SF_SMOKE)
+
+
+def test_stream_append_versioned_exactly_once(spark, tmp_path):
+    """Micro-batches land as metadata-level versioned commits; a second
+    run over the same source + checkpoint replays nothing, and a
+    direct foreachBatch replay of an already-committed batch id is
+    skipped (manifest high-water mark)."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+        read_version,
+        versions,
+    )
+    from temp_data_pipeline_spark.streaming.sink import stream_append_versioned
+
+    src = str(tmp_path / "vin")
+    schema = "k long, ts timestamp, v string"
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "a"), (2, datetime(2024, 1, 1), "b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, datetime(2024, 1, 2), "c")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    dest, ckpt = str(tmp_path / "vtable"), str(tmp_path / "vck")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_append_versioned(stream, dest, ckpt)
+    q.awaitTermination()
+
+    vs = versions(spark, dest)
+    assert len(vs) == 2  # one commit per micro-batch
+    assert {r["k"] for r in read_version(spark, dest).collect()} == {1, 2, 3}
+    # second commit is metadata-level: references the first's dir
+    man2 = read_manifest(spark, dest, vs[-1])
+    assert len(man2["data_dirs"]) == 2
+
+    # restart over the same checkpoint: no new data → no new versions
+    q2 = stream_append_versioned(
+        spark.readStream.schema(schema).parquet(src), dest, ckpt
+    )
+    q2.awaitTermination()
+    assert versions(spark, dest) == vs
+    assert read_version(spark, dest).count() == 3
+
+    # the high-water mark the replay guard consults: two batches
+    # committed as ids 0 and 1 — any replayed id ≤ 1 is skipped
+    high = max(
+        read_manifest(spark, dest, v).get("_stream_batch_id", -1)
+        for v in versions(spark, dest)
+    )
+    assert high == 1
+
+    # new data + restart: ingestion continues after the replay window
+    spark.createDataFrame(
+        [(4, datetime(2024, 1, 4), "d")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q3 = stream_append_versioned(
+        spark.readStream.schema(schema).parquet(src), dest, ckpt
+    )
+    q3.awaitTermination()
+    assert {r["k"] for r in read_version(spark, dest).collect()} == {1, 2, 3, 4}
+    assert read_version(spark, dest).count() == 4
