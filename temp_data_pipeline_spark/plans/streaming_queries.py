@@ -215,3 +215,76 @@ STREAMING_QUERIES["q_stream_dedup"] = QuerySpec(
         "with it — the unbounded-stream-safe dedup."
     ),
 )
+
+
+def _q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events streamed file-by-file through the exactly-once versioned
+    sink (streaming/sink.py::stream_append_versioned), INCLUDING a
+    restart over the same checkpoint (must replay nothing); the final
+    snapshot read back via read_version must equal the plain batch
+    SELECT of the source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.versioned import read_version
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.sink import stream_append_versioned
+
+    scratch = tempfile.mkdtemp(prefix="svers_")
+    src, dest, ckpt = f"{scratch}/src", f"{scratch}/table", f"{scratch}/ckpt"
+    try:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        # 4 source files → 4 micro-batches → 4 metadata-level commits
+        e.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = stream_append_versioned(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            dest,
+            ckpt,
+        )
+        q.awaitTermination()
+        # restart on the same checkpoint: exactly-once means no growth
+        q2 = stream_append_versioned(
+            spark.readStream.schema(schema).parquet(src), dest, ckpt
+        )
+        q2.awaitTermination()
+        return (
+            read_version(spark, dest)
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .orderBy("event_id")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+STREAMING_QUERIES["q_stream_versioned"] = QuerySpec(
+    name="q_stream_versioned",
+    builder=_q_stream_versioned,
+    oracle="""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+           event_type, value
+    FROM events ORDER BY event_id
+    """,
+    families=("streaming", "S10", "maintenance"),
+    note=(
+        "Exactly-once streaming ingestion into a versioned table: "
+        "each micro-batch lands as one O(batch) metadata-level commit "
+        "(carry_from manifest references), a restart over the same "
+        "checkpoint replays nothing (batch-id high-water mark over "
+        "all live manifests), and the manifested snapshot equals the "
+        "batch SELECT — the Delta-style transactional streaming sink."
+    ),
+)

@@ -308,3 +308,13 @@ def test_stream_append_versioned_exactly_once(spark, tmp_path):
     q3.awaitTermination()
     assert {r["k"] for r in read_version(spark, dest).collect()} == {1, 2, 3, 4}
     assert read_version(spark, dest).count() == 4
+
+
+def test_stream_versioned_query_matches_oracle(spark):
+    """q_stream_versioned: ingest → restart → read_version must equal
+    the plain batch SELECT (DuckDB oracle), proving the sink is
+    transparent and exactly-once end-to-end."""
+    from temp_data_pipeline_spark.plans.streaming_queries import STREAMING_QUERIES
+    from tests.oracle_harness import compare_query
+
+    compare_query(spark, STREAMING_QUERIES["q_stream_versioned"], SF_SMOKE)
