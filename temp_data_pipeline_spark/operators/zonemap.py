@@ -389,3 +389,50 @@ def optimize_zorder(
     )
     write_zone_maps(spark, path, columns, version=v)
     return v
+
+
+def stats_summary(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Answer COUNT(*) / MIN / MAX / null-count for every mapped
+    column WITHOUT opening a single data file — aggregate the
+    metadata sidecar instead (per-file stats compose: total = sum of
+    counts, min = min of file mins, max = max of file maxes; file
+    min/max are null only for all-null files, which F.min/F.max skip
+    correctly). The Delta/Iceberg "metadata-only query" answer to
+    the most common monitoring queries — at 100 TB this reads KB of
+    stats instead of the corpus.
+
+    Returns one row per mapped column:
+    (col_name, n_rows, n_null, min_s, max_s) with min/max stringified
+    for a uniform report schema (operators/stats.py::analyze_table's
+    convention — use that for exact NDV, which does not compose from
+    per-file stats; HLL sketches would, at the cost of approximation).
+    """
+    from functools import reduce
+
+    zm = read_zone_maps(spark, path, version)
+    cols = sorted(c[len("stats_") :] for c in zm.columns if c.startswith("stats_"))
+    agg = zm.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(f"stats_{c}.min")).alias(f"mn_{c}"),
+                F.max(F.col(f"stats_{c}.max")).alias(f"mx_{c}"),
+                F.sum(F.col(f"stats_{c}.nulls")).cast("long").alias(f"nu_{c}"),
+            )
+        ],
+    )
+    per_col = [
+        agg.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"nu_{c}").alias("n_null"),
+            F.col(f"mn_{c}").cast("string").alias("min_s"),
+            F.col(f"mx_{c}").cast("string").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_col)

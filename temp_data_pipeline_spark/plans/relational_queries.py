@@ -700,3 +700,60 @@ def q_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_meta_agg",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT col_name, n_rows, n_null, min_s, max_s FROM (
+      SELECT 'o_custkey' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+    )
+    ORDER BY col_name
+    """,
+    note=(
+        "Metadata-only aggregation (operators/zonemap.py::stats_summary): "
+        "COUNT(*)/MIN/MAX/null-count answered from the per-file zone-map "
+        "sidecar alone — per-file stats compose (sum of counts, min of "
+        "mins, max of maxes), so the query reads KB of metadata instead "
+        "of the corpus. Must equal the full-scan aggregate; exact NDV "
+        "does not compose and stays with q_analyze's full pass."
+    ),
+)
+def q_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.operators.zonemap import (
+        stats_summary,
+        write_zone_maps,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="metaagg_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(8), path)
+        write_zone_maps(spark, path, ["o_custkey", "o_orderstatus"])
+        return (
+            stats_summary(spark, path)
+            .orderBy("col_name")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

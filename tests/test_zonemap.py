@@ -187,3 +187,32 @@ def test_rebuild_overwrites_atomically(spark, table):
     write_zone_maps(spark, table, ["x"])
     zm = read_zone_maps(spark, table)
     assert "stats_x" in zm.columns and "stats_y" not in zm.columns
+
+
+def test_stats_summary_metadata_only_equals_full_scan(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from temp_data_pipeline_spark.operators.zonemap import stats_summary
+
+    path = os.path.join(str(tmp_path), "meta")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("x"),
+    )
+    commit_version(df.repartition(4), path)
+    write_zone_maps(spark, path, ["x", "id"])
+    got = {r["col_name"]: r for r in stats_summary(spark, path).collect()}
+    truth = df.agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum(SF.col("x").isNull().cast("long")).alias("nu"),
+        SF.min("x").alias("mn"),
+        SF.max("x").alias("mx"),
+    ).collect()[0]
+    assert got["x"]["n_rows"] == truth["n"] == 1000
+    assert got["x"]["n_null"] == truth["nu"]
+    assert got["x"]["min_s"] == str(truth["mn"])
+    assert got["x"]["max_s"] == str(truth["mx"])
+    assert got["id"]["n_null"] == 0 and got["id"]["min_s"] == "0"
+    shutil.rmtree(path, ignore_errors=True)
