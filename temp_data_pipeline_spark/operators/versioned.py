@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F_sql
 
 from temp_data_pipeline_spark.operators.upsert import keep_latest, merge_upsert
 
@@ -162,6 +163,7 @@ def commit_version(
     carry_from: int | None = None,
     carry_dirs: list[str] | None = None,
     allow_evolution: bool = False,
+    checks: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
@@ -199,6 +201,18 @@ def commit_version(
     byte. Dropping or retyping columns stays an error: those change
     the meaning of bytes already on disk and need a rewrite
     (``compact_snapshot`` after a select/cast), not metadata.
+
+    ``checks`` are named SQL CHECK constraints (``{"name": "<bool
+    expr>"}``) enforced on the rows THIS commit writes: after the
+    data lands but BEFORE the manifest rename, the written files are
+    scanned once and any row where a check evaluates FALSE (NULL
+    passes, per SQL) aborts the commit — the data dir is deleted and
+    nothing becomes visible, so readers can rely on every manifested
+    version satisfying its constraints. Validating the written bytes
+    (not ``df``) costs one cheap parquet re-read instead of
+    recomputing an expensive lineage twice. Carried dirs were
+    validated by their own commits; the constraint set is recorded in
+    the manifest (``_checks``) for auditability.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -276,9 +290,34 @@ def commit_version(
                 raise
             version += 1
             continue
+        if checks:
+            written = spark.read.schema(df.schema).parquet(data)
+            viol_row = written.agg(
+                *[
+                    F_sql.sum(
+                        F_sql.expr(s)
+                        .eqNullSafe(F_sql.lit(False))
+                        .cast("long")
+                    ).alias(n)
+                    for n, s in checks.items()
+                ]
+            ).collect()[0]
+            bad = {n: viol_row[n] for n in checks if (viol_row[n] or 0) > 0}
+            if bad:
+                fs.delete(Path(data), True)
+                raise ValueError(
+                    f"commit rejected: CHECK constraint violations {bad}"
+                )
+        import time as _time
+
         doc = {
             "version": version,
             "data_dir": data,
+            # wall-clock commit point: drives timestamp time travel
+            # (read_as_of) the way Delta's commit timestamps do;
+            # monotonicity across versions is as good as the writer
+            # clocks, so read_as_of resolves by scanning ALL manifests
+            "committed_at": _time.time(),
             # every directory this snapshot is the union of: carried
             # (referenced, not copied) dirs first, own dir last —
             # RELATIVE names, so the table survives relocation
@@ -290,6 +329,7 @@ def commit_version(
             # must preserve it or COW commits on the compacted
             # table would find no hive subdirs to carry
             "_partition_by": list(partition_by or []),
+            **({"_checks": checks} if checks else {}),
             **(meta or {}),
         }
         tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
@@ -387,6 +427,43 @@ def read_manifest(
     stats), parsed from the commit marker itself."""
     version = _resolve_version(spark, path, version)
     return json.loads(read_text(spark, f"{_manifest_dir(path)}/{version}.json"))
+
+
+def version_as_of(spark: SparkSession, path: str, ts) -> int:
+    """The newest version committed at or before ``ts`` (a unix epoch
+    float or a datetime) — timestamp time travel's resolver, driven
+    by the ``committed_at`` wall clock each manifest records. All
+    manifests are scanned (version count, driver-side, KB of JSON):
+    commit ORDER is authoritative, so a later version with an earlier
+    clock (writer skew) never shadows an earlier one — the scan takes
+    the max version among those with committed_at ≤ ts. Legacy
+    manifests without a clock count as epoch 0 (always eligible).
+    Raises FileNotFoundError when the table is empty or ``ts``
+    predates every commit."""
+    from datetime import datetime as _dt
+
+    if isinstance(ts, _dt):
+        ts = ts.timestamp()
+    committed = versions(spark, path)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    eligible = [
+        v
+        for v in committed
+        if read_manifest(spark, path, v).get("committed_at", 0.0) <= ts
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no version of {path} committed at or before {ts}"
+        )
+    return max(eligible)
+
+
+def read_as_of(spark: SparkSession, path: str, ts) -> DataFrame:
+    """Timestamp time travel: the snapshot as of wall-clock ``ts`` —
+    ``SELECT ... FOR TIMESTAMP AS OF`` for versioned tables. Sugar
+    over ``version_as_of`` + ``read_version``."""
+    return read_version(spark, path, version_as_of(spark, path, ts))
 
 
 def commit_merge(

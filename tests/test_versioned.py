@@ -271,3 +271,61 @@ class TestSchemaEvolution:
                 carry_from=1,
                 allow_evolution=True,
             )
+
+
+class TestChecksAndAsOf:
+    def test_check_constraints_gate_the_commit(self, spark, tmp_path):
+        import pytest as _pytest
+
+        path = str(tmp_path / "checked")
+        ok = spark.createDataFrame(
+            [(1, 10.0), (2, None)], "k long, temp double"
+        )
+        v = commit_version(
+            ok,
+            path,
+            checks={"temp_range": "temp BETWEEN -90 AND 60"},  # NULL passes
+        )
+        assert v == 1
+        bad = spark.createDataFrame([(3, 999.0)], "k long, temp double")
+        with _pytest.raises(ValueError, match="temp_range"):
+            commit_version(
+                bad,
+                path,
+                carry_from=1,
+                checks={"temp_range": "temp BETWEEN -90 AND 60"},
+            )
+        # the rejected commit left nothing visible and nothing wedged
+        assert versions(spark, path) == [1]
+        v2 = commit_version(
+            spark.createDataFrame([(3, 55.0)], "k long, temp double"),
+            path,
+            carry_from=1,
+            checks={"temp_range": "temp BETWEEN -90 AND 60"},
+        )
+        assert read_version(spark, path, v2).count() == 3
+        from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+        man = read_manifest(spark, path, v2)
+        assert man["_checks"] == {"temp_range": "temp BETWEEN -90 AND 60"}
+
+    def test_read_as_of_timestamps(self, spark, tmp_path):
+        import time
+
+        import pytest as _pytest
+
+        from temp_data_pipeline_spark.operators.versioned import (
+            read_as_of,
+            version_as_of,
+        )
+
+        path = str(tmp_path / "asof")
+        commit_version(spark.createDataFrame([(1,)], "k long"), path)
+        t_between = time.time()
+        time.sleep(0.05)
+        commit_version(spark.createDataFrame([(2,)], "k long"), path, carry_from=1)
+        assert version_as_of(spark, path, t_between) == 1
+        assert version_as_of(spark, path, time.time()) == 2
+        assert {r["k"] for r in read_as_of(spark, path, t_between).collect()} == {1}
+        with _pytest.raises(FileNotFoundError, match="at or before"):
+            version_as_of(spark, path, 0.0)
