@@ -86,41 +86,8 @@ def write_zone_maps(
     touching files individually. Covers EVERY file the version's
     manifest resolves, including dirs carried by reference from
     earlier versions (metadata-level appends, COW merges)."""
-    from functools import reduce
-
-    from pyspark.sql.types import StructType
-
     version = _resolve_version(spark, path, version)
-    man = read_manifest(spark, path, version)
-    schema = (
-        StructType.fromJson(man["_schema"]) if "_schema" in man else None
-    )
-
-    # the `_metadata` hidden column only resolves directly on a file-
-    # source relation, never through a Union — so multi-dir snapshots
-    # (carry_from appends, COW merges) project file_path INSIDE each
-    # per-dir scan, then union the projected frames
-    def _scan_with_file(d: str) -> DataFrame:
-        r = spark.read.schema(schema) if schema is not None else spark.read
-        if "/" in d:
-            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
-        branch = r.parquet(f"{path}/{d}")
-        return branch.select(
-            F.col("_metadata.file_path").alias("file"), *branch.columns
-        )
-
-    frames = []
-    for d in _manifest_dirs(man):
-        try:
-            frames.append(_scan_with_file(d))
-        except Exception:
-            # empty dir (all-filtered snapshot): nothing to describe
-            continue
-    if not frames:
-        raise FileNotFoundError(
-            f"version {version} under {path} has no data files to map"
-        )
-    df = reduce(lambda a, b: a.unionByName(b), frames)
+    df = _scan_files_with_rows(spark, path, version)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in columns:
         aggs.append(
@@ -436,3 +403,198 @@ def stats_summary(
         for c in cols
     ]
     return reduce(lambda a, b: a.unionByName(b), per_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index: equality skipping where min/max can't help
+# ---------------------------------------------------------------------------
+
+
+def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(p)/ln(2)², k = m/n·ln(2)."""
+    import math
+
+    n = max(1, n_rows)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64  # whole 64-bit words
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> Column:
+    """The k bit positions of one value, as an array column. Double
+    hashing (Kirsch–Mitzenmacher): pos_i = (h1 + i·h2) mod m with two
+    independent xxhash64 seeds — k probes from two hash evaluations,
+    all JVM-side."""
+    s = col.cast("string")
+    h1 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m))
+    h2 = F.pmod(F.xxhash64(s, F.lit(2)), F.lit(m - 1)) + 1
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+    )
+
+
+def write_bloom_index(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    version: int | None = None,
+    *,
+    fpp: float = 0.01,
+) -> int:
+    """Per-file Bloom filter over ``column`` for ``version`` (default
+    latest) — EQUALITY skipping for high-cardinality columns where
+    zone maps are useless (a uniformly distributed id spans each
+    file's full range, so min/max prunes nothing; a Bloom filter
+    answers "is this id definitely absent from this file?" with fpp
+    false-positive rate — the Delta bloom-filter-index move).
+
+    Build: a count-only sizing pass (column-pruned) picks one (m, k)
+    from the largest file's row count, then one distributed build pass
+    — each row explodes to its k bit positions, positions dedup per file (map-side combine), and the
+    per-file sorted position list is the stored filter (sparse
+    representation: set bits only, exact; at most k·n_rows entries,
+    in practice far fewer; all files share the one (m, k) so probes
+    are uniform). Sidecar: <path>/_blooms/<N>.<column>.parquet, same
+    derived-metadata publish protocol as zone maps."""
+    version = _resolve_version(spark, path, version)
+    zm_like = _scan_files_with_rows(spark, path, version)
+    max_rows = (
+        zm_like.groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    m, k = _bloom_params(int(max_rows), fpp)
+    pos = _bloom_positions(F.col(column), m, k)
+    filt = (
+        zm_like.select("file", F.explode(pos).alias("pos"))
+        .groupBy("file", "pos")
+        .agg(F.lit(1))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_list("pos")).alias("bits"))
+        .withColumn("m", F.lit(m))
+        .withColumn("k", F.lit(k))
+    )
+    final = f"{path}/_blooms/{version}.{column}.parquet"
+    tmp = f"{path}/_blooms/.tmp-{uuid.uuid4().hex[:8]}"
+    filt.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(Path(final)):
+        fs.delete(Path(final), True)
+    if not fs.rename(Path(tmp), Path(final)):
+        raise IOError(f"bloom publish failed for {final}")
+    return version
+
+
+def _scan_files_with_rows(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """All rows of a version tagged with their producing file — the
+    shared multi-dir `_metadata.file_path` scan (see write_zone_maps
+    for why the projection must happen inside each branch)."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    man = read_manifest(spark, path, version)
+    schema = (
+        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    )
+
+    def _scan(d: str) -> DataFrame:
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        if "/" in d:
+            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
+        branch = r.parquet(f"{path}/{d}")
+        return branch.select(
+            F.col("_metadata.file_path").alias("file"), *branch.columns
+        )
+
+    frames = []
+    for d in _manifest_dirs(man):
+        try:
+            frames.append(_scan(d))
+        except Exception:
+            continue
+    if not frames:
+        raise FileNotFoundError(
+            f"version {version} under {path} has no data files"
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def bloom_select_files(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> list[str]:
+    """Files of ``version`` that MAY contain ``column = value`` per
+    the Bloom sidecar — a file survives only if every probe position
+    is set in its filter. Evaluated inside Spark over the sidecar
+    (array_contains per probe on the sorted bit list); NULL never
+    matches an equality, so the probe is null-safe by construction."""
+    version = _resolve_version(spark, path, version)
+    d = f"{path}/_blooms/{version}.{column}.parquet"
+    fs, jvm = _fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+        raise FileNotFoundError(
+            f"no bloom index on {column!r} for version {version} under "
+            f"{path} — run write_bloom_index first"
+        )
+    bl = spark.read.parquet(d)
+    m, k = bl.select("m", "k").first()
+    probes = _bloom_positions(F.lit(value), int(m), int(k))
+    cond = F.lit(True)
+    for i in range(int(k)):
+        cond = cond & F.array_contains("bits", probes[i])
+    return [r["file"] for r in bl.filter(cond).select("file").collect()]
+
+
+def read_version_bloom(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read through the Bloom index: scan only the files
+    whose filters admit ``column = value``, then apply the real
+    equality filter (false positives fall out here) — result ≡
+    ``read_version(...).filter(col == value)`` always."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    version = _resolve_version(spark, path, version)
+    files = bloom_select_files(spark, path, column, value, version)
+    man = read_manifest(spark, path, version)
+    schema = (
+        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    )
+    if not files:
+        if schema is None:
+            schema = read_version(spark, path, version).schema
+        return spark.createDataFrame([], schema).filter(
+            F.col(column) == F.lit(value)
+        )
+    marker = "/v="
+    by_root: dict[str, list[str]] = {}
+    for f in files:
+        i = f.rfind(marker)
+        j = f.find("/", i + 1)
+        root = f[:j] if j > 0 else f
+        by_root.setdefault(root, []).append(f)
+
+    def _scan(root: str, fl: list[str]) -> DataFrame:
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        return r.option("basePath", root).parquet(*sorted(fl))
+
+    out = reduce(
+        lambda a, b: a.unionByName(b),
+        [_scan(root, fl) for root, fl in sorted(by_root.items())],
+    )
+    return out.filter(F.col(column) == F.lit(value))

@@ -757,3 +757,52 @@ def q_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_bloom_lookup",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_orderkey = 577
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Bloom-index point lookup (operators/zonemap.py): commit "
+        "orders hash-distributed over 8 files (every file spans the "
+        "full key range — zone maps prune nothing), build a per-file "
+        "Bloom sidecar on o_orderkey (Kirsch–Mitzenmacher double "
+        "hashing over xxhash64, sparse set-bit lists), then answer "
+        "an equality lookup opening only the files whose filters "
+        "admit the key (~1 of 8 at fpp=1%). False positives fall out "
+        "of the on-top equality filter, so results equal the plain "
+        "WHERE — the Delta bloom-filter-index move for "
+        "high-cardinality columns."
+    ),
+)
+def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.operators.zonemap import (
+        read_version_bloom,
+        write_bloom_index,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="bloom_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(8, "o_orderkey"), path)
+        write_bloom_index(spark, path, "o_orderkey")
+        return (
+            read_version_bloom(spark, path, "o_orderkey", 577)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -216,3 +216,83 @@ def test_stats_summary_metadata_only_equals_full_scan(spark, tmp_path):
     assert got["x"]["max_s"] == str(truth["mx"])
     assert got["id"]["n_null"] == 0 and got["id"]["min_s"] == "0"
     shutil.rmtree(path, ignore_errors=True)
+
+
+class TestBloomIndex:
+    def test_point_lookup_skips_files_and_is_transparent(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.zonemap import (
+            bloom_select_files,
+            read_version_bloom,
+            write_bloom_index,
+        )
+
+        path = os.path.join(str(tmp_path), "bloom")
+        # high-cardinality ids hashed across 8 files: every file spans
+        # the full id range, so zone maps would prune NOTHING
+        df = spark.range(0, 20000).select(
+            F.col("id"), (F.col("id") * 7919 % 20000).alias("key")
+        )
+        commit_version(df.repartition(8, "id"), path)
+        write_bloom_index(spark, path, "key")
+        hits = bloom_select_files(spark, path, "key", 12345)
+        # the key lives in exactly one file; fpp=1% over 8 files means
+        # false positives are rare — allow up to half as slack
+        assert 1 <= len(hits) <= 4
+        out = read_version_bloom(spark, path, "key", 12345)
+        want = [
+            tuple(r)
+            for r in read_version(spark, path)
+            .filter(F.col("key") == 12345)
+            .collect()
+        ]
+        assert sorted(tuple(r) for r in out.collect()) == sorted(want)
+        assert len(want) == 1
+        shutil.rmtree(path, ignore_errors=True)
+
+    def test_absent_value_usually_selects_no_files(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.zonemap import (
+            bloom_select_files,
+            read_version_bloom,
+            write_bloom_index,
+        )
+
+        path = os.path.join(str(tmp_path), "bloom2")
+        df = spark.range(0, 5000).select(F.col("id"))
+        commit_version(df.repartition(4), path)
+        write_bloom_index(spark, path, "id")
+        # probe 50 absent values: with fpp=1% and 4 files, expect ~2
+        # file-level false positives total — assert well under the
+        # no-skipping baseline of 200
+        total = sum(
+            len(bloom_select_files(spark, path, "id", v))
+            for v in range(100000, 100050)
+        )
+        assert total <= 20
+        assert read_version_bloom(spark, path, "id", 100001).count() == 0
+        shutil.rmtree(path, ignore_errors=True)
+
+    def test_carried_dirs_covered(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.zonemap import (
+            read_version_bloom,
+            write_bloom_index,
+        )
+
+        path = os.path.join(str(tmp_path), "bloom3")
+        commit_version(spark.range(0, 100).select(F.col("id")), path)
+        v = commit_version(
+            spark.range(100, 200).select(F.col("id")), path, carry_from=1
+        )
+        write_bloom_index(spark, path, "id", version=v)
+        # one value from the carried dir, one from the new dir
+        assert read_version_bloom(spark, path, "id", 50, version=v).count() == 1
+        assert read_version_bloom(spark, path, "id", 150, version=v).count() == 1
+        shutil.rmtree(path, ignore_errors=True)
+
+    def test_missing_index_raises(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.zonemap import bloom_select_files
+
+        path = os.path.join(str(tmp_path), "bloom4")
+        commit_version(spark.range(0, 10).select(F.col("id")), path)
+        with pytest.raises(FileNotFoundError, match="no bloom index"):
+            bloom_select_files(spark, path, "id", 3)
+        shutil.rmtree(path, ignore_errors=True)
