@@ -299,13 +299,69 @@ def zorder_key(
         # width_bucket returns 0 below lo and n_cells+1 above hi;
         # clamp into [0, n_cells-1]
         cells.append(F.greatest(F.least(b - 1, F.lit(n_cells - 1)), F.lit(0)))
+    active = [
+        F.col(c)
+        for c in columns
+        if bounds[c][0] is not None
+        and bounds[c][1] is not None
+        and float(bounds[c][0]) != float(bounds[c][1])
+    ]
+    return _interleave(cells, bits, null_if=active)
+
+
+def _interleave(cells: list[Column], bits: int, null_if: list[Column]) -> Column:
+    """Bit-interleave per-column cell numbers into one BIGINT; NULL in
+    any participating source column yields NULL (all-null rows sort
+    together, which is what skipping wants)."""
+    k = len(cells)
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, cell in enumerate(cells):
             z = z + F.shiftleft(
                 F.shiftright(cell.cast("long"), i) % 2, i * k + j
             )
+    for c in null_if:
+        z = F.when(c.isNull(), F.lit(None).cast("long")).otherwise(z)
     return z
+
+
+def zorder_key_equidepth(
+    columns: list[str], boundaries: dict[str, list[float]], bits: int = 8
+) -> Column:
+    """The EQUI-DEPTH Z-value: cells are quantile buckets instead of
+    equal-width slices, so a heavily skewed column still spreads its
+    rows over all ``2^bits`` cells (the linear tier parks the dense
+    mass in one cell and loses intra-mass pruning). ``boundaries[c]``
+    is the ascending list of ``2^bits - 1`` interior quantiles
+    (``optimize_zorder(equidepth=True)`` computes them via
+    approxQuantile). Cell = number of boundaries ≤ value, computed as
+    ``size(filter(boundaries, x -> v >= x))`` over the literal
+    boundary array — one CONSTANT-SIZE expression per column (an
+    unrolled binary search would nest the accumulator twice per level:
+    exponential expression-tree growth that hangs the analyzer at
+    bits=8). 2^bits comparisons per row, pure JVM, no join. NULL
+    input → NULL z (as the linear tier). Numeric columns only
+    (quantiles require a meaningful cast to double)."""
+    k = len(columns)
+    if bits * k > 62:
+        raise ValueError(f"bits*columns = {bits * k} exceeds BIGINT range")
+    n_cells = 1 << bits
+    cells = []
+    active = []
+    for c in columns:
+        bnd = boundaries[c]
+        if not bnd:
+            cells.append(F.lit(0))  # all-null / constant column
+            continue
+        if len(bnd) != n_cells - 1:
+            raise ValueError(
+                f"{c}: need {n_cells - 1} boundaries, got {len(bnd)}"
+            )
+        arr = F.array(*[F.lit(float(x)) for x in bnd])
+        v = F.col(c).cast("double")
+        cells.append(F.size(F.filter(arr, lambda x: v >= x)))
+        active.append(F.col(c))
+    return _interleave(cells, bits, null_if=active)
 
 
 def optimize_zorder(
@@ -315,6 +371,7 @@ def optimize_zorder(
     *,
     target_files: int = 16,
     bits: int = 8,
+    equidepth: bool = False,
     meta: dict | None = None,
 ) -> int:
     """Rewrite the LATEST snapshot clustered by the Z-order of
@@ -325,20 +382,34 @@ def optimize_zorder(
     ``read_version_skipped`` on any clustered column (or combination)
     opens only the files whose cells intersect the query box.
 
-    One tiny min/max aggregation (1 row) for the scaling bounds, one
-    distributed sort-rewrite of the live snapshot, one stats scan.
+    One tiny bounds pass (a 1-row min/max agg, or one approxQuantile
+    per column with ``equidepth=True`` — quantile cells keep skewed
+    columns spreading over all 2^bits cells where equal-width slices
+    would park the dense mass in one), one distributed sort-rewrite
+    of the live snapshot, one stats scan.
     History stays queryable; like compact_snapshot this is a
     maintenance commit, scheduled when scan selectivity — not data
     freshness — is the problem. Note: z-ordering flattens any hive
     partition layout into the sort; tables relying on partition-level
     COW maintenance should compact back afterwards."""
     df = read_version(spark, path)
-    row = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in columns],
-        *[F.max(c).alias(f"mx_{c}") for c in columns],
-    ).collect()[0]
-    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in columns}
-    z = zorder_key(columns, bounds, bits)
+    n_cells = 1 << bits
+    if equidepth:
+        probs = [i / n_cells for i in range(1, n_cells)]
+        boundaries = {
+            c: df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+                c, probs, 1.0 / (4 * n_cells)
+            )
+            for c in columns
+        }
+        z = zorder_key_equidepth(columns, boundaries, bits)
+    else:
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in columns],
+            *[F.max(c).alias(f"mx_{c}") for c in columns],
+        ).collect()[0]
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in columns}
+        z = zorder_key(columns, bounds, bits)
     clustered = (
         df.withColumn("_z", z)
         .repartitionByRange(target_files, "_z")

@@ -296,3 +296,79 @@ class TestBloomIndex:
         with pytest.raises(FileNotFoundError, match="no bloom index"):
             bloom_select_files(spark, path, "id", 3)
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_equidepth_zorder_beats_linear_on_skew(spark, tmp_path):
+    """Heavy-tailed x: linear cells park ~all rows in cell 0, so a
+    range query INSIDE the dense mass prunes nothing; quantile cells
+    keep spreading it. Both tiers must stay transparent."""
+    from temp_data_pipeline_spark.operators.zonemap import optimize_zorder
+
+    path = os.path.join(str(tmp_path), "skewz")
+    n = 20000
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") ** 3).cast("double").alias("x"),  # dense near 0
+        ((F.col("id") * 37) % 100).alias("y"),
+    )
+    commit_version(df.repartition(8), path)
+    v_lin = optimize_zorder(spark, path, ["x", "y"], target_files=16)
+    v_eq = optimize_zorder(
+        spark, path, ["x", "y"], target_files=16, equidepth=True
+    )
+    # a box inside the dense mass: x of ids 1000..3000, all y
+    lo, hi = 1000.0**3, 3000.0**3
+    box = [("x", ">=", lo), ("x", "<=", hi)]
+    n_lin = len(select_files(spark, path, box, version=v_lin))
+    n_eq = len(select_files(spark, path, box, version=v_eq))
+    # ids 1000..3000 are 10% of rows; the z-curve fragments the x-run
+    # across y interleaves, so expect ~half the files skipped — while
+    # linear cells can't separate them from the rest of the dense mass
+    assert n_eq < n_lin
+    assert n_eq <= 8
+    got = sorted(
+        r["id"]
+        for r in read_version_skipped(spark, path, box, version=v_eq).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in read_version(spark, path, 1)
+        .filter((F.col("x") >= lo) & (F.col("x") <= hi))
+        .collect()
+    )
+    assert got == want and len(got) == 2001
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_equidepth_null_and_constant_columns(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.zonemap import (
+        optimize_zorder,
+    )
+
+    path = os.path.join(str(tmp_path), "eqnull")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .cast("double")
+        .alias("x"),
+        F.lit(7.0).alias("c"),  # constant: approxQuantile → equal bounds
+    )
+    commit_version(df.repartition(4), path)
+    v = optimize_zorder(
+        spark, path, ["x", "c"], target_files=8, equidepth=True
+    )
+    out = read_version_skipped(
+        spark, path, [("x", ">=", 100.0), ("x", "<=", 200.0)], version=v
+    )
+    want = (
+        read_version(spark, path, 1)
+        .filter((F.col("x") >= 100) & (F.col("x") <= 200))
+        .count()
+    )
+    assert out.count() == want
+    # null x rows survived the rewrite
+    assert (
+        read_version(spark, path, v).filter(F.col("x").isNull()).count() == 100
+    )
+    shutil.rmtree(path, ignore_errors=True)
