@@ -130,7 +130,8 @@ _LAST_VERIFIED = {
 # llm_budget_select, llm_dsir, llm_corpus_line_dedup, llm_dedup_index,
 # llm_length_buckets, q_analyze, llm_normalize, q_hidden_partition,
 # llm_knn_join, q_funnel, q_retention, q_fk_orphans,
-# q_matview_refresh, llm_shuffle.
+# q_matview_refresh, llm_shuffle, llm_exact_sample, q_stream_versioned,
+# q_zorder_skip, q_meta_agg, q_bloom_lookup.
 _RECHECK = [
     "llm_bm25", "llm_ivf_index_topk",
 ]
