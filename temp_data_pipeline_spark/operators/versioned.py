@@ -866,6 +866,46 @@ def compact_snapshot(
     )
 
 
+def rollback(
+    spark: SparkSession,
+    path: str,
+    to_version: int,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Delta-style RESTORE: commit a NEW version whose content is
+    exactly ``to_version``'s — history moves forward (the bad
+    versions stay queryable for the post-mortem), readers of
+    "latest" see the restored state immediately.
+
+    METADATA-ONLY: the new manifest lists ``to_version``'s data dirs
+    by reference (``carry_dirs``) plus an empty own dir — no data is
+    read or copied, the rollback of a 100 TB table costs one empty
+    write and one JSON rename. The restored version inherits the
+    target's schema and partition layout, so COW maintenance keeps
+    working; reference-aware ``vacuum`` keeps the carried bytes alive
+    as long as the restored version lives."""
+    from pyspark.sql.types import StructType
+
+    man = read_manifest(spark, path, to_version)  # raises if unknown
+    if "_schema" not in man:
+        raise ValueError(
+            f"version {to_version} predates recorded schemas — "
+            "rollback needs the manifest schema to type its commit"
+        )
+    empty = spark.createDataFrame(
+        [], StructType.fromJson(man["_schema"])
+    )
+    part = man.get("_partition_by") or None
+    return commit_version(
+        empty,
+        path,
+        partition_by=part,
+        carry_dirs=_manifest_dirs(man),
+        meta={**(meta or {}), "restored_from": to_version},
+    )
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

@@ -329,3 +329,48 @@ class TestChecksAndAsOf:
         assert {r["k"] for r in read_as_of(spark, path, t_between).collect()} == {1}
         with _pytest.raises(FileNotFoundError, match="at or before"):
             version_as_of(spark, path, 0.0)
+
+
+class TestRollback:
+    def test_metadata_only_restore(self, spark, tmp_path):
+        import os
+
+        from temp_data_pipeline_spark.operators.versioned import rollback
+
+        path = str(tmp_path / "rb")
+        commit_version(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            path,
+        )
+        commit_version(
+            spark.createDataFrame([(3, "c")], "k long, v string"),
+            path,
+            carry_from=1,
+        )
+        v3 = rollback(spark, path, 1)
+        assert v3 == 3
+        got = {(r["k"], r["v"]) for r in read_version(spark, path).collect()}
+        assert got == {(1, "a"), (2, "b")}
+        # history intact: the bad version is still time-travelable
+        assert read_version(spark, path, 2).count() == 3
+        # metadata-only: the rollback's own data dir carries ZERO rows
+        # (Spark writes one empty part file for an empty frame — bytes
+        # are O(1), never O(table))
+        own = os.path.join(path, "v=3")
+        assert spark.read.parquet(own).count() == 0
+        from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+        assert read_manifest(spark, path, v3)["restored_from"] == 1
+
+    def test_restore_survives_vacuum(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import rollback, vacuum
+
+        path = str(tmp_path / "rbv")
+        commit_version(spark.createDataFrame([(1,)], "k long"), path)
+        commit_version(
+            spark.createDataFrame([(2,)], "k long"), path, carry_from=1
+        )
+        rollback(spark, path, 1)
+        vacuum(spark, path, keep_last=1, orphan_grace=0)
+        # v=1's bytes are carried by the restored version → still alive
+        assert {r["k"] for r in read_version(spark, path).collect()} == {1}
