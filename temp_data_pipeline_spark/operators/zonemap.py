@@ -75,6 +75,8 @@ def write_zone_maps(
     path: str,
     columns: list[str],
     version: int | None = None,
+    *,
+    incremental_from: int | None = None,
 ) -> int:
     """Build the per-file min/max/null-count sidecar for ``version``
     (default: latest) of the versioned table at ``path`` and publish
@@ -85,9 +87,48 @@ def write_zone_maps(
     per-file stats come out of a normal groupBy without listing or
     touching files individually. Covers EVERY file the version's
     manifest resolves, including dirs carried by reference from
-    earlier versions (metadata-level appends, COW merges)."""
+    earlier versions (metadata-level appends, COW merges).
+
+    ``incremental_from=N`` makes the stats build O(batch) like the
+    commit it describes: data files are immutable, so rows of N's
+    sidecar whose dir the new manifest still references are reused
+    verbatim, and only the dirs NEW to this version are scanned — a
+    daily append updates its stats at the cost of the day's
+    partitions, not the corpus. Dirs a COW commit dropped (touched
+    partitions) fall out because their stats rows match no referenced
+    dir. Requires N's sidecar to cover the same ``columns``."""
     version = _resolve_version(spark, path, version)
-    df = _scan_files_with_rows(spark, path, version)
+    prev_kept = None
+    dirs = None
+    if incremental_from is not None:
+        prev = read_zone_maps(spark, path, incremental_from)
+        prev_cols = {
+            c[len("stats_") :] for c in prev.columns if c.startswith("stats_")
+        }
+        if set(columns) != prev_cols:
+            raise ValueError(
+                f"incremental_from={incremental_from} covers columns "
+                f"{sorted(prev_cols)}, requested {sorted(columns)} — "
+                "run a full rebuild to change the column set"
+            )
+        cur_dirs = _manifest_dirs(read_manifest(spark, path, version))
+        old_dirs = set(
+            _manifest_dirs(read_manifest(spark, path, incremental_from))
+        )
+        dirs = [d for d in cur_dirs if d not in old_dirs]
+        kept = [d for d in cur_dirs if d in old_dirs]
+        if kept:
+            # a file belongs to dir d iff its path contains /<d>/ —
+            # dirs are v=N[/col=x] segments, unique within one table
+            cond = F.lit(False)
+            for d in kept:
+                cond = cond | F.col("file").contains(f"/{d}/")
+            prev_kept = prev.filter(cond)
+        if not dirs:
+            # pure rollback/no-op commit: nothing new to scan
+            stats = prev_kept
+            return _publish_zone_maps(spark, path, version, stats)
+    df = _scan_files_with_rows(spark, path, version, dirs=dirs)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in columns:
         aggs.append(
@@ -98,6 +139,17 @@ def write_zone_maps(
             ).alias(f"stats_{c}")
         )
     stats = df.groupBy("file").agg(*aggs)
+    if prev_kept is not None:
+        stats = prev_kept.unionByName(stats)
+    return _publish_zone_maps(spark, path, version, stats)
+
+
+def _publish_zone_maps(
+    spark: SparkSession, path: str, version: int, stats: DataFrame
+) -> int:
+    """Temp-dir + rename publish of a stats frame (derived metadata:
+    rebuildable, so no manifest — a crash leaves an unresolvable
+    ``.tmp-*`` dir and a re-run overwrites atomically)."""
     final = _zonemap_dir(path, version)
     tmp = f"{path}/_zonemaps/.tmp-{uuid.uuid4().hex[:8]}"
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -560,11 +612,15 @@ def write_bloom_index(
 
 
 def _scan_files_with_rows(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession,
+    path: str,
+    version: int,
+    dirs: list[str] | None = None,
 ) -> DataFrame:
-    """All rows of a version tagged with their producing file — the
-    shared multi-dir `_metadata.file_path` scan (see write_zone_maps
-    for why the projection must happen inside each branch)."""
+    """All rows of a version (or of the subset ``dirs`` of its data
+    dirs) tagged with their producing file — the shared multi-dir
+    `_metadata.file_path` scan (see write_zone_maps for why the
+    projection must happen inside each branch)."""
     from functools import reduce
 
     from pyspark.sql.types import StructType
@@ -584,7 +640,7 @@ def _scan_files_with_rows(
         )
 
     frames = []
-    for d in _manifest_dirs(man):
+    for d in dirs if dirs is not None else _manifest_dirs(man):
         try:
             frames.append(_scan(d))
         except Exception:

@@ -372,3 +372,73 @@ def test_equidepth_null_and_constant_columns(spark, tmp_path):
         read_version(spark, path, v).filter(F.col("x").isNull()).count() == 100
     )
     shutil.rmtree(path, ignore_errors=True)
+
+
+class TestIncrementalZoneMaps:
+    def test_append_updates_stats_at_batch_cost(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "inc")
+        commit_version(
+            spark.range(0, 1000).select(F.col("id"), (F.col("id") % 50).alias("x")),
+            path,
+        )
+        write_zone_maps(spark, path, ["x"])
+        v2 = commit_version(
+            spark.range(1000, 1500).select(
+                F.col("id"), (F.col("id") % 50 + 100).alias("x")
+            ),
+            path,
+            carry_from=1,
+        )
+        write_zone_maps(spark, path, ["x"], version=v2, incremental_from=1)
+        inc = {r["file"]: r for r in read_zone_maps(spark, path, v2).collect()}
+        # full rebuild must agree row-for-row
+        write_zone_maps(spark, path, ["x"], version=v2)
+        full = {r["file"]: r for r in read_zone_maps(spark, path, v2).collect()}
+        assert set(inc) == set(full)
+        for f in full:
+            assert inc[f]["n_rows"] == full[f]["n_rows"]
+            assert inc[f]["stats_x"] == full[f]["stats_x"]
+        # and skipping works over the merged sidecar
+        write_zone_maps(spark, path, ["x"], version=v2, incremental_from=1)
+        sel = select_files(spark, path, [("x", ">=", 100)], version=v2)
+        assert all("/v=2/" in f for f in sel)
+
+    def test_cow_commit_drops_superseded_partition_stats(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import commit_merge_cow
+
+        path = os.path.join(str(tmp_path), "inccow")
+        base = spark.createDataFrame(
+            [(i, "a" if i < 50 else "b", i) for i in range(100)],
+            "k long, part string, val long",
+        )
+        commit_merge_cow(base, path, ["k"], "val", "part")
+        write_zone_maps(spark, path, ["val"])
+        # touch only partition 'a' (values shift up by 1000)
+        upd = spark.createDataFrame(
+            [(i, "a", i + 1000) for i in range(50)],
+            "k long, part string, val long",
+        )
+        v2 = commit_merge_cow(upd, path, ["k"], "val", "part")
+        write_zone_maps(spark, path, ["val"], version=v2, incremental_from=1)
+        inc = {r["file"]: r for r in read_zone_maps(spark, path, v2).collect()}
+        write_zone_maps(spark, path, ["val"], version=v2)
+        full = {r["file"]: r for r in read_zone_maps(spark, path, v2).collect()}
+        assert set(inc) == set(full)
+        for f in full:
+            assert inc[f]["stats_val"] == full[f]["stats_val"]
+        # the superseded v=1 'a' partition's stats are gone: a query on
+        # the OLD value range must not reopen it
+        sel = select_files(spark, path, [("val", "<", 50)], version=v2)
+        assert not any("/part=a/" in f and "/v=1/" in f for f in sel)
+
+    def test_column_set_change_requires_full_rebuild(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "inccols")
+        commit_version(spark.range(0, 10).select(F.col("id")), path)
+        write_zone_maps(spark, path, ["id"])
+        v2 = commit_version(
+            spark.range(10, 20).select(F.col("id")), path, carry_from=1
+        )
+        with pytest.raises(ValueError, match="full rebuild"):
+            write_zone_maps(
+                spark, path, ["id", "nope"], version=v2, incremental_from=1
+            )
