@@ -1,0 +1,227 @@
+"""Merge-on-read deletes: positional deletion vectors for versioned
+tables.
+
+Copy-on-write DELETE (operators/versioned.py::commit_delete_cow)
+rewrites every partition containing a matching row — O(touched
+partitions). When deletes are small and scattered (GDPR erasure of one
+user across thousands of partitions), the lakehouse answer is a
+DELETION VECTOR (Delta DVs / Iceberg positional deletes): record the
+POSITIONS of deleted rows in a sidecar and subtract them at read time;
+no data file is rewritten until a compaction materializes the deletes.
+
+Positions come from the parquet reader's ``_metadata`` hidden columns
+— ``file_path`` + ``row_index`` identify a physical row immutably (the
+files never change), so a DV is a set of (file, pos) pairs:
+
+  <path>/_dv/dv-<token>.parquet    an immutable cumulative DV
+  manifest meta ``_dv: "dv-<token>.parquet"``  names the DV a version
+                                               subtracts at read
+
+The sidecar is written FIRST under a fresh unique name, then the
+manifest referencing it commits — same invisibility-until-manifest
+protocol as data dirs (a crash leaves an unreferenced dv file for
+vacuum). Naming the DV in the manifest (not by version number) makes
+restores free: ``rollback`` carries the commit meta, so a rolled-back
+DV version keeps subtracting the same immutable sidecar.
+
+Write path (``commit_delete_mor``): ONE metadata-cheap scan finds the
+matching positions (only the predicate columns are read — column
+pruning applies), the new DV = base DV ∪ matches, and the commit is
+metadata-level (carries every base dir, writes zero data rows) — cost
+scales with MATCHES, not with partitions touched and not with the
+corpus.
+
+Read path (``read_table``): plain ``read_version`` for DV-free
+versions; for DV versions, each dir scans WITH its row positions and
+anti-joins the (broadcast) DV — deletes are usually a vanishing
+fraction of the table, so the subtraction is a map-side broadcast
+anti-join, no extra shuffle of the data. Callers using the
+lower-level readers (read_version, read_version_skipped) on a DV
+version see the PRE-delete rows — read through ``read_table`` or
+materialize first; ``has_deletes`` tells which.
+
+Maintenance (``materialize_deletes``): one distributed rewrite of the
+surviving rows into a fresh self-contained version (the COW
+counterpart), after which readers need no DV and vacuum can expire the
+DV'd history. The standard DV lifecycle: fast logical delete now,
+amortized physical rewrite later.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.versioned import (
+    _manifest_dirs,
+    _resolve_version,
+    commit_version,
+    read_manifest,
+    read_version,
+)
+
+
+def _dv_name(spark: SparkSession, path: str, version: int) -> str | None:
+    name = read_manifest(spark, path, version).get("_dv")
+    return name or None
+
+
+def _scan_with_positions(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """All rows of a version tagged (file, pos) from the parquet
+    reader's metadata columns — the positional identity DVs are
+    defined over."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    man = read_manifest(spark, path, version)
+    schema = (
+        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    )
+
+    def _scan(d: str) -> DataFrame:
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        if "/" in d:
+            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
+        branch = r.parquet(f"{path}/{d}")
+        return branch.select(
+            F.col("_metadata.file_path").alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            *branch.columns,
+        )
+
+    frames = []
+    for d in _manifest_dirs(man):
+        try:
+            frames.append(_scan(d))
+        except Exception:
+            continue
+    if not frames:
+        raise FileNotFoundError(
+            f"version {version} under {path} has no data files"
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def read_dv(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The (file, pos) deletion vector of ``version``; raises if the
+    version carries none — check ``has_deletes`` first."""
+    version = _resolve_version(spark, path, version)
+    name = _dv_name(spark, path, version)
+    if not name:
+        raise FileNotFoundError(
+            f"version {version} under {path} carries no deletion vector"
+        )
+    return spark.read.parquet(f"{path}/_dv/{name}")
+
+
+def has_deletes(
+    spark: SparkSession, path: str, version: int | None = None
+) -> bool:
+    version = _resolve_version(spark, path, version)
+    return bool(read_manifest(spark, path, version).get("_dv", False))
+
+
+def commit_delete_mor(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Merge-on-read DELETE: commit a new version whose DV additionally
+    covers every CURRENTLY VISIBLE row matching ``predicate`` (a
+    Column or SQL string). Zero data rows are written — the commit is
+    the base dirs carried by reference, a (file, pos) sidecar, and one
+    manifest — so a 3-row GDPR delete on a 100 TB table costs one
+    position-finding scan (predicate columns only) plus KB of
+    metadata. Returns the new version (the current one unchanged when
+    nothing matches). SQL DELETE semantics: rows where the predicate
+    is NULL are kept."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    base = _resolve_version(spark, path, None)
+    man = read_manifest(spark, path, base)
+    tagged = _scan_with_positions(spark, path, base)
+    matches = tagged.filter(F.coalesce(predicate, F.lit(False))).select(
+        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+    )
+    if man.get("_dv"):
+        # cumulative DV: drop positions the base already covers FIRST,
+        # so an all-already-deleted predicate is a no-op commit-wise
+        base_dv = read_dv(spark, path, base)
+        matches = matches.join(
+            F.broadcast(base_dv), ["file", "pos"], "left_anti"
+        )
+        if matches.isEmpty():
+            return base
+        matches = matches.unionByName(base_dv)
+    elif matches.isEmpty():
+        return base
+    # sidecar first (invisible until a manifest names it), commit after
+    name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
+    matches.coalesce(1).write.parquet(f"{path}/_dv/{name}")
+    schema = StructType.fromJson(man["_schema"])
+    return commit_version(
+        spark.createDataFrame([], schema),
+        path,
+        partition_by=man.get("_partition_by") or None,
+        carry_dirs=_manifest_dirs(man),
+        meta={**(meta or {}), "_dv": name},
+    )
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The DV-aware read: visible rows of ``version`` — plain
+    ``read_version`` when it carries no deletes, otherwise the
+    position-tagged scan minus the (broadcast) deletion vector. The
+    subtraction is a map-side broadcast anti-join on (file, pos): no
+    shuffle of the data, cost ≈ the plain scan plus a hash probe per
+    row."""
+    version = _resolve_version(spark, path, version)
+    if not has_deletes(spark, path, version):
+        return read_version(spark, path, version)
+    dv = read_dv(spark, path, version).select(
+        F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+    )
+    tagged = _scan_with_positions(spark, path, version)
+    out_cols = [c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")]
+    return (
+        tagged.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti")
+        .select(*out_cols)
+    )
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Compact the latest version's deletes into a fresh self-contained
+    snapshot: ONE distributed rewrite of the surviving rows, after
+    which reads need no DV (physical erasure = this + vacuum of the
+    DV'd history). Keeps the recorded partition layout unless
+    overridden — the DV counterpart of compact_snapshot."""
+    latest = _resolve_version(spark, path, None)
+    man = read_manifest(spark, path, latest)
+    if partition_by is None:
+        partition_by = man.get("_partition_by") or None
+    survivors = read_table(spark, path, latest)
+    return commit_version(
+        survivors,
+        path,
+        partition_by=partition_by,
+        meta={**(meta or {}), "materialized_from": latest},
+    )

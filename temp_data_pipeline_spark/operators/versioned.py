@@ -226,6 +226,11 @@ def commit_version(
     if carry_from is not None:
         base_man = read_manifest(spark, path, carry_from)
         carried_dirs = _manifest_dirs(base_man)
+        # a deletion vector rides along with the bytes it deletes from:
+        # an append on a DV version must keep subtracting it, or the
+        # deleted rows silently resurrect in the new version
+        if base_man.get("_dv") and "_dv" not in (meta or {}):
+            meta = {**(meta or {}), "_dv": base_man["_dv"]}
         base_cols = (
             sorted(f["name"] for f in base_man["_schema"]["fields"])
             if "_schema" in base_man
@@ -491,6 +496,19 @@ def commit_merge(
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _require_no_dv(man: dict, op: str) -> None:
+    """Rewrite-style maintenance reads via ``read_version`` (PRE-delete
+    rows) and would either resurrect deleted rows or re-point the DV
+    at files whose row indexes changed — both silent corruption. Such
+    ops refuse on DV tables; ``materialize_deletes`` first."""
+    if man.get("_dv"):
+        raise ValueError(
+            f"{op} on a table with merge-on-read deletes would "
+            "resurrect deleted rows — run "
+            "deletion_vectors.materialize_deletes first"
+        )
+
+
 def _partition_dir_value(name: str) -> str | None:
     """Decode one Hive partition dir name (``col=escaped-value``) to
     its raw value string; None for the null-partition sentinel. Hive
@@ -559,7 +577,9 @@ def commit_merge_cow(
             updates, path, partition_by=[partition_col], meta=meta
         )
     latest = vs[-1]
-    base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
+    base_man = read_manifest(spark, path, latest)
+    _require_no_dv(base_man, "commit_merge_cow")
+    base_dirs = _manifest_dirs(base_man)
     touched = _touched_values(updates, partition_col)
     cond = F.col(partition_col).cast("string").isin(
         [t for t in touched if t is not None]
@@ -623,7 +643,9 @@ def commit_cdc_cow(
             first, path, partition_by=[partition_col], meta=meta
         )
     latest = vs[-1]
-    base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
+    base_man = read_manifest(spark, path, latest)
+    _require_no_dv(base_man, "commit_cdc_cow")
+    base_dirs = _manifest_dirs(base_man)
     touched = _touched_values(changes, partition_col)
     cond = F.col(partition_col).cast("string").isin(
         [t for t in touched if t is not None]
@@ -726,7 +748,9 @@ def commit_delete_cow(
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     latest = _resolve_version(spark, path, None)
-    base_dirs = _manifest_dirs(read_manifest(spark, path, latest))
+    base_man = read_manifest(spark, path, latest)
+    _require_no_dv(base_man, "commit_delete_cow")
+    base_dirs = _manifest_dirs(base_man)
     cur = read_version(spark, path, latest)
     touched = _touched_values(cur.filter(predicate), partition_col)
     if not touched:
@@ -850,6 +874,7 @@ def compact_snapshot(
     if not latest:
         raise FileNotFoundError(f"no committed versions under {path}")
     man = read_manifest(spark, path, latest[-1])
+    _require_no_dv(man, "compact_snapshot")
     if partition_by is None:
         partition_by = man.get("_partition_by") or None
     carried = {
@@ -864,6 +889,80 @@ def compact_snapshot(
         partition_by=partition_by or None,
         meta={**carried, **(meta or {}), "compacted_from": latest[-1]},
     )
+
+
+def verify_table(spark: SparkSession, path: str) -> list[str]:
+    """Read-only consistency check ("fsck for the lake"): walk every
+    committed manifest and report anything a reader could trip over —
+    unreadable manifests, data dirs a manifest references that no
+    longer exist (the failure a mis-scoped external cleanup causes),
+    stale sidecars describing expired versions, and unmanifested
+    orphan data dirs (crashed writers awaiting vacuum). Returns a
+    list of human-readable issue strings, empty when healthy; driver-
+    side metadata walk only, no data is scanned — safe to run on a
+    live 100 TB table."""
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    issues: list[str] = []
+    committed = versions(spark, path)
+    if not committed:
+        return [f"no committed versions under {path}"]
+    referenced: set[str] = set()
+    for v in committed:
+        try:
+            man = read_manifest(spark, path, v)
+        except Exception as exc:  # unreadable/corrupt JSON
+            issues.append(f"version {v}: manifest unreadable ({exc})")
+            continue
+        if man.get("version") != v:
+            issues.append(
+                f"version {v}: manifest claims version {man.get('version')}"
+            )
+        for d in _manifest_dirs(man):
+            referenced.add(d.split("/", 1)[0])
+            if not fs.exists(Path(f"{path}/{d}")):
+                issues.append(f"version {v}: missing data dir {d}")
+        dv = man.get("_dv")
+        if dv and not fs.exists(Path(f"{path}/_dv/{dv}")):
+            issues.append(f"version {v}: missing deletion vector _dv/{dv}")
+    # sidecars for versions that no longer resolve
+    for side in ("_zonemaps", "_blooms"):
+        sdir = Path(f"{path}/{side}")
+        if not fs.exists(sdir):
+            continue
+        for st in fs.listStatus(sdir):
+            name = st.getPath().getName()
+            head = name.split(".", 1)[0]
+            if head.isdigit() and int(head) not in committed:
+                issues.append(
+                    f"stale sidecar {side}/{name} (version {head} expired)"
+                )
+    # deletion-vector files no manifest names: crashed DV writers
+    dv_dir = Path(f"{path}/_dv")
+    if fs.exists(dv_dir):
+        live_dvs = set()
+        for v in committed:
+            try:
+                name = read_manifest(spark, path, v).get("_dv")
+            except Exception:
+                continue
+            if name:
+                live_dvs.add(name)
+        for st in fs.listStatus(dv_dir):
+            name = st.getPath().getName()
+            if name.startswith("dv-") and name not in live_dvs:
+                issues.append(
+                    f"unreferenced deletion vector _dv/{name} "
+                    "(vacuum reclaims)"
+                )
+    # unmanifested, unreferenced v= dirs: crashed writers
+    root = Path(path)
+    known = {f"v={v}" for v in committed} | referenced
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name not in known:
+            issues.append(f"orphan data dir {name} (no manifest; vacuum reclaims)")
+    return issues
 
 
 def rollback(
@@ -897,12 +996,28 @@ def rollback(
         [], StructType.fromJson(man["_schema"])
     )
     part = man.get("_partition_by") or None
+    # carry the target's commit meta (compact_snapshot's convention):
+    # a restored DV version must keep naming its deletion-vector
+    # sidecar (`_dv`), constraint records stay honest, etc.
+    carried_meta = {
+        k: v
+        for k, v in man.items()
+        if k
+        not in (
+            "version",
+            "data_dir",
+            "data_dirs",
+            "committed_at",
+            "_schema",
+            "_partition_by",
+        )
+    }
     return commit_version(
         empty,
         path,
         partition_by=part,
         carry_dirs=_manifest_dirs(man),
-        meta={**(meta or {}), "restored_from": to_version},
+        meta={**carried_meta, **(meta or {}), "restored_from": to_version},
     )
 
 
@@ -961,6 +1076,30 @@ def vacuum(
         fs.delete(Path(f"{_manifest_dir(path)}/{v}.json"), False)
         if v not in referenced:
             fs.delete(Path(_data_dir(path, v)), True)
+        # derived sidecars (zone maps / bloom indexes) describe ONE
+        # version; once it stops resolving they are dead weight
+        for side in ("_zonemaps", "_blooms"):
+            sdir = Path(f"{path}/{side}")
+            if not fs.exists(sdir):
+                continue
+            for st in fs.listStatus(sdir):
+                # names are <version>.parquet / <version>.<col>.parquet
+                if st.getPath().getName().startswith(f"{v}."):
+                    fs.delete(st.getPath(), True)
+    # deletion-vector sidecars are SHARED (rollback re-references them):
+    # reap only dv files no kept manifest names
+    dv_dir = Path(f"{path}/_dv")
+    if fs.exists(dv_dir):
+        live_dvs = set()
+        for v in keep:
+            name = read_manifest(spark, path, v).get("_dv")
+            if name:
+                live_dvs.add(name)
+        for st in fs.listStatus(dv_dir):
+            name = st.getPath().getName()
+            if name.startswith("dv-") and name not in live_dvs:
+                if now_ms - st.getModificationTime() >= orphan_grace * 1000.0:
+                    fs.delete(st.getPath(), True)
     root = Path(path)
     if fs.exists(root):
         for st in fs.listStatus(root):

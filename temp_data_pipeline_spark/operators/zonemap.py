@@ -278,12 +278,25 @@ def read_version_skipped(
     scans with ``basePath`` at that root, so hive partition columns
     survive explicit-file reads across carried directories. An empty
     survivor set returns an empty frame with the manifest schema."""
+    version = _resolve_version(spark, path, version)
+    files = select_files(spark, path, predicates, version)
+    return _read_files(spark, path, version, files).filter(
+        _row_condition(predicates)
+    )
+
+
+def _read_files(
+    spark: SparkSession, path: str, version: int, files: list[str]
+) -> DataFrame:
+    """Scan an explicit file list of a version: files group by their
+    ``v=<N>`` root and each group scans with ``basePath`` at that
+    root, so hive partition columns survive explicit-file reads
+    across carried directories. An empty list returns an empty frame
+    with the manifest schema."""
     from functools import reduce
 
     from pyspark.sql.types import StructType
 
-    version = _resolve_version(spark, path, version)
-    files = select_files(spark, path, predicates, version)
     man = read_manifest(spark, path, version)
     schema = (
         StructType.fromJson(man["_schema"]) if "_schema" in man else None
@@ -292,10 +305,8 @@ def read_version_skipped(
         if schema is None:
             # legacy manifest without a recorded schema: infer from data
             schema = read_version(spark, path, version).schema
-        return spark.createDataFrame([], schema).filter(
-            _row_condition(predicates)
-        )
-    # group by version root: file paths look like .../<table>/v=3/[part=x/]f.parquet
+        return spark.createDataFrame([], schema)
+    # file paths look like .../<table>/v=3/[part=x/]f.parquet
     marker = "/v="
     by_root: dict[str, list[str]] = {}
     for f in files:
@@ -310,11 +321,10 @@ def read_version_skipped(
         r = spark.read.schema(schema) if schema is not None else spark.read
         return r.option("basePath", root).parquet(*sorted(fl))
 
-    out = reduce(
+    return reduce(
         lambda a, b: a.unionByName(b),
         [_scan(root, fl) for root, fl in sorted(by_root.items())],
     )
-    return out.filter(_row_condition(predicates))
 
 
 def zorder_key(
@@ -444,6 +454,12 @@ def optimize_zorder(
     freshness — is the problem. Note: z-ordering flattens any hive
     partition layout into the sort; tables relying on partition-level
     COW maintenance should compact back afterwards."""
+    from temp_data_pipeline_spark.operators.versioned import _require_no_dv
+
+    _require_no_dv(
+        read_manifest(spark, path, _resolve_version(spark, path, None)),
+        "optimize_zorder",
+    )
     df = read_version(spark, path)
     n_cells = 1 << bits
     if equidepth:
@@ -692,36 +708,71 @@ def read_version_bloom(
     whose filters admit ``column = value``, then apply the real
     equality filter (false positives fall out here) — result ≡
     ``read_version(...).filter(col == value)`` always."""
-    from functools import reduce
-
-    from pyspark.sql.types import StructType
-
     version = _resolve_version(spark, path, version)
     files = bloom_select_files(spark, path, column, value, version)
-    man = read_manifest(spark, path, version)
-    schema = (
-        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    return _read_files(spark, path, version, files).filter(
+        F.col(column) == F.lit(value)
     )
-    if not files:
-        if schema is None:
-            schema = read_version(spark, path, version).schema
-        return spark.createDataFrame([], schema).filter(
-            F.col(column) == F.lit(value)
+
+
+def scan_version(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """The UNIFIED data-skipping read: consult every sidecar the
+    version has and intersect their file verdicts — zone maps prune
+    on whichever predicate columns they cover (others are simply not
+    used for skipping), each ``=`` conjunct additionally probes its
+    column's Bloom index when one exists. With no sidecar at all this
+    degrades to a plain ``read_version`` scan. The full predicate
+    conjunction is ALWAYS applied as a row filter, so whatever
+    sidecars exist only reduce files opened, never change results —
+    the one entry point a reader needs (Delta's reader-side skipping
+    composition)."""
+    version = _resolve_version(spark, path, version)
+    candidates: list[str] | None = None
+
+    def _meet(files: list[str]) -> None:
+        nonlocal candidates
+        candidates = (
+            files
+            if candidates is None
+            else [f for f in candidates if f in set(files)]
         )
-    marker = "/v="
-    by_root: dict[str, list[str]] = {}
-    for f in files:
-        i = f.rfind(marker)
-        j = f.find("/", i + 1)
-        root = f[:j] if j > 0 else f
-        by_root.setdefault(root, []).append(f)
 
-    def _scan(root: str, fl: list[str]) -> DataFrame:
-        r = spark.read.schema(schema) if schema is not None else spark.read
-        return r.option("basePath", root).parquet(*sorted(fl))
-
-    out = reduce(
-        lambda a, b: a.unionByName(b),
-        [_scan(root, fl) for root, fl in sorted(by_root.items())],
+    try:
+        zm = read_zone_maps(spark, path, version)
+        covered = [
+            p for p in predicates if f"stats_{p[0]}" in zm.columns
+        ]
+        if covered:
+            _meet(
+                [
+                    r["file"]
+                    for r in zm.filter(_keep_condition(covered))
+                    .select("file")
+                    .collect()
+                ]
+            )
+    except FileNotFoundError:
+        pass
+    fs, jvm = _fs(spark, path)
+    for p in predicates:
+        if p[1] != "=":
+            continue
+        col, _, value = p
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_blooms/{version}.{col}.parquet"
+            )
+        ):
+            _meet(bloom_select_files(spark, path, col, value, version))
+    if candidates is None:
+        return read_version(spark, path, version).filter(
+            _row_condition(predicates)
+        )
+    return _read_files(spark, path, version, candidates).filter(
+        _row_condition(predicates)
     )
-    return out.filter(F.col(column) == F.lit(value))

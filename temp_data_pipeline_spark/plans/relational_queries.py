@@ -806,3 +806,50 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_delete_mor",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE NOT (o_custkey % 10 = 3)
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Merge-on-read DELETE via positional deletion vectors "
+        "(operators/deletion_vectors.py): commit orders, delete every "
+        "customer-%10=3 row as a (file, row_index) sidecar — zero "
+        "data files rewritten, cost scales with matches — then read "
+        "through the DV-aware reader (broadcast anti-join on the "
+        "positions, map-side). Must equal the plain negated WHERE; "
+        "note DuckDB's NOT(x%10=3) keeps NULL o_custkey rows exactly "
+        "like the DV reader's SQL-DELETE null semantics."
+    ),
+)
+def q_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="mor_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(8), path)
+        commit_delete_mor(spark, path, "o_custkey % 10 = 3")
+        return (
+            read_table(spark, path)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -102,6 +102,7 @@ def stream_append_versioned(
     checkpoint: str,
     *,
     partition_by: list[str] | None = None,
+    stats_columns: list[str] | None = None,
     available_now: bool = True,
 ):
     """Exactly-once streaming appends into a VERSIONED table
@@ -122,16 +123,24 @@ def stream_append_versioned(
     maintenance commits (compaction, COW deletes) never reopen the
     door to duplicates.
 
+    ``stats_columns`` keeps the table SKIPPABLE while it ingests:
+    after each commit the zone-map sidecar is refreshed incrementally
+    (``write_zone_maps(incremental_from=prev)`` — only the new
+    batch's files are scanned, prior rows are carried), so batch
+    readers can ``read_version_skipped`` the live table at any time.
+
     Returns the started query. At 100 TB: each trigger costs the
-    batch's partitions plus one JSON manifest; schedule
-    ``compact_snapshot`` + ``vacuum`` to bound manifest-chain length,
-    exactly as for batch ``carry_from`` appenders.
+    batch's partitions plus one JSON manifest (plus one batch-sized
+    stats scan with ``stats_columns``); schedule ``compact_snapshot``
+    + ``vacuum`` to bound manifest-chain length, exactly as for batch
+    ``carry_from`` appenders.
     """
     from temp_data_pipeline_spark.operators.versioned import (
         commit_version,
         read_manifest,
         versions,
     )
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -148,13 +157,27 @@ def stream_append_versioned(
             # of this batch is also empty, so skipping keeps the
             # exactly-once contract without advancing the mark)
             return
-        commit_version(
+        prev = vs[-1] if vs else None
+        v = commit_version(
             batch_df,
             path,
             partition_by=partition_by,
-            carry_from=vs[-1] if vs else None,
+            carry_from=prev,
             meta={"_stream_batch_id": batch_id},
         )
+        if stats_columns:
+            try:
+                write_zone_maps(
+                    spark,
+                    path,
+                    stats_columns,
+                    version=v,
+                    incremental_from=prev,
+                )
+            except FileNotFoundError:
+                # no prior sidecar (first batch, or maintenance reset):
+                # full build — still batch-sized on a first commit
+                write_zone_maps(spark, path, stats_columns, version=v)
 
     w = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -1,0 +1,188 @@
+"""Merge-on-read deletes (operators/deletion_vectors.py).
+
+The contract: `read_table` after `commit_delete_mor` equals the plain
+filter — while NO data dir is rewritten (the commit is positions +
+manifest only); `materialize_deletes` compacts back to a DV-free
+table with identical rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.deletion_vectors import (
+    commit_delete_mor,
+    has_deletes,
+    materialize_deletes,
+    read_dv,
+    read_table,
+)
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    read_version,
+    versions,
+)
+
+
+def _mtimes(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        if "/_dv" in dirpath or "/_manifest" in dirpath:
+            continue
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "mor")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7}", i * 1.0) for i in range(1000)],
+        "k long, user string, val double",
+    )
+    commit_version(df.repartition(8), path)
+    return path
+
+
+def test_delete_is_logical_and_transparent(spark, table):
+    before = _mtimes(table)
+    v = commit_delete_mor(spark, table, F.col("user") == "u3")
+    assert v == 2 and has_deletes(spark, table, v)
+    # zero data files rewritten: every pre-existing byte untouched
+    after = _mtimes(table)
+    assert all(after[p] == t for p, t in before.items())
+    got = {r["k"] for r in read_table(spark, table).collect()}
+    want = {
+        r["k"]
+        for r in read_version(spark, table, 1)
+        .filter(F.col("user") != "u3")
+        .collect()
+    }
+    assert got == want and len(got) < 1000
+    # time travel: v1 still shows everything
+    assert read_version(spark, table, 1).count() == 1000
+    # lower-level readers see PRE-delete rows by contract
+    assert read_version(spark, table, v).count() == 1000
+
+
+def test_deletes_accumulate_and_dedupe(spark, table):
+    v2 = commit_delete_mor(spark, table, "user = 'u1'")
+    v3 = commit_delete_mor(spark, table, "user = 'u2'")
+    assert v3 == v2 + 1
+    got = {r["user"] for r in read_table(spark, table).collect()}
+    assert got == {"u0", "u3", "u4", "u5", "u6"}
+    # re-deleting already-deleted rows is a no-op (no new version)
+    assert commit_delete_mor(spark, table, "user = 'u1'") == v3
+    assert versions(spark, table)[-1] == v3
+    # DV holds each position once
+    dv = read_dv(spark, table, v3)
+    assert dv.count() == dv.distinct().count()
+
+
+def test_null_predicate_rows_are_kept(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "mornull")
+    commit_version(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 99.0)], "k long, t double"
+        ),
+        path,
+    )
+    commit_delete_mor(spark, path, F.col("t") > 50)
+    assert {r["k"] for r in read_table(spark, path).collect()} == {1, 2}
+
+
+def test_materialize_compacts_to_dv_free(spark, table):
+    commit_delete_mor(spark, table, "user = 'u5'")
+    v = materialize_deletes(spark, table)
+    assert not has_deletes(spark, table, v)
+    got = {r["k"] for r in read_version(spark, table, v).collect()}
+    want = {r["k"] for r in read_table(spark, table, v - 1).collect()}
+    assert got == want
+    # the compacted table reads identically through both entry points
+    assert {r["k"] for r in read_table(spark, table, v).collect()} == want
+
+
+def test_dv_on_carried_append_chain(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "morchain")
+    commit_version(
+        spark.createDataFrame([(i, "old") for i in range(50)], "k long, tag string"),
+        path,
+    )
+    commit_version(
+        spark.createDataFrame([(i, "new") for i in range(50, 100)], "k long, tag string"),
+        path,
+        carry_from=1,
+    )
+    commit_delete_mor(spark, path, "k % 10 = 0")  # hits BOTH dirs
+    got = {r["k"] for r in read_table(spark, path).collect()}
+    assert got == {k for k in range(100) if k % 10 != 0}
+
+
+def test_rollback_preserves_deletes(spark, table):
+    """A restored DV version must keep subtracting its sidecar — the
+    manifest names the immutable dv file, rollback carries the meta."""
+    from temp_data_pipeline_spark.operators.versioned import rollback
+
+    v_dv = commit_delete_mor(spark, table, "user = 'u4'")
+    commit_version(
+        spark.createDataFrame([(7777, "extra", 0.0)], "k long, user string, val double"),
+        table,
+        carry_from=v_dv,
+    )
+    v_restored = rollback(spark, table, v_dv)
+    assert has_deletes(spark, table, v_restored)
+    got = {r["user"] for r in read_table(spark, table, v_restored).collect()}
+    assert "u4" not in got and "extra" not in got
+
+
+def test_vacuum_keeps_referenced_dv_reaps_orphans(spark, table, tmp_path):
+    import pathlib
+
+    from temp_data_pipeline_spark.operators.versioned import vacuum, verify_table
+
+    commit_delete_mor(spark, table, "user = 'u6'")
+    # orphan dv: crashed writer's sidecar no manifest names
+    orphan = pathlib.Path(table) / "_dv" / "dv-deadbeef.parquet"
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "part-0.parquet").write_bytes(b"junk")
+    issues = "\n".join(verify_table(spark, table))
+    assert "unreferenced deletion vector _dv/dv-deadbeef.parquet" in issues
+    vacuum(spark, table, keep_last=1, orphan_grace=0)
+    names = sorted(p.name for p in (pathlib.Path(table) / "_dv").iterdir())
+    assert "dv-deadbeef.parquet" not in names
+    assert len(names) == 1  # the referenced DV survived
+    got = {r["user"] for r in read_table(spark, table).collect()}
+    assert "u6" not in got and len(got) == 6
+
+
+def test_append_on_dv_table_keeps_deletes(spark, table):
+    v_dv = commit_delete_mor(spark, table, "user = 'u0'")
+    commit_version(
+        spark.createDataFrame(
+            [(5000, "u9", 1.0)], "k long, user string, val double"
+        ),
+        table,
+        carry_from=v_dv,
+    )
+    got = {r["user"] for r in read_table(spark, table).collect()}
+    assert "u0" not in got and "u9" in got
+
+
+def test_rewrite_maintenance_refuses_on_dv(spark, table):
+    from temp_data_pipeline_spark.operators.versioned import compact_snapshot
+    from temp_data_pipeline_spark.operators.zonemap import optimize_zorder
+
+    commit_delete_mor(spark, table, "user = 'u2'")
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        compact_snapshot(spark, table)
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        optimize_zorder(spark, table, ["val"], target_files=4)
+    # after materializing, both work again
+    materialize_deletes(spark, table)
+    v = optimize_zorder(spark, table, ["val"], target_files=4)
+    assert not has_deletes(spark, table, v)

@@ -318,3 +318,34 @@ def test_stream_versioned_query_matches_oracle(spark):
     from tests.oracle_harness import compare_query
 
     compare_query(spark, STREAMING_QUERIES["q_stream_versioned"], SF_SMOKE)
+
+
+def test_stream_append_versioned_maintains_zone_maps(spark, tmp_path):
+    """stats_columns keeps the sidecar fresh per micro-batch, so the
+    live table is skippable mid-ingestion."""
+    from temp_data_pipeline_spark.operators.versioned import versions
+    from temp_data_pipeline_spark.operators.zonemap import (
+        read_version_skipped,
+        read_zone_maps,
+    )
+    from temp_data_pipeline_spark.streaming.sink import stream_append_versioned
+
+    src = str(tmp_path / "zin")
+    schema = "k long, v double"
+    spark.createDataFrame([(i, float(i)) for i in range(100)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(i, float(i)) for i in range(100, 200)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    dest, ckpt = str(tmp_path / "ztab"), str(tmp_path / "zck")
+    q = stream_append_versioned(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        dest,
+        ckpt,
+        stats_columns=["v"],
+    )
+    q.awaitTermination()
+    latest = versions(spark, dest)[-1]
+    zm = read_zone_maps(spark, dest, latest)
+    assert zm.count() == 2  # one file per micro-batch, both covered
+    out = read_version_skipped(spark, dest, [("v", ">=", 150.0)], version=latest)
+    assert out.count() == 50

@@ -374,3 +374,53 @@ class TestRollback:
         vacuum(spark, path, keep_last=1, orphan_grace=0)
         # v=1's bytes are carried by the restored version → still alive
         assert {r["k"] for r in read_version(spark, path).collect()} == {1}
+
+
+class TestVerifyTable:
+    def test_healthy_table_reports_nothing(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import verify_table
+
+        p = str(tmp_path / "ok")
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        commit_version(_df(spark, [(2, "b", 20)]), p, carry_from=1)
+        assert verify_table(spark, p) == []
+
+    def test_detects_missing_dir_stale_sidecar_and_orphan(self, spark, tmp_path):
+        import shutil as _shutil
+
+        from temp_data_pipeline_spark.operators.versioned import (
+            vacuum,
+            verify_table,
+        )
+        from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+        p = str(tmp_path / "sick")
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        write_zone_maps(spark, p, ["k"])
+        commit_version(_df(spark, [(2, "b", 20)]), p, carry_from=1)
+        # orphan: crashed writer's unmanifested dir
+        _df(spark, [(9, "ghost", 1)]).write.parquet(f"{p}/v=9")
+        # missing carried dir: simulate a mis-scoped external cleanup
+        _shutil.rmtree(f"{p}/v=1")
+        issues = "\n".join(verify_table(spark, p))
+        assert "missing data dir v=1" in issues
+        assert "orphan data dir v=9" in issues
+        # stale sidecar: expire version 1 (its zone maps linger only if
+        # vacuum is bypassed — simulate by restoring dir then expiring
+        # manifests without the sidecar sweep)
+        assert "stale sidecar" not in issues  # not stale yet
+
+    def test_detects_stale_sidecar(self, spark, tmp_path):
+        import os as _os
+
+        from temp_data_pipeline_spark.operators.versioned import verify_table
+        from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+        p = str(tmp_path / "stale")
+        commit_version(_df(spark, [(1, "a", 10)]), p)
+        write_zone_maps(spark, p, ["k"])
+        commit_version(_df(spark, [(2, "b", 20)]), p)
+        # expire v1 the crude way (manifest removal only)
+        _os.remove(f"{p}/_manifest/1.json")
+        issues = "\n".join(verify_table(spark, p))
+        assert "stale sidecar _zonemaps/1.parquet" in issues

@@ -442,3 +442,61 @@ class TestIncrementalZoneMaps:
             write_zone_maps(
                 spark, path, ["id", "nope"], version=v2, incremental_from=1
             )
+
+
+def test_scan_version_composes_all_sidecars(spark, tmp_path):
+    """Unified entry point: zone maps prune the range conjunct, the
+    Bloom index prunes the equality, verdicts intersect; missing
+    sidecars degrade gracefully to a full scan."""
+    from temp_data_pipeline_spark.operators.zonemap import (
+        scan_version,
+        write_bloom_index,
+    )
+
+    path = os.path.join(str(tmp_path), "unified")
+    df = spark.range(0, 8000).select(
+        F.col("id"),
+        (F.col("id") % 80).alias("x"),
+        (F.col("id") * 7919 % 8000).alias("key"),
+    )
+    commit_version(df.repartition(8, "id"), path)
+    preds = [("x", ">=", 10), ("x", "<=", 20), ("key", "=", 4242)]
+    want = sorted(
+        tuple(r)
+        for r in read_version(spark, path)
+        .filter((F.col("x") >= 10) & (F.col("x") <= 20) & (F.col("key") == 4242))
+        .collect()
+    )
+    # no sidecars at all → plain scan, same rows
+    got0 = sorted(tuple(r) for r in scan_version(spark, path, preds).collect())
+    assert got0 == want
+    # zone maps only
+    write_zone_maps(spark, path, ["x"])
+    got1 = sorted(tuple(r) for r in scan_version(spark, path, preds).collect())
+    assert got1 == want
+    # + bloom on the equality column: still identical rows
+    write_bloom_index(spark, path, "key")
+    got2 = sorted(tuple(r) for r in scan_version(spark, path, preds).collect())
+    assert got2 == want
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_vacuum_reaps_sidecars_of_expired_versions(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import vacuum
+    from temp_data_pipeline_spark.operators.zonemap import write_bloom_index
+
+    path = os.path.join(str(tmp_path), "reap")
+    for lo in (0, 100, 200):
+        commit_version(
+            spark.range(lo, lo + 100).select(F.col("id")), path
+        )
+        write_zone_maps(spark, path, ["id"])
+        write_bloom_index(spark, path, "id")
+    vacuum(spark, path, keep_last=1, orphan_grace=0)
+    left_zm = sorted(os.listdir(os.path.join(path, "_zonemaps")))
+    left_bl = sorted(os.listdir(os.path.join(path, "_blooms")))
+    assert left_zm == ["3.parquet"]
+    assert left_bl == ["3.id.parquet"]
+    # surviving sidecar still serves the surviving version
+    assert len(select_files(spark, path, [("id", ">=", 250)])) >= 1
+    shutil.rmtree(path, ignore_errors=True)
