@@ -225,3 +225,121 @@ def materialize_deletes(
         partition_by=partition_by,
         meta={**(meta or {}), "materialized_from": latest},
     )
+
+
+def _commit_with_dv(
+    spark: SparkSession,
+    path: str,
+    base: int,
+    man: dict,
+    dv_new: DataFrame,
+    rows_new: DataFrame | None,
+    meta: dict | None,
+) -> int:
+    """Shared MOR commit: cumulative DV = base DV ∪ dv_new (deduped),
+    sidecar written first under a fresh name, then ONE metadata-level
+    commit appending ``rows_new`` (may be None/empty) that names it."""
+    from pyspark.sql.types import StructType
+
+    if man.get("_dv"):
+        base_dv = read_dv(spark, path, base)
+        dv_new = dv_new.join(
+            F.broadcast(base_dv), ["file", "pos"], "left_anti"
+        ).unionByName(base_dv)
+    name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
+    dv_new.coalesce(1).write.parquet(f"{path}/_dv/{name}")
+    schema = StructType.fromJson(man["_schema"])
+    if rows_new is None:
+        rows_new = spark.createDataFrame([], schema)
+    return commit_version(
+        rows_new,
+        path,
+        partition_by=man.get("_partition_by") or None,
+        carry_dirs=_manifest_dirs(man),
+        meta={**(meta or {}), "_dv": name},
+    )
+
+
+def commit_update_mor(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    set_exprs: dict[str, object],
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Merge-on-read UPDATE: rows matching ``predicate`` are DV'd out
+    of their files and re-appended with ``set_exprs`` applied
+    (``{"col": Column-or-SQL}``) — the Delta DV-based UPDATE. One
+    position-finding scan + one write of ONLY the updated rows; no
+    partition is rewritten, cost scales with matches. NULL predicate
+    rows are untouched (SQL semantics). Returns the new version, or
+    the current one when nothing matches."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    base = _resolve_version(spark, path, None)
+    man = read_manifest(spark, path, base)
+    tagged = _scan_with_positions(spark, path, base)
+    if man.get("_dv"):
+        dv0 = read_dv(spark, path, base).select(
+            F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+        )
+        tagged = tagged.join(
+            F.broadcast(dv0), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    matched = tagged.filter(F.coalesce(predicate, F.lit(False)))
+    if matched.isEmpty():
+        return base
+    dv_new = matched.select(
+        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+    )
+    data_cols = [
+        c for c in matched.columns if c not in ("_dv_file", "_dv_pos")
+    ]
+    updated = matched.select(*data_cols)
+    for col, expr in set_exprs.items():
+        if col not in data_cols:
+            raise ValueError(f"SET targets unknown column {col!r}")
+        updated = updated.withColumn(
+            col, F.expr(expr) if isinstance(expr, str) else expr
+        )
+    return _commit_with_dv(spark, path, base, man, dv_new, updated, meta)
+
+
+def commit_upsert_mor(
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Merge-on-read MERGE (upsert): base rows whose key appears in
+    ``updates`` are DV'd out, and the update batch is appended as one
+    new data dir — WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT at
+    O(matches + batch) cost, no partition rewrites, no partition-
+    stability contract (keys MAY move partitions, unlike the COW
+    merge). The update batch must be key-unique (resolve
+    last-writer-wins upstream via operators/upsert.keep_latest).
+    First commit on an empty table = the updates themselves."""
+    from temp_data_pipeline_spark.operators.versioned import versions
+
+    spark = updates.sparkSession
+    vs = versions(spark, path)
+    if not vs:
+        return commit_version(updates, path, meta=meta)
+    base = vs[-1]
+    man = read_manifest(spark, path, base)
+    tagged = _scan_with_positions(spark, path, base)
+    if man.get("_dv"):
+        dv0 = read_dv(spark, path, base).select(
+            F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+        )
+        tagged = tagged.join(
+            F.broadcast(dv0), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    # keys-only semi join finds the displaced positions: nothing but
+    # keys and positions shuffle
+    dv_new = tagged.join(
+        updates.select(*keys).distinct(), keys, "left_semi"
+    ).select(F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos"))
+    return _commit_with_dv(spark, path, base, man, dv_new, updates, meta)

@@ -853,3 +853,55 @@ def q_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_update_mor",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_custkey % 10 = 4
+                THEN o_totalprice + 1000000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Merge-on-read UPDATE via deletion vectors "
+        "(deletion_vectors.commit_update_mor): matching rows are DV'd "
+        "out of their files and re-appended with the SET applied — "
+        "cost scales with matches, zero partitions rewritten (the "
+        "Delta DV-based UPDATE). The DV-aware read must equal the "
+        "plain CASE projection over the raw table."
+    ),
+)
+def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_update_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="morup_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(8), path)
+        commit_update_mor(
+            spark,
+            path,
+            "o_custkey % 10 = 4",
+            {"o_totalprice": "o_totalprice + 1000000.0"},
+        )
+        return (
+            read_table(spark, path)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -186,3 +186,53 @@ def test_rewrite_maintenance_refuses_on_dv(spark, table):
     materialize_deletes(spark, table)
     v = optimize_zorder(spark, table, ["val"], target_files=4)
     assert not has_deletes(spark, table, v)
+
+
+def test_update_mor_rewrites_only_matches(spark, table):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_update_mor,
+    )
+
+    before = _mtimes(table)
+    v = commit_update_mor(
+        spark, table, "user = 'u1'", {"val": F.col("val") + 100000.0}
+    )
+    after = _mtimes(table)
+    assert all(after[p] == t for p, t in before.items())  # no rewrite
+    got = read_table(spark, table, v)
+    assert got.count() == 1000  # updates, not deletes
+    u1 = got.filter(F.col("user") == "u1")
+    assert u1.filter(F.col("val") < 100000.0).count() == 0
+    others = got.filter(F.col("user") != "u1")
+    assert others.filter(F.col("val") >= 100000.0).count() == 0
+    # no-op predicate returns the current version
+    assert commit_update_mor(spark, table, "user = 'zz'", {"val": F.lit(0.0)}) == v
+
+
+def test_upsert_mor_updates_and_inserts(spark, table):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_upsert_mor,
+    )
+
+    updates = spark.createDataFrame(
+        [(0, "u0", -1.0), (1, "u1", -2.0), (9999, "new", -3.0)],
+        "k long, user string, val double",
+    )
+    v = commit_upsert_mor(updates, table, ["k"])
+    got = {r["k"]: r["val"] for r in read_table(spark, table, v).collect()}
+    assert got[0] == -1.0 and got[1] == -2.0 and got[9999] == -3.0
+    assert len(got) == 1001  # 1000 base + 1 insert, matched keys replaced
+    # chained MOR ops compose: delete on top of the upsert
+    v2 = commit_delete_mor(spark, table, "k = 9999")
+    assert 9999 not in {
+        r["k"] for r in read_table(spark, table, v2).collect()
+    }
+
+
+def test_update_mor_unknown_column_rejected(spark, table):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_update_mor,
+    )
+
+    with pytest.raises(ValueError, match="unknown column"):
+        commit_update_mor(spark, table, "k = 1", {"nope": F.lit(1)})
