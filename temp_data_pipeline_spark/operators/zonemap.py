@@ -286,13 +286,20 @@ def read_version_skipped(
 
 
 def _read_files(
-    spark: SparkSession, path: str, version: int, files: list[str]
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    *,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Scan an explicit file list of a version: files group by their
     ``v=<N>`` root and each group scans with ``basePath`` at that
     root, so hive partition columns survive explicit-file reads
     across carried directories. An empty list returns an empty frame
-    with the manifest schema."""
+    with the manifest schema. ``with_positions`` prepends the
+    (_dv_file, _dv_pos) metadata columns deletion vectors subtract
+    on."""
     from functools import reduce
 
     from pyspark.sql.types import StructType
@@ -305,7 +312,14 @@ def _read_files(
         if schema is None:
             # legacy manifest without a recorded schema: infer from data
             schema = read_version(spark, path, version).schema
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if with_positions:
+            empty = empty.select(
+                F.lit(None).cast("string").alias("_dv_file"),
+                F.lit(None).cast("long").alias("_dv_pos"),
+                *empty.columns,
+            )
+        return empty
     # file paths look like .../<table>/v=3/[part=x/]f.parquet
     marker = "/v="
     by_root: dict[str, list[str]] = {}
@@ -319,7 +333,14 @@ def _read_files(
 
     def _scan(root: str, fl: list[str]) -> DataFrame:
         r = spark.read.schema(schema) if schema is not None else spark.read
-        return r.option("basePath", root).parquet(*sorted(fl))
+        branch = r.option("basePath", root).parquet(*sorted(fl))
+        if with_positions:
+            branch = branch.select(
+                F.col("_metadata.file_path").alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+                *branch.columns,
+            )
+        return branch
 
     return reduce(
         lambda a, b: a.unionByName(b),
@@ -730,7 +751,10 @@ def scan_version(
     conjunction is ALWAYS applied as a row filter, so whatever
     sidecars exist only reduce files opened, never change results —
     the one entry point a reader needs (Delta's reader-side skipping
-    composition)."""
+    composition). Merge-on-read deletes compose too: when the version
+    carries a deletion vector, the pruned scan reads WITH row
+    positions and subtracts the broadcast DV, so scan_version always
+    equals ``deletion_vectors.read_table(...).filter(...)``."""
     version = _resolve_version(spark, path, version)
     candidates: list[str] | None = None
 
@@ -769,10 +793,31 @@ def scan_version(
             )
         ):
             _meet(bloom_select_files(spark, path, col, value, version))
-    if candidates is None:
-        return read_version(spark, path, version).filter(
-            _row_condition(predicates)
-        )
-    return _read_files(spark, path, version, candidates).filter(
-        _row_condition(predicates)
+    # a DV version must subtract its deletion vector or the "one entry
+    # point" would resurrect deleted rows that low-level readers hide
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        has_deletes,
+        read_dv,
+        read_table,
     )
+
+    dv_aware = has_deletes(spark, path, version)
+    if candidates is None:
+        base = (
+            read_table(spark, path, version)
+            if dv_aware
+            else read_version(spark, path, version)
+        )
+        return base.filter(_row_condition(predicates))
+    out = _read_files(
+        spark, path, version, candidates, with_positions=dv_aware
+    )
+    if dv_aware:
+        dv = read_dv(spark, path, version).select(
+            F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+        )
+        keep = [c for c in out.columns if c not in ("_dv_file", "_dv_pos")]
+        out = out.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        ).select(*keep)
+    return out.filter(_row_condition(predicates))

@@ -500,3 +500,37 @@ def test_vacuum_reaps_sidecars_of_expired_versions(spark, tmp_path):
     # surviving sidecar still serves the surviving version
     assert len(select_files(spark, path, [("id", ">=", 250)])) >= 1
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_scan_version_subtracts_deletion_vectors(spark, tmp_path):
+    """The unified entry point must equal read_table + filter on a DV
+    table — both on the pruned path (sidecars present) and the
+    fallback path (no sidecars)."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.zonemap import scan_version
+
+    path = os.path.join(str(tmp_path), "dvscan")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 40).alias("x")
+    )
+    commit_version(df.repartition(4), path)
+    commit_delete_mor(spark, path, "id % 5 = 0")
+    preds = [("x", ">=", 10), ("x", "<=", 12)]
+    want = sorted(
+        r["id"]
+        for r in read_table(spark, path)
+        .filter((F.col("x") >= 10) & (F.col("x") <= 12))
+        .collect()
+    )
+    # fallback path (no sidecars yet)
+    got_fb = sorted(r["id"] for r in scan_version(spark, path, preds).collect())
+    assert got_fb == want
+    # pruned path (zone maps on the DV version)
+    write_zone_maps(spark, path, ["x"])
+    got_pr = sorted(r["id"] for r in scan_version(spark, path, preds).collect())
+    assert got_pr == want
+    assert all(i % 5 != 0 for i in want) and want
+    shutil.rmtree(path, ignore_errors=True)
