@@ -179,27 +179,47 @@ def commit_delete_mor(
     )
 
 
+
+# above this many deleted positions the forced broadcast would strain
+# the driver (~24 bytes/entry -> ~1.2 GB at 50M); fall back to a plain
+# shuffled anti-join, which AQE may still broadcast if it fits
+_DV_BROADCAST_MAX = 50_000_000
+
+
+def _subtract_dv(tagged: DataFrame, dv: DataFrame) -> DataFrame:
+    """Anti-join the (file,pos)-tagged frame against a DV: broadcast
+    while the DV is comfortably driver-sized (the common case — deletes
+    are a vanishing fraction of the table), shuffled past
+    ``_DV_BROADCAST_MAX`` positions. The size probe is one count over
+    the metadata-sized sidecar."""
+    dv2 = dv.select(
+        F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+    )
+    if dv.count() <= _DV_BROADCAST_MAX:
+        dv2 = F.broadcast(dv2)
+    out_cols = [c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")]
+    return tagged.join(dv2, ["_dv_file", "_dv_pos"], "left_anti").select(
+        *out_cols
+    )
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """The DV-aware read: visible rows of ``version`` — plain
     ``read_version`` when it carries no deletes, otherwise the
-    position-tagged scan minus the (broadcast) deletion vector. The
-    subtraction is a map-side broadcast anti-join on (file, pos): no
-    shuffle of the data, cost ≈ the plain scan plus a hash probe per
-    row."""
+    position-tagged scan minus the deletion vector. The subtraction
+    is a map-side broadcast anti-join on (file, pos) while the DV is
+    driver-sized (no shuffle of the data, cost ≈ the plain scan plus a
+    hash probe per row); a pathological DV past ``_DV_BROADCAST_MAX``
+    positions degrades to a shuffled anti-join instead of straining
+    the driver."""
     version = _resolve_version(spark, path, version)
     if not has_deletes(spark, path, version):
         return read_version(spark, path, version)
-    dv = read_dv(spark, path, version).select(
-        F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
-    )
+    dv = read_dv(spark, path, version)
     tagged = _scan_with_positions(spark, path, version)
-    out_cols = [c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")]
-    return (
-        tagged.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti")
-        .select(*out_cols)
-    )
+    return _subtract_dv(tagged, dv)
 
 
 def materialize_deletes(

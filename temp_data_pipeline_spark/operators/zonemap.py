@@ -796,6 +796,7 @@ def scan_version(
     # a DV version must subtract its deletion vector or the "one entry
     # point" would resurrect deleted rows that low-level readers hide
     from temp_data_pipeline_spark.operators.deletion_vectors import (
+        _subtract_dv,
         has_deletes,
         read_dv,
         read_table,
@@ -813,11 +814,5 @@ def scan_version(
         spark, path, version, candidates, with_positions=dv_aware
     )
     if dv_aware:
-        dv = read_dv(spark, path, version).select(
-            F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
-        )
-        keep = [c for c in out.columns if c not in ("_dv_file", "_dv_pos")]
-        out = out.join(
-            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-        ).select(*keep)
+        out = _subtract_dv(out, read_dv(spark, path, version))
     return out.filter(_row_condition(predicates))
