@@ -45,6 +45,13 @@ surviving rows into a fresh self-contained version (the COW
 counterpart), after which readers need no DV and vacuum can expire the
 DV'd history. The standard DV lifecycle: fast logical delete now,
 amortized physical rewrite later.
+
+Concurrency contract: one writer per table, like every mutating op in
+this engine. Two RACING MOR commits would each compute a DV against
+the same base; the version-number race resolves (the loser renumbers)
+but the loser's manifest would not include the winner's deletions —
+the lost-update anomaly a Delta-style conflict checker exists to
+catch. Serialize mutations per table.
 """
 
 from __future__ import annotations

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.versioned import (
+    _require_no_dv,
     commit_cdc_cow,
     commit_version,
     read_manifest,
@@ -131,6 +132,7 @@ def build_agg_view(
     if not vs:
         raise FileNotFoundError(f"no committed versions under {base_path}")
     bv = base_version if base_version is not None else vs[-1]
+    _require_no_dv(read_manifest(spark, base_path, bv), "build_agg_view")
     out = agg(read_version(spark, base_path, bv))
     _check_agg(out, keys)
     pcol = partition_col or keys[0]
@@ -170,6 +172,11 @@ def refresh_agg_view(
     if base_latest == reflected:
         return view_latest
 
+    # the view aggregates read_version rows; a DV base would fold
+    # deleted rows back in — refuse like the other rewrite-readers
+    _require_no_dv(
+        read_manifest(spark, base_path, base_latest), "refresh_agg_view"
+    )
     base_then = read_version(spark, base_path, reflected)
     base_now = read_version(spark, base_path, base_latest)
     touched = _touched_groups(base_then, base_now, keys)

@@ -891,6 +891,44 @@ def compact_snapshot(
     )
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version —
+    (version, committed_at epoch seconds, n_data_dirs, carries
+    references?, has deletion vector?, restored_from, compacted_from,
+    extra commit-meta keys as JSON). Driver-side manifest walk
+    (KB of JSON), returned as a DataFrame for joins/filters."""
+    import json as _json
+
+    rows = []
+    reserved = {
+        "version", "data_dir", "data_dirs", "committed_at",
+        "_schema", "_partition_by", "_dv", "_checks",
+        "restored_from", "compacted_from",
+    }
+    for v in versions(spark, path):
+        man = read_manifest(spark, path, v)
+        dirs = _manifest_dirs(man)
+        extra = {k: man[k] for k in man if k not in reserved}
+        rows.append(
+            (
+                v,
+                float(man.get("committed_at", 0.0)),
+                len(dirs),
+                any(not d.startswith(f"v={v}") for d in dirs),
+                bool(man.get("_dv")),
+                man.get("restored_from"),
+                man.get("compacted_from"),
+                _json.dumps(extra, sort_keys=True, default=str),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, committed_at double, n_data_dirs int, "
+        "carries_refs boolean, has_dv boolean, restored_from int, "
+        "compacted_from int, meta_json string",
+    )
+
+
 def verify_table(spark: SparkSession, path: str) -> list[str]:
     """Read-only consistency check ("fsck for the lake"): walk every
     committed manifest and report anything a reader could trip over —

@@ -236,3 +236,49 @@ def test_update_mor_unknown_column_rejected(spark, table):
 
     with pytest.raises(ValueError, match="unknown column"):
         commit_update_mor(spark, table, "k = 1", {"nope": F.lit(1)})
+
+
+def test_dv_over_hive_partitioned_cow_table(spark, tmp_path):
+    """MOR delete on a COW-maintained table whose manifest carries
+    NESTED v=N/part=x entries: positions resolve through basePath
+    branches; further COW maintenance then refuses until
+    materialized."""
+    from temp_data_pipeline_spark.operators.versioned import commit_merge_cow
+
+    path = os.path.join(str(tmp_path), "morcow")
+    base = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", i) for i in range(100)],
+        "k long, part string, ts long",
+    )
+    commit_merge_cow(base, path, ["k"], "ts", "part")
+    upd = spark.createDataFrame(
+        [(1, "a", 1000)], "k long, part string, ts long"
+    )
+    commit_merge_cow(upd, path, ["k"], "ts", "part")  # nested carry of 'b'
+    commit_delete_mor(spark, path, "k % 7 = 0")
+    got = {r["k"] for r in read_table(spark, path).collect()}
+    assert got == {k for k in range(100) if k % 7 != 0}
+    assert read_table(spark, path).filter(F.col("k") == 1).first()["ts"] == 1000
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        commit_merge_cow(
+            spark.createDataFrame([(2, "a", 2000)], "k long, part string, ts long"),
+            path, ["k"], "ts", "part",
+        )
+
+
+def test_matview_refuses_dv_base(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.matview import build_agg_view
+
+    path = os.path.join(str(tmp_path), "morview")
+    commit_version(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, g string"), path
+    )
+    commit_delete_mor(spark, path, "k = 1")
+
+    def agg(df):
+        return df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        build_agg_view(
+            spark, path, os.path.join(str(tmp_path), "v"), agg, ["g"]
+        )

@@ -424,3 +424,23 @@ class TestVerifyTable:
         _os.remove(f"{p}/_manifest/1.json")
         issues = "\n".join(verify_table(spark, p))
         assert "stale sidecar _zonemaps/1.parquet" in issues
+
+
+def test_history_describes_commits(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import history, rollback
+
+    p = str(tmp_path / "hist")
+    commit_version(_df(spark, [(1, "a", 10)]), p, meta={"job": "ingest"})
+    commit_version(_df(spark, [(2, "b", 20)]), p, carry_from=1)
+    commit_delete_mor(spark, p, "k = 1")
+    rollback(spark, p, 2)
+    h = {r["version"]: r for r in history(spark, p).collect()}
+    assert sorted(h) == [1, 2, 3, 4]
+    assert not h[1]["carries_refs"] and h[2]["carries_refs"]
+    assert h[3]["has_dv"] and not h[4]["has_dv"]
+    assert h[4]["restored_from"] == 2
+    assert '"job": "ingest"' in h[1]["meta_json"]
+    assert all(h[v]["committed_at"] > 0 for v in h)
