@@ -795,3 +795,94 @@ def test_cow_chain_equals_full_rewrite_chain(spark, tmp_path_factory, seed):
     # earlier COW versions unchanged by later commits
     for v, want in history.items():
         assert sorted(map(tuple, read_version(spark, p_cow, v).collect())) == want
+
+
+@given(seed=st.integers(0, 10**9))
+@settings(max_examples=10, deadline=None)
+def test_mor_chain_equals_model(spark, tmp_path_factory, seed):
+    """Merge-on-read invariant: any interleaving of appends, DV
+    deletes, DV updates, DV upserts, rollbacks, and materializations
+    must keep read_table equal to a driver-side dict model at every
+    step — and earlier versions must stay byte-stable (positions are
+    defined over immutable files)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_update_mor,
+        commit_upsert_mor,
+        materialize_deletes,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        rollback,
+        versions,
+    )
+
+    rng = random.Random(seed)
+    p = str(tmp_path_factory.mktemp("mor") / "t")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, grp long, val long")
+
+    # model: k -> (grp, val)
+    model: dict[int, tuple[int, int]] = {
+        k: (k % 5, k * 10) for k in range(40)
+    }
+    commit_version(frame([(k, g, v) for k, (g, v) in model.items()]), p)
+    snapshots = {versions(spark, p)[-1]: dict(model)}
+
+    def check():
+        got = {
+            r["k"]: (r["grp"], r["val"])
+            for r in read_table(spark, p).collect()
+        }
+        assert got == model
+
+    next_k = 40
+    for _ in range(8):
+        op = rng.choice(["append", "delete", "update", "upsert", "rollback",
+                         "materialize"])
+        if op == "append":
+            rows = [(next_k + i, (next_k + i) % 5, rng.randint(0, 999))
+                    for i in range(rng.randint(1, 5))]
+            next_k += len(rows)
+            commit_version(frame(rows), p, carry_from=versions(spark, p)[-1])
+            model.update({k: (g, v) for k, g, v in rows})
+        elif op == "delete":
+            g = rng.randint(0, 4)
+            commit_delete_mor(spark, p, f"grp = {g}")
+            model = {k: gv for k, gv in model.items() if gv[0] != g}
+        elif op == "update":
+            g = rng.randint(0, 4)
+            commit_update_mor(
+                spark, p, f"grp = {g}", {"val": F.col("val") + 1}
+            )
+            model = {
+                k: (gv[0], gv[1] + 1 if gv[0] == g else gv[1])
+                for k, gv in model.items()
+            }
+        elif op == "upsert":
+            ks = rng.sample(sorted(model) + [next_k], k=min(3, len(model)))
+            rows = [(k, k % 5, rng.randint(0, 999)) for k in set(ks)]
+            next_k = max(next_k, max(k for k in set(ks)) + 1)
+            commit_upsert_mor(frame(rows), p, ["k"])
+            model.update({k: (g, v) for k, g, v in rows})
+        elif op == "rollback":
+            target = rng.choice(sorted(snapshots))
+            rollback(spark, p, target)
+            model = dict(snapshots[target])
+        else:
+            materialize_deletes(spark, p)
+        v_now = versions(spark, p)[-1]
+        snapshots[v_now] = dict(model)
+        check()
+    # every earlier snapshot still reads back exactly (immutability)
+    for v, m in snapshots.items():
+        got = {
+            r["k"]: (r["grp"], r["val"])
+            for r in read_table(spark, p, v).collect()
+        }
+        assert got == m, f"version {v} drifted"
