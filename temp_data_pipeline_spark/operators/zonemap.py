@@ -455,6 +455,7 @@ def optimize_zorder(
     target_files: int = 16,
     bits: int = 8,
     equidepth: bool = False,
+    partition_by: list[str] | None = None,
     meta: dict | None = None,
 ) -> int:
     """Rewrite the LATEST snapshot clustered by the Z-order of
@@ -472,9 +473,13 @@ def optimize_zorder(
     of the live snapshot, one stats scan.
     History stays queryable; like compact_snapshot this is a
     maintenance commit, scheduled when scan selectivity — not data
-    freshness — is the problem. Note: z-ordering flattens any hive
-    partition layout into the sort; tables relying on partition-level
-    COW maintenance should compact back afterwards."""
+    freshness — is the problem.
+
+    By default z-ordering flattens any hive partition layout into the
+    sort. Pass ``partition_by`` to KEEP a layout: rows range-partition
+    on (partition cols, z) so each hive partition's files cover tight
+    z-ranges — partition pruning and COW maintenance keep working,
+    and zone maps skip within every surviving partition."""
     from temp_data_pipeline_spark.operators.versioned import _require_no_dv
 
     _require_no_dv(
@@ -499,15 +504,17 @@ def optimize_zorder(
         ).collect()[0]
         bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in columns}
         z = zorder_key(columns, bounds, bits)
+    range_cols = [F.col(c) for c in (partition_by or [])] + [F.col("_z")]
     clustered = (
         df.withColumn("_z", z)
-        .repartitionByRange(target_files, "_z")
-        .sortWithinPartitions("_z")
+        .repartitionByRange(target_files, *range_cols)
+        .sortWithinPartitions(*range_cols)
         .drop("_z")
     )
     v = commit_version(
         clustered,
         path,
+        partition_by=partition_by,
         meta={
             **(meta or {}),
             "zorder_by": list(columns),

@@ -534,3 +534,37 @@ def test_scan_version_subtracts_deletion_vectors(spark, tmp_path):
     assert got_pr == want
     assert all(i % 5 != 0 for i in want) and want
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zorder_can_preserve_hive_partitioning(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_merge_cow,
+        read_manifest,
+    )
+    from temp_data_pipeline_spark.operators.zonemap import optimize_zorder
+
+    path = os.path.join(str(tmp_path), "zpart")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i % 100, (i * 37) % 100)
+         for i in range(4000)],
+        "k long, part string, x long, y long",
+    )
+    commit_merge_cow(base, path, ["k"], "x", "part")
+    v = optimize_zorder(
+        spark, path, ["x", "y"], target_files=8, partition_by=["part"]
+    )
+    # layout preserved: hive subdirs exist and COW maintenance still works
+    assert os.path.isdir(os.path.join(path, f"v={v}", "part=a"))
+    assert read_manifest(spark, path, v)["_partition_by"] == ["part"]
+    upd = spark.createDataFrame(
+        [(0, "a", 999, 0)], "k long, part string, x long, y long"
+    )
+    v2 = commit_merge_cow(upd, path, ["k"], "x", "part")
+    got = read_version(spark, path, v2)
+    assert got.count() == 4000
+    assert got.filter(F.col("k") == 0).first()["x"] == 999
+    # skipping works through the partitioned, clustered layout
+    sel = select_files(spark, path, [("x", "<=", 10), ("y", "<=", 10)], version=v)
+    files = select_files(spark, path, [("x", ">=", 0)], version=v)
+    assert len(sel) < len(files)
+    shutil.rmtree(path, ignore_errors=True)
