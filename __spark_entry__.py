@@ -131,7 +131,8 @@ _LAST_VERIFIED = {
 # llm_length_buckets, q_analyze, llm_normalize, q_hidden_partition,
 # llm_knn_join, q_funnel, q_retention, q_fk_orphans,
 # q_matview_refresh, llm_shuffle, llm_exact_sample, q_stream_versioned,
-# q_zorder_skip, q_meta_agg, q_bloom_lookup, q_delete_mor, q_update_mor.
+# q_zorder_skip, q_meta_agg, q_bloom_lookup, q_delete_mor, q_update_mor,
+# q_lakehouse_scan.
 _RECHECK = [
     "llm_bm25", "llm_ivf_index_topk",
 ]

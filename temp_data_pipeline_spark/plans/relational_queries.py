@@ -905,3 +905,68 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_lakehouse_scan",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 50000.0
+      AND o_totalprice <= 150000.0
+      AND NOT (o_custkey % 10 = 7)
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "The composed lakehouse read (operators/zonemap.py::scan_version): "
+        "orders committed hash-distributed, zone maps on o_totalprice, "
+        "a Bloom index on o_orderkey, and a merge-on-read DELETE of "
+        "custkey%10=7 — then ONE unified scan that intersects the "
+        "zone-map range verdict with the row filter and subtracts the "
+        "broadcast deletion vector. Every layer must stay transparent: "
+        "the result equals the plain WHERE + NOT over the raw table."
+    ),
+)
+def q_lakehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.operators.zonemap import (
+        scan_version,
+        write_bloom_index,
+        write_zone_maps,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="lake_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(8, "o_orderkey"), path)
+        write_zone_maps(spark, path, ["o_totalprice"])
+        write_bloom_index(spark, path, "o_orderkey")
+        commit_delete_mor(spark, path, "o_custkey % 10 = 7")
+        # sidecars describe v1; rebuild incrementally for the DV commit
+        write_zone_maps(
+            spark, path, ["o_totalprice"], incremental_from=1
+        )
+        out = scan_version(
+            spark,
+            path,
+            [
+                ("o_totalprice", ">=", 50000.0),
+                ("o_totalprice", "<=", 150000.0),
+            ],
+        )
+        return (
+            out.orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
