@@ -77,6 +77,7 @@ def write_zone_maps(
     version: int | None = None,
     *,
     incremental_from: int | None = None,
+    truncate: dict[str, int] | None = None,
 ) -> int:
     """Build the per-file min/max/null-count sidecar for ``version``
     (default: latest) of the versioned table at ``path`` and publish
@@ -96,7 +97,18 @@ def write_zone_maps(
     daily append updates its stats at the cost of the day's
     partitions, not the corpus. Dirs a COW commit dropped (touched
     partitions) fall out because their stats rows match no referenced
-    dir. Requires N's sidecar to cover the same ``columns``."""
+    dir. Requires N's sidecar to cover the same ``columns``.
+
+    ``truncate={col: L}`` stores BOUNDS instead of exact min/max for
+    long string columns (the Iceberg ``truncate`` stats move — exact
+    min/max of a text column would copy documents into the sidecar):
+    min := the first L chars of the true min (a lower bound, since a
+    prefix sorts ≤ its string), max := the first L chars of the true
+    max with the last code point incremented (a strict upper bound);
+    an empty or non-incrementable prefix stores NULL = unbounded, so
+    the file simply never skips. The skip conditions only ever rely
+    on min ≤ values ≤ max, so they stay correct unchanged — bounds
+    just skip a little less than exact stats would."""
     version = _resolve_version(spark, path, version)
     prev_kept = None
     dirs = None
@@ -131,10 +143,15 @@ def write_zone_maps(
     df = _scan_files_with_rows(spark, path, version, dirs=dirs)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in columns:
+        lo, hi = F.min(c), F.max(c)
+        L = (truncate or {}).get(c)
+        if L:
+            lo = F.substring(lo, 1, L)
+            hi = _bump_prefix(F.substring(hi, 1, L))
         aggs.append(
             F.struct(
-                F.min(c).alias("min"),
-                F.max(c).alias("max"),
+                lo.alias("min"),
+                hi.alias("max"),
                 F.sum(F.col(c).isNull().cast("long")).cast("long").alias("nulls"),
             ).alias(f"stats_{c}")
         )
@@ -142,6 +159,21 @@ def write_zone_maps(
     if prev_kept is not None:
         stats = prev_kept.unionByName(stats)
     return _publish_zone_maps(spark, path, version, stats)
+
+
+def _bump_prefix(p: Column) -> Column:
+    """A strict UPPER bound for every string sharing prefix ``p``:
+    increment the last code point. NULL when no such bound exists
+    (empty prefix, or last char already U+10FFFF) — NULL bounds mean
+    'unbounded', and the keep-condition's null semantics then never
+    skip the file (conservative, not wrong)."""
+    last = F.ascii(F.substring(p, -1, 1))
+    bumped = F.concat(
+        F.substring(p, 1, F.length(p) - 1), F.char(last + 1)
+    )
+    return F.when(
+        p.isNull() | (F.length(p) == 0) | (last >= 0x10FFFF), F.lit(None)
+    ).otherwise(bumped)
 
 
 def _publish_zone_maps(

@@ -568,3 +568,36 @@ def test_zorder_can_preserve_hive_partitioning(spark, tmp_path):
     files = select_files(spark, path, [("x", ">=", 0)], version=v)
     assert len(sel) < len(files)
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_truncated_string_bounds_skip_correctly(spark, tmp_path):
+    """truncate={col: L} stores short BOUNDS for long text columns:
+    sidecar stays small, skipping stays transparent (bounds only skip
+    less, never wrongly), and prefix-sorted files still prune."""
+    path = os.path.join(str(tmp_path), "trunc")
+    # 4 files range-partitioned by text prefix; texts are long
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.concat(
+            F.lpad((F.col("id") % 26).cast("string"), 2, "0"),
+            F.lit("_"),
+            F.repeat(F.lit("lorem ipsum "), 50),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    commit_version(df.repartitionByRange(4, "text"), path)
+    write_zone_maps(spark, path, ["text"], truncate={"text": 8})
+    zm = read_zone_maps(spark, path).collect()
+    for r in zm:
+        assert len(r["stats_text"]["min"]) <= 8
+        assert len(r["stats_text"]["max"]) <= 8
+    # equality probe on a full long string: transparent
+    needle = (
+        read_version(spark, path).filter(F.col("id") == 123).first()["text"]
+    )
+    sel = select_files(spark, path, [("text", "=", needle)])
+    assert 1 <= len(sel) <= 2  # prefix-sorted → at most a boundary pair
+    got = read_version_skipped(spark, path, [("text", "=", needle)])
+    assert [r["id"] for r in got.collect()] == [123]
+    # range probe below every prefix: all files skip via the lower bound
+    assert select_files(spark, path, [("text", "<", "00")]) == []
