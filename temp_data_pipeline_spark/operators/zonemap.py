@@ -640,6 +640,7 @@ def write_bloom_index(
     version: int | None = None,
     *,
     fpp: float = 0.01,
+    incremental_from: int | None = None,
 ) -> int:
     """Per-file Bloom filter over ``column`` for ``version`` (default
     latest) — EQUALITY skipping for high-cardinality columns where
@@ -655,16 +656,50 @@ def write_bloom_index(
     representation: set bits only, exact; at most k·n_rows entries,
     in practice far fewer; all files share the one (m, k) so probes
     are uniform). Sidecar: <path>/_blooms/<N>.<column>.parquet, same
-    derived-metadata publish protocol as zone maps."""
+    derived-metadata publish protocol as zone maps.
+
+    ``incremental_from=N`` keeps the build O(batch) like the commit it
+    describes: N's filter rows for still-referenced dirs are reused
+    verbatim (files are immutable) and only NEW dirs are hashed — the
+    (m, k) sizing is inherited from N's sidecar so every file keeps
+    one uniform probe, even if a new batch has a bigger file (its fpp
+    degrades gracefully rather than invalidating the shared filter
+    family)."""
     version = _resolve_version(spark, path, version)
-    zm_like = _scan_files_with_rows(spark, path, version)
-    max_rows = (
-        zm_like.groupBy("file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .collect()[0][0]
-    )
-    m, k = _bloom_params(int(max_rows), fpp)
+    prev_kept = None
+    dirs = None
+    if incremental_from is not None:
+        d_prev = f"{path}/_blooms/{incremental_from}.{column}.parquet"
+        fs0, jvm0 = _fs(spark, path)
+        if not fs0.exists(jvm0.org.apache.hadoop.fs.Path(d_prev)):
+            raise FileNotFoundError(
+                f"no bloom index on {column!r} for version "
+                f"{incremental_from} under {path}"
+            )
+        prev = spark.read.parquet(d_prev)
+        m, k = (int(x) for x in prev.select("m", "k").first())
+        cur_dirs = _manifest_dirs(read_manifest(spark, path, version))
+        old_dirs = set(
+            _manifest_dirs(read_manifest(spark, path, incremental_from))
+        )
+        dirs = [d for d in cur_dirs if d not in old_dirs]
+        kept = [d for d in cur_dirs if d in old_dirs]
+        if kept:
+            cond = F.lit(False)
+            for d in kept:
+                cond = cond | F.col("file").contains(f"/{d}/")
+            prev_kept = prev.filter(cond)
+        if not dirs:
+            return _publish_bloom(spark, path, version, column, prev_kept)
+    zm_like = _scan_files_with_rows(spark, path, version, dirs=dirs)
+    if incremental_from is None:
+        max_rows = (
+            zm_like.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        m, k = _bloom_params(int(max_rows), fpp)
     pos = _bloom_positions(F.col(column), m, k)
     filt = (
         zm_like.select("file", F.explode(pos).alias("pos"))
@@ -675,6 +710,14 @@ def write_bloom_index(
         .withColumn("m", F.lit(m))
         .withColumn("k", F.lit(k))
     )
+    if prev_kept is not None:
+        filt = prev_kept.unionByName(filt)
+    return _publish_bloom(spark, path, version, column, filt)
+
+
+def _publish_bloom(
+    spark: SparkSession, path: str, version: int, column: str, filt: DataFrame
+) -> int:
     final = f"{path}/_blooms/{version}.{column}.parquet"
     tmp = f"{path}/_blooms/.tmp-{uuid.uuid4().hex[:8]}"
     filt.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -601,3 +601,31 @@ def test_truncated_string_bounds_skip_correctly(spark, tmp_path):
     assert [r["id"] for r in got.collect()] == [123]
     # range probe below every prefix: all files skip via the lower bound
     assert select_files(spark, path, [("text", "<", "00")]) == []
+
+
+def test_incremental_bloom_equals_full_rebuild(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.zonemap import (
+        bloom_select_files,
+        read_version_bloom,
+        write_bloom_index,
+    )
+
+    path = os.path.join(str(tmp_path), "incbloom")
+    commit_version(spark.range(0, 2000).select(F.col("id")), path)
+    write_bloom_index(spark, path, "id")
+    v2 = commit_version(
+        spark.range(2000, 2500).select(F.col("id")), path, carry_from=1
+    )
+    write_bloom_index(spark, path, "id", version=v2, incremental_from=1)
+    # probes hit across both the carried and the new dirs
+    assert read_version_bloom(spark, path, "id", 100, version=v2).count() == 1
+    assert read_version_bloom(spark, path, "id", 2400, version=v2).count() == 1
+    # absent values still skip nearly everything
+    total = sum(
+        len(bloom_select_files(spark, path, "id", v, version=v2))
+        for v in range(90000, 90030)
+    )
+    assert total <= 10
+    # inherited (m, k): every row shares one probe family
+    bl = spark.read.parquet(f"{path}/_blooms/{v2}.id.parquet")
+    assert bl.select("m", "k").distinct().count() == 1
