@@ -103,6 +103,7 @@ def stream_append_versioned(
     *,
     partition_by: list[str] | None = None,
     stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
     available_now: bool = True,
 ):
     """Exactly-once streaming appends into a VERSIONED table
@@ -123,11 +124,12 @@ def stream_append_versioned(
     maintenance commits (compaction, COW deletes) never reopen the
     door to duplicates.
 
-    ``stats_columns`` keeps the table SKIPPABLE while it ingests:
-    after each commit the zone-map sidecar is refreshed incrementally
-    (``write_zone_maps(incremental_from=prev)`` — only the new
-    batch's files are scanned, prior rows are carried), so batch
-    readers can ``read_version_skipped`` the live table at any time.
+    ``stats_columns`` / ``bloom_columns`` keep the table SKIPPABLE
+    while it ingests: after each commit the zone-map and Bloom
+    sidecars are refreshed incrementally (only the new batch's files
+    are scanned, prior rows carried; the Bloom (m, k) family is
+    inherited from the first batch), so batch readers can
+    ``scan_version`` the live table at any time.
 
     Returns the started query. At 100 TB: each trigger costs the
     batch's partitions plus one JSON manifest (plus one batch-sized
@@ -140,7 +142,10 @@ def stream_append_versioned(
         read_manifest,
         versions,
     )
-    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+    from temp_data_pipeline_spark.operators.zonemap import (
+        write_bloom_index,
+        write_zone_maps,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -178,6 +183,13 @@ def stream_append_versioned(
                 # no prior sidecar (first batch, or maintenance reset):
                 # full build — still batch-sized on a first commit
                 write_zone_maps(spark, path, stats_columns, version=v)
+        for bc in bloom_columns or []:
+            try:
+                write_bloom_index(
+                    spark, path, bc, version=v, incremental_from=prev
+                )
+            except FileNotFoundError:
+                write_bloom_index(spark, path, bc, version=v)
 
     w = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -349,3 +349,29 @@ def test_stream_append_versioned_maintains_zone_maps(spark, tmp_path):
     assert zm.count() == 2  # one file per micro-batch, both covered
     out = read_version_skipped(spark, dest, [("v", ">=", 150.0)], version=latest)
     assert out.count() == 50
+
+
+def test_stream_append_versioned_maintains_bloom(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import versions
+    from temp_data_pipeline_spark.operators.zonemap import read_version_bloom
+    from temp_data_pipeline_spark.streaming.sink import stream_append_versioned
+
+    src = str(tmp_path / "bin")
+    schema = "k long, v double"
+    spark.createDataFrame([(i, float(i)) for i in range(200)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(i, float(i)) for i in range(200, 400)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    dest, ckpt = str(tmp_path / "btab"), str(tmp_path / "bck")
+    q = stream_append_versioned(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        dest,
+        ckpt,
+        bloom_columns=["k"],
+    )
+    q.awaitTermination()
+    latest = versions(spark, dest)[-1]
+    # point lookups resolve through the per-batch-maintained index
+    assert read_version_bloom(spark, dest, "k", 42, version=latest).count() == 1
+    assert read_version_bloom(spark, dest, "k", 399, version=latest).count() == 1
+    assert read_version_bloom(spark, dest, "k", 5000, version=latest).count() == 0
