@@ -970,3 +970,55 @@ def q_lakehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_jsonl_ingest",
+    ["extension-relational", "sources"],
+    """
+    SELECT doc_id, lang, text FROM documents ORDER BY doc_id
+    """,
+    note=(
+        "Crawl-dump ingestion (sources/crawl.py::read_jsonl_docs): the "
+        "documents table serialized to JSONL with deterministic junk "
+        "lines injected (raw garbage + truncated JSON), read back "
+        "through the text+from_json quarantine reader — the good side "
+        "must round-trip every document exactly (JSON string escaping "
+        "inverts itself) while the junk lands in quarantine instead of "
+        "crashing the scan or leaking into results. The raw JSON "
+        "source cannot express this split without caching the parse "
+        "(QUERY_ONLY_CORRUPT_RECORD_COLUMN); text+from_json can."
+    ),
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.sources.crawl import read_jsonl_docs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="jsonl_")
+    dump = f"{scratch}/dump"
+    try:
+        jsonl = docs.select(
+            F.to_json(F.struct("doc_id", "lang", "text")).alias("value")
+        )
+        junk = spark.createDataFrame(
+            [("this line is not json",), ('{"doc_id": -1, "lang": "xx', )],
+            "value string",
+        )
+        jsonl.unionByName(junk).coalesce(4).write.text(dump)
+        good, quarantine = read_jsonl_docs(
+            spark, dump, "doc_id long, lang string, text string"
+        )
+        if quarantine.count() != 2:
+            raise AssertionError("junk lines must quarantine, not vanish")
+        return (
+            good.select("doc_id", "lang", "text")
+            .orderBy("doc_id")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
