@@ -153,6 +153,9 @@ def write_zone_maps(
                 lo.alias("min"),
                 hi.alias("max"),
                 F.sum(F.col(c).isNull().cast("long")).cast("long").alias("nulls"),
+                # bounds vs exact: consumers needing exact min/max
+                # (stats_summary) must be able to tell them apart
+                F.lit(bool(L)).alias("trunc"),
             ).alias(f"stats_{c}")
         )
     stats = df.groupBy("file").agg(*aggs)
@@ -558,7 +561,11 @@ def optimize_zorder(
 
 
 def stats_summary(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    allow_bounds: bool = False,
 ) -> DataFrame:
     """Answer COUNT(*) / MIN / MAX / null-count for every mapped
     column WITHOUT opening a single data file — aggregate the
@@ -574,11 +581,29 @@ def stats_summary(
     for a uniform report schema (operators/stats.py::analyze_table's
     convention — use that for exact NDV, which does not compose from
     per-file stats; HLL sketches would, at the cost of approximation).
+
+    Columns mapped with ``truncate`` carry BOUNDS, not exact min/max;
+    reporting a bound as an answer would be silently wrong, so such
+    columns raise unless ``allow_bounds=True`` (then min_s/max_s are
+    the bounds, explicitly opted into). Legacy sidecars without the
+    trunc flag are treated as exact (they predate truncation).
     """
     from functools import reduce
 
     zm = read_zone_maps(spark, path, version)
     cols = sorted(c[len("stats_") :] for c in zm.columns if c.startswith("stats_"))
+    if not allow_bounds:
+        truncated = [
+            c
+            for c in cols
+            if "trunc" in zm.schema[f"stats_{c}"].dataType.fieldNames()
+            and zm.filter(F.col(f"stats_{c}.trunc")).limit(1).count() > 0
+        ]
+        if truncated:
+            raise ValueError(
+                f"column(s) {truncated} carry truncated BOUNDS, not exact "
+                "min/max — pass allow_bounds=True to report them as bounds"
+            )
     agg = zm.agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         *[

@@ -629,3 +629,24 @@ def test_incremental_bloom_equals_full_rebuild(spark, tmp_path):
     # inherited (m, k): every row shares one probe family
     bl = spark.read.parquet(f"{path}/_blooms/{v2}.id.parquet")
     assert bl.select("m", "k").distinct().count() == 1
+
+
+def test_stats_summary_refuses_truncated_bounds(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.zonemap import stats_summary
+
+    path = os.path.join(str(tmp_path), "truncsum")
+    commit_version(
+        spark.range(0, 100).select(
+            F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("text")
+        ),
+        path,
+    )
+    write_zone_maps(spark, path, ["id", "text"], truncate={"text": 4})
+    with pytest.raises(ValueError, match="allow_bounds"):
+        stats_summary(spark, path)
+    got = {
+        r["col_name"]: r
+        for r in stats_summary(spark, path, allow_bounds=True).collect()
+    }
+    assert got["id"]["min_s"] == "0"  # untruncated column stays exact
+    assert got["text"]["min_s"] == "doc-"  # explicit bound
