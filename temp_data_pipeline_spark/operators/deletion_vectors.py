@@ -151,39 +151,17 @@ def commit_delete_mor(
     metadata. Returns the new version (the current one unchanged when
     nothing matches). SQL DELETE semantics: rows where the predicate
     is NULL are kept."""
-    from pyspark.sql.types import StructType
-
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     base = _resolve_version(spark, path, None)
     man = read_manifest(spark, path, base)
-    tagged = _scan_with_positions(spark, path, base)
-    matches = tagged.filter(F.coalesce(predicate, F.lit(False))).select(
+    visible = _visible_tagged(spark, path, base, man)
+    dv_new = visible.filter(F.coalesce(predicate, F.lit(False))).select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
-    if man.get("_dv"):
-        # cumulative DV: drop positions the base already covers FIRST,
-        # so an all-already-deleted predicate is a no-op commit-wise
-        base_dv = read_dv(spark, path, base)
-        matches = matches.join(
-            F.broadcast(base_dv), ["file", "pos"], "left_anti"
-        )
-        if matches.isEmpty():
-            return base
-        matches = matches.unionByName(base_dv)
-    elif matches.isEmpty():
+    if dv_new.isEmpty():
         return base
-    # sidecar first (invisible until a manifest names it), commit after
-    name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
-    matches.coalesce(1).write.parquet(f"{path}/_dv/{name}")
-    schema = StructType.fromJson(man["_schema"])
-    return commit_version(
-        spark.createDataFrame([], schema),
-        path,
-        partition_by=man.get("_partition_by") or None,
-        carry_dirs=_manifest_dirs(man),
-        meta={**(meta or {}), "_dv": name},
-    )
+    return _commit_with_dv(spark, path, base, man, dv_new, None, meta)
 
 
 
@@ -193,21 +171,37 @@ def commit_delete_mor(
 _DV_BROADCAST_MAX = 50_000_000
 
 
-def _subtract_dv(tagged: DataFrame, dv: DataFrame) -> DataFrame:
-    """Anti-join the (file,pos)-tagged frame against a DV: broadcast
-    while the DV is comfortably driver-sized (the common case — deletes
-    are a vanishing fraction of the table), shuffled past
-    ``_DV_BROADCAST_MAX`` positions. The size probe is one count over
-    the metadata-sized sidecar."""
+def _anti_dv(tagged: DataFrame, dv: DataFrame) -> DataFrame:
+    """(file,pos)-tagged frame minus the DV's positions, keeping the
+    position columns: broadcast while the DV is comfortably
+    driver-sized (the common case — deletes are a vanishing fraction
+    of the table), shuffled past ``_DV_BROADCAST_MAX`` positions. The
+    size probe is one count over the metadata-sized sidecar."""
     dv2 = dv.select(
         F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
     )
     if dv.count() <= _DV_BROADCAST_MAX:
         dv2 = F.broadcast(dv2)
+    return tagged.join(dv2, ["_dv_file", "_dv_pos"], "left_anti")
+
+
+def _subtract_dv(tagged: DataFrame, dv: DataFrame) -> DataFrame:
+    """``_anti_dv`` with the position columns dropped — the reader-side
+    form."""
     out_cols = [c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")]
-    return tagged.join(dv2, ["_dv_file", "_dv_pos"], "left_anti").select(
-        *out_cols
-    )
+    return _anti_dv(tagged, dv).select(*out_cols)
+
+
+def _visible_tagged(
+    spark: SparkSession, path: str, base: int, man: dict
+) -> DataFrame:
+    """The position-tagged VISIBLE rows of ``base`` — the frame every
+    MOR writer starts from (already-deleted rows must neither match
+    again nor re-enter a DV)."""
+    tagged = _scan_with_positions(spark, path, base)
+    if man.get("_dv"):
+        tagged = _anti_dv(tagged, read_dv(spark, path, base))
+    return tagged
 
 
 def read_table(
@@ -269,10 +263,10 @@ def _commit_with_dv(
     from pyspark.sql.types import StructType
 
     if man.get("_dv"):
-        base_dv = read_dv(spark, path, base)
-        dv_new = dv_new.join(
-            F.broadcast(base_dv), ["file", "pos"], "left_anti"
-        ).unionByName(base_dv)
+        # writers pass dv_new computed over VISIBLE rows, so it is
+        # already disjoint from the base DV — a plain union dedupes
+        # correctly without another join
+        dv_new = dv_new.unionByName(read_dv(spark, path, base))
     name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
     dv_new.coalesce(1).write.parquet(f"{path}/_dv/{name}")
     schema = StructType.fromJson(man["_schema"])
@@ -306,15 +300,9 @@ def commit_update_mor(
         predicate = F.expr(predicate)
     base = _resolve_version(spark, path, None)
     man = read_manifest(spark, path, base)
-    tagged = _scan_with_positions(spark, path, base)
-    if man.get("_dv"):
-        dv0 = read_dv(spark, path, base).select(
-            F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
-        )
-        tagged = tagged.join(
-            F.broadcast(dv0), ["_dv_file", "_dv_pos"], "left_anti"
-        )
-    matched = tagged.filter(F.coalesce(predicate, F.lit(False)))
+    matched = _visible_tagged(spark, path, base, man).filter(
+        F.coalesce(predicate, F.lit(False))
+    )
     if matched.isEmpty():
         return base
     dv_new = matched.select(
@@ -356,14 +344,7 @@ def commit_upsert_mor(
         return commit_version(updates, path, meta=meta)
     base = vs[-1]
     man = read_manifest(spark, path, base)
-    tagged = _scan_with_positions(spark, path, base)
-    if man.get("_dv"):
-        dv0 = read_dv(spark, path, base).select(
-            F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
-        )
-        tagged = tagged.join(
-            F.broadcast(dv0), ["_dv_file", "_dv_pos"], "left_anti"
-        )
+    tagged = _visible_tagged(spark, path, base, man)
     # keys-only semi join finds the displaced positions: nothing but
     # keys and positions shuffle
     dv_new = tagged.join(
