@@ -1,0 +1,111 @@
+"""Policy-driven auto-maintenance (operators/maintenance.py): the
+nightly driver runs the MINIMUM actions a table needs, in dependency
+order, and is idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.deletion_vectors import (
+    commit_delete_mor,
+    has_deletes,
+    read_table,
+)
+from temp_data_pipeline_spark.operators.maintenance import (
+    MaintenancePolicy,
+    maintain_table,
+)
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    read_manifest,
+    versions,
+)
+from temp_data_pipeline_spark.operators.zonemap import select_files
+
+
+def _table(spark, tmp_path, name, n=1000):
+    path = os.path.join(str(tmp_path), name)
+    commit_version(
+        spark.range(0, n).select(
+            F.col("id"), (F.col("id") % 50).alias("x")
+        ),
+        path,
+    )
+    return path
+
+
+def test_healthy_table_is_a_noop(spark, tmp_path):
+    path = _table(spark, tmp_path, "ok")
+    assert maintain_table(spark, path) == []
+    assert versions(spark, path) == [1]
+
+
+def test_long_chain_compacts_then_idempotent(spark, tmp_path):
+    path = _table(spark, tmp_path, "chain")
+    for lo in range(1, 5):
+        commit_version(
+            spark.range(lo * 1000, lo * 1000 + 100).select(
+                F.col("id"), (F.col("id") % 50).alias("x")
+            ),
+            path,
+            carry_from=versions(spark, path)[-1],
+        )
+    pol = MaintenancePolicy(max_chain=3, keep_last=2)
+    acts = maintain_table(spark, path, pol)
+    assert any("compact_snapshot" in a for a in acts)
+    latest = versions(spark, path)[-1]
+    assert len(read_manifest(spark, path, latest)["data_dirs"]) == 1
+    # second run: nothing left to do (vacuum already trimmed)
+    assert maintain_table(spark, path, pol) == []
+
+
+def test_dv_heavy_table_materializes_and_reclusters(spark, tmp_path):
+    path = _table(spark, tmp_path, "dvheavy")
+    commit_delete_mor(spark, path, "x < 25")  # 50% deleted
+    pol = MaintenancePolicy(
+        max_dv_frac=0.05, zorder=["x", "id"], stats_columns=["x"],
+        keep_last=2,
+    )
+    acts = maintain_table(spark, path, pol)
+    assert any("materialize_deletes" in a for a in acts)
+    assert any("optimize_zorder" in a for a in acts)
+    latest = versions(spark, path)[-1]
+    assert not has_deletes(spark, path, latest)
+    assert read_table(spark, path).count() == 500
+    # stats were (re)built for the clustered version and actually prune
+    files_all = select_files(spark, path, [("x", ">=", 0)])
+    files_box = select_files(spark, path, [("x", ">=", 30), ("x", "<=", 31)])
+    assert len(files_box) < len(files_all)
+    assert maintain_table(spark, path, pol) == []
+
+
+def test_append_only_refreshes_sidecars_incrementally(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.zonemap import (
+        read_version_bloom,
+        write_bloom_index,
+        write_zone_maps,
+    )
+
+    path = _table(spark, tmp_path, "sidecars")
+    write_zone_maps(spark, path, ["x"])
+    write_bloom_index(spark, path, "id")
+    commit_version(
+        spark.range(5000, 5100).select(
+            F.col("id"), (F.col("id") % 50).alias("x")
+        ),
+        path,
+        carry_from=1,
+    )
+    pol = MaintenancePolicy(
+        max_chain=10, stats_columns=["x"], bloom_columns=["id"],
+        keep_last=5,
+    )
+    acts = maintain_table(spark, path, pol)
+    assert any("write_zone_maps" in a for a in acts)
+    assert any("write_bloom_index" in a for a in acts)
+    # no rewrite happened (chain under threshold) — versions unchanged
+    assert versions(spark, path) == [1, 2]
+    assert read_version_bloom(spark, path, "id", 5050).count() == 1
+    assert maintain_table(spark, path, pol) == []
