@@ -645,6 +645,21 @@ def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
     return m, min(k, 16)
 
 
+def _bit_of(pos: Column) -> Column:
+    """``1 << (pos % 64)`` as a BIGINT for a Column position — via a
+    64-entry literal lookup (the Python shiftleft only takes literal
+    shift amounts, and pow() would lose exactness past 2^53)."""
+    table = F.array(
+        *[
+            # bit 63 is the sign bit: 1<<63 overflows BIGINT, its
+            # two's-complement pattern is -2^63
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(64)
+        ]
+    )
+    return F.element_at(table, (pos % 64).cast("int") + 1)
+
+
 def _bloom_positions(col: Column, m: int, k: int) -> Column:
     """The k bit positions of one value, as an array column. Double
     hashing (Kirsch–Mitzenmacher): pos_i = (h1 + i·h2) mod m with two
@@ -726,12 +741,26 @@ def write_bloom_index(
         )
         m, k = _bloom_params(int(max_rows), fpp)
     pos = _bloom_positions(F.col(column), m, k)
+    # packed representation: set bits fold into 64-bit WORDS (pos>>6 →
+    # bit_or of 1<<(pos&63)) and each file stores a word→bits map —
+    # ~64× smaller than a set-bit list (a 1M-row file's filter is
+    # ~1 MB instead of tens), and the per-word fold is a plain
+    # two-stage hash aggregation with map-side combine
     filt = (
         zm_like.select("file", F.explode(pos).alias("pos"))
-        .groupBy("file", "pos")
-        .agg(F.lit(1))
+        .select(
+            "file",
+            F.shiftright("pos", 6).alias("word"),
+            _bit_of(F.col("pos")).alias("bit"),
+        )
+        .groupBy("file", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
         .groupBy("file")
-        .agg(F.sort_array(F.collect_list("pos")).alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("words")
+        )
         .withColumn("m", F.lit(m))
         .withColumn("k", F.lit(k))
     )
@@ -821,7 +850,11 @@ def bloom_select_files(
     probes = _bloom_positions(F.lit(value), int(m), int(k))
     cond = F.lit(True)
     for i in range(int(k)):
-        cond = cond & F.array_contains("bits", probes[i])
+        p = probes[i]
+        # packed probe: word absent from the map → element_at NULL →
+        # the AND turns NULL → filter drops the file (bit not set)
+        word_bits = F.element_at(F.col("words"), F.shiftright(p, 6))
+        cond = cond & (word_bits.bitwiseAND(_bit_of(p)) != 0)
     return [r["file"] for r in bl.filter(cond).select("file").collect()]
 
 
