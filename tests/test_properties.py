@@ -886,3 +886,77 @@ def test_mor_chain_equals_model(spark, tmp_path_factory, seed):
             for r in read_table(spark, p, v).collect()
         }
         assert got == m, f"version {v} drifted"
+
+
+@given(seed=st.integers(0, 10**9))
+@settings(max_examples=8, deadline=None)
+def test_skipping_stack_always_transparent(spark, tmp_path_factory, seed):
+    """Data-skipping invariant: for random data layouts, random sidecar
+    combinations (zone maps / truncated bounds / Bloom), random
+    predicate conjunctions, and an optional MOR delete, scan_version
+    must equal read_table + the same filter — skipping and DV
+    subtraction may only change which files open, never the rows."""
+    import random
+
+    from pyspark.sql import functions as F
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.operators.zonemap import (
+        scan_version,
+        write_bloom_index,
+        write_zone_maps,
+    )
+
+    rng = random.Random(seed)
+    p = str(tmp_path_factory.mktemp("skip") / "t")
+    n = rng.choice([200, 1000])
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") * rng.randint(3, 97) % 100).alias("x"),
+        F.concat(F.lit("w"), (F.col("id") % 26).cast("string")).alias("s"),
+    )
+    layout = rng.choice(["random", "range"])
+    df = (
+        df.repartition(rng.randint(2, 6))
+        if layout == "random"
+        else df.repartitionByRange(rng.randint(2, 6), "x")
+    )
+    commit_version(df, p)
+    if rng.random() < 0.5:
+        commit_delete_mor(spark, p, f"id % {rng.randint(3, 9)} = 0")
+    if rng.random() < 0.8:
+        truncate = {"s": 2} if rng.random() < 0.5 else None
+        write_zone_maps(
+            spark, p, ["x", "s"], truncate=truncate
+        )
+    if rng.random() < 0.6:
+        write_bloom_index(spark, p, "id")
+    preds = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["xr", "xe", "se", "ide"])
+        if kind == "xr":
+            lo = rng.randint(0, 80)
+            preds.append(("x", rng.choice([">=", ">"]), lo))
+            preds.append(("x", rng.choice(["<=", "<"]), lo + rng.randint(1, 30)))
+        elif kind == "xe":
+            preds.append(("x", "=", rng.randint(0, 99)))
+        elif kind == "se":
+            preds.append(("s", "=", f"w{rng.randint(0, 30)}"))
+        else:
+            preds.append(("id", "=", rng.randint(0, n + 50)))
+    got = sorted(tuple(r) for r in scan_version(spark, p, preds).collect())
+    cond = F.lit(True)
+    for col, op, *rest in preds:
+        c0 = F.col(col)
+        cond = cond & {
+            "=": c0 == rest[0] if rest else None,
+            "<": c0 < rest[0] if rest else None,
+            "<=": c0 <= rest[0] if rest else None,
+            ">": c0 > rest[0] if rest else None,
+            ">=": c0 >= rest[0] if rest else None,
+        }[op]
+    want = sorted(tuple(r) for r in read_table(spark, p).filter(cond).collect())
+    assert got == want
