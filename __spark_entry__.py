@@ -132,7 +132,7 @@ _LAST_VERIFIED = {
 # llm_knn_join, q_funnel, q_retention, q_fk_orphans,
 # q_matview_refresh, llm_shuffle, llm_exact_sample, q_stream_versioned,
 # q_zorder_skip, q_meta_agg, q_bloom_lookup, q_delete_mor, q_update_mor,
-# q_lakehouse_scan, q_jsonl_ingest.
+# q_lakehouse_scan, q_jsonl_ingest, q_star_revenue, q_part_agg.
 _RECHECK = [
     "llm_bm25", "llm_ivf_index_topk",
 ]

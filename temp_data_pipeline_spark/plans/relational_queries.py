@@ -1022,3 +1022,110 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_star_revenue",
+    ["extension-relational", "J1", "A1"],
+    """
+    SELECT n.n_name,
+           CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5)) AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    note=(
+        "TPC-H Q5 shape — the classic 6-table star join (local-supplier "
+        "revenue per nation of one region). Scale posture: region/"
+        "nation/supplier are broadcast dims (no shuffle for any of "
+        "them), the fact-side customer⋈orders⋈lineitem chain shuffles "
+        "on its keys once each, and revenue is quantized per row to "
+        "integer e4 units BEFORE the SUM so partial-aggregation order "
+        "can't move a bit (the float-sum determinism rule every "
+        "oracle-compared aggregate follows). Exercises supplier + "
+        "region + nation, the dims no other query touched."
+    ),
+)
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    j = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(asia), asia.n_nationkey == supplier.s_nationkey)
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "q_part_agg",
+    ["extension-relational", "A1"],
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+           CAST(MAX(p.p_size) AS BIGINT) AS max_size
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type LIKE '%BRASS%' OR p.p_size >= 10
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    note=(
+        "Part-dimension rollup: lineitem ⋈ broadcast part with a "
+        "dimension-side predicate (pushed into the dim scan before the "
+        "broadcast), brand-level quantity totals. Exercises the part "
+        "table; integer aggregates keep the compare exact."
+    ),
+)
+def q_part_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("%BRASS%") | (F.col("p_size") >= 10)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), part.p_partkey == lineitem.l_partkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
