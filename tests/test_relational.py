@@ -50,3 +50,22 @@ def test_rollup_single_exchange(spark):
     plan = _plan(RELATIONAL_QUERIES["q_rollup"].builder(spark, SF_SMOKE))
     assert "Expand" in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_star_revenue_broadcasts_dims(spark):
+    """Q5 shape: every dimension (region-filtered nation, supplier)
+    joins as a broadcast hash join; the fact chain must not degrade to
+    a nested-loop or cartesian plan."""
+    plan = _plan(RELATIONAL_QUERIES["q_star_revenue"].builder(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_part_agg_pushes_dim_predicate_before_broadcast(spark):
+    plan = _plan(RELATIONAL_QUERIES["q_part_agg"].builder(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the LIKE/size predicate evaluates on the dim scan side, not on
+    # the joined fact rows
+    i_join = plan.index("BroadcastHashJoin")
+    assert "BRASS" in plan[i_join:], "dim filter must exist"
