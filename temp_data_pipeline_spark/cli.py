@@ -79,6 +79,26 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ft.add_argument("--stations-csv", default=None)
     ft.add_argument("--data-dir", default="data")
+
+    t = sub.add_parser(
+        "table", help="versioned-table ops: history/verify/maintain/vacuum/rollback"
+    )
+    t.add_argument(
+        "action",
+        choices=["history", "verify", "maintain", "vacuum", "rollback"],
+    )
+    t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
+    t.add_argument("--keep-last", type=int, default=3)
+    t.add_argument("--to-version", type=int, default=None,
+                   help="rollback target version")
+    t.add_argument("--max-chain", type=int, default=8)
+    t.add_argument("--max-dv-frac", type=float, default=0.05)
+    t.add_argument("--stats-columns", default="",
+                   help="comma-separated zone-map columns for maintain")
+    t.add_argument("--bloom-columns", default="",
+                   help="comma-separated Bloom columns for maintain")
+    t.add_argument("--zorder", default="",
+                   help="comma-separated clustering columns for maintain")
     return p
 
 
@@ -154,6 +174,51 @@ def main(argv: list[str] | None = None) -> int:
         for name, mr in result.models.items():
             m = mr.metrics.forecast
             print(f"  {name}: n={m.n_samples} mae={m.mae:.4f} rmse={m.rmse:.4f}")
+
+    elif args.cmd == "table":
+        from temp_data_pipeline_spark.operators.maintenance import (
+            MaintenancePolicy,
+            maintain_table,
+        )
+        from temp_data_pipeline_spark.operators.versioned import (
+            history,
+            rollback,
+            vacuum,
+            verify_table,
+        )
+
+        if args.action == "history":
+            for r in history(spark, args.path).collect():
+                print(
+                    f"v{r['version']}  at={r['committed_at']:.0f}  "
+                    f"dirs={r['n_data_dirs']}  refs={r['carries_refs']}  "
+                    f"dv={r['has_dv']}  meta={r['meta_json']}"
+                )
+        elif args.action == "verify":
+            issues = verify_table(spark, args.path)
+            for i in issues:
+                print(f"[verify] {i}")
+            print(f"[verify] {len(issues)} issue(s)")
+            return 1 if issues else 0
+        elif args.action == "maintain":
+            pol = MaintenancePolicy(
+                max_chain=args.max_chain,
+                max_dv_frac=args.max_dv_frac,
+                keep_last=args.keep_last,
+                stats_columns=[c for c in args.stats_columns.split(",") if c],
+                bloom_columns=[c for c in args.bloom_columns.split(",") if c],
+                zorder=[c for c in args.zorder.split(",") if c],
+            )
+            for a in maintain_table(spark, args.path, pol):
+                print(f"[maintain] {a}")
+        elif args.action == "vacuum":
+            dropped = vacuum(spark, args.path, keep_last=args.keep_last)
+            print(f"[vacuum] dropped {dropped}")
+        else:
+            if args.to_version is None:
+                raise SystemExit("rollback needs --to-version")
+            v = rollback(spark, args.path, args.to_version)
+            print(f"[rollback] restored v{args.to_version} as v{v}")
 
     elif args.cmd == "fetch":
         from pathlib import Path

@@ -77,3 +77,34 @@ def test_cli_full_pipeline(spark, tmp_path):
     # passthrough predicts actual+1 → MAE exactly 1, bias +1
     assert abs(metrics["forecast"]["mae"] - 1.0) < 1e-9
     assert abs(metrics["forecast"]["bias"] - 1.0) < 1e-9
+
+
+def test_cli_table_ops(spark, tmp_path, capsys):
+    """table history/verify/maintain/vacuum/rollback drive the
+    versioned-table lifecycle end-to-end from the CLI."""
+    from temp_data_pipeline_spark.cli import main
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_version(
+        spark.createDataFrame([(1, 10)], "k long, x long"), path
+    )
+    commit_version(
+        spark.createDataFrame([(2, 20)], "k long, x long"), path, carry_from=1
+    )
+    assert main(["table", "history", path]) in (0, None)
+    out = capsys.readouterr().out
+    assert "v1" in out and "v2" in out and "refs=True" in out
+    assert main(["table", "verify", path]) == 0
+    assert main(["table", "rollback", path, "--to-version", "1"]) in (0, None)
+    assert main(
+        ["table", "maintain", path, "--max-chain", "1",
+         "--stats-columns", "x", "--keep-last", "2"]
+    ) in (0, None)
+    out = capsys.readouterr().out
+    assert "compact_snapshot" in out
+    assert main(["table", "vacuum", path, "--keep-last", "1"]) in (0, None)
+    assert len(versions(spark, path)) == 1
