@@ -59,9 +59,7 @@ def read_jsonl_docs(
     documents nor rejects and are dropped.
     """
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
     # StructType.add MUTATES self — build a fresh struct so the
