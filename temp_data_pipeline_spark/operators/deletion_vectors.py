@@ -223,6 +223,26 @@ def read_table(
     return _subtract_dv(tagged, dv)
 
 
+def export_snapshot(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    version: int | None = None,
+    *,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Escape hatch: materialize one snapshot as PLAIN parquet at
+    ``out_dir`` — visible rows only (DVs applied), no manifests, no
+    sidecars — for consumers that speak parquet but not this table
+    protocol. One distributed read→write; the source table is
+    untouched."""
+    df = read_table(spark, path, version)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+
+
 def materialize_deletes(
     spark: SparkSession,
     path: str,

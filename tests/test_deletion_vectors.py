@@ -282,3 +282,23 @@ def test_matview_refuses_dv_base(spark, tmp_path):
         build_agg_view(
             spark, path, os.path.join(str(tmp_path), "v"), agg, ["g"]
         )
+
+
+def test_export_snapshot_plain_parquet(spark, table, tmp_path):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        export_snapshot,
+    )
+
+    commit_delete_mor(spark, table, "user = 'u3'")
+    out = os.path.join(str(tmp_path), "export")
+    export_snapshot(spark, table, out)
+    plain = spark.read.parquet(out)
+    assert "u3" not in {r["user"] for r in plain.collect()}
+    assert plain.count() == read_table(spark, table).count()
+    # no protocol artifacts in the export
+    assert not os.path.exists(os.path.join(out, "_manifest"))
+    # refuses to clobber
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        export_snapshot(spark, table, out)
