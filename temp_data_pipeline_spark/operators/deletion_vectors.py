@@ -46,12 +46,14 @@ counterpart), after which readers need no DV and vacuum can expire the
 DV'd history. The standard DV lifecycle: fast logical delete now,
 amortized physical rewrite later.
 
-Concurrency contract: one writer per table, like every mutating op in
-this engine. Two RACING MOR commits would each compute a DV against
-the same base; the version-number race resolves (the loser renumbers)
-but the loser's manifest would not include the winner's deletions —
-the lost-update anomaly a Delta-style conflict checker exists to
-catch. Serialize mutations per table.
+Concurrency: every MOR commit passes ``expected_base`` to
+``commit_version``, so two racing MOR commits against the same base
+resolve Delta-style — the manifest rename at ``base+1`` is the atomic
+arbiter, the loser raises ``CommitConflictError`` (its sidecar is
+reclaimed eagerly), and a retry re-plans against the winner's version
+so the retried commit contains BOTH writers' deletions. The
+lost-update anomaly (the loser's manifest silently dropping the
+winner's deletions) cannot commit.
 """
 
 from __future__ import annotations
@@ -62,7 +64,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.versioned import (
+    CommitConflictError,
+    _check_schema_against_manifest,
     _manifest_dirs,
+    _rel_file,
+    _rel_from_any,
     _resolve_version,
     commit_version,
     read_manifest,
@@ -80,9 +86,13 @@ def _scan_with_positions(
 ) -> DataFrame:
     """All rows of a version tagged (file, pos) from the parquet
     reader's metadata columns — the positional identity DVs are
-    defined over."""
+    defined over. Files are tagged by their TABLE-RELATIVE path
+    (``versioned._rel_file``) so a copied/relocated table keeps
+    resolving its deletion vectors, matching the relative
+    ``data_dirs`` manifest convention."""
     from functools import reduce
 
+    from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql.types import StructType
 
     man = read_manifest(spark, path, version)
@@ -96,7 +106,7 @@ def _scan_with_positions(
             r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
         branch = r.parquet(f"{path}/{d}")
         return branch.select(
-            F.col("_metadata.file_path").alias("_dv_file"),
+            _rel_file(d).alias("_dv_file"),
             F.col("_metadata.row_index").alias("_dv_pos"),
             *branch.columns,
         )
@@ -105,8 +115,14 @@ def _scan_with_positions(
     for d in _manifest_dirs(man):
         try:
             frames.append(_scan(d))
-        except Exception:
-            continue
+        except AnalysisException as exc:
+            # only a genuinely EMPTY dir (zero-row legacy commit with
+            # no recorded schema) is skippable; an unreadable or
+            # mis-vacuumed carried dir must propagate, or a MOR
+            # delete silently misses its rows (ADVICE r6)
+            if "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                continue
+            raise
     if not frames:
         raise FileNotFoundError(
             f"version {version} under {path} has no data files"
@@ -125,7 +141,10 @@ def read_dv(
         raise FileNotFoundError(
             f"version {version} under {path} carries no deletion vector"
         )
-    return spark.read.parquet(f"{path}/_dv/{name}")
+    dv = spark.read.parquet(f"{path}/_dv/{name}")
+    # sidecars written before r7 stored ABSOLUTE file paths; normalize
+    # to the table-relative form the readers now tag with
+    return dv.withColumn("file", _rel_from_any(F.col("file")))
 
 
 def has_deletes(
@@ -265,6 +284,7 @@ def materialize_deletes(
         path,
         partition_by=partition_by,
         meta={**(meta or {}), "materialized_from": latest},
+        expected_base=latest,
     )
 
 
@@ -279,9 +299,19 @@ def _commit_with_dv(
 ) -> int:
     """Shared MOR commit: cumulative DV = base DV ∪ dv_new (deduped),
     sidecar written first under a fresh name, then ONE metadata-level
-    commit appending ``rows_new`` (may be None/empty) that names it."""
+    commit appending ``rows_new`` (may be None/empty) that names it.
+
+    Appended rows must match the base schema exactly — the commit
+    carries the base dirs, and the manifest records ``rows_new``'s
+    schema, so a batch missing or retyping a column would make every
+    carried dir read back wrong (ADVICE r6). The commit passes
+    ``expected_base`` so a racing MOR writer raises
+    ``CommitConflictError`` instead of silently dropping this
+    commit's deletions (the lost-update anomaly)."""
     from pyspark.sql.types import StructType
 
+    if rows_new is not None:
+        _check_schema_against_manifest(rows_new, man, what="MOR commit")
     if man.get("_dv"):
         # writers pass dv_new computed over VISIBLE rows, so it is
         # already disjoint from the base DV — a plain union dedupes
@@ -292,13 +322,23 @@ def _commit_with_dv(
     schema = StructType.fromJson(man["_schema"])
     if rows_new is None:
         rows_new = spark.createDataFrame([], schema)
-    return commit_version(
-        rows_new,
-        path,
-        partition_by=man.get("_partition_by") or None,
-        carry_dirs=_manifest_dirs(man),
-        meta={**(meta or {}), "_dv": name},
-    )
+    try:
+        return commit_version(
+            rows_new,
+            path,
+            partition_by=man.get("_partition_by") or None,
+            carry_dirs=_manifest_dirs(man),
+            meta={**(meta or {}), "_dv": name},
+            expected_base=base,
+        )
+    except CommitConflictError:
+        # the losing writer's sidecar would otherwise linger as an
+        # unreferenced orphan until vacuum — reclaim it eagerly
+        from temp_data_pipeline_spark.operators.versioned import _fs
+
+        fs, jvm = _fs(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/{name}"), True)
+        raise
 
 
 def commit_update_mor(
@@ -361,7 +401,7 @@ def commit_upsert_mor(
     spark = updates.sparkSession
     vs = versions(spark, path)
     if not vs:
-        return commit_version(updates, path, meta=meta)
+        return commit_version(updates, path, meta=meta, expected_base=0)
     base = vs[-1]
     man = read_manifest(spark, path, base)
     tagged = _visible_tagged(spark, path, base, man)

@@ -55,6 +55,28 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: the table advanced past the
+    version this commit planned against, so publishing it would
+    silently drop the intervening writer's changes (the lost-update
+    anomaly). RETRYABLE by construction — re-read the latest version,
+    re-plan the mutation against it, and commit again; the retried
+    commit then contains both writers' changes. The Delta/Iceberg
+    commit-protocol behavior, arbitrated here by the manifest rename
+    at exactly ``expected_base + 1`` (rename-onto-existing fails, so
+    at most one of N racers wins a slot)."""
+
+    def __init__(self, path: str, expected_base: int, actual: int):
+        self.path = path
+        self.expected_base = expected_base
+        self.actual = actual
+        super().__init__(
+            f"commit conflict on {path}: planned against version "
+            f"{expected_base} but the table is at {actual} — re-plan "
+            "against the latest version and retry"
+        )
+
+
 def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small metadata file with the temp+rename commit point
     (overwriting any previous file): readers either see the complete
@@ -106,6 +128,78 @@ def read_text(spark: SparkSession, path: str) -> str:
         ).decode("utf-8")
     finally:
         stream.close()
+
+
+def _rel_file(d: str):
+    """``_metadata.file_path`` of a scan rooted at table-relative dir
+    ``d``, re-expressed RELATIVE to the table root — e.g.
+    ``v=3/date=2026-01-01/part-0.parquet``. Sidecars (deletion
+    vectors, zone maps, Bloom indexes) key files by this form so a
+    copied/relocated table keeps resolving them — the same reason
+    manifests store relative ``data_dirs`` (ADVICE r6). The extractor
+    splits on the LAST occurrence of ``/<d>/`` in the absolute URI,
+    matching ``_read_files``'s ``rfind`` grouping; a hive partition
+    column literally named ``v`` with integer values could alias the
+    boundary, but every tag site uses this one extractor, so even
+    then the forms agree with each other."""
+    fp = F_sql.col("_metadata.file_path")
+    return F_sql.concat(
+        F_sql.lit(d + "/"), F_sql.substring_index(fp, "/" + d + "/", -1)
+    )
+
+
+def _rel_from_any(col):
+    """Normalize a stored file path to the table-relative form: legacy
+    absolute entries (pre-r7 sidecars) are cut at the last ``/v=``
+    directory boundary; relative entries pass through unchanged."""
+    legacy = col.startswith("/") | col.contains("://")
+    return F_sql.when(
+        legacy,
+        F_sql.concat(F_sql.lit("v="), F_sql.substring_index(col, "/v=", -1)),
+    ).otherwise(col)
+
+
+def _check_schema_against_manifest(
+    df: DataFrame,
+    base_man: dict,
+    *,
+    what: str,
+    allow_evolution: bool = False,
+) -> None:
+    """Shared carry-commit schema gate: a commit that REFERENCES a
+    base version's files must read them back under a schema the bytes
+    on disk still satisfy. Columns must match the base exactly
+    (``allow_evolution=True`` relaxes to a strict add-column
+    superset), and every shared column must keep its type — a dropped
+    or retyped column needs a rewrite (compact_snapshot after a
+    select/cast), never a metadata carry."""
+    if "_schema" not in base_man:
+        return  # legacy manifest without a recorded schema
+    base_fields = base_man["_schema"]["fields"]
+    base_cols = sorted(f["name"] for f in base_fields)
+    if sorted(df.columns) != base_cols:
+        new_cols = set(df.columns)
+        if not (allow_evolution and new_cols > set(base_cols)):
+            raise ValueError(
+                f"{what} schema mismatch: carried {base_cols} vs new "
+                f"{sorted(df.columns)}"
+                + (
+                    ""
+                    if allow_evolution
+                    else " (add-column appends need allow_evolution=True)"
+                )
+            )
+    base_types = {f["name"]: f["type"] for f in base_fields}
+    retyped = [
+        f.name
+        for f in df.schema.fields
+        if f.name in base_types and f.dataType.jsonValue() != base_types[f.name]
+    ]
+    if retyped:
+        raise ValueError(
+            f"{what} retypes column(s) {retyped} — rewrite "
+            "(compact_snapshot after a cast), don't carry"
+        )
 
 
 def _manifest_dir(path: str) -> str:
@@ -164,6 +258,7 @@ def commit_version(
     carry_dirs: list[str] | None = None,
     allow_evolution: bool = False,
     checks: dict[str, str] | None = None,
+    expected_base: int | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
@@ -213,6 +308,24 @@ def commit_version(
     recomputing an expensive lineage twice. Carried dirs were
     validated by their own commits; the constraint set is recorded in
     the manifest (``_checks``) for auditability.
+
+    ``expected_base=B`` turns on COMMIT-TIME CONFLICT DETECTION (the
+    Delta-style optimistic-concurrency check): the caller planned this
+    commit against version B, and publishing it is only safe while B
+    is still the latest — an intervening commit's changes would
+    otherwise be silently dropped (a MOR delete's carried dirs, a
+    COW merge's rewritten partitions, a maintenance compaction: all
+    embed the base they read). With it set, the manifest slot is
+    pinned to exactly ``B + 1`` — never renumbered — so the atomic
+    rename of ``<B+1>.json`` is the single arbiter between racing
+    writers: the loser's rename fails, its data dir is cleaned up,
+    and ``CommitConflictError`` (retryable: re-plan against the new
+    latest, commit again) is raised instead of a silent lost update.
+    The DATA dir may still dodge to a free ``v=K`` slot past an
+    orphan — manifests reference dirs by name, so slot K need not
+    equal the version number. Default ``None`` keeps the historical
+    renumber-and-retry behavior for independent appends that cannot
+    conflict semantically.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -231,45 +344,21 @@ def commit_version(
         # deleted rows silently resurrect in the new version
         if base_man.get("_dv") and "_dv" not in (meta or {}):
             meta = {**(meta or {}), "_dv": base_man["_dv"]}
-        base_cols = (
-            sorted(f["name"] for f in base_man["_schema"]["fields"])
-            if "_schema" in base_man
-            else None
+        _check_schema_against_manifest(
+            df,
+            base_man,
+            what=f"carry_from={carry_from}",
+            allow_evolution=allow_evolution,
         )
-        if base_cols is not None and sorted(df.columns) != base_cols:
-            new_cols = set(df.columns)
-            if not (allow_evolution and new_cols > set(base_cols)):
-                raise ValueError(
-                    f"carry_from={carry_from} schema mismatch: carried "
-                    f"{base_cols} vs new {sorted(df.columns)}"
-                    + (
-                        ""
-                        if allow_evolution
-                        else " (add-column appends need allow_evolution=True)"
-                    )
-                )
-        if base_cols is not None:
-            # shared columns must keep their types: the manifest's new
-            # schema is applied to the carried files at read time, and
-            # a retyped column would make old bytes unreadable
-            base_types = {
-                f["name"]: f["type"] for f in base_man["_schema"]["fields"]
-            }
-            retyped = [
-                f.name
-                for f in df.schema.fields
-                if f.name in base_types
-                and f.dataType.jsonValue() != base_types[f.name]
-            ]
-            if retyped:
-                raise ValueError(
-                    f"carry_from={carry_from} retypes column(s) {retyped} — "
-                    "rewrite (compact_snapshot after a cast), don't carry"
-                )
     # next slot must clear BOTH committed versions and orphan data
     # dirs (a crashed writer's v=N would otherwise make every future
     # errorifexists write fail until vacuum — the table would wedge)
-    taken = set(versions(spark, path))
+    committed = versions(spark, path)
+    if expected_base is not None:
+        latest = committed[-1] if committed else 0
+        if latest != expected_base:
+            raise CommitConflictError(path, expected_base, latest)
+    taken = set(committed)
     root = Path(path)
     if fs.exists(root):
         for st in fs.listStatus(root):
@@ -279,9 +368,14 @@ def commit_version(
                     taken.add(int(name[2:]))
                 except ValueError:
                     pass
-    version = (max(taken) + 1) if taken else 1
+    # DATA slot: any free v=K (dodges orphans and racers). MANIFEST
+    # slot: normally tracks the data slot; under conflict detection
+    # it is PINNED to expected_base+1 so the <B+1>.json rename is the
+    # one atomic arbiter between racing writers — manifests reference
+    # data dirs by name, so the two numbers may legitimately diverge.
+    data_slot = (max(taken) + 1) if taken else 1
     while True:
-        data = _data_dir(path, version)
+        data = _data_dir(path, data_slot)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -293,8 +387,11 @@ def commit_version(
             # re-raise anything that is not a path collision
             if not fs.exists(Path(data)):
                 raise
-            version += 1
+            data_slot += 1
             continue
+        version = (
+            expected_base + 1 if expected_base is not None else data_slot
+        )
         if checks:
             written = spark.read.schema(df.schema).parquet(data)
             viol_row = written.agg(
@@ -326,7 +423,7 @@ def commit_version(
             # every directory this snapshot is the union of: carried
             # (referenced, not copied) dirs first, own dir last —
             # RELATIVE names, so the table survives relocation
-            "data_dirs": carried_dirs + [f"v={version}"],
+            "data_dirs": carried_dirs + [f"v={data_slot}"],
             # writer schema: lets read_version reconstruct EMPTY
             # partitioned snapshots (no part files to infer from)
             "_schema": df.schema.jsonValue(),
@@ -345,10 +442,18 @@ def commit_version(
         if fs.rename(tmp, final):
             return version
         # lost the manifest race for this number: discard our data
-        # dir and manifest temp, take the next slot
+        # dir and manifest temp
         fs.delete(tmp, False)
         fs.delete(Path(data), True)
-        version += 1
+        if expected_base is not None:
+            # a competitor won the <B+1>.json slot — its commit was
+            # planned against the same base, so ours is now stale:
+            # surface the conflict instead of silently renumbering
+            # past (and thereby dropping) the winner's changes
+            raise CommitConflictError(
+                path, expected_base, expected_base + 1
+            )
+        data_slot += 1
 
 
 def _resolve_version(
@@ -595,6 +700,7 @@ def commit_merge_cow(
         partition_by=[partition_col],
         carry_dirs=carried,
         meta=meta,
+        expected_base=latest,
     )
 
 
@@ -662,6 +768,7 @@ def commit_cdc_cow(
         partition_by=[partition_col],
         carry_dirs=carried,
         meta=meta,
+        expected_base=latest,
     )
 
 
@@ -773,6 +880,7 @@ def commit_delete_cow(
         partition_by=[partition_col],
         carry_dirs=carried,
         meta=meta,
+        expected_base=latest,
     )
 
 
@@ -888,6 +996,7 @@ def compact_snapshot(
         path,
         partition_by=partition_by or None,
         meta={**carried, **(meta or {}), "compacted_from": latest[-1]},
+        expected_base=latest[-1],
     )
 
 

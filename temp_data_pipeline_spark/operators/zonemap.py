@@ -55,6 +55,8 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.operators.versioned import (
     _fs,
     _manifest_dirs,
+    _rel_file,
+    _rel_from_any,
     _resolve_version,
     commit_version,
     read_manifest,
@@ -64,6 +66,16 @@ from temp_data_pipeline_spark.operators.versioned import (
 # (column, op, literal) conjunctions the skipper understands. All ops
 # are null-rejecting except the two null probes, mirroring SQL.
 _OPS = ("=", "<", "<=", ">", ">=", "is_null", "not_null")
+
+# Driver-side file-list bound (verdict r6 #3): at 100 TB ≈ 10⁵–10⁶
+# files, an unselective predicate's survivor list is ~100 MB of path
+# strings on the driver. Past this cap the skipped readers keep the
+# intersection DISTRIBUTED — scan the manifest dirs and semi-join the
+# surviving sidecar rows on the (relative) file tag instead of
+# collecting a list. In that regime skipping prunes few files anyway,
+# so the semi-join path costs ≈ the full scan it degrades toward,
+# while the driver only ever holds a 1-row count.
+SKIP_LIST_MAX = 100_000
 
 
 def _zonemap_dir(path: str, version: int) -> str:
@@ -130,11 +142,13 @@ def write_zone_maps(
         dirs = [d for d in cur_dirs if d not in old_dirs]
         kept = [d for d in cur_dirs if d in old_dirs]
         if kept:
-            # a file belongs to dir d iff its path contains /<d>/ —
-            # dirs are v=N[/col=x] segments, unique within one table
+            # a file belongs to dir d iff its RELATIVE path starts
+            # with <d>/ (read_zone_maps normalizes legacy absolute
+            # entries) — dirs are v=N[/col=x] segments, unique
+            # within one table
             cond = F.lit(False)
             for d in kept:
-                cond = cond | F.col("file").contains(f"/{d}/")
+                cond = cond | F.col("file").startswith(f"{d}/")
             prev_kept = prev.filter(cond)
         if not dirs:
             # pure rollback/no-op commit: nothing new to scan
@@ -166,16 +180,19 @@ def write_zone_maps(
 
 def _bump_prefix(p: Column) -> Column:
     """A strict UPPER bound for every string sharing prefix ``p``:
-    increment the last code point. NULL when no such bound exists
-    (empty prefix, or last char already U+10FFFF) — NULL bounds mean
-    'unbounded', and the keep-condition's null semantics then never
-    skip the file (conservative, not wrong)."""
+    increment the last code point — but ONLY when that last code point
+    is plain ASCII (< 127). ``F.char`` wraps code points mod 256
+    ('ÿ'+1 → '\\x00', '中'+1 → '.'), so bumping a non-ASCII tail
+    would produce a "bound" that sorts BELOW the file's real strings
+    and silently skip matching files (ADVICE r6). Outside ASCII the
+    bound is NULL = unbounded, and ``_keep_condition`` treats a NULL
+    truncated bound as KEEP — conservative, never wrong."""
     last = F.ascii(F.substring(p, -1, 1))
     bumped = F.concat(
         F.substring(p, 1, F.length(p) - 1), F.char(last + 1)
     )
     return F.when(
-        p.isNull() | (F.length(p) == 0) | (last >= 0x10FFFF), F.lit(None)
+        p.isNull() | (F.length(p) == 0) | (last >= 127), F.lit(None)
     ).otherwise(bumped)
 
 
@@ -210,15 +227,28 @@ def read_zone_maps(
             f"no zone maps for version {version} under {path} — "
             "run write_zone_maps first"
         )
-    return spark.read.parquet(d)
+    zm = spark.read.parquet(d)
+    # sidecars written before r7 stored ABSOLUTE file paths; normalize
+    # to the table-relative form so skip verdicts keep resolving (and
+    # keep intersecting Bloom verdicts) after a table relocation
+    return zm.withColumn("file", _rel_from_any(F.col("file")))
 
 
-def _keep_condition(predicates: list[tuple]) -> Column:
+def _keep_condition(
+    predicates: list[tuple], trunc_cols: frozenset[str] = frozenset()
+) -> Column:
     """The file-KEEP condition over the stats schema: a file survives
     only when every conjunct could match some row in it. Nulls fall
-    out naturally: an all-null file has NULL min/max, comparisons
-    against NULL are NULL, and filter() drops NULL — so range
-    predicates skip all-null files without a special case."""
+    out naturally for EXACT stats: an all-null file has NULL min/max,
+    comparisons against NULL are NULL, and filter() drops NULL — so
+    range predicates skip all-null files without a special case.
+
+    Columns in ``trunc_cols`` carry truncated BOUNDS whose max may be
+    NULL = "no finite upper bound exists" (non-ASCII tail,
+    ``_bump_prefix``); there a NULL comparison must KEEP the file —
+    dropping it would silently lose matching rows (ADVICE r6) — so
+    truncated-column conjuncts coalesce NULL → TRUE. (A truncated
+    all-null file is then kept rather than skipped: conservative.)"""
     cond = F.lit(True)
     for col, op, *rest in predicates:
         s = F.col(f"stats_{col}")
@@ -240,8 +270,26 @@ def _keep_condition(predicates: list[tuple]) -> Column:
                 c = s["max"] >= v
             else:
                 raise ValueError(f"unknown op {op!r}; expected one of {_OPS}")
+            if col in trunc_cols:
+                c = F.when(
+                    F.coalesce(s["trunc"], F.lit(False)),
+                    F.coalesce(c, F.lit(True)),
+                ).otherwise(c)
         cond = cond & c
     return cond
+
+
+def _trunc_cols(zm: DataFrame, predicates: list[tuple]) -> frozenset[str]:
+    """Predicate columns whose stats struct carries the ``trunc``
+    marker field — the ones ``_keep_condition`` must treat
+    NULL-bound-as-keep for. Legacy sidecars predate the field and
+    never truncated, so they report none."""
+    out = set()
+    for col in {p[0] for p in predicates}:
+        name = f"stats_{col}"
+        if name in zm.columns and "trunc" in zm.schema[name].dataType.fieldNames():
+            out.add(col)
+    return frozenset(out)
 
 
 def _row_condition(predicates: list[tuple]) -> Column:
@@ -268,16 +316,15 @@ def _row_condition(predicates: list[tuple]) -> Column:
     return cond
 
 
-def select_files(
+def _zm_survivors(
     spark: SparkSession,
     path: str,
     predicates: list[tuple],
-    version: int | None = None,
-) -> list[str]:
-    """File paths of ``version`` that may contain rows matching the
-    predicate conjunction — the skip decision, evaluated inside Spark
-    over the metadata-sized stats table; only survivors reach the
-    driver."""
+    version: int | None,
+) -> DataFrame:
+    """The one-column (file) frame of zone-map survivors — the skip
+    verdict kept INSIDE Spark so callers choose whether to collect it
+    (small) or join it into the scan (large)."""
     for p in predicates:
         if p[1] not in _OPS:
             raise ValueError(f"unknown op {p[1]!r}; expected one of {_OPS}")
@@ -290,10 +337,55 @@ def select_files(
             f"zone maps carry no stats for column(s) {missing} — "
             "rebuild with write_zone_maps(columns=[...])"
         )
+    return zm.filter(
+        _keep_condition(predicates, _trunc_cols(zm, predicates))
+    ).select("file")
+
+
+def select_files(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> list[str]:
+    """File paths of ``version`` that may contain rows matching the
+    predicate conjunction — the skip decision, evaluated inside Spark
+    over the metadata-sized stats table; only survivors reach the
+    driver."""
     return [
         r["file"]
-        for r in zm.filter(_keep_condition(predicates)).select("file").collect()
+        for r in _zm_survivors(spark, path, predicates, version).collect()
     ]
+
+
+def _semi_join_scan(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    survivors: DataFrame,
+    *,
+    with_positions: bool = False,
+) -> DataFrame:
+    """The bounded-driver alternative to an explicit file-list scan:
+    read every manifest dir tagged with its relative file and
+    LEFT-SEMI join the survivor frame — the intersection never leaves
+    the executors. Row-for-row equal to ``_read_files(collect())`` by
+    construction; used when the survivor count exceeds the driver
+    cap, where pruning is weak and the scan approaches full cost
+    anyway."""
+    if with_positions:
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            _scan_with_positions,
+        )
+
+        tagged = _scan_with_positions(spark, path, version)
+        return tagged.join(
+            survivors.withColumnRenamed("file", "_dv_file"),
+            "_dv_file",
+            "left_semi",
+        )
+    tagged = _scan_files_with_rows(spark, path, version)
+    return tagged.join(survivors, "file", "left_semi").drop("file")
 
 
 def read_version_skipped(
@@ -301,6 +393,8 @@ def read_version_skipped(
     path: str,
     predicates: list[tuple],
     version: int | None = None,
+    *,
+    max_driver_files: int = SKIP_LIST_MAX,
 ) -> DataFrame:
     """Data-skipping read: resolve ``version``, consult its zone maps,
     scan ONLY the files whose min/max ranges can satisfy the
@@ -312,10 +406,20 @@ def read_version_skipped(
     Files are grouped by their ``v=<N>`` version root and each group
     scans with ``basePath`` at that root, so hive partition columns
     survive explicit-file reads across carried directories. An empty
-    survivor set returns an empty frame with the manifest schema."""
+    survivor set returns an empty frame with the manifest schema.
+
+    The survivor list reaches the driver only while it stays under
+    ``max_driver_files`` (one count over the metadata-sized sidecar
+    decides); past the cap the intersection runs as a distributed
+    semi-join instead (verdict r6 #3) — same rows, bounded driver."""
     version = _resolve_version(spark, path, version)
-    files = select_files(spark, path, predicates, version)
-    return _read_files(spark, path, version, files).filter(
+    survivors = _zm_survivors(spark, path, predicates, version)
+    if survivors.count() <= max_driver_files:
+        files = [r["file"] for r in survivors.collect()]
+        return _read_files(spark, path, version, files).filter(
+            _row_condition(predicates)
+        )
+    return _semi_join_scan(spark, path, version, survivors).filter(
         _row_condition(predicates)
     )
 
@@ -331,10 +435,12 @@ def _read_files(
     """Scan an explicit file list of a version: files group by their
     ``v=<N>`` root and each group scans with ``basePath`` at that
     root, so hive partition columns survive explicit-file reads
-    across carried directories. An empty list returns an empty frame
-    with the manifest schema. ``with_positions`` prepends the
-    (_dv_file, _dv_pos) metadata columns deletion vectors subtract
-    on."""
+    across carried directories. Entries are TABLE-RELATIVE
+    (``v=3/date=x/f.parquet``, the sidecar convention) — legacy
+    absolute paths still resolve. An empty list returns an empty
+    frame with the manifest schema. ``with_positions`` prepends the
+    (_dv_file, _dv_pos) columns deletion vectors subtract on, tagged
+    with the same relative form the DV sidecars store."""
     from functools import reduce
 
     from pyspark.sql.types import StructType
@@ -355,23 +461,32 @@ def _read_files(
                 *empty.columns,
             )
         return empty
-    # file paths look like .../<table>/v=3/[part=x/]f.parquet
-    marker = "/v="
-    by_root: dict[str, list[str]] = {}
+    # group by version-root head: (absolute basePath, relative head)
+    by_root: dict[tuple[str, str], list[str]] = {}
     for f in files:
-        i = f.rfind(marker)
-        if i < 0:
-            raise ValueError(f"unexpected data file path (no v= segment): {f}")
-        j = f.find("/", i + 1)
-        root = f[:j] if j > 0 else f
-        by_root.setdefault(root, []).append(f)
+        if f.startswith("/") or "://" in f:
+            # legacy absolute entry: .../<table>/v=3/[part=x/]f.parquet
+            i = f.rfind("/v=")
+            if i < 0:
+                raise ValueError(
+                    f"unexpected data file path (no v= segment): {f}"
+                )
+            j = f.find("/", i + 1)
+            head = f[i + 1 : j] if j > 0 else f[i + 1 :]
+            root = f[:j] if j > 0 else f
+            absolute = f
+        else:
+            head = f.split("/", 1)[0]
+            root = f"{path}/{head}"
+            absolute = f"{path}/{f}"
+        by_root.setdefault((root, head), []).append(absolute)
 
-    def _scan(root: str, fl: list[str]) -> DataFrame:
+    def _scan(root: str, head: str, fl: list[str]) -> DataFrame:
         r = spark.read.schema(schema) if schema is not None else spark.read
         branch = r.option("basePath", root).parquet(*sorted(fl))
         if with_positions:
             branch = branch.select(
-                F.col("_metadata.file_path").alias("_dv_file"),
+                _rel_file(head).alias("_dv_file"),
                 F.col("_metadata.row_index").alias("_dv_pos"),
                 *branch.columns,
             )
@@ -379,7 +494,7 @@ def _read_files(
 
     return reduce(
         lambda a, b: a.unionByName(b),
-        [_scan(root, fl) for root, fl in sorted(by_root.items())],
+        [_scan(root, head, fl) for (root, head), fl in sorted(by_root.items())],
     )
 
 
@@ -716,7 +831,9 @@ def write_bloom_index(
                 f"no bloom index on {column!r} for version "
                 f"{incremental_from} under {path}"
             )
-        prev = spark.read.parquet(d_prev)
+        prev = spark.read.parquet(d_prev).withColumn(
+            "file", _rel_from_any(F.col("file"))
+        )
         m, k = (int(x) for x in prev.select("m", "k").first())
         cur_dirs = _manifest_dirs(read_manifest(spark, path, version))
         old_dirs = set(
@@ -727,7 +844,7 @@ def write_bloom_index(
         if kept:
             cond = F.lit(False)
             for d in kept:
-                cond = cond | F.col("file").contains(f"/{d}/")
+                cond = cond | F.col("file").startswith(f"{d}/")
             prev_kept = prev.filter(cond)
         if not dirs:
             return _publish_bloom(spark, path, version, column, prev_kept)
@@ -793,9 +910,12 @@ def _scan_files_with_rows(
     """All rows of a version (or of the subset ``dirs`` of its data
     dirs) tagged with their producing file — the shared multi-dir
     `_metadata.file_path` scan (see write_zone_maps for why the
-    projection must happen inside each branch)."""
+    projection must happen inside each branch). Files are tagged by
+    their TABLE-RELATIVE path (``versioned._rel_file``) so sidecars
+    survive a table relocation like the manifests they describe."""
     from functools import reduce
 
+    from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql.types import StructType
 
     man = read_manifest(spark, path, version)
@@ -808,21 +928,55 @@ def _scan_files_with_rows(
         if "/" in d:
             r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
         branch = r.parquet(f"{path}/{d}")
-        return branch.select(
-            F.col("_metadata.file_path").alias("file"), *branch.columns
-        )
+        return branch.select(_rel_file(d).alias("file"), *branch.columns)
 
     frames = []
     for d in dirs if dirs is not None else _manifest_dirs(man):
         try:
             frames.append(_scan(d))
-        except Exception:
-            continue
+        except AnalysisException as exc:
+            # only a genuinely EMPTY dir (zero-row legacy commit, no
+            # recorded schema to scan under) is skippable; a missing
+            # or unreadable carried dir must propagate or the sidecar
+            # silently under-covers the version (ADVICE r6)
+            if "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                continue
+            raise
     if not frames:
         raise FileNotFoundError(
             f"version {version} under {path} has no data files"
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _bloom_survivors(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    version: int,
+) -> DataFrame:
+    """The one-column (file) frame of Bloom survivors for
+    ``column = value`` — the verdict kept inside Spark (see
+    ``_zm_survivors``)."""
+    d = f"{path}/_blooms/{version}.{column}.parquet"
+    fs, jvm = _fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+        raise FileNotFoundError(
+            f"no bloom index on {column!r} for version {version} under "
+            f"{path} — run write_bloom_index first"
+        )
+    bl = spark.read.parquet(d).withColumn("file", _rel_from_any(F.col("file")))
+    m, k = bl.select("m", "k").first()
+    probes = _bloom_positions(F.lit(value), int(m), int(k))
+    cond = F.lit(True)
+    for i in range(int(k)):
+        p = probes[i]
+        # packed probe: word absent from the map → element_at NULL →
+        # the AND turns NULL → filter drops the file (bit not set)
+        word_bits = F.element_at(F.col("words"), F.shiftright(p, 6))
+        cond = cond & (word_bits.bitwiseAND(_bit_of(p)) != 0)
+    return bl.filter(cond).select("file")
 
 
 def bloom_select_files(
@@ -835,27 +989,13 @@ def bloom_select_files(
     """Files of ``version`` that MAY contain ``column = value`` per
     the Bloom sidecar — a file survives only if every probe position
     is set in its filter. Evaluated inside Spark over the sidecar
-    (array_contains per probe on the sorted bit list); NULL never
-    matches an equality, so the probe is null-safe by construction."""
+    (bit probes on the packed word map); NULL never matches an
+    equality, so the probe is null-safe by construction."""
     version = _resolve_version(spark, path, version)
-    d = f"{path}/_blooms/{version}.{column}.parquet"
-    fs, jvm = _fs(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
-        raise FileNotFoundError(
-            f"no bloom index on {column!r} for version {version} under "
-            f"{path} — run write_bloom_index first"
-        )
-    bl = spark.read.parquet(d)
-    m, k = bl.select("m", "k").first()
-    probes = _bloom_positions(F.lit(value), int(m), int(k))
-    cond = F.lit(True)
-    for i in range(int(k)):
-        p = probes[i]
-        # packed probe: word absent from the map → element_at NULL →
-        # the AND turns NULL → filter drops the file (bit not set)
-        word_bits = F.element_at(F.col("words"), F.shiftright(p, 6))
-        cond = cond & (word_bits.bitwiseAND(_bit_of(p)) != 0)
-    return [r["file"] for r in bl.filter(cond).select("file").collect()]
+    return [
+        r["file"]
+        for r in _bloom_survivors(spark, path, column, value, version).collect()
+    ]
 
 
 def read_version_bloom(
@@ -881,6 +1021,8 @@ def scan_version(
     path: str,
     predicates: list[tuple],
     version: int | None = None,
+    *,
+    max_driver_files: int = SKIP_LIST_MAX,
 ) -> DataFrame:
     """The UNIFIED data-skipping read: consult every sidecar the
     version has and intersect their file verdicts — zone maps prune
@@ -894,31 +1036,24 @@ def scan_version(
     composition). Merge-on-read deletes compose too: when the version
     carries a deletion vector, the pruned scan reads WITH row
     positions and subtracts the broadcast DV, so scan_version always
-    equals ``deletion_vectors.read_table(...).filter(...)``."""
+    equals ``deletion_vectors.read_table(...).filter(...)``.
+
+    Sidecar verdicts intersect as one-column frames INSIDE Spark
+    (inner joins on the relative file tag); the survivor list reaches
+    the driver only under ``max_driver_files``, else the intersection
+    stays distributed as a semi-join into the scan (verdict r6 #3)."""
     version = _resolve_version(spark, path, version)
-    candidates: list[str] | None = None
-
-    def _meet(files: list[str]) -> None:
-        nonlocal candidates
-        candidates = (
-            files
-            if candidates is None
-            else [f for f in candidates if f in set(files)]
-        )
-
+    frames: list[DataFrame] = []
     try:
         zm = read_zone_maps(spark, path, version)
         covered = [
             p for p in predicates if f"stats_{p[0]}" in zm.columns
         ]
         if covered:
-            _meet(
-                [
-                    r["file"]
-                    for r in zm.filter(_keep_condition(covered))
-                    .select("file")
-                    .collect()
-                ]
+            frames.append(
+                zm.filter(
+                    _keep_condition(covered, _trunc_cols(zm, covered))
+                ).select("file")
             )
     except FileNotFoundError:
         pass
@@ -932,7 +1067,7 @@ def scan_version(
                 f"{path}/_blooms/{version}.{col}.parquet"
             )
         ):
-            _meet(bloom_select_files(spark, path, col, value, version))
+            frames.append(_bloom_survivors(spark, path, col, value, version))
     # a DV version must subtract its deletion vector or the "one entry
     # point" would resurrect deleted rows that low-level readers hide
     from temp_data_pipeline_spark.operators.deletion_vectors import (
@@ -943,16 +1078,25 @@ def scan_version(
     )
 
     dv_aware = has_deletes(spark, path, version)
-    if candidates is None:
+    if not frames:
         base = (
             read_table(spark, path, version)
             if dv_aware
             else read_version(spark, path, version)
         )
         return base.filter(_row_condition(predicates))
-    out = _read_files(
-        spark, path, version, candidates, with_positions=dv_aware
-    )
+    survivors = frames[0]
+    for fr in frames[1:]:
+        survivors = survivors.join(fr, "file", "inner")
+    if survivors.count() <= max_driver_files:
+        candidates = [r["file"] for r in survivors.collect()]
+        out = _read_files(
+            spark, path, version, candidates, with_positions=dv_aware
+        )
+    else:
+        out = _semi_join_scan(
+            spark, path, version, survivors, with_positions=dv_aware
+        )
     if dv_aware:
         out = _subtract_dv(out, read_dv(spark, path, version))
     return out.filter(_row_condition(predicates))

@@ -1045,14 +1045,18 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     note=(
         "TPC-H Q5 shape — the classic 6-table star join (local-supplier "
-        "revenue per nation of one region). Scale posture: region/"
-        "nation/supplier are broadcast dims (no shuffle for any of "
-        "them), the fact-side customer⋈orders⋈lineitem chain shuffles "
-        "on its keys once each, and revenue is quantized per row to "
-        "integer e4 units BEFORE the SUM so partial-aggregation order "
-        "can't move a bit (the float-sum determinism rule every "
-        "oracle-compared aggregate follows). Exercises supplier + "
-        "region + nation, the dims no other query touched."
+        "revenue per nation of one region). Scale posture: the REGION "
+        "filter is pushed all the way down — customer (and supplier) "
+        "are broadcast-SEMI-joined against the ASIA nation-key set "
+        "BEFORE the fact chain, so the customer⋈orders⋈lineitem "
+        "shuffles carry only the ~1/5 of rows that can survive "
+        "(verdict r6 #2: filtering last shuffled 5× the needed bytes "
+        "at scale). region/nation/supplier remain broadcast dims (no "
+        "shuffle for any of them), the fact chain shuffles on its keys "
+        "once each, and revenue is quantized per row to integer e4 "
+        "units BEFORE the SUM so partial-aggregation order can't move "
+        "a bit (the float-sum determinism rule every oracle-compared "
+        "aggregate follows). Exercises supplier + region + nation."
     ),
 )
 def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,6 +1071,22 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
             nation.n_regionkey == region.r_regionkey,
         ).select("n_nationkey", "n_name")
+    )
+    # push the region restriction below the fact shuffles: only ASIA
+    # customers/suppliers can contribute (the s_nationkey=c_nationkey
+    # local-supplier condition transits through the asia join), so the
+    # broadcast semi-joins drop ~4/5 of the fact chain's input before
+    # any exchange instead of after all of them
+    asia_keys = asia.select("n_nationkey")
+    customer = customer.join(
+        F.broadcast(asia_keys),
+        customer.c_nationkey == asia_keys.n_nationkey,
+        "left_semi",
+    )
+    supplier = supplier.join(
+        F.broadcast(asia_keys),
+        supplier.s_nationkey == asia_keys.n_nationkey,
+        "left_semi",
     )
     j = (
         customer.join(orders, customer.c_custkey == orders.o_custkey)

@@ -302,3 +302,52 @@ def test_export_snapshot_plain_parquet(spark, table, tmp_path):
 
     with _pytest.raises(Exception):
         export_snapshot(spark, table, out)
+
+
+def test_deletion_vectors_survive_table_relocation(spark, tmp_path):
+    """ADVICE r6 (medium): DVs used to key rows by ABSOLUTE
+    _metadata.file_path, so a copied/relocated table matched nothing
+    and every deleted row silently resurrected. Paths are now stored
+    relative to the table root, like manifest data_dirs."""
+    import shutil
+
+    src = os.path.join(str(tmp_path), "dvsrc")
+    commit_version(
+        spark.createDataFrame(
+            [(i, f"u{i % 5}", float(i)) for i in range(50)],
+            "k long, user string, t double",
+        ),
+        src,
+    )
+    commit_delete_mor(spark, src, "user = 'u2'")
+    dst = os.path.join(str(tmp_path), "dvdst")
+    shutil.copytree(src, dst)
+    shutil.rmtree(src)  # old absolute paths must be truly dead
+    got = {r["user"] for r in read_table(spark, dst).collect()}
+    assert got == {"u0", "u1", "u3", "u4"}
+    # further MOR mutations keep working at the new location
+    commit_delete_mor(spark, dst, "user = 'u4'")
+    got = {r["user"] for r in read_table(spark, dst).collect()}
+    assert got == {"u0", "u1", "u3"}
+
+
+def test_missing_carried_dir_fails_loudly_in_mor(spark, tmp_path):
+    """ADVICE r6 (low): a mis-vacuumed carried dir must propagate out
+    of the position scan — a GDPR delete that silently skips a dir
+    would miss rows without any error."""
+    import shutil
+
+    import pytest as _pytest
+
+    path = os.path.join(str(tmp_path), "morgone")
+    commit_version(
+        spark.createDataFrame([(1, "a")], "k long, user string"), path
+    )
+    commit_version(
+        spark.createDataFrame([(2, "b")], "k long, user string"),
+        path,
+        carry_from=1,
+    )
+    shutil.rmtree(os.path.join(path, "v=1"))
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        commit_delete_mor(spark, path, "user = 'a'")

@@ -62,6 +62,28 @@ def test_star_revenue_broadcasts_dims(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_star_revenue_semi_join_precedes_fact_shuffle(spark):
+    """Verdict r6 #2: the ASIA restriction must reach the customer
+    branch BEFORE its first exchange — walking up from the customer
+    scan, the first join/exchange node must be the broadcast LeftSemi
+    against the asia nation keys, so every fact shuffle carries only
+    the surviving ~1/5 of customers."""
+    plan = _plan(RELATIONAL_QUERIES["q_star_revenue"].builder(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    scan_idx = next(
+        i for i, ln in enumerate(lines) if "customer" in ln and "Scan" in ln
+    )
+    for ln in reversed(lines[:scan_idx]):
+        if "Join" in ln or "Exchange" in ln:
+            assert "LeftSemi" in ln, (
+                "first operator above the customer scan must be the "
+                f"ASIA semi-join, found: {ln.strip()}"
+            )
+            break
+    else:
+        raise AssertionError("no join/exchange found above the customer scan")
+
+
 def test_part_agg_pushes_dim_predicate_before_broadcast(spark):
     plan = _plan(RELATIONAL_QUERIES["q_part_agg"].builder(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan

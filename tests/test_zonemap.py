@@ -51,10 +51,15 @@ def table(spark, tmp_path):
 
 def test_stats_match_per_file_truth(spark, table):
     zm = read_zone_maps(spark, table).collect()
+    # sidecars key files RELATIVE to the table root (r7, relocation
+    # safety) — re-derive the same form from the metadata column
+    rel = F.concat(
+        F.lit("v="), F.substring_index(F.col("_metadata.file_path"), "/v=", -1)
+    )
     truth = {
         r["file"]: r
         for r in read_version(spark, table)
-        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .groupBy(rel.alias("file"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("x").alias("mn"),
@@ -401,7 +406,7 @@ class TestIncrementalZoneMaps:
         # and skipping works over the merged sidecar
         write_zone_maps(spark, path, ["x"], version=v2, incremental_from=1)
         sel = select_files(spark, path, [("x", ">=", 100)], version=v2)
-        assert all("/v=2/" in f for f in sel)
+        assert all(f.startswith("v=2/") for f in sel)
 
     def test_cow_commit_drops_superseded_partition_stats(self, spark, tmp_path):
         from temp_data_pipeline_spark.operators.versioned import commit_merge_cow
@@ -429,7 +434,7 @@ class TestIncrementalZoneMaps:
         # the superseded v=1 'a' partition's stats are gone: a query on
         # the OLD value range must not reopen it
         sel = select_files(spark, path, [("val", "<", 50)], version=v2)
-        assert not any("/part=a/" in f and "/v=1/" in f for f in sel)
+        assert not any("/part=a/" in f and f.startswith("v=1/") for f in sel)
 
     def test_column_set_change_requires_full_rebuild(self, spark, tmp_path):
         path = os.path.join(str(tmp_path), "inccols")
@@ -601,6 +606,134 @@ def test_truncated_string_bounds_skip_correctly(spark, tmp_path):
     assert [r["id"] for r in got.collect()] == [123]
     # range probe below every prefix: all files skip via the lower bound
     assert select_files(spark, path, [("text", "<", "00")]) == []
+
+
+def test_truncated_non_ascii_bounds_never_skip_matches(spark, tmp_path):
+    """ADVICE r6 (high): F.char wraps code points mod 256, so bumping
+    a truncated max whose last char is non-ASCII ('ÿ'+1 → '\\x00',
+    '中'+1 → '.') used to produce a bound BELOW the file's real
+    strings — silently skipping files that contain matching rows. The
+    bound is now NULL = unbounded outside ASCII, and NULL truncated
+    bounds KEEP the file."""
+    path = os.path.join(str(tmp_path), "truncnonascii")
+    rows = [
+        (1, "ÿÿÿÿÿÿ latin-1 tail " * 5),
+        (2, "中文文档内容 cjk " * 5),
+        (3, "ÿÿÿÿÿÿ another " * 5),
+        (4, "中文更多内容 " * 5),
+    ]
+    commit_version(
+        spark.createDataFrame(rows, "id long, text string").repartition(1),
+        path,
+    )
+    write_zone_maps(spark, path, ["text"], truncate={"text": 4})
+    zm = read_zone_maps(spark, path).collect()
+    # the truncated prefixes end in non-ASCII chars → max must be NULL
+    assert all(r["stats_text"]["max"] is None for r in zm)
+    for needle_id in (1, 2, 3, 4):
+        needle = next(r[1] for r in rows if r[0] == needle_id)
+        sel = select_files(spark, path, [("text", "=", needle)])
+        assert len(sel) == 1, f"file wrongly skipped for id={needle_id}"
+        got = read_version_skipped(spark, path, [("text", "=", needle)])
+        assert [r["id"] for r in got.collect()] == [needle_id]
+    # ">" probes lean on the (NULL) max bound too — must keep the file
+    assert len(select_files(spark, path, [("text", ">", "中")])) == 1
+    # the min bound (a real prefix) still skips what it can: every
+    # text starts at or above U+00FF, so a probe below "A" prunes
+    assert select_files(spark, path, [("text", "<", "A")]) == []
+
+
+def test_sidecars_survive_table_relocation(spark, tmp_path):
+    """Sidecars key files RELATIVE to the table root (like manifest
+    data_dirs), so a copied table's skip verdicts keep resolving."""
+    from temp_data_pipeline_spark.operators.zonemap import (
+        scan_version,
+        write_bloom_index,
+    )
+
+    src = os.path.join(str(tmp_path), "reloc_src")
+    commit_version(
+        spark.range(0, 400).select(
+            F.col("id"), (F.col("id") % 20).alias("x")
+        ).repartitionByRange(4, "id"),
+        src,
+    )
+    write_zone_maps(spark, src, ["id", "x"])
+    write_bloom_index(spark, src, "id")
+    dst = os.path.join(str(tmp_path), "reloc_dst")
+    shutil.copytree(src, dst)
+    shutil.rmtree(src)  # the old location is GONE — no silent fallback
+    sel = select_files(spark, dst, [("id", ">=", 300)])
+    # range boundaries are sampled → the probe survives 1-2 files
+    assert 1 <= len(sel) <= 2 and all(f.startswith("v=1/") for f in sel)
+    got = sorted(
+        r["id"]
+        for r in scan_version(spark, dst, [("id", ">=", 390)]).collect()
+    )
+    assert got == list(range(390, 400))
+
+
+def test_bounded_skip_list_join_path_matches_collect_path(spark, tmp_path):
+    """Verdict r6 #3: past ``max_driver_files`` the skipped readers
+    must keep the intersection distributed (semi-join into the scan)
+    instead of collecting the survivor list — same rows, bounded
+    driver. Forcing the cap to 0 takes the join path on every file."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.zonemap import (
+        scan_version,
+        write_bloom_index,
+    )
+
+    path = os.path.join(str(tmp_path), "cap")
+    commit_version(
+        spark.range(0, 800)
+        .select(F.col("id"), (F.col("id") % 40).alias("x"))
+        .repartitionByRange(8, "id"),
+        path,
+    )
+    write_zone_maps(spark, path, ["id", "x"])
+    write_bloom_index(spark, path, "x")
+    preds = [("id", ">=", 100), ("id", "<", 700), ("x", "=", 7)]
+    want = sorted(
+        r["id"] for r in read_version_skipped(spark, path, preds).collect()
+    )
+    got = sorted(
+        r["id"]
+        for r in read_version_skipped(
+            spark, path, preds, max_driver_files=0
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # scan_version composes the join path with Bloom verdicts AND a
+    # deletion vector
+    v2 = commit_delete_mor(spark, path, "id % 80 = 7")
+    want2 = sorted(
+        r["id"] for r in scan_version(spark, path, preds, v2).collect()
+    )
+    got2 = sorted(
+        r["id"]
+        for r in scan_version(
+            spark, path, preds, v2, max_driver_files=0
+        ).collect()
+    )
+    assert got2 == want2
+    assert set(want) - set(want2) == {r for r in want if r % 80 == 7}
+
+
+def test_missing_carried_dir_fails_loudly(spark, tmp_path):
+    """ADVICE r6 (low): a mis-vacuumed carried dir must propagate,
+    not be silently omitted from stats builds (an under-covering
+    sidecar would wrongly skip the missing dir's rows forever)."""
+    path = os.path.join(str(tmp_path), "gone")
+    commit_version(spark.range(0, 100).select(F.col("id")), path)
+    commit_version(
+        spark.range(100, 200).select(F.col("id")), path, carry_from=1
+    )
+    shutil.rmtree(os.path.join(path, "v=1"))
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        write_zone_maps(spark, path, ["id"], version=2)
 
 
 def test_incremental_bloom_equals_full_rebuild(spark, tmp_path):
