@@ -24,9 +24,13 @@ the reference's `tests/test_build_daily_tmax.py`):
   (reference uses wall-clock `now()`, `:105` — SURVEY §7.4 item 7)
 
 Scale: ONE shuffle on (date_local, station_id) with map-side partial
-aggregation; per-station timezones via `from_utc_timestamp(ts,
-tz_col)` keep multi-station frames in a single query (the reference
-handles one tz per call).
+aggregation — the distinct-hour count is computed as
+`bit_count(bit_or(1 << hour))` (hours are 0..23, so the bitmask IS
+the distinct set), where `countDistinct` would add Spark's second
+two-phase-distinct exchange; per-station timezones via
+`from_utc_timestamp(ts, tz_col)` keep multi-station frames in a
+single query (the reference handles one tz per call). Plan pinned by
+tests/test_multistation.py::test_one_shuffle_per_stage.
 """
 
 from __future__ import annotations
@@ -74,7 +78,17 @@ def build_daily_tmax(
 
     daily = prepared.groupBy("date_local", "station_id").agg(
         F.max("temp_c_valid").alias("tmax_c"),
-        F.countDistinct("hour_valid").alias("coverage_hours"),
+        # count of DISTINCT valid hours, but hours live in 0..23, so
+        # the exact distinct-count is bit_count(bit_or(1<<hour)) — one
+        # plain map-side-combining aggregate. countDistinct would
+        # expand to a second exchange on (date, station, hour)
+        # (Spark's two-phase distinct), doubling the stage's shuffles.
+        F.coalesce(
+            F.bit_count(F.expr("bit_or(shiftleft(1L, hour_valid))")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("coverage_hours"),
         F.expr("bit_or(qc_flags)").alias("qc_flags"),
     )
 

@@ -270,6 +270,98 @@ def _q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events streamed file-by-file through the view-maintaining
+    exactly-once sink (streaming/sink.py::
+    stream_append_versioned_with_view): each micro-batch lands as one
+    metadata-level commit AND advances a per-event-type aggregate
+    matview (group-fingerprint-pruned refresh, COW per partition),
+    including a restart over the same checkpoint (replays nothing,
+    refresh is a no-op). The VIEW's final rows must equal the plain
+    batch GROUP BY of the source — per-row integer e4 quantization
+    keeps the float sum order-independent (the engine-wide exact-sum
+    rule)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.versioned import read_version
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.sink import (
+        stream_append_versioned_with_view,
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+            .cast("long")
+            .alias("value_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+
+    scratch = tempfile.mkdtemp(prefix="smview_")
+    src, dest = f"{scratch}/src", f"{scratch}/table"
+    view, ckpt = f"{scratch}/view", f"{scratch}/ckpt"
+    try:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        e.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run(reader):
+            q = stream_append_versioned_with_view(
+                reader,
+                dest,
+                ckpt,
+                view_path=view,
+                agg=agg,
+                keys=["event_type"],
+            )
+            q.awaitTermination()
+
+        run(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # restart on the same checkpoint: no replays, view already
+        # reflects the table's latest — both stay put
+        run(spark.readStream.schema(schema).parquet(src))
+        return (
+            read_version(spark, view)
+            .select("event_type", "value_e4", "n_events")
+            .orderBy("event_type")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+STREAMING_QUERIES["q_stream_matview"] = QuerySpec(
+    name="q_stream_matview",
+    builder=_q_stream_matview,
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    families=("streaming", "maintenance", "matview"),
+    note=(
+        "Streaming matview maintenance (verdict r6 #6): the composed "
+        "sink appends each micro-batch exactly-once into a versioned "
+        "table and refreshes an aggregate view to the table's latest "
+        "in the same foreachBatch — idempotent at both steps, so "
+        "replays never double-refresh and a crash between the two "
+        "leaves the view at most one batch behind, caught up by the "
+        "next refresh. Streamed view ≡ batch GROUP BY (this oracle)."
+    ),
+)
+
+
 STREAMING_QUERIES["q_stream_versioned"] = QuerySpec(
     name="q_stream_versioned",
     builder=_q_stream_versioned,

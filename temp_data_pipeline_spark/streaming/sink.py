@@ -137,6 +137,37 @@ def stream_append_versioned(
     + ``vacuum`` to bound manifest-chain length, exactly as for batch
     ``carry_from`` appenders.
     """
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _append_versioned_batch(
+            batch_df,
+            batch_id,
+            path,
+            partition_by=partition_by,
+            stats_columns=stats_columns,
+            bloom_columns=bloom_columns,
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _append_versioned_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    *,
+    partition_by: list[str] | None,
+    stats_columns: list[str] | None,
+    bloom_columns: list[str] | None,
+) -> None:
+    """One micro-batch of the versioned append sink — shared by
+    ``stream_append_versioned`` and the view-maintaining composite."""
     from temp_data_pipeline_spark.operators.versioned import (
         commit_version,
         read_manifest,
@@ -147,49 +178,114 @@ def stream_append_versioned(
         write_zone_maps,
     )
 
+    spark = batch_df.sparkSession
+    vs = versions(spark, path)
+    high = -1
+    for v in vs:
+        b = read_manifest(spark, path, v).get("_stream_batch_id")
+        if b is not None and b > high:
+            high = b
+    if batch_id <= high:
+        return  # replayed batch: already durably committed
+    if batch_df.isEmpty():
+        # nothing to append — don't mint empty versions (a replay
+        # of this batch is also empty, so skipping keeps the
+        # exactly-once contract without advancing the mark)
+        return
+    prev = vs[-1] if vs else None
+    v = commit_version(
+        batch_df,
+        path,
+        partition_by=partition_by,
+        carry_from=prev,
+        meta={"_stream_batch_id": batch_id},
+    )
+    if stats_columns:
+        try:
+            write_zone_maps(
+                spark,
+                path,
+                stats_columns,
+                version=v,
+                incremental_from=prev,
+            )
+        except FileNotFoundError:
+            # no prior sidecar (first batch, or maintenance reset):
+            # full build — still batch-sized on a first commit
+            write_zone_maps(spark, path, stats_columns, version=v)
+    for bc in bloom_columns or []:
+        try:
+            write_bloom_index(
+                spark, path, bc, version=v, incremental_from=prev
+            )
+        except FileNotFoundError:
+            write_bloom_index(spark, path, bc, version=v)
+
+
+def stream_append_versioned_with_view(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    view_path: str,
+    agg,
+    keys: list[str],
+    partition_col: str | None = None,
+    partition_by: list[str] | None = None,
+    stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    available_now: bool = True,
+):
+    """``stream_append_versioned`` + a MAINTAINED AGGREGATE VIEW
+    (verdict r6 #6): every micro-batch first lands as one exactly-once
+    metadata-level commit into the versioned table at ``path``, then
+    ``operators/matview.refresh_agg_view`` advances the view at
+    ``view_path`` to the table's new latest — group-fingerprint-pruned
+    recompute, COW-committed per partition — so batch readers of the
+    view always see a consistent aggregate of a manifested snapshot.
+
+    Exactly-once composition, by idempotence at BOTH steps rather
+    than a cross-table transaction:
+    - a REPLAYED batch id is ≤ the table's high-water mark → the
+      append is skipped, and the refresh (run unconditionally) is a
+      no-op because the view already reflects the base's latest —
+      replays can never double-apply a delta;
+    - a crash BETWEEN the table commit and the view refresh leaves
+      the view one version behind; the replayed batch skips the
+      append but its refresh CATCHES THE VIEW UP — the view lags by
+      at most one micro-batch and never diverges.
+
+    Per-trigger cost: the batch append (O(batch) + one manifest) plus
+    a refresh proportional to the groups the batch touched — for
+    time-keyed views of an append-only stream, the current day's
+    partition. The view is built on the first batch."""
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        vs = versions(spark, path)
-        high = -1
-        for v in vs:
-            b = read_manifest(spark, path, v).get("_stream_batch_id")
-            if b is not None and b > high:
-                high = b
-        if batch_id <= high:
-            return  # replayed batch: already durably committed
-        if batch_df.isEmpty():
-            # nothing to append — don't mint empty versions (a replay
-            # of this batch is also empty, so skipping keeps the
-            # exactly-once contract without advancing the mark)
-            return
-        prev = vs[-1] if vs else None
-        v = commit_version(
+        from temp_data_pipeline_spark.operators.matview import (
+            build_agg_view,
+            refresh_agg_view,
+        )
+        from temp_data_pipeline_spark.operators.versioned import versions
+
+        _append_versioned_batch(
             batch_df,
+            batch_id,
             path,
             partition_by=partition_by,
-            carry_from=prev,
-            meta={"_stream_batch_id": batch_id},
+            stats_columns=stats_columns,
+            bloom_columns=bloom_columns,
         )
-        if stats_columns:
-            try:
-                write_zone_maps(
-                    spark,
-                    path,
-                    stats_columns,
-                    version=v,
-                    incremental_from=prev,
-                )
-            except FileNotFoundError:
-                # no prior sidecar (first batch, or maintenance reset):
-                # full build — still batch-sized on a first commit
-                write_zone_maps(spark, path, stats_columns, version=v)
-        for bc in bloom_columns or []:
-            try:
-                write_bloom_index(
-                    spark, path, bc, version=v, incremental_from=prev
-                )
-            except FileNotFoundError:
-                write_bloom_index(spark, path, bc, version=v)
+        spark = batch_df.sparkSession
+        if not versions(spark, path):
+            return  # first batch was empty: nothing to aggregate yet
+        if not versions(spark, view_path):
+            build_agg_view(
+                spark, path, view_path, agg, keys, partition_col=partition_col
+            )
+        else:
+            refresh_agg_view(
+                spark, path, view_path, agg, keys, partition_col=partition_col
+            )
 
     w = (
         stream_df.writeStream.foreachBatch(apply_batch)
