@@ -34,6 +34,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    try:
+        start_load = round(os.getloadavg()[0], 2)
+    except OSError:
+        start_load = -1.0
 
     from pyspark.sql import SparkSession
 
@@ -172,6 +176,15 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
+        # provenance: distinguishes a settled-idle artifact from one
+        # taken under concurrent load (pytest alongside inflates
+        # individual queries up to 6x — SURVEY §6; totals drift ±10%
+        # even idle). Compare artifacts only at similar start_load_1m.
+        "conditions": {
+            "start_load_1m": start_load,
+            "cpus": int(cpus),
+            "session": "cold (fresh JVM, warm-up pass before timing)",
+        },
     }
     # The driver's stored copy of the stdout line has been observed
     # truncated (BENCH_r04 lost its ~8-entry tail), so also persist

@@ -81,16 +81,29 @@ def _build_parser() -> argparse.ArgumentParser:
     ft.add_argument("--data-dir", default="data")
 
     t = sub.add_parser(
-        "table", help="versioned-table ops: history/verify/maintain/vacuum/rollback"
+        "table",
+        help=(
+            "versioned-table ops: history/verify/maintain/vacuum/"
+            "rollback/changes"
+        ),
     )
     t.add_argument(
         "action",
-        choices=["history", "verify", "maintain", "vacuum", "rollback"],
+        choices=[
+            "history", "verify", "maintain", "vacuum", "rollback", "changes",
+        ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
     t.add_argument("--keep-last", type=int, default=3)
     t.add_argument("--to-version", type=int, default=None,
                    help="rollback target version")
+    t.add_argument("--since", type=int, default=None,
+                   help="changes: feed window start version (exclusive)")
+    t.add_argument("--until", type=int, default=None,
+                   help="changes: feed window end version (default latest)")
+    t.add_argument("--out", default=None,
+                   help="changes: write the feed as parquet here instead "
+                        "of printing a summary")
     t.add_argument("--max-chain", type=int, default=8)
     t.add_argument("--max-dv-frac", type=float, default=0.05)
     t.add_argument("--stats-columns", default="",
@@ -214,6 +227,31 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "vacuum":
             dropped = vacuum(spark, args.path, keep_last=args.keep_last)
             print(f"[vacuum] dropped {dropped}")
+        elif args.action == "changes":
+            from temp_data_pipeline_spark.operators.changes import (
+                changes_between,
+            )
+
+            if args.since is None:
+                raise SystemExit("changes needs --since <version>")
+            feed = changes_between(
+                spark, args.path, args.since, args.until
+            )
+            if args.out:
+                feed.write.mode("errorifexists").parquet(args.out)
+                print(f"[changes] wrote {args.out}")
+            else:
+                counts = {
+                    r["_change_type"]: r["n"]
+                    for r in feed.groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                print(
+                    f"[changes] since v{args.since}: "
+                    f"+{counts.get('insert', 0)} insert(s), "
+                    f"-{counts.get('delete', 0)} delete(s)"
+                )
         else:
             if args.to_version is None:
                 raise SystemExit("rollback needs --to-version")

@@ -856,6 +856,70 @@ def q_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_change_feed",
+    ["extension-relational", "maintenance", "cdc"],
+    """
+    SELECT o_orderkey, o_custkey, change_type FROM (
+      SELECT o_orderkey, o_custkey, 'insert' AS change_type FROM orders
+      WHERE o_orderkey % 2 = 1 AND NOT (o_custkey % 10 = 7)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'delete' AS change_type FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_custkey % 10 = 7
+    ) ORDER BY o_orderkey, change_type
+    """,
+    note=(
+        "Incremental change feed (operators/changes.py): commit the "
+        "even-key orders as v1, append the odd keys metadata-level "
+        "(carry_from), MOR-delete custkey%10=7, then ask 'what changed "
+        "since v1'. The feed diffs the two manifests' FILE sets "
+        "driver-side (metadata plane) and scans ONLY added/removed "
+        "files plus the DV delta — inserts are the appended rows that "
+        "survived the delete, deletes are the v1-visible rows the DV "
+        "newly covers; the carried v1 files are never opened. The "
+        "Delta CDF idea recovered from commit metadata, at O(delta) "
+        "cost."
+    ),
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.changes import changes_between
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    path = tempfile.mkdtemp(prefix="cdf_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path
+        )
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            path,
+            carry_from=1,
+        )
+        v3 = commit_delete_mor(spark, path, "o_custkey % 10 = 7")
+        return (
+            changes_between(spark, path, 1, v3)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("_change_type").alias("change_type"),
+            )
+            .orderBy("o_orderkey", "change_type")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
     "q_update_mor",
     ["extension-relational", "maintenance"],
     """

@@ -108,3 +108,33 @@ def test_cli_table_ops(spark, tmp_path, capsys):
     assert "compact_snapshot" in out
     assert main(["table", "vacuum", path, "--keep-last", "1"]) in (0, None)
     assert len(versions(spark, path)) == 1
+
+
+def test_cli_table_changes(spark, tmp_path, capsys):
+    """table changes prints the feed summary and exports parquet."""
+    from temp_data_pipeline_spark.cli import main
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    path = str(tmp_path / "cdftbl")
+    commit_version(
+        spark.createDataFrame([(i, i) for i in range(6)], "k long, x long"),
+        path,
+    )
+    commit_version(
+        spark.createDataFrame([(6, 60), (7, 70)], "k long, x long"),
+        path,
+        carry_from=1,
+    )
+    commit_delete_mor(spark, path, "k = 1")
+    assert main(["table", "changes", path, "--since", "1"]) in (0, None)
+    out = capsys.readouterr().out
+    assert "+2 insert(s)" in out and "-1 delete(s)" in out
+    dest = str(tmp_path / "feed.parquet")
+    assert main(
+        ["table", "changes", path, "--since", "1", "--out", dest]
+    ) in (0, None)
+    feed = spark.read.parquet(dest)
+    assert feed.count() == 3 and "_change_type" in feed.columns
