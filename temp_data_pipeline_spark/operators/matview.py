@@ -174,12 +174,36 @@ def refresh_agg_view(
 
     # the view aggregates read_version rows; a DV base would fold
     # deleted rows back in — refuse like the other rewrite-readers
-    _require_no_dv(
-        read_manifest(spark, base_path, base_latest), "refresh_agg_view"
-    )
-    base_then = read_version(spark, base_path, reflected)
+    man_new = read_manifest(spark, base_path, base_latest)
+    man_old = read_manifest(spark, base_path, reflected)
+    _require_no_dv(man_new, "refresh_agg_view")
     base_now = read_version(spark, base_path, base_latest)
-    touched = _touched_groups(base_then, base_now, keys)
+    touched = None
+    if not man_old.get("_dv"):
+        # APPEND-ONLY fast path: when the newer version's file set is
+        # a superset of the reflected one (metadata-level appends, no
+        # deletes), a group's aggregate can only change if the delta
+        # contains its key — touched = the appended rows' distinct
+        # keys, ONE O(delta) scan instead of fingerprinting BOTH full
+        # base versions. This is what keeps per-batch streaming view
+        # maintenance (stream_append_versioned_with_view) O(batch).
+        from temp_data_pipeline_spark.operators.changes import (
+            _rel_files_of,
+            _scan_files,
+        )
+
+        files_old = _rel_files_of(spark, base_path, reflected)
+        files_new = _rel_files_of(spark, base_path, base_latest)
+        if files_old <= files_new:
+            appended = _scan_files(
+                spark, base_path, base_latest, sorted(files_new - files_old)
+            )
+            if appended is None:
+                return view_latest  # pure metadata commit: no new rows
+            touched = appended.select(*keys).distinct()
+    if touched is None:
+        base_then = read_version(spark, base_path, reflected)
+        touched = _touched_groups(base_then, base_now, keys)
     # group-pruned recompute: only touched groups' rows are scanned
     recomputed = agg(base_now.join(touched, keys, "left_semi"))
     _check_agg(recomputed, keys)

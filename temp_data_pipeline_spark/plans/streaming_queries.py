@@ -307,7 +307,10 @@ def _q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        e.repartition(4).write.parquet(src)
+        # 3 source files → 3 micro-batches (append + refresh each);
+        # enough to exercise multi-batch maintenance + the restart
+        # without timing a fourth identical lifecycle iteration
+        e.repartition(3).write.parquet(src)
         schema = spark.read.parquet(src).schema
 
         def run(reader):
