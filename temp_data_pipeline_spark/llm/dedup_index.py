@@ -14,8 +14,10 @@ manifest-swap protocol as `llm/vector_index.py`:
                                            shard; one immutable dir per
                                            build or append batch
   <path>/sigs-<token>/...parquet           (id, sig) k-minhash arrays
-  <path>/index.json                        manifest: params + dirs +
-                                           n_docs; the ONLY commit point
+  <path>/index-<n>.json                    manifest commit log: params
+                                           + dirs + n_docs; the rename
+                                           of <n+1> is the ONLY commit
+                                           point (llm/index_commit.py)
 
 A probe computes the batch's signatures (O(batch)), prunes the index
 band read to the ``_bh=`` shards the batch actually hashes into
@@ -35,13 +37,18 @@ make a probe join quadratic; the cap is part of the stored contract
 and recorded in the manifest.
 
 Concurrency matches vector_index: probes are always safe (one atomic
-manifest read resolves all data); build/append/vacuum require a single
-writer. Multi-writer commit logs are `operators/versioned.py`'s job.
+manifest read resolves all data), and writers serialize through the
+numbered-manifest commit log (llm/index_commit.py, since round 8):
+two concurrent appends both plan against index version B, the rename
+onto ``index-<B+1>.json`` arbitrates, and the loser raises the
+retryable ``versioned.CommitConflictError`` with its dirs reclaimed —
+a retry re-bases on the winner's manifest and the final index holds
+BOTH batches, never the silent lost-update the old single
+``index.json`` overwrite allowed.
 """
 
 from __future__ import annotations
 
-import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,11 +60,12 @@ from temp_data_pipeline_spark.llm.dedup import (
     shingles_of,
     tokenized,
 )
-from temp_data_pipeline_spark.operators.versioned import (
-    _fs,
-    atomic_write_text,
-    read_text,
+from temp_data_pipeline_spark.llm.index_commit import (
+    commit_or_reclaim,
+    live_index_refs,
+    read_index_state,
 )
+from temp_data_pipeline_spark.operators.versioned import _fs
 
 __all__ = [
     "append_documents",
@@ -198,9 +206,14 @@ def build_dedup_index(
         "n_shards": int(n_shards),
         "max_bucket": max_bucket,
     }
+    spark = df.sparkSession
+    try:
+        base, _ = read_index_state(spark, path, kind="dedup")
+    except FileNotFoundError:
+        base = 0
     bands_dirs, sigs_dirs, n = _write_batch(df, path, man)
     man.update(bands_dirs=bands_dirs, sigs_dirs=sigs_dirs, n_docs=n)
-    atomic_write_text(df.sparkSession, f"{path}/index.json", json.dumps(man))
+    commit_or_reclaim(spark, path, man, base, bands_dirs + sigs_dirs)
     return man
 
 
@@ -210,9 +223,13 @@ def append_documents(df: DataFrame, path: str) -> dict:
     and IO — the metadata-level append, same move as
     vector_index.add_vectors / versioned carry_from. The bucket cap
     applies within this batch's dir (per-dir caps keep appends
-    append-only; a compaction pass may re-cap globally)."""
+    append-only; a compaction pass may re-cap globally). Two racing
+    appends serialize through the manifest commit log: the loser
+    raises the retryable ``CommitConflictError`` (its dirs reclaimed);
+    calling append_documents again re-bases on the winner and the
+    index ends up holding both batches."""
     spark = df.sparkSession
-    man = read_dedup_manifest(spark, path)
+    base, man = read_index_state(spark, path, kind="dedup")
     bands_dirs, sigs_dirs, n = _write_batch(df, path, man)
     if n == 0:
         return man
@@ -222,20 +239,14 @@ def append_documents(df: DataFrame, path: str) -> dict:
         "sigs_dirs": man["sigs_dirs"] + sigs_dirs,
         "n_docs": int(man["n_docs"]) + n,
     }
-    atomic_write_text(spark, f"{path}/index.json", json.dumps(man))
+    commit_or_reclaim(spark, path, man, base, bands_dirs + sigs_dirs)
     return man
 
 
 def read_dedup_manifest(spark: SparkSession, path: str) -> dict:
-    fs, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    if not fs.exists(Path(f"{path}/index.json")):
-        raise FileNotFoundError(
-            f"no dedup index at {path} (index.json missing — build "
-            "crashed or still in flight; only manifested indexes are "
-            "readable)"
-        )
-    return json.loads(read_text(spark, f"{path}/index.json"))
+    """The LIVE manifest: highest-numbered ``index-<n>.json``, falling
+    back to a legacy single-file ``index.json`` (version 0)."""
+    return read_index_state(spark, path, kind="dedup")[1]
 
 
 def _read_union(spark: SparkSession, path: str, dirs: list[str], schema=None):
@@ -363,8 +374,10 @@ def compact_dedup_index(spark: SparkSession, path: str) -> dict:
     bound (and per-shard file counts) without touching signatures —
     run it on the same cadence as parquet small-file compaction.
     Old dirs stay until `vacuum_dedup_index` (readers on the old
-    manifest keep working; the swap is atomic)."""
-    man = read_dedup_manifest(spark, path)
+    manifest keep working; the swap is atomic). A compaction racing
+    an append raises the retryable ``CommitConflictError`` — never a
+    silently dropped batch."""
+    base, man = read_index_state(spark, path, kind="dedup")
     if len(man["bands_dirs"]) <= 1 and len(man["sigs_dirs"]) <= 1:
         return man
     sigs = _read_union(spark, path, man["sigs_dirs"])
@@ -377,22 +390,34 @@ def compact_dedup_index(spark: SparkSession, path: str) -> dict:
         "_bh"
     ).parquet(f"{path}/{bands_name}")
     man = {**man, "bands_dirs": [bands_name], "sigs_dirs": [sigs_name]}
-    atomic_write_text(spark, f"{path}/index.json", json.dumps(man))
+    commit_or_reclaim(spark, path, man, base, [bands_name, sigs_name])
     return man
 
 
 def vacuum_dedup_index(
-    spark: SparkSession, path: str, orphan_grace: float = 86400.0
+    spark: SparkSession,
+    path: str,
+    orphan_grace: float = 86400.0,
+    *,
+    keep_manifests: int = 1,
 ) -> list[str]:
-    """Delete bands/sigs dirs the CURRENT manifest no longer
-    references (crashed builds, future re-caps). ``orphan_grace``
-    protects an in-flight writer's dirs, as in vacuum_ivf_index."""
+    """Expire old index manifests (keep the newest ``keep_manifests``)
+    and delete bands/sigs dirs NO kept manifest references (crashed
+    builds, compacted-away chains). ``orphan_grace`` protects an
+    in-flight writer's dirs, as in vacuum_ivf_index."""
     import time
+
+    from temp_data_pipeline_spark.llm.index_commit import (
+        expire_index_manifests,
+    )
 
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
-    man = read_dedup_manifest(spark, path)
-    live = set(man["bands_dirs"]) | set(man["sigs_dirs"])
+    read_dedup_manifest(spark, path)  # raises when no index exists
+    expire_index_manifests(spark, path, keep_last=keep_manifests)
+    live = live_index_refs(
+        spark, path, lambda m: list(m["bands_dirs"]) + list(m["sigs_dirs"])
+    )
     dropped: list[str] = []
     now_ms = time.time() * 1000.0
     root = Path(path)

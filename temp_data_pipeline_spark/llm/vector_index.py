@@ -9,13 +9,14 @@ This module materializes the index the way a vector store does
   <path>/cells-<token>/_cell=<c>/...parquet   vectors by coarse cell,
                                               one immutable dir per
                                               build or append batch
-  <path>/index.json                           manifest: centroids, dim,
-                                              cells_dirs, counts
+  <path>/index-<n>.json                       manifest commit log:
+                                              centroids, dim, cells_dirs,
+                                              counts; highest n is live
 
 Readers resolve data ONLY through the manifest: a build writes its
-cell files under a fresh uniquely-named dir and swaps ``index.json``
-last via a SINGLE atomic rename (operators/versioned.py
-atomic_write_text), so a concurrent probe sees either the complete
+cell files under a fresh uniquely-named dir and commits the next
+numbered manifest last via a SINGLE atomic rename
+(llm/index_commit.py), so a concurrent probe sees either the complete
 old index or the complete new one — never new cell files with old
 centroids (ADVICE r5: the previous in-place ``cells/`` overwrite had
 exactly that window, and destroyed data the live manifest still
@@ -36,11 +37,19 @@ the same metadata-level move as versioned.py's carry_from commits.
 Probing the appended index equals probing a full rebuild over the
 merged set, because cell assignment depends only on the (unchanged)
 centroids.
+
+Since round 8 the manifest is a COMMIT LOG (``index-<n>.json``,
+llm/index_commit.py) with the rename at exactly n+1 as the arbiter
+between racing writers: concurrent builds/appends/vacuums no longer
+need a single-writer contract — the loser raises the retryable
+``versioned.CommitConflictError`` instead of silently dropping the
+winner's dirs (the lost-update race round 7 closed for versioned
+tables). Legacy single-file ``index.json`` manifests read back as
+version 0 and upgrade on the first logged commit.
 """
 
 from __future__ import annotations
 
-import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,11 +61,12 @@ from temp_data_pipeline_spark.llm.similarity import (
     fit_kmeans,
     _vec_lit,
 )
-from temp_data_pipeline_spark.operators.versioned import (
-    _fs,
-    atomic_write_text,
-    read_text,
+from temp_data_pipeline_spark.llm.index_commit import (
+    commit_or_reclaim,
+    live_index_refs,
+    read_index_state,
 )
+from temp_data_pipeline_spark.operators.versioned import _fs
 
 
 def _cells_dirs(man: dict) -> list[str]:
@@ -94,9 +104,16 @@ def build_ivf_index(
     sample. Cell files land under a fresh ``cells-<token>`` dir; the
     manifest rename is the single commit point, so a crashed build
     leaves no readable index and a REBUILD never disturbs the data a
-    live manifest references.
+    live manifest references. A build racing another writer raises
+    the retryable ``CommitConflictError`` (its dir is reclaimed) —
+    a rebuild that lost to a concurrent append would silently drop
+    that batch if it won by overwrite.
     """
     spark = df.sparkSession
+    try:
+        base, _ = read_index_state(spark, path, kind="IVF")
+    except FileNotFoundError:
+        base = 0
     cents = (
         [[float(x) for x in c] for c in centroids]
         if centroids is not None
@@ -123,7 +140,7 @@ def build_ivf_index(
         "cells_dirs": [cells_name],
         "n_vectors": n,
     }
-    atomic_write_text(spark, f"{path}/index.json", json.dumps(manifest))
+    commit_or_reclaim(spark, path, manifest, base, [cells_name])
     return manifest
 
 
@@ -137,15 +154,17 @@ def add_vectors(df: DataFrame, path: str) -> dict:
     set would.
 
     Concurrency contract: PROBES are always safe against any writer
-    (they resolve data only through one atomic manifest read), but
-    maintenance — build / add_vectors / vacuum — requires a SINGLE
-    writer, like FAISS/Annoy index files: two concurrent appends both
-    read manifest M and the second swap would silently drop the
-    first's dir. Serialize maintenance (one ingest job per index);
-    multi-writer commit logs are what `operators/versioned.py` is for.
+    (they resolve data only through one atomic manifest read), and
+    since round 8 writers serialize through the numbered-manifest
+    commit log (llm/index_commit.py): two concurrent appends both
+    plan against version B, the rename onto ``index-<B+1>.json``
+    arbitrates, and the loser raises the retryable
+    ``CommitConflictError`` with its dir reclaimed — a RETRY (just
+    call add_vectors again) re-bases on the winner's manifest and
+    the final index holds BOTH batches, never a silent drop.
     """
     spark = df.sparkSession
-    man = read_ivf_manifest(spark, path)
+    base, man = read_index_state(spark, path, kind="IVF")
     assigned = assign_cells(df, man["centroids"], man["vec_col"], man["id_col"])
     if assigned.isEmpty():
         # nothing to append: no orphan dir, no manifest churn (an
@@ -166,35 +185,40 @@ def add_vectors(df: DataFrame, path: str) -> dict:
         "cells_dirs": _cells_dirs(man) + [cells_name],
         "n_vectors": int(man["n_vectors"]) + n_new,
     }
-    atomic_write_text(spark, f"{path}/index.json", json.dumps(manifest))
+    commit_or_reclaim(spark, path, manifest, base, [cells_name])
     return manifest
 
 
 def read_ivf_manifest(spark: SparkSession, path: str) -> dict:
-    fs, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    p = Path(f"{path}/index.json")
-    if not fs.exists(p):
-        raise FileNotFoundError(
-            f"no IVF index at {path} (index.json missing — build crashed "
-            "or still in flight; only manifested indexes are readable)"
-        )
-    return json.loads(read_text(spark, f"{path}/index.json"))
+    """The LIVE manifest: highest-numbered ``index-<n>.json``, falling
+    back to a legacy single-file ``index.json`` (version 0)."""
+    return read_index_state(spark, path, kind="IVF")[1]
 
 
 def vacuum_ivf_index(
-    spark: SparkSession, path: str, orphan_grace: float = 86400.0
+    spark: SparkSession,
+    path: str,
+    orphan_grace: float = 86400.0,
+    *,
+    keep_manifests: int = 1,
 ) -> list[str]:
-    """Delete cell dirs the CURRENT manifest no longer references —
-    left behind by rebuilds and crashed builds. ``orphan_grace``
-    protects an in-flight build's dir (written, manifest not yet
-    swapped), exactly like versioned.vacuum's orphan window. Returns
-    the deleted dir names."""
+    """Expire old index manifests (keep the newest ``keep_manifests``)
+    and delete cell dirs NO kept manifest references — left behind by
+    rebuilds and crashed builds. ``orphan_grace`` protects an
+    in-flight build's dir (written, manifest not yet committed) and
+    any probe holding a just-expired manifest, exactly like
+    versioned.vacuum's orphan window. Returns the deleted dir names."""
     import time
+
+    from temp_data_pipeline_spark.llm.index_commit import (
+        expire_index_manifests,
+    )
 
     fs, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
-    live = set(_cells_dirs(read_ivf_manifest(spark, path)))
+    read_ivf_manifest(spark, path)  # raises when no index exists
+    expire_index_manifests(spark, path, keep_last=keep_manifests)
+    live = live_index_refs(spark, path, _cells_dirs)
     dropped = []
     now_ms = time.time() * 1000.0
     root = Path(path)

@@ -117,7 +117,7 @@ class TestDedupIndex:
         assert m2 == m1
         visible = sorted(n for n in os.listdir(p) if not n.startswith("."))
         assert visible == sorted(
-            m1["bands_dirs"] + m1["sigs_dirs"] + ["index.json"]
+            m1["bands_dirs"] + m1["sigs_dirs"] + ["index-1.json"]
         )
 
     def test_ingest_loop_dedups_across_batches(self, spark, tmp_path):

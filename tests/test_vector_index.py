@@ -93,8 +93,8 @@ def test_unmanifested_index_is_invisible(spark, tmp_path):
     e = _embeddings(spark)
     path = str(tmp_path / "ivf")
     build_ivf_index(e, path, centroids=_pinned_centroids(spark))
-    os.remove(f"{path}/index.json")  # simulate crash before rename
-    with pytest.raises(FileNotFoundError, match="index.json missing"):
+    os.remove(f"{path}/index-1.json")  # simulate crash before rename
+    with pytest.raises(FileNotFoundError, match="index manifest missing"):
         read_ivf_manifest(spark, path)
 
 
