@@ -22,20 +22,30 @@ of written change files):
     deletes = shared-file rows newly covered by ``until``'s DV
               + removed-file rows that were visible at ``since``.
 
-The diff runs at FILE granularity: each version's manifest dirs are
-listed driver-side (one metadata walk, the Delta/Iceberg
-driver-pruning plane — same size class as zone-map sidecars) into
-relative file sets, and only the added/removed files are scanned.
-Files are immutable in this protocol, so identical paths ⇒ identical
-rows: a COW merge that carries ``v=1/part=b`` by reference
-contributes NOTHING for partition b, and the feed for the rewritten
+The diff runs at DIRECTORY granularity first, FILE granularity
+second: data dirs are immutable in this protocol, so a dir name both
+manifests list resolves to the identical file set and cancels WITHOUT
+being listed — the driver metadata walk touches only the
+symmetric-difference dirs, O(delta dirs) per incremental read and per
+streaming micro-batch (a COW chain that re-references ``v=1/part=b``
+while the other endpoint lists the whole ``v=1`` still reconciles at
+file level: only those two entries are listed). Files are immutable
+too, so identical paths ⇒ identical rows: the feed for a rewritten
 partition is its old files (deletes) + new files (inserts) — correct,
 coarser than key-level; key reconciliation is
-``versioned.snapshot_diff``'s job. A compaction/restore rewrites
-everything and produces a full-table pair feed; consumers should
-skip feed windows that cross a ``compacted_from`` /
-``restored_from`` commit (the manifest records it) and resync from
-the snapshot instead.
+``versioned.snapshot_diff``'s job.
+
+Deletion-vector deltas are pruned the same way: only the SHARED files
+either endpoint's DV actually names are scanned (the DV's distinct
+file list is metadata-sized — bounded by file count), so a MOR window
+costs O(files the deletes touch), never O(table).
+
+A compaction / restore / delete-materialization rewrites everything
+and would produce a full-table pair feed; feed windows that cross
+such a commit raise the retryable ``FeedResetRequired`` so the
+consumer resyncs from the snapshot instead of replaying the table as
+churn — pass ``allow_reset=True`` to get the (correct, full-pair)
+feed anyway.
 
 Invariant (property-tested): visible(until) == visible(since)
 minus deletes plus inserts, as multisets.
@@ -65,35 +75,130 @@ from temp_data_pipeline_spark.operators.versioned import (
 )
 
 
-def _rel_files_of(spark: SparkSession, path: str, version: int) -> set[str]:
-    """The TABLE-RELATIVE data-file set a version's manifest resolves
-    — one recursive driver-side listing per dir (metadata plane; same
-    size class as the zone-map sidecar). A referenced dir that no
-    longer exists raises (the loud-failure rule: a silent omission
-    would mis-report the diff)."""
-    man = read_manifest(spark, path, version)
+class FeedResetRequired(RuntimeError):
+    """The since→until window crosses a commit that rewrote the whole
+    table (compaction, restore, delete materialization), so the
+    file-level feed would pair-emit the ENTIRE table as deletes +
+    inserts — technically correct, useless as a delta, and O(table)
+    expensive. RETRYABLE by design: resync from the snapshot
+    (``read_table`` at ``until``) and continue the feed from there,
+    or pass ``allow_reset=True`` to get the full-pair feed anyway."""
+
+    def __init__(self, path: str, version: int, kind: str):
+        self.path = path
+        self.version = version
+        self.kind = kind
+        super().__init__(
+            f"change feed on {path} crosses version {version} "
+            f"({kind}: a full-table rewrite) — resync from the "
+            "snapshot, or pass allow_reset=True for the full-pair feed"
+        )
+
+
+_REWRITE_KEYS = ("compacted_from", "restored_from", "materialized_from")
+
+
+def _check_window(
+    spark: SparkSession, path: str, since: int, until: int, allow_reset: bool
+) -> None:
+    """Raise ``FeedResetRequired`` when any committed version in
+    (since, until] records a full-table rewrite. Driver-side manifest
+    walk (KB of JSON) over the window's versions only."""
+    if allow_reset:
+        return
+    from temp_data_pipeline_spark.operators.versioned import versions
+
+    for v in versions(spark, path):
+        if not (since < v <= until):
+            continue
+        man = read_manifest(spark, path, v)
+        for k in _REWRITE_KEYS:
+            if man.get(k) is not None:
+                raise FeedResetRequired(path, v, k)
+
+
+def _list_dir_files(spark: SparkSession, path: str, d: str) -> set[str]:
+    """TABLE-RELATIVE data files under one manifest dir — one
+    recursive driver-side listing (metadata plane). A referenced dir
+    that no longer exists raises (the loud-failure rule: a silent
+    omission would mis-report the diff)."""
     fs, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
+    base = jvm.org.apache.hadoop.fs.Path(f"{path}/{d}")
+    if not fs.exists(base):
+        raise FileNotFoundError(
+            f"change feed references missing dir {d} under {path}"
+        )
     out: set[str] = set()
-    for d in _manifest_dirs(man):
-        base = Path(f"{path}/{d}")
-        if not fs.exists(base):
-            raise FileNotFoundError(
-                f"version {version} references missing dir {d} under {path}"
-            )
-        it = fs.listFiles(base, True)
-        marker = f"/{d}/"
-        while it.hasNext():
-            st = it.next()
-            uri = st.getPath().toString()
-            name = uri.rsplit("/", 1)[-1]
-            if name.startswith(("_", ".")):
-                continue  # _SUCCESS / checksums / hidden
-            i = uri.rfind(marker)
-            if i < 0:
-                raise ValueError(f"file {uri} not under its dir {d}")
-            out.add(uri[i + 1 :])
+    it = fs.listFiles(base, True)
+    marker = f"/{d}/"
+    while it.hasNext():
+        st = it.next()
+        uri = st.getPath().toString()
+        name = uri.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS / checksums / hidden
+        i = uri.rfind(marker)
+        if i < 0:
+            raise ValueError(f"file {uri} not under its dir {d}")
+        out.add(uri[i + 1 :])
     return out
+
+
+def _files_in_dirs(
+    spark: SparkSession, path: str, dirs: list[str]
+) -> set[str]:
+    out: set[str] = set()
+    for d in dirs:
+        out |= _list_dir_files(spark, path, d)
+    return out
+
+
+def _rel_files_of(spark: SparkSession, path: str, version: int) -> set[str]:
+    """The full TABLE-RELATIVE file set a version's manifest resolves
+    — the unpruned form (matview's superset probe); the feed itself
+    diffs at dir level via ``_dir_diff`` and never needs it."""
+    man = read_manifest(spark, path, version)
+    return _files_in_dirs(spark, path, _manifest_dirs(man))
+
+
+def _dir_diff(
+    spark: SparkSession, path: str, man_old: dict, man_new: dict
+) -> tuple[set[str], set[str], list[str], set[str]]:
+    """(added, removed, shared_dirs, shared_overlap) between two
+    manifests, listing ONLY the symmetric-difference dirs: a dir name
+    both manifests carry is immutable, so it cancels exactly without
+    a listing — the O(delta) metadata walk. ``shared_overlap`` holds
+    files reached by BOTH sides' unshared dir entries (nesting
+    granularity drift: one manifest lists ``v=1`` whole, the other a
+    COW-carried ``v=1/part=b``); ``shared_dirs`` are the
+    string-identical dirs, NOT listed here — DV pruning resolves
+    membership by prefix instead."""
+    dirs_old = set(_manifest_dirs(man_old))
+    dirs_new = set(_manifest_dirs(man_new))
+    only_old = _files_in_dirs(spark, path, sorted(dirs_old - dirs_new))
+    only_new = _files_in_dirs(spark, path, sorted(dirs_new - dirs_old))
+    return (
+        only_new - only_old,
+        only_old - only_new,
+        sorted(dirs_old & dirs_new),
+        only_new & only_old,
+    )
+
+
+def appended_files_if_superset(
+    spark: SparkSession, path: str, since: int, until: int
+) -> list[str] | None:
+    """The files ``until`` resolves beyond ``since`` when its file set
+    is a SUPERSET of ``since``'s (append-only windows — the matview
+    fast path's probe), else None. When the dir sets nest by name
+    (every carry_from append chain), this is pure manifest arithmetic:
+    zero listings for the carried dirs, one listing per NEW dir."""
+    man_old = read_manifest(spark, path, since)
+    man_new = read_manifest(spark, path, until)
+    added, removed, _, _ = _dir_diff(spark, path, man_old, man_new)
+    if removed:
+        return None
+    return sorted(added)
 
 
 def _scan_files(
@@ -109,14 +214,18 @@ def _scan_files(
 
 
 def _dv_frame(spark: SparkSession, path: str, version: int, man: dict):
-    """The version's DV as (file,pos), or None when it carries none."""
+    """The version's DV as (frame, row count), or (None, None) when it
+    carries none. The count comes from the manifest's ``_dv_rows``
+    when recorded (zero jobs) — it gates the broadcast decisions."""
     if not man.get("_dv"):
-        return None
-    return read_dv(spark, path, version)
+        return None, None
+    dv = read_dv(spark, path, version)
+    n = man.get("_dv_rows")
+    return dv, (int(n) if n is not None else dv.count())
 
 
 def _minus(
-    tagged: DataFrame | None, dv: DataFrame | None
+    tagged: DataFrame | None, dv: DataFrame | None, n: int | None = None
 ) -> DataFrame | None:
     """Tagged rows NOT covered by the DV (deletion_vectors' gated
     broadcast anti-join — map-side while the DV is driver-sized)."""
@@ -124,11 +233,11 @@ def _minus(
         return None
     if dv is None:
         return tagged
-    return _anti_dv(tagged, dv)
+    return _anti_dv(tagged, dv, n)
 
 
 def _only(
-    tagged: DataFrame | None, dv: DataFrame | None
+    tagged: DataFrame | None, dv: DataFrame | None, n: int | None = None
 ) -> DataFrame | None:
     """Tagged rows covered by the DV — same broadcast gate as the
     anti form."""
@@ -137,9 +246,40 @@ def _only(
     dv2 = dv.select(
         F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
     )
-    if dv.count() <= _DV_BROADCAST_MAX:
+    if (n if n is not None else dv.count()) <= _DV_BROADCAST_MAX:
         dv2 = F.broadcast(dv2)
     return tagged.join(dv2, ["_dv_file", "_dv_pos"], "left_semi")
+
+
+def _until_schema(spark: SparkSession, path: str, until: int, man_new: dict):
+    """The feed's output schema: ``until``'s recorded writer schema,
+    reconstructed from the data when a legacy manifest predates
+    recorded schemas."""
+    from pyspark.sql.types import StructType
+
+    if "_schema" in man_new:
+        return StructType.fromJson(man_new["_schema"])
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    return read_version(spark, path, until).schema
+
+
+def _project_to(tagged: DataFrame | None, schema) -> DataFrame | None:
+    """Align a scanned frame to the feed's output schema: since-side
+    scans run under ``since``'s (narrower) schema, so an add-column
+    evolution inside the window would otherwise fail the union —
+    absent columns surface as typed NULLs, exactly how read_version
+    reads old files under an evolved schema."""
+    if tagged is None:
+        return None
+    have = set(tagged.columns)
+    return tagged.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def read_appended(
@@ -147,30 +287,59 @@ def read_appended(
     path: str,
     since: int,
     until: int | None = None,
+    *,
+    allow_reset: bool = False,
 ) -> DataFrame:
     """Rows ADDED between ``since`` (exclusive) and ``until``
     (inclusive, default latest): the contents of data FILES ``until``
     resolves that ``since`` did not, minus rows ``until``'s deletion
     vector already hides. For append-only / carry_from chains this
-    scans only the new files — the O(delta) incremental read a
-    downstream sync wants."""
+    scans only the new files — and lists only the new DIRS (carried
+    dirs cancel by name without a metadata walk) — the O(delta)
+    incremental read a downstream sync wants. Raises
+    ``FeedResetRequired`` when the window crosses a full-table
+    rewrite (see ``changes_between``)."""
     until = _resolve_version(spark, path, until)
     since = _resolve_version(spark, path, since)
+    _check_window(spark, path, since, until, allow_reset)
     man_new = read_manifest(spark, path, until)
-    added = sorted(
-        _rel_files_of(spark, path, until) - _rel_files_of(spark, path, since)
-    )
-    tagged = _scan_files(spark, path, until, added)
+    man_old = read_manifest(spark, path, since)
+    added, _, _, _ = _dir_diff(spark, path, man_old, man_new)
+    tagged = _scan_files(spark, path, until, sorted(added))
     if tagged is None:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(man_new["_schema"])
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            [], _until_schema(spark, path, until, man_new)
+        )
     out_cols = [
         c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")
     ]
-    return _minus(tagged, _dv_frame(spark, path, until, man_new)).select(
-        *out_cols
+    dv, n_dv = _dv_frame(spark, path, until, man_new)
+    return _minus(tagged, dv, n_dv).select(*out_cols)
+
+
+def _dv_candidate_files(
+    dv_new: DataFrame | None,
+    dv_old: DataFrame | None,
+    shared_dirs: list[str],
+    shared_overlap: set[str],
+) -> list[str]:
+    """The SHARED files a DV delta can possibly touch: the distinct
+    files either endpoint's DV names (metadata-sized — bounded by
+    file count), filtered to shared membership by dir prefix. A
+    shared file neither DV names is covered by neither, so it can
+    contribute no delete and no resurrection — it is never opened
+    (the O(table)-scan trap ADVICE r7 flagged)."""
+    named: set[str] = set()
+    for dv in (dv_new, dv_old):
+        if dv is not None:
+            named.update(
+                r["file"] for r in dv.select("file").distinct().collect()
+            )
+    prefixes = tuple(f"{d}/" for d in shared_dirs)
+    return sorted(
+        f
+        for f in named
+        if f in shared_overlap or (prefixes and f.startswith(prefixes))
     )
 
 
@@ -179,56 +348,65 @@ def changes_between(
     path: str,
     since: int,
     until: int | None = None,
+    *,
+    allow_reset: bool = False,
 ) -> DataFrame:
     """The row-level change feed from ``since`` (exclusive) to
     ``until`` (inclusive, default latest): the table's columns plus
     ``_change_type`` ('insert' | 'delete'). See the module docstring
     for the file-level granularity contract; the multiset invariant
     visible(until) = visible(since) − deletes + inserts always
-    holds."""
+    holds. Raises the retryable ``FeedResetRequired`` when the window
+    crosses a compaction / restore / delete-materialization commit
+    (a full-table rewrite: the pair feed would BE the table) unless
+    ``allow_reset=True``."""
     until = _resolve_version(spark, path, until)
     since = _resolve_version(spark, path, since)
+    _check_window(spark, path, since, until, allow_reset)
     man_new = read_manifest(spark, path, until)
     man_old = read_manifest(spark, path, since)
-    files_new = _rel_files_of(spark, path, until)
-    files_old = _rel_files_of(spark, path, since)
-    added = sorted(files_new - files_old)
-    removed = sorted(files_old - files_new)
-    shared = sorted(files_new & files_old)
-    dv_new = _dv_frame(spark, path, until, man_new)
-    dv_old = _dv_frame(spark, path, since, man_old)
+    added, removed, shared_dirs, shared_overlap = _dir_diff(
+        spark, path, man_old, man_new
+    )
+    dv_new, n_new = _dv_frame(spark, path, until, man_new)
+    dv_old, n_old = _dv_frame(spark, path, since, man_old)
+    out_schema = _until_schema(spark, path, until, man_new)
 
     frames: list[DataFrame] = []
 
     def _emit(tagged: DataFrame | None, change: str) -> None:
         if tagged is None:
             return
-        cols = [c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")]
-        frames.append(
-            tagged.select(*cols).withColumn("_change_type", F.lit(change))
-        )
+        aligned = _project_to(tagged, out_schema)
+        frames.append(aligned.withColumn("_change_type", F.lit(change)))
 
     # inserts: rows of the added files, minus what until's DV hides
-    _emit(_minus(_scan_files(spark, path, until, added), dv_new), "insert")
+    _emit(
+        _minus(_scan_files(spark, path, until, sorted(added)), dv_new, n_new),
+        "insert",
+    )
     # deletes: rows of the removed files that were VISIBLE at since
-    _emit(_minus(_scan_files(spark, path, since, removed), dv_old), "delete")
-    # DV delta over the SHARED files: newly-deleted rows ...
-    if shared and (dv_new is not None or dv_old is not None):
-        tagged_shared = _scan_files(spark, path, until, shared)
-        newly = _minus(tagged_shared, dv_old)  # visible at since
-        _emit(_only(newly, dv_new), "delete")
+    _emit(
+        _minus(_scan_files(spark, path, since, sorted(removed)), dv_old, n_old),
+        "delete",
+    )
+    # DV delta over the shared files — pruned to the files either DV
+    # actually names, so a 3-row MOR delete scans the files holding
+    # those 3 rows, not every carried file
+    if dv_new is not None or dv_old is not None:
+        cands = _dv_candidate_files(dv_new, dv_old, shared_dirs, shared_overlap)
+        tagged_shared = _scan_files(spark, path, until, cands)
+        newly = _minus(tagged_shared, dv_old, n_old)  # visible at since
+        _emit(_only(newly, dv_new, n_new), "delete")
         # ... and resurrected rows (until's DV no longer covers them —
         # a rollback to a pre-delete version re-references a smaller DV)
         if dv_old is not None:
-            hidden_then = _only(tagged_shared, dv_old)
-            _emit(_minus(hidden_then, dv_new), "insert")
+            hidden_then = _only(tagged_shared, dv_old, n_old)
+            _emit(_minus(hidden_then, dv_new, n_new), "insert")
 
     if not frames:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(man_new["_schema"])
         return (
-            spark.createDataFrame([], schema)
+            spark.createDataFrame([], out_schema)
             .withColumn("_change_type", F.lit("insert"))
             .limit(0)
         )

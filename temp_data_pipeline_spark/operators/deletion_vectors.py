@@ -93,23 +93,34 @@ def _scan_with_positions(
     from functools import reduce
 
     from pyspark.errors.exceptions.captured import AnalysisException
-    from pyspark.sql.types import StructType
 
-    man = read_manifest(spark, path, version)
-    schema = (
-        StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    from temp_data_pipeline_spark.operators.versioned import (
+        _disk_schema_and_rename,
     )
 
+    man = read_manifest(spark, path, version)
+
     def _scan(d: str) -> DataFrame:
-        r = spark.read.schema(schema) if schema is not None else spark.read
+        # per-dir read schema: dirs written before a column rename
+        # scan under their ON-DISK names and align to the current
+        # names by stable field id (versioned._disk_schema_and_rename)
+        read_schema, align = _disk_schema_and_rename(man, d)
+        r = (
+            spark.read.schema(read_schema)
+            if read_schema is not None
+            else spark.read
+        )
         if "/" in d:
             r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
         branch = r.parquet(f"{path}/{d}")
-        return branch.select(
+        tagged = branch.select(
             _rel_file(d).alias("_dv_file"),
             F.col("_metadata.row_index").alias("_dv_pos"),
             *branch.columns,
         )
+        if align is not None:
+            tagged = align(tagged, keep=("_dv_file", "_dv_pos"))
+        return tagged
 
     frames = []
     for d in _manifest_dirs(man):
@@ -190,25 +201,31 @@ def commit_delete_mor(
 _DV_BROADCAST_MAX = 50_000_000
 
 
-def _anti_dv(tagged: DataFrame, dv: DataFrame) -> DataFrame:
+def _anti_dv(
+    tagged: DataFrame, dv: DataFrame, n: int | None = None
+) -> DataFrame:
     """(file,pos)-tagged frame minus the DV's positions, keeping the
     position columns: broadcast while the DV is comfortably
     driver-sized (the common case — deletes are a vanishing fraction
     of the table), shuffled past ``_DV_BROADCAST_MAX`` positions. The
-    size probe is one count over the metadata-sized sidecar."""
+    size probe uses the manifest's recorded ``_dv_rows`` when the
+    caller passes it (zero extra jobs); only legacy sidecars without
+    a recorded count pay the one metadata-sized count()."""
     dv2 = dv.select(
         F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
     )
-    if dv.count() <= _DV_BROADCAST_MAX:
+    if (n if n is not None else dv.count()) <= _DV_BROADCAST_MAX:
         dv2 = F.broadcast(dv2)
     return tagged.join(dv2, ["_dv_file", "_dv_pos"], "left_anti")
 
 
-def _subtract_dv(tagged: DataFrame, dv: DataFrame) -> DataFrame:
+def _subtract_dv(
+    tagged: DataFrame, dv: DataFrame, n: int | None = None
+) -> DataFrame:
     """``_anti_dv`` with the position columns dropped — the reader-side
     form."""
     out_cols = [c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")]
-    return _anti_dv(tagged, dv).select(*out_cols)
+    return _anti_dv(tagged, dv, n).select(*out_cols)
 
 
 def _visible_tagged(
@@ -219,7 +236,9 @@ def _visible_tagged(
     again nor re-enter a DV)."""
     tagged = _scan_with_positions(spark, path, base)
     if man.get("_dv"):
-        tagged = _anti_dv(tagged, read_dv(spark, path, base))
+        tagged = _anti_dv(
+            tagged, read_dv(spark, path, base), man.get("_dv_rows")
+        )
     return tagged
 
 
@@ -235,11 +254,12 @@ def read_table(
     positions degrades to a shuffled anti-join instead of straining
     the driver."""
     version = _resolve_version(spark, path, version)
-    if not has_deletes(spark, path, version):
+    man = read_manifest(spark, path, version)
+    if not man.get("_dv"):
         return read_version(spark, path, version)
     dv = read_dv(spark, path, version)
     tagged = _scan_with_positions(spark, path, version)
-    return _subtract_dv(tagged, dv)
+    return _subtract_dv(tagged, dv, man.get("_dv_rows"))
 
 
 def export_snapshot(
@@ -319,6 +339,11 @@ def _commit_with_dv(
         dv_new = dv_new.unionByName(read_dv(spark, path, base))
     name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
     dv_new.coalesce(1).write.parquet(f"{path}/_dv/{name}")
+    # record the sidecar's row count in the manifest so every reader's
+    # broadcast-size gate is a metadata lookup, not a count() job
+    # (verdict r7 #8); counting the WRITTEN file is a parquet-footer
+    # aggregate, and it prices the commit, not every read
+    n_dv = int(spark.read.parquet(f"{path}/_dv/{name}").count())
     schema = StructType.fromJson(man["_schema"])
     if rows_new is None:
         rows_new = spark.createDataFrame([], schema)
@@ -328,7 +353,7 @@ def _commit_with_dv(
             path,
             partition_by=man.get("_partition_by") or None,
             carry_dirs=_manifest_dirs(man),
-            meta={**(meta or {}), "_dv": name},
+            meta={**(meta or {}), "_dv": name, "_dv_rows": n_dv},
             expected_base=base,
         )
     except CommitConflictError:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.versioned import (
     _manifest_dirs,
+    commit_with_retries,
     compact_snapshot,
     read_manifest,
     read_version,
@@ -94,33 +95,45 @@ def maintain_table(
     latest = vs[-1]
     man = read_manifest(spark, path, latest)
 
-    # 1. DV materialization
+    # 1. DV materialization (DV size from the manifest when recorded —
+    # metadata-only decision; legacy sidecars pay one count)
     if man.get("_dv"):
-        n_dv = read_dv(spark, path, latest).count()
+        n_dv = (
+            int(man["_dv_rows"])
+            if "_dv_rows" in man
+            else read_dv(spark, path, latest).count()
+        )
         n_rows = _row_count(spark, path, latest)
         frac = n_dv / n_rows if n_rows else 1.0
         needs_rewrite = bool(policy.zorder) or len(
             _manifest_dirs(man)
         ) > policy.max_chain
         if frac > policy.max_dv_frac or needs_rewrite:
-            latest = materialize_deletes(spark, path)
+            # retried on conflict with a concurrent writer (a stream
+            # batch landing mid-maintenance): materialize_deletes
+            # re-resolves the latest version on every attempt
+            latest = commit_with_retries(
+                lambda: materialize_deletes(spark, path)
+            )
             man = read_manifest(spark, path, latest)
             actions.append(f"materialize_deletes -> v{latest}")
 
     # 2. chain compaction / clustering rewrite
     chain = len(_manifest_dirs(man))
     if policy.zorder and (chain > policy.max_chain or actions):
-        latest = optimize_zorder(
-            spark,
-            path,
-            policy.zorder,
-            target_files=policy.zorder_files,
-            partition_by=man.get("_partition_by") or None,
+        latest = commit_with_retries(
+            lambda: optimize_zorder(
+                spark,
+                path,
+                policy.zorder,
+                target_files=policy.zorder_files,
+                partition_by=man.get("_partition_by") or None,
+            )
         )
         actions.append(f"optimize_zorder{tuple(policy.zorder)} -> v{latest}")
         rewrote = True
     elif chain > policy.max_chain:
-        latest = compact_snapshot(spark, path)
+        latest = commit_with_retries(lambda: compact_snapshot(spark, path))
         actions.append(f"compact_snapshot -> v{latest}")
         rewrote = True
     else:

@@ -187,17 +187,20 @@ def refresh_agg_view(
         # keys, ONE O(delta) scan instead of fingerprinting BOTH full
         # base versions. This is what keeps per-batch streaming view
         # maintenance (stream_append_versioned_with_view) O(batch).
+        # The probe diffs the manifests' DIR sets first (shared dirs
+        # are immutable and cancel by name), so the per-micro-batch
+        # driver metadata walk lists only the new dirs — O(delta),
+        # not O(table files).
         from temp_data_pipeline_spark.operators.changes import (
-            _rel_files_of,
             _scan_files,
+            appended_files_if_superset,
         )
 
-        files_old = _rel_files_of(spark, base_path, reflected)
-        files_new = _rel_files_of(spark, base_path, base_latest)
-        if files_old <= files_new:
-            appended = _scan_files(
-                spark, base_path, base_latest, sorted(files_new - files_old)
-            )
+        delta_files = appended_files_if_superset(
+            spark, base_path, reflected, base_latest
+        )
+        if delta_files is not None:
+            appended = _scan_files(spark, base_path, base_latest, delta_files)
             if appended is None:
                 return view_latest  # pure metadata commit: no new rows
             touched = appended.select(*keys).distinct()

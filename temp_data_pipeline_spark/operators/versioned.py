@@ -64,7 +64,18 @@ class CommitConflictError(RuntimeError):
     commit then contains both writers' changes. The Delta/Iceberg
     commit-protocol behavior, arbitrated here by the manifest rename
     at exactly ``expected_base + 1`` (rename-onto-existing fails, so
-    at most one of N racers wins a slot)."""
+    at most one of N racers wins a slot).
+
+    FILESYSTEM REQUIREMENT: the arbiter is only as atomic as the
+    store's ``rename``. HDFS, local filesystems, and ABFS/GCS expose
+    the needed atomic, fail-onto-existing directory/file rename; raw
+    S3 through S3A emulates rename as copy+delete behind a
+    check-then-act existence probe, leaving a window where two racers
+    both believe they won ``expected_base + 1``. On such stores front
+    the commit with an external arbiter (a DynamoDB/ZooKeeper lock or
+    a conditional-PUT commit object — exactly what Delta's S3
+    LogStore and Iceberg's lock-manager catalogs exist for); the
+    protocol here assumes rename is the lock."""
 
     def __init__(self, path: str, expected_base: int, actual: int):
         self.path = path
@@ -75,6 +86,39 @@ class CommitConflictError(RuntimeError):
             f"{expected_base} but the table is at {actual} — re-plan "
             "against the latest version and retry"
         )
+
+
+def commit_with_retries(plan_fn, max_attempts: int = 5, backoff: float = 0.0):
+    """Run a conflict-aware commit with the standard optimistic-
+    concurrency retry loop: ``plan_fn()`` must RE-PLAN against the
+    table's current latest on every call (every mutation helper in
+    this engine — commit_delete_mor, compact_snapshot, commit_merge_cow
+    — re-resolves the latest version internally, so passing a bound
+    call is enough) and is retried on ``CommitConflictError`` up to
+    ``max_attempts`` total attempts. Returns ``plan_fn``'s result;
+    re-raises the final conflict when contention outlasts the budget
+    (the caller decides whether to queue or fail).
+
+    Each retried attempt is planned against the version the previous
+    winner committed, so N concurrent writers all eventually land and
+    the final table holds the UNION of their changes — the manual
+    replan loop tests/test_conflicts.py demonstrates, packaged.
+    ``backoff`` seconds (× attempt number) de-correlates herds; the
+    default 0 keeps single-process callers deterministic. Non-conflict
+    errors propagate immediately — only the retryable anomaly retries.
+    """
+    import time as _time
+
+    last: CommitConflictError | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return plan_fn()
+        except CommitConflictError as exc:
+            last = exc
+            if backoff and attempt < max_attempts:
+                _time.sleep(backoff * attempt)
+    assert last is not None
+    raise last
 
 
 def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -150,13 +194,117 @@ def _rel_file(d: str):
 
 def _rel_from_any(col):
     """Normalize a stored file path to the table-relative form: legacy
-    absolute entries (pre-r7 sidecars) are cut at the last ``/v=``
-    directory boundary; relative entries pass through unchanged."""
+    absolute entries (pre-r7 sidecars) are cut at the last
+    ``/v=<digits>/`` DIRECTORY boundary; relative entries pass through
+    unchanged. The anchor is a real version-dir segment, not a bare
+    ``/v=`` substring — a hive partition dir whose escaped value
+    contains 'v=' (``k=v=3``) must not alias the boundary (ADVICE r7:
+    the substring cut silently resurrected deleted rows on such
+    layouts). regexp_extract returns '' on no match, so a legacy
+    entry that genuinely lacks a version segment surfaces as a
+    never-matching key instead of a wrong one."""
     legacy = col.startswith("/") | col.contains("://")
     return F_sql.when(
         legacy,
-        F_sql.concat(F_sql.lit("v="), F_sql.substring_index(col, "/v=", -1)),
+        F_sql.regexp_extract(col, r"(?:^|/)(v=\d+/.*)$", 1),
     ).otherwise(col)
+
+
+def _dir_mapping(man: dict, d: str) -> dict | None:
+    """The ``on_disk_name -> field id`` mapping for data dir ``d`` of
+    a manifest, or None when the dir's on-disk names match the
+    manifest's current names (identity — every dir written under the
+    current schema, and every manifest predating rename tracking).
+    Nested entries share their version root's mapping: one commit
+    wrote the whole ``v=<N>`` dir under one schema."""
+    dirf = man.get("_dir_fields") or {}
+    if d in dirf:
+        return dirf[d]
+    head = d.split("/", 1)[0]
+    if head in dirf:
+        return dirf[head]
+    for k, v in dirf.items():
+        if k.split("/", 1)[0] == head:
+            return v
+    return None
+
+
+def _disk_schema_and_rename(man: dict, d: str):
+    """How to read data dir ``d`` under manifest ``man`` when column
+    renames/drops are in play: returns ``(read_schema, align_fn)``.
+    ``read_schema`` is the dir's ON-DISK schema restricted to the
+    columns that still exist (matched by stable field id — the
+    Iceberg name-mapping move), and ``align_fn(df, keep=())`` projects
+    the scanned frame to the manifest's CURRENT names, surfacing
+    columns added after the dir was written as typed NULLs.
+    ``align_fn`` is None for identity dirs (the overwhelmingly common
+    case): the caller reads with the manifest schema as before."""
+    from pyspark.sql.types import StructField, StructType
+
+    cur = StructType.fromJson(man["_schema"]) if "_schema" in man else None
+    mapping = _dir_mapping(man, d)
+    if cur is None or mapping is None:
+        return cur, None
+    ids = man.get("_field_ids") or {}
+    inv = {fid: disk for disk, fid in mapping.items()}
+    disk_fields: list[StructField] = []
+    select = []
+    for f in cur.fields:
+        disk = inv.get(ids.get(f.name))
+        if disk is None:
+            # column added after this dir was written (including
+            # drop-then-re-add: the new column has a NEW id)
+            select.append(F_sql.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            disk_fields.append(StructField(disk, f.dataType, True))
+            select.append(F_sql.col(disk).alias(f.name))
+
+    def align(df: DataFrame, keep: tuple = ()) -> DataFrame:
+        return df.select(*[F_sql.col(c) for c in keep], *select)
+
+    return StructType(disk_fields), align
+
+
+def _evolution_meta(
+    df: DataFrame, carried_dirs: list[str], base_man: dict | None
+) -> dict:
+    """The rename-tracking manifest fields a carry commit must
+    propagate, once a rename/drop has engaged tracking on the base:
+    ``_field_ids`` (current name -> stable id; new columns get fresh
+    ids — a re-added name never aliases a dropped column's bytes) and
+    ``_dir_fields`` (per carried dir, its on-disk-name -> id map;
+    identity mappings are elided to keep manifests small). Empty for
+    untracked tables — zero overhead until the first rename."""
+    if not base_man or "_field_ids" not in base_man:
+        return {}
+    base_ids = dict(base_man["_field_ids"])
+    ids = dict(base_ids)
+    # fresh ids allocate past the table's HIGH-WATER id, never past
+    # the current max: a column re-added after a drop must not reuse
+    # the dropped column's id, or old files' bytes would resurrect
+    # under the new column
+    nxt = (
+        int(base_man.get("_last_field_id", max(base_ids.values(), default=0)))
+        + 1
+    )
+    for c in df.columns:
+        if c not in ids:
+            ids[c] = nxt
+            nxt += 1
+    ids = {c: ids[c] for c in df.columns}
+    base_names = [f["name"] for f in base_man["_schema"]["fields"]]
+    dir_fields: dict[str, dict] = {}
+    for d in carried_dirs:
+        m = _dir_mapping(base_man, d)
+        if m is None:
+            # dir written under the base's current names
+            m = {n: base_ids[n] for n in base_names}
+        if any(ids.get(disk) != fid for disk, fid in m.items()):
+            dir_fields[d] = m
+    out: dict = {"_field_ids": ids, "_last_field_id": nxt - 1}
+    if dir_fields:
+        out["_dir_fields"] = dir_fields
+    return out
 
 
 def _check_schema_against_manifest(
@@ -264,13 +412,17 @@ def commit_version(
     atomically. Returns the committed version number.
 
     Data first (invisible until manifested), then the manifest via
-    temp-file + rename. Races resolve at BOTH stages: a data dir that
-    appears between the version scan and our errorifexists write, or
-    a manifest rename that loses to a concurrent committer, each bump
-    to the next number and retry — optimistic concurrency without a
-    lock service. Orphan data dirs from crashed writers are skipped
-    (never reused) so a crash can never wedge future commits; vacuum
-    reclaims them. The manifest rename is the single commit point.
+    temp-file + rename. The snapshot is written ONCE into a private
+    ``.tmp-*`` staging dir and claims its ``v=K`` slot by one atomic
+    directory rename — racing writers can never interleave inside one
+    slot's committer workspace, and a slot collision dodges to the
+    next number by re-renaming metadata, not rewriting bytes. A
+    manifest rename that loses to a concurrent committer bumps to the
+    next manifest number and retries — optimistic concurrency without
+    a lock service. Orphan data/staging dirs from crashed writers are
+    skipped (never reused) so a crash can never wedge future commits;
+    vacuum reclaims them. The manifest rename is the single commit
+    point.
 
     ``carry_from=N`` makes this a METADATA-LEVEL append: only ``df``
     (the new rows) is written; the manifest's ``data_dirs`` lists
@@ -327,8 +479,6 @@ def commit_version(
     renumber-and-retry behavior for independent appends that cannot
     conflict semantically.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     if carry_from is not None and carry_dirs is not None:
         raise ValueError("pass carry_from or carry_dirs, not both")
     spark = df.sparkSession
@@ -336,14 +486,23 @@ def commit_version(
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(_manifest_dir(path)))
     carried_dirs: list[str] = list(carry_dirs or [])
+    base_man: dict | None = None
+    if carry_dirs is not None and expected_base:
+        # COW/MOR carry commits plan against the latest version and
+        # pin it via expected_base — that manifest is the base whose
+        # rename-tracking fields (if any) must propagate
+        base_man = read_manifest(spark, path, expected_base)
     if carry_from is not None:
         base_man = read_manifest(spark, path, carry_from)
         carried_dirs = _manifest_dirs(base_man)
         # a deletion vector rides along with the bytes it deletes from:
         # an append on a DV version must keep subtracting it, or the
-        # deleted rows silently resurrect in the new version
+        # deleted rows silently resurrect in the new version (its
+        # recorded row count travels with it — the pair is atomic)
         if base_man.get("_dv") and "_dv" not in (meta or {}):
             meta = {**(meta or {}), "_dv": base_man["_dv"]}
+            if "_dv_rows" in base_man:
+                meta.setdefault("_dv_rows", base_man["_dv_rows"])
         _check_schema_against_manifest(
             df,
             base_man,
@@ -351,8 +510,8 @@ def commit_version(
             allow_evolution=allow_evolution,
         )
     # next slot must clear BOTH committed versions and orphan data
-    # dirs (a crashed writer's v=N would otherwise make every future
-    # errorifexists write fail until vacuum — the table would wedge)
+    # dirs (a crashed writer's v=N would otherwise collide with every
+    # future slot claim until vacuum — the table would wedge)
     committed = versions(spark, path)
     if expected_base is not None:
         latest = committed[-1] if committed else 0
@@ -374,42 +533,58 @@ def commit_version(
     # one atomic arbiter between racing writers — manifests reference
     # data dirs by name, so the two numbers may legitimately diverge.
     data_slot = (max(taken) + 1) if taken else 1
+    # rename-tracking propagation: computed from the base manifest
+    # unless the caller manages the fields itself (rename_column /
+    # drop_column / rollback commits pass them in meta)
+    evo = (
+        {}
+        if (meta or {}).get("_field_ids") is not None
+        else _evolution_meta(df, carried_dirs, base_man)
+    )
+    # the snapshot is written ONCE into a private staging dir, then
+    # CLAIMS its v=K slot by one atomic directory rename: two racing
+    # writers can never interleave inside one dir's _temporary
+    # committer workspace (the errorifexists check is check-then-act
+    # and does not protect same-slot concurrent writes), and a loser
+    # dodges to the next slot by re-renaming METADATA, not rewriting
+    # bytes. A crash leaves an orphan .tmp-* dir; vacuum reclaims it.
+    import uuid as _uuid
+
+    staging = f"{path}/.tmp-{_uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     while True:
         data = _data_dir(path, data_slot)
-        writer = df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        try:
-            writer.parquet(data)
-        except AnalysisException:
-            # another writer (or an unseen orphan) took this data dir
-            # between our scan and the write — retry at the next slot;
-            # re-raise anything that is not a path collision
-            if not fs.exists(Path(data)):
-                raise
+        # the exists probe keeps Hadoop's rename from MOVING INTO an
+        # existing dir; the rename itself still arbitrates the race
+        # (onto a non-empty dir it fails, and a claimed slot is never
+        # empty — the writer's _SUCCESS lands with the claim)
+        if fs.exists(Path(data)) or not fs.rename(Path(staging), Path(data)):
             data_slot += 1
             continue
-        version = (
-            expected_base + 1 if expected_base is not None else data_slot
-        )
-        if checks:
-            written = spark.read.schema(df.schema).parquet(data)
-            viol_row = written.agg(
-                *[
-                    F_sql.sum(
-                        F_sql.expr(s)
-                        .eqNullSafe(F_sql.lit(False))
-                        .cast("long")
-                    ).alias(n)
-                    for n, s in checks.items()
-                ]
-            ).collect()[0]
-            bad = {n: viol_row[n] for n in checks if (viol_row[n] or 0) > 0}
-            if bad:
-                fs.delete(Path(data), True)
-                raise ValueError(
-                    f"commit rejected: CHECK constraint violations {bad}"
-                )
+        break
+    version = expected_base + 1 if expected_base is not None else data_slot
+    if checks:
+        written = spark.read.schema(df.schema).parquet(data)
+        viol_row = written.agg(
+            *[
+                F_sql.sum(
+                    F_sql.expr(s)
+                    .eqNullSafe(F_sql.lit(False))
+                    .cast("long")
+                ).alias(n)
+                for n, s in checks.items()
+            ]
+        ).collect()[0]
+        bad = {n: viol_row[n] for n in checks if (viol_row[n] or 0) > 0}
+        if bad:
+            fs.delete(Path(data), True)
+            raise ValueError(
+                f"commit rejected: CHECK constraint violations {bad}"
+            )
+    while True:
         import time as _time
 
         doc = {
@@ -432,6 +607,7 @@ def commit_version(
             # table would find no hive subdirs to carry
             "_partition_by": list(partition_by or []),
             **({"_checks": checks} if checks else {}),
+            **evo,
             **(meta or {}),
         }
         tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
@@ -441,19 +617,21 @@ def commit_version(
         final = Path(f"{_manifest_dir(path)}/{version}.json")
         if fs.rename(tmp, final):
             return version
-        # lost the manifest race for this number: discard our data
-        # dir and manifest temp
+        # lost the manifest race for this number: discard the temp
         fs.delete(tmp, False)
-        fs.delete(Path(data), True)
         if expected_base is not None:
             # a competitor won the <B+1>.json slot — its commit was
             # planned against the same base, so ours is now stale:
-            # surface the conflict instead of silently renumbering
-            # past (and thereby dropping) the winner's changes
+            # surface the conflict (and reclaim our data dir) instead
+            # of silently renumbering past (and thereby dropping) the
+            # winner's changes
+            fs.delete(Path(data), True)
             raise CommitConflictError(
                 path, expected_base, expected_base + 1
             )
-        data_slot += 1
+        # independent append: keep the claimed data dir (manifests
+        # reference dirs by name) and take the next manifest number
+        version += 1
 
 
 def _resolve_version(
@@ -490,7 +668,11 @@ def read_version(
     version = _resolve_version(spark, path, version)
     man = read_manifest(spark, path, version)
     dirs = _manifest_dirs(man)
-    if len(dirs) == 1 and "/" not in dirs[0]:
+    if (
+        len(dirs) == 1
+        and "/" not in dirs[0]
+        and _dir_mapping(man, dirs[0]) is None
+    ):
         try:
             return spark.read.parquet(f"{path}/{dirs[0]}")
         except Exception:
@@ -511,20 +693,25 @@ def read_version(
     # branch), and the manifest schema makes empty dirs readable
     # without inference. A NESTED entry (``v=<N>/date=x``, one carried
     # partition of a COW merge) reads with basePath at its version
-    # root, so the partition column survives the subdir scan.
+    # root, so the partition column survives the subdir scan. Dirs
+    # written before a column rename/drop read under their ON-DISK
+    # schema and align to the current names by stable field id
+    # (_disk_schema_and_rename) — the Iceberg name-mapping read.
     from functools import reduce
 
     from pyspark.sql.types import StructType
 
     def _read_dir(d: str) -> DataFrame:
+        read_schema, align = _disk_schema_and_rename(man, d)
         r = (
-            spark.read.schema(StructType.fromJson(man["_schema"]))
-            if "_schema" in man
+            spark.read.schema(read_schema)
+            if read_schema is not None
             else spark.read
         )
         if "/" in d:
             r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
-        return r.parquet(f"{path}/{d}")
+        branch = r.parquet(f"{path}/{d}")
+        return align(branch) if align is not None else branch
 
     return reduce(lambda a, b: a.unionByName(b), [_read_dir(d) for d in dirs])
 
@@ -988,8 +1175,16 @@ def compact_snapshot(
     carried = {
         k: v
         for k, v in man.items()
+        # committed_at must NOT carry: the compacted version gets its
+        # own commit clock, or read_as_of would resolve timestamps
+        # between the two commits to the wrong snapshot. Rename
+        # tracking doesn't carry either: the rewrite lands every byte
+        # under the CURRENT column names, so the compacted version
+        # reads identity again (stale _dir_fields would point at dirs
+        # this version no longer references)
         if k not in ("version", "data_dir", "data_dirs", "_schema",
-                     "_partition_by")
+                     "_partition_by", "committed_at",
+                     "_field_ids", "_dir_fields", "_last_field_id")
     }
     return commit_version(
         read_version(spark, path, latest[-1]),
@@ -997,6 +1192,174 @@ def compact_snapshot(
         partition_by=partition_by or None,
         meta={**carried, **(meta or {}), "compacted_from": latest[-1]},
         expected_base=latest[-1],
+    )
+
+
+def _evolution_base(spark: SparkSession, path: str, op: str):
+    """Shared entry for the metadata-only schema-evolution commits:
+    (latest version, its manifest, current schema, field ids —
+    assigning 1..n in field order when tracking is not yet engaged,
+    the moment a first rename/drop baselines the ids)."""
+    from pyspark.sql.types import StructType
+
+    latest = _resolve_version(spark, path, None)
+    man = read_manifest(spark, path, latest)
+    _require_no_dv(man, op)
+    if "_schema" not in man:
+        raise ValueError(
+            f"{op} needs the manifest-recorded schema (legacy version "
+            f"{latest} predates recorded schemas — compact_snapshot "
+            "first)"
+        )
+    schema = StructType.fromJson(man["_schema"])
+    names = [f.name for f in schema.fields]
+    ids = man.get("_field_ids") or {n: i + 1 for i, n in enumerate(names)}
+    return latest, man, schema, ids
+
+
+def _commit_evolution(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    man: dict,
+    new_schema,
+    new_ids: dict,
+    marker: dict,
+    meta: dict | None,
+) -> int:
+    """Publish a rename/drop as ONE metadata-only commit: an empty own
+    dir plus every dir of ``latest`` carried by reference — zero data
+    rewritten, the Iceberg metadata-only evolution. ``_dir_fields``
+    pins each carried dir's ON-DISK names so old files keep resolving
+    by stable field id under the new schema."""
+    names = [f["name"] for f in man["_schema"]["fields"]]
+    base_ids = man.get("_field_ids") or {n: i + 1 for i, n in enumerate(names)}
+    last_id = int(man.get("_last_field_id", max(base_ids.values(), default=0)))
+    dir_fields = {}
+    for d in _manifest_dirs(man):
+        m = _dir_mapping(man, d)
+        if m is None:
+            m = {n: base_ids[n] for n in names}
+        if any(new_ids.get(disk) != fid for disk, fid in m.items()):
+            dir_fields[d] = m
+    carried_meta = {
+        k: v
+        for k, v in man.items()
+        if k
+        not in (
+            "version", "data_dir", "data_dirs", "committed_at",
+            "_schema", "_partition_by", "_field_ids", "_dir_fields",
+            "_last_field_id",
+        )
+    }
+    empty = spark.createDataFrame([], new_schema)
+    return commit_version(
+        empty,
+        path,
+        partition_by=man.get("_partition_by") or None,
+        carry_dirs=_manifest_dirs(man),
+        meta={
+            **carried_meta,
+            **(meta or {}),
+            "_field_ids": new_ids,
+            # the high-water id survives drops, so a re-added name can
+            # never reuse a dropped column's id
+            "_last_field_id": max(
+                [last_id, *new_ids.values()] if new_ids else [last_id]
+            ),
+            **({"_dir_fields": dir_fields} if dir_fields else {}),
+            **marker,
+        },
+        expected_base=latest,
+    )
+
+
+def rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Metadata-only column RENAME (Iceberg ``ALTER TABLE ... RENAME
+    COLUMN``): commit a new version whose schema carries ``new`` in
+    place of ``old`` — no byte of data is rewritten. Old files keep
+    resolving through the stable field id recorded per data dir
+    (``_dir_fields``), so ``read_version`` on the new version surfaces
+    pre-rename files under the new name, and time travel to older
+    versions still reads the old name. Partition columns are physical
+    dir names and cannot rename (rewrite via ``compact_snapshot``
+    after a select); DV tables must ``materialize_deletes`` first.
+
+    Ref parity: the reference pipeline renames via pandas
+    ``DataFrame.rename`` rewrites (`src/tempdata` ETL steps); here the
+    lakehouse tier makes it a catalog operation, per Iceberg's
+    published name-mapping spec."""
+    latest, man, schema, ids = _evolution_base(spark, path, "rename_column")
+    from pyspark.sql.types import StructField, StructType
+
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} to rename (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (man.get("_partition_by") or []):
+        raise ValueError(
+            f"partition column {old!r} is a physical dir layout — "
+            "rewrite (compact_snapshot after a select) instead"
+        )
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    new_ids = {(new if n == old else n): ids[n] for n in names}
+    return _commit_evolution(
+        spark, path, latest, man, new_schema, new_ids,
+        {"renamed_column": {"from": old, "to": new}}, meta,
+    )
+
+
+def drop_column(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Metadata-only column DROP: commit a new version whose schema
+    omits ``col`` — old files keep their bytes (time travel still
+    reads them), readers of the new version simply never select the
+    column. A later add-column append may REUSE the name: it gets a
+    fresh field id, so the re-added column reads NULL from files
+    written before the re-add instead of resurrecting the dropped
+    bytes (the Iceberg id-based guarantee). Partition columns cannot
+    drop; the last column cannot drop."""
+    latest, man, schema, ids = _evolution_base(spark, path, "drop_column")
+    from pyspark.sql.types import StructType
+
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} to drop (have {names})")
+    if col in (man.get("_partition_by") or []):
+        raise ValueError(
+            f"partition column {col!r} is a physical dir layout — "
+            "rewrite (compact_snapshot after a select) instead"
+        )
+    part_cols = set(man.get("_partition_by") or [])
+    remaining = [n for n in names if n != col]
+    if not [n for n in remaining if n not in part_cols]:
+        raise ValueError(
+            "cannot drop the last data column (a snapshot needs at "
+            "least one non-partition column)"
+        )
+    new_schema = StructType([f for f in schema.fields if f.name != col])
+    new_ids = {n: ids[n] for n in names if n != col}
+    return _commit_evolution(
+        spark, path, latest, man, new_schema, new_ids,
+        {"dropped_column": col}, meta,
     )
 
 
@@ -1011,7 +1374,8 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     rows = []
     reserved = {
         "version", "data_dir", "data_dirs", "committed_at",
-        "_schema", "_partition_by", "_dv", "_checks",
+        "_schema", "_partition_by", "_dv", "_dv_rows", "_checks",
+        "_field_ids", "_dir_fields", "_last_field_id",
         "restored_from", "compacted_from",
     }
     for v in versions(spark, path):
@@ -1251,6 +1615,12 @@ def vacuum(
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
+            if name.startswith(".tmp-"):
+                # crashed writer's staging dir (written but never
+                # renamed into a v= slot): same grace as orphans
+                if now_ms - st.getModificationTime() >= orphan_grace * 1000.0:
+                    fs.delete(st.getPath(), True)
+                continue
             if name.startswith("v="):
                 try:
                     v = int(name[2:])

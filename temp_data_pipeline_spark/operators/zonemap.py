@@ -447,6 +447,10 @@ def _read_files(
 
     from pyspark.sql.types import StructType
 
+    from temp_data_pipeline_spark.operators.versioned import (
+        _disk_schema_and_rename,
+    )
+
     man = read_manifest(spark, path, version)
     schema = (
         StructType.fromJson(man["_schema"]) if "_schema" in man else None
@@ -484,13 +488,24 @@ def _read_files(
         by_root.setdefault((root, head), []).append(absolute)
 
     def _scan(root: str, head: str, fl: list[str]) -> DataFrame:
-        r = spark.read.schema(schema) if schema is not None else spark.read
+        # dirs written before a column rename scan under their ON-DISK
+        # names and align to the current names by stable field id
+        read_schema, align = _disk_schema_and_rename(man, head)
+        r = (
+            spark.read.schema(read_schema)
+            if read_schema is not None
+            else spark.read
+        )
         branch = r.option("basePath", root).parquet(*sorted(fl))
         if with_positions:
             branch = branch.select(
                 _rel_file(head).alias("_dv_file"),
                 F.col("_metadata.row_index").alias("_dv_pos"),
                 *branch.columns,
+            )
+        if align is not None:
+            branch = align(
+                branch, keep=("_dv_file", "_dv_pos") if with_positions else ()
             )
         return branch
 
@@ -634,11 +649,9 @@ def optimize_zorder(
     and zone maps skip within every surviving partition."""
     from temp_data_pipeline_spark.operators.versioned import _require_no_dv
 
-    _require_no_dv(
-        read_manifest(spark, path, _resolve_version(spark, path, None)),
-        "optimize_zorder",
-    )
-    df = read_version(spark, path)
+    base = _resolve_version(spark, path, None)
+    _require_no_dv(read_manifest(spark, path, base), "optimize_zorder")
+    df = read_version(spark, path, base)
     n_cells = 1 << bits
     if equidepth:
         probs = [i / n_cells for i in range(1, n_cells)]
@@ -663,6 +676,10 @@ def optimize_zorder(
         .sortWithinPartitions(*range_cols)
         .drop("_z")
     )
+    # the rewrite embeds the base it read: conflict-check like
+    # compact_snapshot, or a commit landing mid-rewrite would be
+    # silently dropped from the clustered version (retryable —
+    # commit_with_retries re-plans the whole rewrite)
     v = commit_version(
         clustered,
         path,
@@ -672,6 +689,7 @@ def optimize_zorder(
             "zorder_by": list(columns),
             "zorder_bits": bits,
         },
+        expected_base=base,
     )
     write_zone_maps(spark, path, columns, version=v)
     return v
@@ -1104,5 +1122,9 @@ def scan_version(
             spark, path, version, survivors, with_positions=dv_aware
         )
     if dv_aware:
-        out = _subtract_dv(out, read_dv(spark, path, version))
+        out = _subtract_dv(
+            out,
+            read_dv(spark, path, version),
+            read_manifest(spark, path, version).get("_dv_rows"),
+        )
     return out.filter(_row_condition(predicates))

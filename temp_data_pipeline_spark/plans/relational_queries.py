@@ -1213,3 +1213,72 @@ def q_part_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@_register(
+    "q_rename_evolution",
+    ["extension-relational", "maintenance", "governance"],
+    """
+    SELECT o_orderkey,
+           o_totalprice AS price,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END AS buyer
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Metadata-only schema evolution (versioned.rename_column / "
+        "drop_column): commit even-key orders as v1 with "
+        "(o_orderkey, o_custkey, o_totalprice), RENAME o_totalprice->"
+        "price and o_custkey->buyer, DROP buyer, append the odd keys "
+        "under the evolved schema re-adding buyer (fresh field id), "
+        "then read latest. Old files resolve under the NEW names by "
+        "stable field id (Iceberg name mapping — zero bytes "
+        "rewritten), and the re-added buyer reads NULL from "
+        "pre-re-add files instead of resurrecting the dropped bytes; "
+        "the oracle is the equivalent projection over raw orders."
+    ),
+)
+def q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        drop_column,
+        read_version,
+        rename_column,
+        versions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="evo_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path
+        )
+        rename_column(spark, path, "o_totalprice", "price")
+        rename_column(spark, path, "o_custkey", "buyer")
+        drop_column(spark, path, "buyer")
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.col("o_custkey").alias("buyer"),
+            )
+            .repartition(2),
+            path,
+            carry_from=versions(spark, path)[-1],
+            allow_evolution=True,
+        )
+        return (
+            read_version(spark, path)
+            .select("o_orderkey", "price", "buyer")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -119,10 +119,14 @@ def stream_append_versioned(
     in the manifest, and a replayed batch whose id is ≤ the table's
     high-water mark is skipped — the foreachBatch idempotent-sink
     protocol from the Structured Streaming guide, with the versioned
-    manifest as the transaction log. The high-water mark is the MAX
-    over all live manifests (not just the latest), so interleaved
-    maintenance commits (compaction, COW deletes) never reopen the
-    door to duplicates.
+    manifest as the transaction log. The high-water mark resolves by
+    scanning manifests NEWEST-first and stopping at the first one
+    bearing a batch id (O(1) reads per batch on a live stream, not
+    O(versions) — ADVICE r7); maintenance rewrites (compaction,
+    z-order) carry the mark forward in their meta, so interleaved
+    maintenance never reopens the door to duplicates. Each commit
+    also passes ``expected_base`` and retries on conflict, so a
+    maintenance commit landing mid-batch is never silently dropped.
 
     ``stats_columns`` / ``bloom_columns`` keep the table SKIPPABLE
     while it ingests: after each commit the zone-map and Bloom
@@ -170,6 +174,7 @@ def _append_versioned_batch(
     ``stream_append_versioned`` and the view-maintaining composite."""
     from temp_data_pipeline_spark.operators.versioned import (
         commit_version,
+        commit_with_retries,
         read_manifest,
         versions,
     )
@@ -179,27 +184,52 @@ def _append_versioned_batch(
     )
 
     spark = batch_df.sparkSession
-    vs = versions(spark, path)
-    high = -1
-    for v in vs:
-        b = read_manifest(spark, path, v).get("_stream_batch_id")
-        if b is not None and b > high:
-            high = b
-    if batch_id <= high:
-        return  # replayed batch: already durably committed
+
+    def _high_water(vs: list[int]) -> int:
+        """The table's stream high-water mark: scan manifests NEWEST
+        first and stop at the first one bearing a batch id — stream
+        commits are sequential, so the newest mark IS the max, and
+        maintenance commits (compact/z-order) carry the mark forward
+        in their meta. O(1) manifest reads per micro-batch on a live
+        stream instead of the O(versions) full walk (ADVICE r7); the
+        walk only continues past manifests WITHOUT a mark (interleaved
+        delete-materializations, pre-stream history)."""
+        for v in reversed(vs):
+            b = read_manifest(spark, path, v).get("_stream_batch_id")
+            if b is not None:
+                return b
+        return -1
+
     if batch_df.isEmpty():
         # nothing to append — don't mint empty versions (a replay
         # of this batch is also empty, so skipping keeps the
         # exactly-once contract without advancing the mark)
         return
-    prev = vs[-1] if vs else None
-    v = commit_version(
-        batch_df,
-        path,
-        partition_by=partition_by,
-        carry_from=prev,
-        meta={"_stream_batch_id": batch_id},
-    )
+
+    def _plan() -> tuple[int, int | None] | None:
+        """Re-planned per attempt: re-reads the version list, so a
+        conflict with a concurrent maintenance commit (compaction
+        landing mid-batch) retries against the new latest instead of
+        silently dropping the maintenance writer's version — the
+        commit carries prev's dirs, so it embeds the base it read."""
+        vs = versions(spark, path)
+        if batch_id <= _high_water(vs):
+            return None  # replayed batch: already durably committed
+        prev = vs[-1] if vs else None
+        v = commit_version(
+            batch_df,
+            path,
+            partition_by=partition_by,
+            carry_from=prev,
+            meta={"_stream_batch_id": batch_id},
+            expected_base=prev if prev is not None else 0,
+        )
+        return v, prev
+
+    committed = commit_with_retries(_plan)
+    if committed is None:
+        return
+    v, prev = committed
     if stats_columns:
         try:
             write_zone_maps(

@@ -35,11 +35,13 @@ def _rows(df, cols):
 
 
 def _invariant(spark, path, since, until):
-    """visible(until) == visible(since) − deletes + inserts."""
+    """visible(until) == visible(since) − deletes + inserts.
+    allow_reset: the identity must hold on EVERY window, including
+    ones the guard would bounce for being full-pair-priced."""
     cols = [c for c in read_table(spark, path, until).columns]
     before = _rows(read_table(spark, path, since), cols)
     after = _rows(read_table(spark, path, until), cols)
-    feed = changes_between(spark, path, since, until)
+    feed = changes_between(spark, path, since, until, allow_reset=True)
     ins = _rows(feed.filter(F.col("_change_type") == "insert").drop("_change_type"), cols)
     dels = _rows(feed.filter(F.col("_change_type") == "delete").drop("_change_type"), cols)
     reconstructed = before.copy()
@@ -142,13 +144,21 @@ def test_cow_rewrite_feed_is_coarse_but_invariant(spark, tmp_path):
 
 
 def test_rollback_resurrects_as_inserts(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.changes import FeedResetRequired
+
     path = os.path.join(str(tmp_path), "rb")
     commit_version(
         spark.createDataFrame([(i, "a", i) for i in range(6)], SCHEMA), path
     )
     v2 = commit_delete_mor(spark, path, "k >= 4")
     v3 = rollback(spark, path, 1)
-    feed = changes_between(spark, path, v2, v3)
+    # a restore in the window asks for a resync by default ...
+    with pytest.raises(FeedResetRequired):
+        changes_between(spark, path, v2, v3)
+    # ... and the explicit passthrough still yields the exact feed:
+    # the restored (metadata-only) version re-references a smaller
+    # DV, so the un-deleted rows resurrect as inserts
+    feed = changes_between(spark, path, v2, v3, allow_reset=True)
     got = _rows(feed, ["k", "_change_type"])
     assert got == Counter([(4, "insert"), (5, "insert")])
     _invariant(spark, path, v2, v3)
@@ -175,3 +185,145 @@ def test_feed_after_relocation(spark, tmp_path):
     got = _rows(feed, ["k", "_change_type"])
     assert got == Counter([(8, "insert"), (2, "delete")])
     _invariant(spark, dst, 1, versions(spark, dst)[-1])
+
+
+def test_compaction_in_window_requires_reset(spark, tmp_path):
+    """Verdict r7 #3: a compaction rewrites every byte, so a window
+    crossing it would pair-emit the whole table — raise the retryable
+    FeedResetRequired instead; allow_reset=True opts into the full
+    pair feed, which still satisfies the multiset invariant."""
+    from temp_data_pipeline_spark.operators.changes import (
+        FeedResetRequired,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        compact_snapshot,
+    )
+
+    path = os.path.join(str(tmp_path), "cmp")
+    commit_version(
+        spark.createDataFrame([(i, "a", i) for i in range(6)], SCHEMA), path
+    )
+    commit_version(
+        spark.createDataFrame([(6, "a", 6)], SCHEMA), path, carry_from=1
+    )
+    v3 = compact_snapshot(spark, path)
+    for fn in (changes_between, read_appended):
+        with pytest.raises(FeedResetRequired) as exc:
+            fn(spark, path, 1, v3)
+        assert exc.value.version == v3 and exc.value.kind == "compacted_from"
+    # windows NOT crossing the compaction stay guard-free
+    assert changes_between(spark, path, 1, 2).count() == 1
+    # explicit passthrough: full pair feed, invariant exact
+    feed = changes_between(spark, path, 1, v3, allow_reset=True)
+    assert feed.filter(F.col("_change_type") == "insert").count() == 7
+    assert feed.filter(F.col("_change_type") == "delete").count() == 6
+    _invariant(spark, path, 1, v3)
+
+
+def test_diff_lists_only_delta_dirs(spark, tmp_path, monkeypatch):
+    """Verdict r7 #2: shared dir names are immutable and cancel
+    WITHOUT a listing — an incremental window on a long carry chain
+    walks only the symmetric-difference dirs, O(delta) driver
+    metadata, not O(table files)."""
+    import temp_data_pipeline_spark.operators.changes as CH
+
+    path = os.path.join(str(tmp_path), "dirs")
+    commit_version(
+        spark.createDataFrame([(i, "a", i) for i in range(8)], SCHEMA), path
+    )
+    for v in range(2, 6):  # carry chain: v2..v5, one new dir each
+        commit_version(
+            spark.createDataFrame([(10 * v, "a", v)], SCHEMA),
+            path,
+            carry_from=v - 1,
+        )
+    listed: list[str] = []
+    real = CH._list_dir_files
+
+    def counting(spark_, path_, d):
+        listed.append(d)
+        return real(spark_, path_, d)
+
+    monkeypatch.setattr(CH, "_list_dir_files", counting)
+    got = sorted(r["k"] for r in read_appended(spark, path, 4, 5).collect())
+    assert got == [50]
+    # the window 4→5 shares dirs v=1..v=4: ONLY v=5 may be listed
+    assert listed == ["v=5"]
+    listed.clear()
+    feed = changes_between(spark, path, 3, 5)
+    assert sorted(r["k"] for r in feed.collect()) == [40, 50]
+    assert sorted(listed) == ["v=4", "v=5"]
+
+
+def test_dv_delta_scans_only_dv_named_files(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (medium): the DV delta over shared files must open
+    ONLY the files either endpoint's DV names — a 1-row MOR delete on
+    a many-file table scans one file, not the table."""
+    import temp_data_pipeline_spark.operators.changes as CH
+    from temp_data_pipeline_spark.operators.deletion_vectors import read_dv
+
+    path = os.path.join(str(tmp_path), "dvp")
+    commit_version(
+        spark.createDataFrame(
+            [(i, "a", i) for i in range(16)], SCHEMA
+        ).repartition(8),
+        path,
+    )
+    v2 = commit_delete_mor(spark, path, "k = 3")
+    scans: list[list[str]] = []
+    real = CH._scan_files
+
+    def recording(spark_, path_, version_, files_):
+        scans.append(list(files_))
+        return real(spark_, path_, version_, files_)
+
+    monkeypatch.setattr(CH, "_scan_files", recording)
+    feed = changes_between(spark, path, 1, v2)
+    assert _rows(feed, ["k", "_change_type"]) == Counter([(3, "delete")])
+    # the shared-file (v=1) scan is pruned to exactly the DV's
+    # distinct files — 1 of the 8 base files; the only other scan is
+    # the MOR commit's own (empty) v=2 dir as the added set
+    dv_files = {r["file"] for r in read_dv(spark, path, v2).collect()}
+    assert len(dv_files) == 1
+    v1_scanned = sorted(f for s in scans for f in s if f.startswith("v=1/"))
+    assert v1_scanned == sorted(dv_files)
+    _invariant(spark, path, 1, v2)
+
+
+def test_feed_across_add_column_evolution(spark, tmp_path):
+    """ADVICE r7 (low): since-side scans run under the narrower
+    pre-evolution schema; the feed aligns every frame to until's
+    schema (absent columns as typed NULLs) instead of letting
+    unionByName throw."""
+    path = os.path.join(str(tmp_path), "evo")
+    commit_version(
+        spark.createDataFrame([(i, "a" if i < 3 else "b", i) for i in range(6)], SCHEMA),
+        path,
+        partition_by=["part"],
+    )
+    evolved = spark.createDataFrame(
+        [(10, "a", 10, "x"), (11, "b", 11, "y")],
+        SCHEMA + ", w string",
+    )
+    commit_version(
+        evolved, path, carry_from=1, allow_evolution=True,
+        partition_by=["part"],
+    )
+    # COW-rewrite partition a at the evolved schema: v=1/part=a files
+    # become REMOVED entries scanned under v1's 3-column schema
+    v3 = commit_merge_cow(
+        spark.createDataFrame([(0, "a", 100, "z")], SCHEMA + ", w string"),
+        path,
+        ["k"],
+        "v",
+        "part",
+    )
+    feed = changes_between(spark, path, 1, v3)
+    assert set(feed.columns) == {"k", "part", "v", "w", "_change_type"}
+    dels = feed.filter(F.col("_change_type") == "delete")
+    # removed pre-evolution rows surface w as NULL
+    assert dels.filter(F.col("w").isNotNull()).count() == 0
+    assert sorted(r["k"] for r in dels.collect()) == [0, 1, 2]
+    ins = feed.filter(F.col("_change_type") == "insert")
+    got = {(r["k"], r["w"]) for r in ins.collect()}
+    assert (0, "z") in got and (10, "x") in got and (11, "y") in got

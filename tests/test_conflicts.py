@@ -217,3 +217,106 @@ class TestCowRace:
                 expected_base=1,
             )
         assert versions(spark, path) == [1, 2]
+
+
+class TestCommitWithRetries:
+    def test_sequential_conflicts_retry_to_union(self, spark, tmp_path):
+        """The helper packages the replan loop: a plan that loses its
+        first attempt (staged stale base) succeeds on retry, and the
+        outcome is the union of both writers' changes."""
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_with_retries,
+        )
+
+        path = _mk(spark, tmp_path, "rt", [(i, f"u{i % 3}", i) for i in range(9)])
+        attempts = {"n": 0}
+
+        def plan():
+            attempts["n"] += 1
+            if attempts["n"] == 1:
+                # stage a competitor landing between plan and commit
+                commit_delete_mor(spark, path, "user = 'u2'")
+                base = versions(spark, path)[0]  # stale on purpose
+                raise CommitConflictError(path, base, versions(spark, path)[-1])
+            return commit_delete_mor(spark, path, "user = 'u1'")
+
+        v = commit_with_retries(plan, max_attempts=3)
+        assert v == versions(spark, path)[-1]
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            read_table as _rt,
+        )
+
+        assert {r["user"] for r in _rt(spark, path).collect()} == {"u0"}
+        assert attempts["n"] == 2
+
+    def test_exhausted_attempts_reraise(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_with_retries,
+        )
+
+        calls = {"n": 0}
+
+        def always_conflicts():
+            calls["n"] += 1
+            raise CommitConflictError("p", 1, 2)
+
+        with pytest.raises(CommitConflictError):
+            commit_with_retries(always_conflicts, max_attempts=4)
+        assert calls["n"] == 4
+
+    def test_non_conflict_errors_propagate_immediately(self, spark):
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_with_retries,
+        )
+
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            raise ValueError("not retryable")
+
+        with pytest.raises(ValueError):
+            commit_with_retries(boom, max_attempts=5)
+        assert calls["n"] == 1
+
+    def test_threaded_contention_all_land(self, spark, tmp_path):
+        """N genuinely concurrent MOR writers, each wrapped in
+        commit_with_retries: every one eventually commits and the
+        final table is the union of all deletions (verdict r7 #4's
+        done-criterion)."""
+        import threading
+
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            read_table as _rt,
+        )
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_with_retries,
+        )
+
+        path = _mk(
+            spark, tmp_path, "thr", [(i, f"u{i % 6}", i) for i in range(24)]
+        )
+        errors: list[Exception] = []
+
+        def worker(u: str) -> None:
+            try:
+                commit_with_retries(
+                    lambda: commit_delete_mor(spark, path, f"user = '{u}'"),
+                    max_attempts=12,
+                    backoff=0.05,
+                )
+            except Exception as exc:  # surfaced in the main thread
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=worker, args=(f"u{i}",)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        got = {r["user"] for r in _rt(spark, path).collect()}
+        assert got == {"u3", "u4", "u5"}
+        # the log is healthy: contiguous versions, fsck-clean
+        assert verify_table(spark, path) == []

@@ -444,3 +444,28 @@ def test_history_describes_commits(spark, tmp_path):
     assert h[4]["restored_from"] == 2
     assert '"job": "ingest"' in h[1]["meta_json"]
     assert all(h[v]["committed_at"] > 0 for v in h)
+
+
+def test_rel_from_any_anchors_version_segment(spark):
+    """ADVICE r7: legacy absolute sidecar paths must cut at a real
+    /v=<digits>/ segment — a hive partition value containing 'v='
+    (k=v=3) must not alias the boundary, and a path with no version
+    segment normalizes to '' (a never-matching key, loud in effect)."""
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.versioned import _rel_from_any
+
+    rows = [
+        ("/tmp/t/v=1/part-0.parquet", "v=1/part-0.parquet"),
+        # the escaped-value alias: cut must stay at v=1, not v=3
+        ("/tmp/t/v=1/k=v=3/part-0.parquet", "v=1/k=v=3/part-0.parquet"),
+        (
+            "file:///x/t/v=12/date=2026-01-01/f.parquet",
+            "v=12/date=2026-01-01/f.parquet",
+        ),
+        ("v=2/f.parquet", "v=2/f.parquet"),  # relative passthrough
+        ("/weird/no-version/f.parquet", ""),  # no segment: never matches
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], "p string")
+    got = [r[0] for r in df.select(_rel_from_any(F.col("p"))).collect()]
+    assert got == [b for _, b in rows]
