@@ -84,13 +84,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "table",
         help=(
             "versioned-table ops: history/verify/maintain/vacuum/"
-            "rollback/changes"
+            "rollback/changes/tag/refs/untag"
         ),
     )
     t.add_argument(
         "action",
         choices=[
             "history", "verify", "maintain", "vacuum", "rollback", "changes",
+            "tag", "refs", "untag",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -104,6 +105,14 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--out", default=None,
                    help="changes: write the feed as parquet here instead "
                         "of printing a summary")
+    t.add_argument("--keys", default="",
+                   help="changes: comma-separated key columns — emit the "
+                        "KEY-LEVEL feed (update pre/post images, rewrite "
+                        "noise suppressed) instead of the file-level one")
+    t.add_argument("--name", default=None,
+                   help="tag/untag: the ref name")
+    t.add_argument("--at-version", type=int, default=None,
+                   help="tag: version to tag (default latest)")
     t.add_argument("--max-chain", type=int, default=8)
     t.add_argument("--max-dv-frac", type=float, default=0.05)
     t.add_argument("--stats-columns", default="",
@@ -194,8 +203,11 @@ def main(argv: list[str] | None = None) -> int:
             maintain_table,
         )
         from temp_data_pipeline_spark.operators.versioned import (
+            delete_ref,
             history,
+            list_refs,
             rollback,
+            tag_version,
             vacuum,
             verify_table,
         )
@@ -227,16 +239,36 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "vacuum":
             dropped = vacuum(spark, args.path, keep_last=args.keep_last)
             print(f"[vacuum] dropped {dropped}")
+        elif args.action == "tag":
+            if not args.name:
+                raise SystemExit("tag needs --name <ref>")
+            v = tag_version(spark, args.path, args.name, args.at_version)
+            print(f"[tag] {args.name} -> v{v}")
+        elif args.action == "refs":
+            for rname, rv in sorted(list_refs(spark, args.path).items()):
+                print(f"[refs] {rname} -> v{rv}")
+        elif args.action == "untag":
+            if not args.name:
+                raise SystemExit("untag needs --name <ref>")
+            existed = delete_ref(spark, args.path, args.name)
+            print(f"[untag] {args.name} {'removed' if existed else 'absent'}")
         elif args.action == "changes":
             from temp_data_pipeline_spark.operators.changes import (
                 changes_between,
+                table_changes_keyed,
             )
 
             if args.since is None:
                 raise SystemExit("changes needs --since <version>")
-            feed = changes_between(
-                spark, args.path, args.since, args.until
-            )
+            keys = [c for c in args.keys.split(",") if c]
+            if keys:
+                feed = table_changes_keyed(
+                    spark, args.path, keys, args.since, args.until
+                )
+            else:
+                feed = changes_between(
+                    spark, args.path, args.since, args.until
+                )
             if args.out:
                 feed.write.mode("errorifexists").parquet(args.out)
                 print(f"[changes] wrote {args.out}")
@@ -249,8 +281,7 @@ def main(argv: list[str] | None = None) -> int:
                 }
                 print(
                     f"[changes] since v{args.since}: "
-                    f"+{counts.get('insert', 0)} insert(s), "
-                    f"-{counts.get('delete', 0)} delete(s)"
+                    + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                 )
         else:
             if args.to_version is None:

@@ -411,3 +411,108 @@ def changes_between(
             .limit(0)
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def table_changes_keyed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    since: int,
+    until: int | None = None,
+    *,
+    allow_reset: bool = False,
+) -> DataFrame:
+    """KEY-LEVEL change feed — Delta's ``table_changes`` semantics on
+    top of the file-level feed: one row per NET change with
+    ``_change_type`` ∈ {'insert', 'delete', 'update_preimage',
+    'update_postimage'}. ``keys`` must uniquely identify rows in both
+    endpoint versions (the snapshot_diff contract).
+
+    The file-level feed is exact but coarse: a COW partition rewrite
+    (or an idempotent upsert re-landing identical rows) pair-emits
+    every surviving row as delete+insert. This wrapper reconciles the
+    pairs per key in ONE null-safe full-outer join on the feed —
+    which is already delta-sized, so the join shuffles the CHANGE,
+    not the table:
+
+      key only deleted            → 'delete' (old row)
+      key only inserted           → 'insert' (new row)
+      both, payload identical     → suppressed (rewrite noise)
+      both, payload changed       → 'update_preimage' (old row)
+                                  + 'update_postimage' (new row)
+
+    The four outcomes emit from a single pass over the join (an
+    array-of-struct per row, exploded — empty arrays vanish), so the
+    join is never recomputed per change class. Same
+    ``FeedResetRequired`` guard and ``allow_reset`` passthrough as
+    ``changes_between``.
+    """
+    feed = changes_between(
+        spark, path, since, until, allow_reset=allow_reset
+    )
+    cols = [c for c in feed.columns if c != "_change_type"]
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key columns absent from the feed: {missing}")
+    old = feed.filter(F.col("_change_type") == "delete").select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
+        F.struct(*cols).alias("_ro"),
+    )
+    new = feed.filter(F.col("_change_type") == "insert").select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
+        F.struct(*cols).alias("_rn"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = old.join(new, cond, "full_outer")
+    has_old = F.col("_ro").isNotNull()
+    has_new = F.col("_rn").isNotNull()
+    changed = ~F.col("_ro").eqNullSafe(F.col("_rn"))
+    # the otherwise-branch needs a TYPED empty array (unchanged pairs
+    # vanish at the explode); slice(array(struct...), 1, 0) builds one
+    # with the same element type as the event branches
+    events = (
+        F.when(
+            has_old & ~has_new,
+            F.array(
+                F.struct(F.lit("delete").alias("_t"), F.col("_ro").alias("_r"))
+            ),
+        )
+        .when(
+            has_new & ~has_old,
+            F.array(
+                F.struct(F.lit("insert").alias("_t"), F.col("_rn").alias("_r"))
+            ),
+        )
+        .when(
+            changed,
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("_t"),
+                    F.col("_ro").alias("_r"),
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("_t"),
+                    F.col("_rn").alias("_r"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.slice(
+                F.array(
+                    F.struct(
+                        F.lit("x").alias("_t"), F.col("_ro").alias("_r")
+                    )
+                ),
+                1,
+                0,
+            )
+        )
+    )
+    ex = j.select(F.explode(events).alias("_e"))
+    return ex.select(
+        *[F.col(f"_e._r.{c}").alias(c) for c in cols],
+        F.col("_e._t").alias("_change_type"),
+    )

@@ -1473,6 +1473,13 @@ def verify_table(spark: SparkSession, path: str) -> list[str]:
         name = st.getPath().getName()
         if name.startswith("v=") and name not in known:
             issues.append(f"orphan data dir {name} (no manifest; vacuum reclaims)")
+    # named refs pointing at versions that no longer resolve (an
+    # external cleanup deleted manifests a ref still pins)
+    for rname, rv in list_refs(spark, path).items():
+        if rv not in committed:
+            issues.append(
+                f"dangling ref {rname!r} -> version {rv} (not committed)"
+            )
     return issues
 
 
@@ -1532,6 +1539,107 @@ def rollback(
     )
 
 
+def _refs_dir(path: str) -> str:
+    return f"{path}/_refs"
+
+
+def _check_ref_name(name: str) -> None:
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+        raise ValueError(
+            f"invalid ref name {name!r} (letters, digits, '.', '_', '-'; "
+            "must start alphanumeric)"
+        )
+
+
+def tag_version(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+) -> int:
+    """Create or retarget a NAMED REF pointing at a committed version
+    (Iceberg tags / git-style refs for the table): one atomic JSON
+    write under ``_refs/<name>.json`` — so 'the snapshot the Q3 model
+    trained on' is addressable as ``resolve_ref(path, 'q3-train')``
+    instead of a version number in a notebook. Refs PIN history:
+    ``vacuum`` never expires a tagged version (delete the ref first),
+    and ``verify_table`` flags a ref whose target stopped resolving.
+    Returns the tagged version number."""
+    _check_ref_name(name)
+    version = _resolve_version(spark, path, version)
+    import time as _time
+
+    atomic_write_text(
+        spark,
+        f"{_refs_dir(path)}/{name}.json",
+        json.dumps(
+            {"name": name, "version": version, "created_at": _time.time()}
+        ),
+    )
+    return version
+
+
+def list_refs(spark: SparkSession, path: str) -> dict[str, int]:
+    """All named refs of the table as {name: version}. Driver-side
+    listing of ``_refs/`` (KB of JSON)."""
+    fs, jvm = _fs(spark, path)
+    rd = jvm.org.apache.hadoop.fs.Path(_refs_dir(path))
+    if not fs.exists(rd):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(rd):
+        fname = st.getPath().getName()
+        if not fname.endswith(".json") or fname.startswith("."):
+            continue
+        doc = json.loads(read_text(spark, f"{_refs_dir(path)}/{fname}"))
+        out[fname[: -len(".json")]] = int(doc["version"])
+    return out
+
+
+def resolve_ref(spark: SparkSession, path: str, name: str) -> int:
+    """The version a named ref points at; raises FileNotFoundError for
+    an unknown ref."""
+    _check_ref_name(name)
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{_refs_dir(path)}/{name}.json")
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no ref {name!r} under {path}")
+    return int(
+        json.loads(read_text(spark, f"{_refs_dir(path)}/{name}.json"))[
+            "version"
+        ]
+    )
+
+
+def read_ref(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The snapshot at a named ref — ``SELECT ... VERSION AS OF
+    'tag'``. DV-AWARE: a tagged merge-on-read version reads through
+    the deletion-vector subtraction (deletion_vectors.read_table), so
+    tagging a MOR version never resurrects its deleted rows."""
+    version = resolve_ref(spark, path, name)
+    if read_manifest(spark, path, version).get("_dv"):
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            read_table,
+        )
+
+        return read_table(spark, path, version)
+    return read_version(spark, path, version)
+
+
+def delete_ref(spark: SparkSession, path: str, name: str) -> bool:
+    """Remove a named ref (its target becomes vacuum-expirable again).
+    Returns whether the ref existed."""
+    _check_ref_name(name)
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{_refs_dir(path)}/{name}.json")
+    if not fs.exists(p):
+        return False
+    fs.delete(p, False)
+    return True
+
+
 def vacuum(
     spark: SparkSession,
     path: str,
@@ -1566,6 +1674,10 @@ def vacuum(
     Path = jvm.org.apache.hadoop.fs.Path
     committed = versions(spark, path)
     drop = committed[:-keep_last] if keep_last > 0 else committed
+    # named refs PIN their targets: a tagged version never expires
+    # (delete the ref first) — the Iceberg tag-retention behavior
+    pinned = set(list_refs(spark, path).values())
+    drop = [v for v in drop if v not in pinned]
     keep = set(committed) - set(drop)
     dropped = set(drop)
     # version numbers whose v=<N> dir a KEPT manifest still references

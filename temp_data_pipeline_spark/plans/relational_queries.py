@@ -1282,3 +1282,147 @@ def q_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_cdf_keyed",
+    ["extension-relational", "maintenance", "cdc"],
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    )
+    SELECT * FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             'delete' AS change_type
+      FROM base WHERE o_custkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             'update_preimage' AS change_type
+      FROM base WHERE o_custkey % 10 <> 7 AND o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+             'update_postimage' AS change_type
+      FROM base WHERE o_custkey % 10 <> 7 AND o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, CAST(1 AS BIGINT), o_totalprice,
+             'insert' AS change_type
+      FROM base WHERE o_orderkey % 10 = 5
+    ) ORDER BY o_orderkey, change_type
+    """,
+    note=(
+        "Key-level change feed (changes.table_changes_keyed — Delta "
+        "table_changes semantics): commit orders as v1, MOR-upsert a "
+        "batch that CHANGES keys %10=3 (+1000), re-lands keys %10=4 "
+        "IDENTICALLY (rewrite noise), and inserts fresh keys "
+        "(%10=5 shifted +10M), then MOR-delete custkey%10=7. The "
+        "keyed feed reconciles the file-level delete+insert pairs in "
+        "ONE null-safe full-outer join over the (delta-sized) feed: "
+        "identical pairs are SUPPRESSED, changed pairs become "
+        "update_preimage/update_postimage, and a key updated then "
+        "deleted inside the window nets to one delete of its ORIGINAL "
+        "row. IEEE-exact +1000.0 keeps the compare bit-exact."
+    ),
+)
+def q_cdf_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.changes import (
+        table_changes_keyed,
+    )
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="cdfk_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(4), path)
+        updates = (
+            orders.filter(F.col("o_orderkey") % 10 == 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+            .unionByName(orders.filter(F.col("o_orderkey") % 10 == 4))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 10 == 5).select(
+                    (F.col("o_orderkey") + F.lit(10000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit(1).cast("long").alias("o_custkey"),
+                    F.col("o_totalprice"),
+                )
+            )
+        )
+        commit_upsert_mor(updates, path, ["o_orderkey"])
+        v3 = commit_delete_mor(spark, path, "o_custkey % 10 = 7")
+        return (
+            table_changes_keyed(spark, path, ["o_orderkey"], 1, v3)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                F.col("_change_type").alias("change_type"),
+            )
+            .orderBy("o_orderkey", "change_type")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_partition_evolution",
+    ["extension-relational", "maintenance", "governance"],
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Partition layout evolution (Iceberg-style): commit even-key "
+        "orders UNPARTITIONED as v1, carry-append the odd keys "
+        "partitioned by o_orderstatus as v2 — each dir keeps its "
+        "physical layout, and a status filter prunes each branch ITS "
+        "way (PushedFilters into the legacy dir's parquet scan, "
+        "planning-time PartitionFilters on the hive dir). The read "
+        "over the evolved table must equal the plain filtered SELECT; "
+        "compact_snapshot normalizes to the latest layout when wanted."
+    ),
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="pevo_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path
+        )
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            path,
+            carry_from=1,
+            partition_by=["o_orderstatus"],
+        )
+        return (
+            read_version(spark, path)
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

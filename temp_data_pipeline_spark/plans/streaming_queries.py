@@ -383,3 +383,90 @@ STREAMING_QUERIES["q_stream_versioned"] = QuerySpec(
         "batch SELECT — the Delta-style transactional streaming sink."
     ),
 )
+
+
+def _q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table STREAMING SOURCE (streaming/source.py, a
+    Spark 4 Python DataSource): commit orders in two metadata-level
+    versions plus a MOR delete, stream the table with availableNow
+    into a parquet sink, then run a SECOND pass over the same
+    checkpoint after one more append — the union of the two passes
+    must equal the final snapshot (initial snapshot + exact delta,
+    nothing re-emitted, DV applied)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.source import (
+        register_versioned_source,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="vtsrc_")
+    path, ckpt, out = f"{scratch}/tbl", f"{scratch}/ckpt", f"{scratch}/out"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path
+        )
+        v2 = commit_delete_mor(spark, path, "o_custkey % 10 = 7")
+        register_versioned_source(spark)
+
+        def one_pass():
+            q = (
+                spark.readStream.format("versioned_table")
+                .option("path", path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        one_pass()  # initial snapshot: evens minus the MOR delete
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            path,
+            carry_from=v2,
+        )
+        one_pass()  # delta only: the odd keys
+        return (
+            spark.read.parquet(out)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+STREAMING_QUERIES["q_stream_source"] = QuerySpec(
+    name="q_stream_source",
+    builder=_q_stream_source,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 2 = 1 OR NOT (o_custkey % 10 = 7)
+    ORDER BY o_orderkey
+    """,
+    families=("streaming", "maintenance", "cdc"),
+    note=(
+        "Streaming SOURCE over a versioned table (Spark 4 Python "
+        "DataSource, streaming/source.py): offsets are committed "
+        "versions, planning is driver-side manifest JSON with the "
+        "dir-level diff, and file reads are DISTRIBUTED (one input "
+        "partition per added file, pyarrow on executors, hive values "
+        "recovered from paths, the endpoint DV subtracted by row "
+        "position). Two availableNow passes over one checkpoint — "
+        "initial snapshot then exact delta — must union to the batch "
+        "answer: evens minus the MOR-deleted custkeys, plus the odd "
+        "keys appended between the passes."
+    ),
+)

@@ -327,3 +327,102 @@ def test_feed_across_add_column_evolution(spark, tmp_path):
     ins = feed.filter(F.col("_change_type") == "insert")
     got = {(r["k"], r["w"]) for r in ins.collect()}
     assert (0, "z") in got and (10, "x") in got and (11, "y") in got
+
+
+def test_keyed_cdf_classifies_and_suppresses(spark, tmp_path):
+    """table_changes_keyed: updates become pre/post image pairs,
+    identical rewrite pairs are suppressed, pure inserts/deletes pass
+    through — Delta table_changes semantics over the file-level feed."""
+    from temp_data_pipeline_spark.operators.changes import (
+        table_changes_keyed,
+    )
+
+    path = os.path.join(str(tmp_path), "cdf")
+    commit_version(
+        spark.createDataFrame(
+            [(i, "a", 10 * i) for i in range(6)], SCHEMA
+        ),
+        path,
+    )
+    # upsert: k=1 changed, k=2 identical (noise), k=9 new
+    v2 = commit_upsert_mor(
+        spark.createDataFrame(
+            [(1, "a", 999), (2, "a", 20), (9, "a", 90)], SCHEMA
+        ),
+        path,
+        ["k"],
+    )
+    feed = table_changes_keyed(spark, path, ["k"], 1, v2)
+    got = _rows(feed, ["k", "v", "_change_type"])
+    assert got == Counter(
+        [
+            (1, 10, "update_preimage"),
+            (1, 999, "update_postimage"),
+            (9, 90, "insert"),
+        ]
+    )  # k=2's identical delete+insert pair is suppressed
+    # a plain delete classifies as delete with the old row
+    v3 = commit_delete_mor(spark, path, "k = 0")
+    d = table_changes_keyed(spark, path, ["k"], v2, v3)
+    assert _rows(d, ["k", "v", "_change_type"]) == Counter(
+        [(0, 0, "delete")]
+    )
+
+
+def test_keyed_cdf_cow_rewrite_is_noise_free(spark, tmp_path):
+    """The COW partition rewrite that pair-emits every surviving row
+    at file level nets out to just the touched key at key level."""
+    from temp_data_pipeline_spark.operators.changes import (
+        table_changes_keyed,
+    )
+
+    path = os.path.join(str(tmp_path), "cdfc")
+    base = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", i) for i in range(10)], SCHEMA
+    )
+    commit_merge_cow(base, path, ["k"], "v", "part")
+    v2 = commit_merge_cow(
+        spark.createDataFrame([(0, "a", 100)], SCHEMA), path, ["k"], "v", "part"
+    )
+    # file-level feed pairs all 5 rows of partition a; keyed nets to 1
+    raw = changes_between(spark, path, 1, v2)
+    assert raw.count() == 10  # 5 deletes + 5 inserts
+    keyed = table_changes_keyed(spark, path, ["k"], 1, v2)
+    assert _rows(keyed, ["k", "v", "_change_type"]) == Counter(
+        [(0, 0, "update_preimage"), (0, 100, "update_postimage")]
+    )
+
+
+def test_keyed_cdf_guards(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.changes import (
+        FeedResetRequired,
+        table_changes_keyed,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        compact_snapshot,
+    )
+
+    path = os.path.join(str(tmp_path), "cdfg")
+    commit_version(
+        spark.createDataFrame([(1, "a", 1)], SCHEMA), path
+    )
+    commit_version(
+        spark.createDataFrame([(2, "a", 2)], SCHEMA), path, carry_from=1
+    )
+    with pytest.raises(ValueError, match="key columns absent"):
+        table_changes_keyed(spark, path, ["nope"], 1, 2)
+    v3 = compact_snapshot(spark, path)
+    with pytest.raises(FeedResetRequired):
+        table_changes_keyed(spark, path, ["k"], 1, v3)
+    # allow_reset: the compaction's full-pair noise nets out at key
+    # level — only the window's REAL change (k=2 appended at v2)
+    # survives; the rewritten-but-unchanged k=1 pair is suppressed
+    keyed = table_changes_keyed(spark, path, ["k"], 1, v3, allow_reset=True)
+    assert _rows(keyed, ["k", "_change_type"]) == Counter([(2, "insert")])
+    # and the window that is ONLY the compaction nets to nothing
+    assert (
+        table_changes_keyed(
+            spark, path, ["k"], 2, v3, allow_reset=True
+        ).count()
+        == 0
+    )

@@ -131,10 +131,39 @@ def test_cli_table_changes(spark, tmp_path, capsys):
     commit_delete_mor(spark, path, "k = 1")
     assert main(["table", "changes", path, "--since", "1"]) in (0, None)
     out = capsys.readouterr().out
-    assert "+2 insert(s)" in out and "-1 delete(s)" in out
+    assert "insert=2" in out and "delete=1" in out
     dest = str(tmp_path / "feed.parquet")
     assert main(
         ["table", "changes", path, "--since", "1", "--out", dest]
     ) in (0, None)
     feed = spark.read.parquet(dest)
     assert feed.count() == 3 and "_change_type" in feed.columns
+    # keyed feed from the CLI: k=1's delete stays a delete, inserts
+    # pass through; counts come from the key-level classification
+    assert main(
+        ["table", "changes", path, "--since", "1", "--keys", "k"]
+    ) in (0, None)
+    out = capsys.readouterr().out
+    assert "insert=2" in out and "delete=1" in out
+
+
+def test_cli_table_refs(spark, tmp_path, capsys):
+    from temp_data_pipeline_spark.cli import main
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    path = str(tmp_path / "refstbl")
+    commit_version(
+        spark.createDataFrame([(1, 1)], "k long, x long"), path
+    )
+    commit_version(
+        spark.createDataFrame([(2, 2)], "k long, x long"), path, carry_from=1
+    )
+    assert main(["table", "tag", path, "--name", "gold"]) in (0, None)
+    assert main(
+        ["table", "tag", path, "--name", "base", "--at-version", "1"]
+    ) in (0, None)
+    assert main(["table", "refs", path]) in (0, None)
+    out = capsys.readouterr().out
+    assert "gold -> v2" in out and "base -> v1" in out
+    assert main(["table", "untag", path, "--name", "base"]) in (0, None)
+    assert "removed" in capsys.readouterr().out

@@ -1,0 +1,169 @@
+"""Streaming SOURCE over versioned tables (streaming/source.py):
+Spark 4 Python DataSource whose offsets are committed versions — each
+micro-batch reads exactly the rows the new versions added
+(read_appended semantics), distributed one file per input partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.deletion_vectors import (
+    commit_delete_mor,
+    read_table,
+)
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    compact_snapshot,
+    versions,
+)
+from temp_data_pipeline_spark.streaming.source import (
+    register_versioned_source,
+)
+
+SCHEMA = "k long, part string, v long"
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _run_available(spark, path, ckpt, out):
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_matches_batch_read(spark, tmp_path):
+    """First pass = the initial snapshot (DV applied); a second pass
+    from the SAME checkpoint emits only the rows committed since —
+    the exactly-once incremental follow the sink-side lacks."""
+    path = os.path.join(str(tmp_path), "tbl")
+    commit_version(
+        spark.createDataFrame(
+            [(i, "a" if i < 3 else "b", i) for i in range(6)], SCHEMA
+        ),
+        path,
+        partition_by=["part"],
+    )
+    commit_version(
+        spark.createDataFrame([(6, "b", 60)], SCHEMA),
+        path,
+        partition_by=["part"],
+        carry_from=1,
+    )
+    v3 = commit_delete_mor(spark, path, "k = 1")
+
+    register_versioned_source(spark)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out = os.path.join(str(tmp_path), "out")
+    _run_available(spark, path, ckpt, out)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"k", "part", "v"}
+    assert _rows(got) == _rows(read_table(spark, path, v3))
+
+    # append v4: the next pass emits ONLY the delta
+    commit_version(
+        spark.createDataFrame([(7, "a", 70)], SCHEMA),
+        path,
+        partition_by=["part"],
+        carry_from=v3,
+    )
+    _run_available(spark, path, ckpt, out)
+    got2 = spark.read.parquet(out)
+    assert _rows(got2) == _rows(read_table(spark, path))
+    # and exactly one new row landed (no re-emission of the snapshot)
+    assert got2.count() == got.count() + 1
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "tbl")
+    commit_version(
+        spark.createDataFrame([(1, "a", 1), (2, "a", 2)], SCHEMA), path
+    )
+    commit_version(
+        spark.createDataFrame([(3, "a", 3)], SCHEMA), path, carry_from=1
+    )
+    register_versioned_source(spark)
+    out = os.path.join(str(tmp_path), "out")
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert [r["k"] for r in got.collect()] == [3]
+
+
+def test_rewrite_in_window_stops_loudly(spark, tmp_path):
+    """A compaction inside a MID-STREAM offset window is a full-table
+    rewrite: the stream must stop with the reset contract, not replay
+    the table as churn. A fresh checkpoint resyncs (first batch = the
+    rewritten snapshot)."""
+    path = os.path.join(str(tmp_path), "tbl")
+    commit_version(
+        spark.createDataFrame([(1, "a", 1)], SCHEMA), path
+    )
+    register_versioned_source(spark)
+    ckpt = os.path.join(str(tmp_path), "ck")
+    out = os.path.join(str(tmp_path), "out")
+    _run_available(spark, path, ckpt, out)  # consume v1 (offset at 1)
+    commit_version(
+        spark.createDataFrame([(2, "a", 2)], SCHEMA), path, carry_from=1
+    )
+    compact_snapshot(spark, path)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="full-table rewrite"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    # fresh checkpoint: the initial snapshot re-emits cleanly
+    out2 = os.path.join(str(tmp_path), "out2")
+    _run_available(
+        spark, path, os.path.join(str(tmp_path), "ck2"), out2
+    )
+    got = spark.read.parquet(out2)
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    # ... and so does restarting at the rewrite version (empty delta)
+    v = versions(spark, path)[-1]
+    out3 = os.path.join(str(tmp_path), "out3")
+    q3 = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("startingVersion", str(v))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out3)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(180)

@@ -469,3 +469,130 @@ def test_rel_from_any_anchors_version_segment(spark):
     df = spark.createDataFrame([(a,) for a, _ in rows], "p string")
     got = [r[0] for r in df.select(_rel_from_any(F.col("p"))).collect()]
     assert got == [b for _, b in rows]
+
+
+def test_named_refs_pin_and_resolve(spark, tmp_path):
+    """Named refs (Iceberg-style tags): addressable snapshots, vacuum
+    pinning, dangling-ref fsck."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        delete_ref,
+        list_refs,
+        read_ref,
+        resolve_ref,
+        tag_version,
+        vacuum,
+        verify_table,
+        versions,
+    )
+
+    path = os.path.join(str(tmp_path), "refs")
+    for i in range(4):
+        commit_version(
+            spark.createDataFrame([(i, i * 10)], "k long, v long"), path
+        )
+    tag_version(spark, path, "q3-train", 2)
+    assert resolve_ref(spark, path, "q3-train") == 2
+    assert list_refs(spark, path) == {"q3-train": 2}
+    assert [r["k"] for r in read_ref(spark, path, "q3-train").collect()] == [1]
+    # default target: latest; retarget allowed
+    assert tag_version(spark, path, "prod") == 4
+    tag_version(spark, path, "prod", 3)
+    assert resolve_ref(spark, path, "prod") == 3
+    # vacuum keeps the tagged versions alive, expires the rest
+    dropped = vacuum(spark, path, keep_last=1, orphan_grace=0.0)
+    assert dropped == [1]  # 2 and 3 pinned by refs, 4 by keep_last
+    assert versions(spark, path) == [2, 3, 4]
+    assert [r["k"] for r in read_ref(spark, path, "q3-train").collect()] == [1]
+    assert verify_table(spark, path) == []
+    # deleting the ref releases the pin
+    assert delete_ref(spark, path, "q3-train") is True
+    assert delete_ref(spark, path, "q3-train") is False
+    assert vacuum(spark, path, keep_last=1, orphan_grace=0.0) == [2]
+    # a ref whose target was externally destroyed is flagged
+    tag_version(spark, path, "stale", 3)
+    os.remove(os.path.join(path, "_manifest", "3.json"))
+    issues = verify_table(spark, path)
+    assert any("dangling ref 'stale'" in i for i in issues)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        tag_version(spark, path, "../escape")
+
+
+def test_read_ref_is_dv_aware(spark, tmp_path):
+    import os
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_ref,
+        tag_version,
+    )
+
+    path = os.path.join(str(tmp_path), "dvref")
+    commit_version(
+        spark.createDataFrame([(i, i) for i in range(5)], "k long, v long"),
+        path,
+    )
+    v2 = commit_delete_mor(spark, path, "k >= 3")
+    tag_version(spark, path, "after-erasure", v2)
+    got = sorted(r["k"] for r in read_ref(spark, path, "after-erasure").collect())
+    assert got == [0, 1, 2]  # deleted rows must not resurrect via the tag
+
+
+def test_partition_layout_evolution(spark, tmp_path):
+    """Iceberg-style partition evolution: a carry-append may change
+    partition_by — old dirs keep their physical layout, reads stay
+    correct, and a filter prunes each dir ITS way (PushedFilters on
+    the unpartitioned branch, PartitionFilters on the hive branch).
+    compact_snapshot normalizes to the latest layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        compact_snapshot,
+        read_manifest,
+        read_version,
+        verify_table,
+    )
+
+    path = os.path.join(str(tmp_path), "pevo")
+    commit_version(
+        spark.createDataFrame(
+            [(i, "a" if i < 3 else "b", i) for i in range(6)],
+            "k long, part string, v long",
+        ),
+        path,  # v1: unpartitioned
+    )
+    commit_version(
+        spark.createDataFrame(
+            [(6, "a", 60), (7, "b", 70)], "k long, part string, v long"
+        ),
+        path,
+        carry_from=1,
+        partition_by=["part"],  # v2: layout evolves
+    )
+    cur = read_version(spark, path)
+    assert sorted(r["k"] for r in cur.collect()) == list(range(8))
+    got_b = cur.filter(F.col("part") == "b")
+    assert sorted(r["k"] for r in got_b.collect()) == [3, 4, 5, 7]
+    plan = got_b._jdf.queryExecution().executedPlan().toString()
+    # the hive branch prunes at planning time; the legacy branch pushes
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert "EqualTo(part,b)" in plan
+    assert read_manifest(spark, path, 2)["_partition_by"] == ["part"]
+    assert verify_table(spark, path) == []
+    # compaction lands everything under the latest layout
+    v3 = compact_snapshot(spark, path)
+    assert read_manifest(spark, path, v3)["_partition_by"] == ["part"]
+    assert sorted(
+        r["k"] for r in read_version(spark, path, v3).collect()
+    ) == list(range(8))
