@@ -84,14 +84,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "table",
         help=(
             "versioned-table ops: history/verify/maintain/vacuum/"
-            "rollback/changes/tag/refs/untag"
+            "rollback/changes/tag/refs/untag/compact-small"
         ),
     )
     t.add_argument(
         "action",
         choices=[
             "history", "verify", "maintain", "vacuum", "rollback", "changes",
-            "tag", "refs", "untag",
+            "tag", "refs", "untag", "compact-small",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -113,6 +113,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="tag/untag: the ref name")
     t.add_argument("--at-version", type=int, default=None,
                    help="tag: version to tag (default latest)")
+    t.add_argument("--small-bytes", type=int, default=128 * 1024 * 1024,
+                   help="compact-small: dirs below this size collapse")
     t.add_argument("--max-chain", type=int, default=8)
     t.add_argument("--max-dv-frac", type=float, default=0.05)
     t.add_argument("--stats-columns", default="",
@@ -239,6 +241,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "vacuum":
             dropped = vacuum(spark, args.path, keep_last=args.keep_last)
             print(f"[vacuum] dropped {dropped}")
+        elif args.action == "compact-small":
+            from temp_data_pipeline_spark.operators.versioned import (
+                commit_with_retries,
+                compact_incremental,
+            )
+
+            v = commit_with_retries(
+                lambda: compact_incremental(
+                    spark, args.path, small_bytes=args.small_bytes
+                )
+            )
+            print(f"[compact-small] latest is v{v}")
         elif args.action == "tag":
             if not args.name:
                 raise SystemExit("tag needs --name <ref>")

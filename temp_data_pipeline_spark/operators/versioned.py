@@ -697,9 +697,16 @@ def read_version(
     # written before a column rename/drop read under their ON-DISK
     # schema and align to the current names by stable field id
     # (_disk_schema_and_rename) — the Iceberg name-mapping read.
-    from functools import reduce
+    return _read_manifest_dirs(spark, path, man, dirs)
 
-    from pyspark.sql.types import StructType
+
+def _read_manifest_dirs(
+    spark: SparkSession, path: str, man: dict, dirs: list[str]
+) -> DataFrame:
+    """Per-dir scans of a manifest's dirs unioned by name — the
+    multi-dir body of ``read_version``, reusable over a SUBSET of the
+    dirs (incremental compaction reads only the small ones)."""
+    from functools import reduce
 
     def _read_dir(d: str) -> DataFrame:
         read_schema, align = _disk_schema_and_rename(man, d)
@@ -1192,6 +1199,67 @@ def compact_snapshot(
         partition_by=partition_by or None,
         meta={**carried, **(meta or {}), "compacted_from": latest[-1]},
         expected_base=latest[-1],
+    )
+
+
+def compact_incremental(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_bytes: int = 128 * 1024 * 1024,
+    min_dirs: int = 2,
+    meta: dict | None = None,
+) -> int:
+    """INCREMENTAL small-dir compaction: rewrite only the manifest
+    dirs smaller than ``small_bytes`` into one fresh dir and carry
+    every large dir by reference — Delta OPTIMIZE's bin-packing at
+    dir granularity, priced O(small dirs) instead of O(table).
+
+    The shape it exists for: a streaming appender mints one tiny dir
+    per micro-batch; after a day the chain is 1000 dirs of KBs riding
+    on one big historical dir. ``compact_snapshot`` would rewrite the
+    big dir too; this collapses just the tail. Sizes come from one
+    driver-side ``getContentSummary`` per dir (metadata plane).
+
+    NOT a full-table rewrite: the commit records ``compacted_dirs``
+    (not ``compacted_from``), so incremental change-feed windows keep
+    flowing — the file feed pair-emits only the compacted rows, and
+    the KEYED feed (table_changes_keyed) suppresses them entirely as
+    identical pairs. Returns the new version, or the CURRENT one when
+    fewer than ``min_dirs`` dirs qualify (a no-op never mints a
+    version). DV tables refuse (positions reference the files being
+    rewritten) — ``materialize_deletes`` first."""
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    latest = _resolve_version(spark, path, None)
+    man = read_manifest(spark, path, latest)
+    _require_no_dv(man, "compact_incremental")
+    dirs = _manifest_dirs(man)
+    small = [
+        d
+        for d in dirs
+        if fs.getContentSummary(Path(f"{path}/{d}")).getLength()
+        < small_bytes
+    ]
+    if len(small) < min_dirs:
+        return latest
+    big = [d for d in dirs if d not in set(small)]
+    rows = _read_manifest_dirs(spark, path, man, small)
+    part = man.get("_partition_by") or None
+    carried_meta = {
+        k: v
+        for k, v in man.items()
+        if k not in ("version", "data_dir", "data_dirs", "committed_at",
+                     "_schema", "_partition_by", "_field_ids",
+                     "_dir_fields", "_last_field_id")
+    }
+    return commit_version(
+        rows,
+        path,
+        partition_by=part,
+        carry_dirs=big,
+        meta={**carried_meta, **(meta or {}), "compacted_dirs": small},
+        expected_base=latest,
     )
 
 

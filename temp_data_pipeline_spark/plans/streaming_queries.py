@@ -470,3 +470,107 @@ STREAMING_QUERIES["q_stream_source"] = QuerySpec(
         "keys appended between the passes."
     ),
 )
+
+
+def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert stream into a versioned table
+    (streaming/sink.py::stream_upsert_versioned): base orders land as
+    version 1, then an update batch (keys %3=0 repriced +500) and an
+    insert batch (fresh keys +20M) stream through one-file-per-trigger
+    merge-on-read MERGE commits, INCLUDING a restart over the same
+    checkpoint (replays nothing). The final DV-aware snapshot must
+    equal the batch CASE projection."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.sink import (
+        stream_upsert_versioned,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="supsert_")
+    src, dest, ckpt = f"{scratch}/src", f"{scratch}/tbl", f"{scratch}/ckpt"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        with_ts = lambda df, ts: df.withColumn("ts", F.lit(ts).cast("long"))
+        # batch 0: the full base; batch 1: repriced updates; batch 2:
+        # fresh inserts — one file each, one MOR commit each
+        with_ts(orders, 0).coalesce(1).write.parquet(src)
+        with_ts(
+            orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+            ),
+            1,
+        ).coalesce(1).write.mode("append").parquet(src)
+        with_ts(
+            orders.filter(F.col("o_orderkey") % 3 == 1).select(
+                (F.col("o_orderkey") + F.lit(20000000)).alias("o_orderkey"),
+                F.lit(2).cast("long").alias("o_custkey"),
+                "o_totalprice",
+            ),
+            2,
+        ).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = stream_upsert_versioned(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            dest,
+            ckpt,
+            ["o_orderkey"],
+            "ts",
+        )
+        q.awaitTermination()
+        # restart on the same checkpoint: exactly-once means no growth
+        q2 = stream_upsert_versioned(
+            spark.readStream.schema(schema).parquet(src),
+            dest,
+            ckpt,
+            ["o_orderkey"],
+            "ts",
+        )
+        q2.awaitTermination()
+        return (
+            read_table(spark, dest)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+STREAMING_QUERIES["q_stream_upsert"] = QuerySpec(
+    name="q_stream_upsert",
+    builder=_q_stream_upsert,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 20000000, CAST(2 AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+    ORDER BY o_orderkey
+    """,
+    families=("streaming", "maintenance", "cdc"),
+    note=(
+        "Exactly-once CDC UPSERT stream into a versioned table "
+        "(stream_upsert_versioned): each micro-batch is one "
+        "merge-on-read MERGE commit — matched rows DV'd out at "
+        "O(matches), the batch appended, zero partition rewrites — "
+        "with the batch-id high-water mark rejecting replays (the "
+        "restart adds no versions) and conflict-checked commits. The "
+        "final DV-aware read must equal the batch CASE projection "
+        "plus the streamed inserts; IEEE-exact +500.0 keeps the "
+        "compare bit-exact."
+    ),
+)

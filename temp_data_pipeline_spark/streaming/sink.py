@@ -186,19 +186,7 @@ def _append_versioned_batch(
     spark = batch_df.sparkSession
 
     def _high_water(vs: list[int]) -> int:
-        """The table's stream high-water mark: scan manifests NEWEST
-        first and stop at the first one bearing a batch id — stream
-        commits are sequential, so the newest mark IS the max, and
-        maintenance commits (compact/z-order) carry the mark forward
-        in their meta. O(1) manifest reads per micro-batch on a live
-        stream instead of the O(versions) full walk (ADVICE r7); the
-        walk only continues past manifests WITHOUT a mark (interleaved
-        delete-materializations, pre-stream history)."""
-        for v in reversed(vs):
-            b = read_manifest(spark, path, v).get("_stream_batch_id")
-            if b is not None:
-                return b
-        return -1
+        return _stream_high_water(spark, path, vs)
 
     if batch_df.isEmpty():
         # nothing to append — don't mint empty versions (a replay
@@ -321,6 +309,99 @@ def stream_append_versioned_with_view(
         stream_df.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _stream_high_water(spark: SparkSession, path: str, vs: list[int]) -> int:
+    """The table's stream high-water mark: scan manifests NEWEST first
+    and stop at the first one bearing a batch id — stream commits are
+    sequential, so the newest mark IS the max, and maintenance commits
+    (compact/z-order) carry the mark forward in their meta. O(1)
+    manifest reads per micro-batch on a live stream instead of the
+    O(versions) full walk (ADVICE r7); the walk only continues past
+    manifests WITHOUT a mark (interleaved delete-materializations,
+    pre-stream history)."""
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    for v in reversed(vs):
+        b = read_manifest(spark, path, v).get("_stream_batch_id")
+        if b is not None:
+            return b
+    return -1
+
+
+def stream_upsert_versioned(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str | None = None,
+    *,
+    tiebreak: str | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT into a VERSIONED table: every
+    micro-batch applies as one merge-on-read MERGE
+    (deletion_vectors.commit_upsert_mor) — matched base rows are DV'd
+    out at O(matches), the batch appends as one new dir, and the
+    manifest commit is the transaction — so a CDC stream lands with
+    time travel, snapshot isolation, and NO partition rewrites, the
+    versioned upgrade of ``stream_upsert_parquet``'s whole-snapshot
+    swap (which re-writes the entire table per batch — O(corpus),
+    wrong at 100 TB).
+
+    ``ts_col`` resolves duplicate keys WITHIN a batch last-writer-wins
+    (operators/upsert.keep_latest); omit it when the stream never
+    repeats a key inside one trigger. Exactly-once via the same
+    batch-id high-water mark as ``stream_append_versioned`` (replays
+    skipped), and every commit conflict-checks + retries against
+    concurrent maintenance. Returns the started query."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_upsert_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        commit_with_retries,
+        versions,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        resolved = (
+            keep_latest(batch_df, keys, ts_col, tiebreak)
+            if ts_col
+            else batch_df.dropDuplicates(keys)
+        )
+
+        def _plan() -> int | None:
+            vs = versions(spark, path)
+            if batch_id <= _stream_high_water(spark, path, vs):
+                return None  # replayed batch: already durably committed
+            if not vs:
+                return commit_version(
+                    resolved,
+                    path,
+                    meta={"_stream_batch_id": batch_id},
+                    expected_base=0,
+                )
+            return commit_upsert_mor(
+                resolved,
+                path,
+                keys,
+                meta={"_stream_batch_id": batch_id},
+            )
+
+        commit_with_retries(_plan)
+
+    w = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
     )
     if available_now:
         w = w.trigger(availableNow=True)

@@ -596,3 +596,71 @@ def test_partition_layout_evolution(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_version(spark, path, v3).collect()
     ) == list(range(8))
+
+
+def test_compact_incremental_rewrites_only_small_dirs(spark, tmp_path):
+    """Incremental OPTIMIZE: tiny append-chain dirs collapse into one,
+    the big dir is carried by reference untouched, content is
+    unchanged, and the keyed change feed sees NOTHING."""
+    import os
+
+    from temp_data_pipeline_spark.operators.changes import (
+        table_changes_keyed,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        compact_incremental,
+        read_manifest,
+        read_version,
+        verify_table,
+        versions,
+    )
+
+    path = os.path.join(str(tmp_path), "inc")
+    # v1: the "big" dir (by row count; size threshold separates below)
+    commit_version(
+        spark.createDataFrame(
+            [(i, i) for i in range(5000)], "k long, v long"
+        ).coalesce(2),
+        path,
+    )
+    big_size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs_ in os.walk(os.path.join(path, "v=1"))
+        for f in fs_
+        if f.endswith(".parquet")
+    )
+    # v2..v5: tiny per-batch appends
+    for i in range(4):
+        commit_version(
+            spark.createDataFrame([(10000 + i, i)], "k long, v long"),
+            path,
+            carry_from=versions(spark, path)[-1],
+        )
+    latest = versions(spark, path)[-1]
+    before = sorted(
+        tuple(r) for r in read_version(spark, path, latest).collect()
+    )
+    v6 = compact_incremental(spark, path, small_bytes=big_size)
+    man = read_manifest(spark, path, v6)
+    # the big dir is carried BY NAME; the four tiny dirs are gone
+    assert "v=1" in man["data_dirs"]
+    assert len(man["data_dirs"]) == 2
+    assert man["compacted_dirs"] == [f"v={i}" for i in range(2, 6)]
+    assert "compacted_from" not in man
+    assert sorted(
+        tuple(r) for r in read_version(spark, path, v6).collect()
+    ) == before
+    # the big dir's bytes were never rewritten
+    assert sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs_ in os.walk(os.path.join(path, "v=1"))
+        for f in fs_
+        if f.endswith(".parquet")
+    ) == big_size
+    # keyed feed across the compaction: pure noise, nets to zero
+    assert table_changes_keyed(spark, path, ["k"], latest, v6).count() == 0
+    # idempotent: one merged dir + one big dir -> nothing small enough
+    # to collapse twice (min_dirs=2)
+    assert compact_incremental(spark, path, small_bytes=big_size) == v6
+    assert verify_table(spark, path) == []
