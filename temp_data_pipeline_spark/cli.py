@@ -115,6 +115,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="tag: version to tag (default latest)")
     t.add_argument("--small-bytes", type=int, default=128 * 1024 * 1024,
                    help="compact-small: dirs below this size collapse")
+    t.add_argument("--small-dir-bytes", type=int, default=None,
+                   help="maintain: opt into incremental compaction — "
+                        "collapse dirs below this size before deciding "
+                        "on a full rewrite")
     t.add_argument("--max-chain", type=int, default=8)
     t.add_argument("--max-dv-frac", type=float, default=0.05)
     t.add_argument("--stats-columns", default="",
@@ -235,6 +239,7 @@ def main(argv: list[str] | None = None) -> int:
                 stats_columns=[c for c in args.stats_columns.split(",") if c],
                 bloom_columns=[c for c in args.bloom_columns.split(",") if c],
                 zorder=[c for c in args.zorder.split(",") if c],
+                small_dir_bytes=args.small_dir_bytes,
             )
             for a in maintain_table(spark, args.path, pol):
                 print(f"[maintain] {a}")

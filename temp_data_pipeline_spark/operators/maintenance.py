@@ -55,6 +55,12 @@ class MaintenancePolicy:
     bloom_columns: list[str] = field(default_factory=list)
     zorder: list[str] = field(default_factory=list)
     zorder_files: int = 16
+    # opt-in INCREMENTAL compaction: dirs under this size collapse
+    # into one (compact_incremental) BEFORE the full-rewrite decision;
+    # on streaming append chains (many tiny per-batch dirs riding one
+    # big dir) this usually brings the chain under max_chain at
+    # O(small dirs), and the full O(table) compact_snapshot never runs
+    small_dir_bytes: int | None = None
 
 
 def _row_count(spark: SparkSession, path: str, version: int) -> int:
@@ -118,8 +124,29 @@ def maintain_table(
             man = read_manifest(spark, path, latest)
             actions.append(f"materialize_deletes -> v{latest}")
 
-    # 2. chain compaction / clustering rewrite
+    # 2. chain compaction / clustering rewrite — incremental first
+    # when configured: collapse the small-dir tail cheaply, and only
+    # full-rewrite if the chain is STILL too long after that
     chain = len(_manifest_dirs(man))
+    if (
+        policy.small_dir_bytes is not None
+        and not policy.zorder
+        and chain > policy.max_chain
+    ):
+        from temp_data_pipeline_spark.operators.versioned import (
+            compact_incremental,
+        )
+
+        v = commit_with_retries(
+            lambda: compact_incremental(
+                spark, path, small_bytes=policy.small_dir_bytes
+            )
+        )
+        if v != latest:
+            latest = v
+            man = read_manifest(spark, path, latest)
+            chain = len(_manifest_dirs(man))
+            actions.append(f"compact_incremental -> v{latest}")
     if policy.zorder and (chain > policy.max_chain or actions):
         latest = commit_with_retries(
             lambda: optimize_zorder(

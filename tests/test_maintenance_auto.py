@@ -208,3 +208,52 @@ class TestDvRewriteMatrix:
 
         vacuum(spark, path, keep_last=1, orphan_grace=0)
         assert verify_table(spark, path) == []
+
+
+def test_policy_incremental_compaction_spares_the_big_dir(spark, tmp_path):
+    """small_dir_bytes opt-in: the small-dir tail collapses at
+    O(small) and the full compact_snapshot never runs when the chain
+    drops under max_chain."""
+    import os
+
+    from temp_data_pipeline_spark.operators.maintenance import (
+        MaintenancePolicy,
+        maintain_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_manifest,
+        read_version,
+        versions,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    commit_version(
+        spark.createDataFrame(
+            [(i, i) for i in range(5000)], "k long, v long"
+        ).coalesce(2),
+        path,
+    )
+    big_size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs_ in os.walk(os.path.join(path, "v=1"))
+        for f in fs_
+        if f.endswith(".parquet")
+    )
+    for i in range(4):
+        commit_version(
+            spark.createDataFrame([(10000 + i, i)], "k long, v long"),
+            path,
+            carry_from=versions(spark, path)[-1],
+        )
+    pol = MaintenancePolicy(
+        max_chain=3, keep_last=10, small_dir_bytes=big_size
+    )
+    actions = maintain_table(spark, path, pol)
+    assert any(a.startswith("compact_incremental") for a in actions)
+    assert not any(a.startswith("compact_snapshot") for a in actions)
+    man = read_manifest(spark, path, versions(spark, path)[-1])
+    assert "v=1" in man["data_dirs"] and len(man["data_dirs"]) == 2
+    assert read_version(spark, path).count() == 5004
+    # idempotent: second run is a no-op
+    assert maintain_table(spark, path, pol) == []
