@@ -960,3 +960,108 @@ def test_skipping_stack_always_transparent(spark, tmp_path_factory, seed):
         }[op]
     want = sorted(tuple(r) for r in read_table(spark, p).filter(cond).collect())
     assert got == want
+
+
+@given(seed=st.integers(0, 10**9))
+@settings(max_examples=6, deadline=None)
+def test_keyed_cdf_transition_invariant(spark, tmp_path_factory, seed):
+    """table_changes_keyed is a sound STATE TRANSITION: for any window
+    (i, j] over any interleaving of appends / MOR deletes / updates /
+    upserts, replaying the keyed feed onto snapshot(i) as a dict
+    yields exactly snapshot(j) — deletes remove the exact old row,
+    updates carry a correct preimage and land the postimage, inserts
+    are genuinely new keys, and NO unchanged key ever appears."""
+    import random
+
+    from pyspark.sql import functions as F
+    from temp_data_pipeline_spark.operators.changes import (
+        table_changes_keyed,
+    )
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_update_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        versions,
+    )
+
+    rng = random.Random(seed)
+    p = str(tmp_path_factory.mktemp("cdf") / "t")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, grp long, val long")
+
+    model: dict[int, tuple[int, int]] = {
+        k: (k % 4, k * 10) for k in range(25)
+    }
+    commit_version(frame([(k, g, v) for k, (g, v) in model.items()]), p)
+    snapshots = {versions(spark, p)[-1]: dict(model)}
+    next_k = 25
+    for _ in range(5):
+        op = rng.choice(["append", "delete", "update", "upsert", "noop_upsert"])
+        if op == "append":
+            rows = [(next_k + i, (next_k + i) % 4, rng.randint(0, 999))
+                    for i in range(rng.randint(1, 4))]
+            next_k += len(rows)
+            commit_version(frame(rows), p, carry_from=versions(spark, p)[-1])
+            model.update({k: (g, v) for k, g, v in rows})
+        elif op == "delete":
+            g = rng.randint(0, 3)
+            commit_delete_mor(spark, p, f"grp = {g}")
+            model = {k: gv for k, gv in model.items() if gv[0] != g}
+        elif op == "update":
+            g = rng.randint(0, 3)
+            commit_update_mor(
+                spark, p, f"grp = {g}", {"val": F.col("val") + 7}
+            )
+            model = {
+                k: (gv[0], gv[1] + 7 if gv[0] == g else gv[1])
+                for k, gv in model.items()
+            }
+        elif op == "upsert" and model:
+            ks = rng.sample(sorted(model), k=min(3, len(model)))
+            rows = [(k, model[k][0], rng.randint(0, 999)) for k in ks]
+            commit_upsert_mor(frame(rows), p, ["k"])
+            model.update({k: (g, v) for k, g, v in rows})
+        elif model:
+            # idempotent re-land: identical payloads — MUST be fully
+            # suppressed by the keyed feed
+            ks = rng.sample(sorted(model), k=min(2, len(model)))
+            rows = [(k, model[k][0], model[k][1]) for k in ks]
+            commit_upsert_mor(frame(rows), p, ["k"])
+        v_now = versions(spark, p)[-1]
+        snapshots[v_now] = dict(model)
+
+    vs = sorted(snapshots)
+    pairs = {(vs[0], vs[-1])}
+    while len(pairs) < 3 and len(vs) > 1:
+        i, j = sorted(rng.sample(vs, k=2))
+        if i != j:
+            pairs.add((i, j))
+    for i, j in sorted(pairs):
+        state = dict(snapshots[i])
+        feed = table_changes_keyed(spark, p, ["k"], i, j).collect()
+        posts = {}
+        for r in feed:
+            k, row = r["k"], (r["grp"], r["val"])
+            t = r["_change_type"]
+            if t == "delete":
+                assert state.pop(k) == row, (i, j, k)
+            elif t == "insert":
+                assert k not in state, (i, j, k)
+                state[k] = row
+            elif t == "update_preimage":
+                assert state[k] == row, (i, j, k)
+            else:
+                posts[k] = row
+        state.update(posts)
+        assert state == snapshots[j], (i, j)
+        # sanity against the live table too
+        got = {
+            r["k"]: (r["grp"], r["val"])
+            for r in read_table(spark, p, j).collect()
+        }
+        assert got == snapshots[j]
