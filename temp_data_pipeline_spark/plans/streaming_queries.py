@@ -472,6 +472,98 @@ STREAMING_QUERIES["q_stream_source"] = QuerySpec(
 )
 
 
+def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming source's mode=cdc FULL change feed: commit the
+    even orders, stream pass 1 (initial snapshot = inserts), then a
+    MOR delete plus an append between passes — pass 2 must emit the
+    DV delta as deletes (pruned to the files the DV names, never the
+    whole carried set) and the appended files as inserts. The two
+    passes together are the oracle's union."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.source import (
+        register_versioned_source,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="vtcdc_")
+    path, ckpt, out = f"{scratch}/tbl", f"{scratch}/ckpt", f"{scratch}/out"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path
+        )
+        register_versioned_source(spark)
+
+        def one_pass():
+            q = (
+                spark.readStream.format("versioned_table")
+                .option("path", path)
+                .option("mode", "cdc")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        one_pass()  # initial snapshot: evens as inserts
+        v2 = commit_delete_mor(spark, path, "o_custkey % 10 = 7")
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            path,
+            carry_from=v2,
+        )
+        one_pass()  # delta: DV deletes + the odd-key inserts
+        return (
+            spark.read.parquet(out)
+            .orderBy("o_orderkey", "_change_type")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+STREAMING_QUERIES["q_stream_cdc"] = QuerySpec(
+    name="q_stream_cdc",
+    builder=_q_stream_cdc,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           'insert' AS _change_type
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'delete'
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey % 10 = 7
+    ORDER BY o_orderkey, _change_type
+    """,
+    families=("streaming", "maintenance", "cdc"),
+    note=(
+        "Streaming CDC SOURCE (mode=cdc on the versioned_table Python "
+        "DataSource): the offset range's full change feed — inserts "
+        "from added files, deletes from removed files, and the "
+        "deletion-vector delta over shared files, with shared-file "
+        "scans pruned to the files either endpoint's DV names (the "
+        "batch feed's O(delta) plan, executed distributed: one input "
+        "partition per file). Two availableNow passes over one "
+        "checkpoint: snapshot inserts, then a MOR delete's DV-delta "
+        "deletes plus appended inserts — unioning to the oracle: "
+        "every order inserted once, the deleted even custkeys "
+        "re-emitted as deletes."
+    ),
+)
+
+
 def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert stream into a versioned table
     (streaming/sink.py::stream_upsert_versioned): base orders land as

@@ -119,34 +119,66 @@ def _files_of_dirs(f, root: str, dirs: list[str]) -> set[str]:
     return out
 
 
-def _added_files(f, root: str, since: int, until: int) -> list[str]:
-    """Files ``until`` resolves beyond ``since`` — dir-level diff
-    first (shared names cancel unlisted), file-level inside the
-    symmetric difference. ``since=0`` means everything of ``until``
-    (the initial snapshot — a full rewrite inside that window is fine,
-    the fresh files ARE the snapshot). A MID-STREAM window crossing a
-    full-table rewrite raises: the consumer would see the whole table
-    again as inserts with no matching deletes."""
-    if since > 0:
-        for v in _versions(f, root):
-            if since < v <= until:
-                man = _manifest(f, root, v)
-                for k in _REWRITE_KEYS:
-                    if man.get(k) is not None:
-                        raise RuntimeError(
-                            f"versioned_table stream on {root} crosses "
-                            f"version {v} ({k}: a full-table rewrite) — "
-                            "resync with a fresh checkpoint (the first "
-                            "batch re-emits the snapshot), or restart "
-                            f"at startingVersion={v}"
-                        )
+def _check_window_py(f, root: str, since: int, until: int) -> None:
+    """``since=0`` is the initial snapshot — a full rewrite inside
+    that window is fine, the fresh files ARE the snapshot. A
+    MID-STREAM window crossing a full-table rewrite raises: the
+    consumer would see the whole table again as churn."""
+    if since <= 0:
+        return
+    for v in _versions(f, root):
+        if since < v <= until:
+            man = _manifest(f, root, v)
+            for k in _REWRITE_KEYS:
+                if man.get(k) is not None:
+                    raise RuntimeError(
+                        f"versioned_table stream on {root} crosses "
+                        f"version {v} ({k}: a full-table rewrite) — "
+                        "resync with a fresh checkpoint (the first "
+                        "batch re-emits the snapshot), or restart "
+                        f"at startingVersion={v}"
+                    )
+
+
+def _dir_diff_py(
+    f, root: str, since: int, until: int
+) -> tuple[set[str], set[str], list[str], set[str]]:
+    """(added, removed, shared_dirs, shared_overlap) — the plain-python
+    twin of operators/changes._dir_diff: shared dir NAMES are immutable
+    and cancel without a listing; only the symmetric-difference dirs
+    are walked."""
     dirs_new = set(_manifest_dirs(_manifest(f, root, until)))
     dirs_old = (
         set(_manifest_dirs(_manifest(f, root, since))) if since else set()
     )
     only_new = _files_of_dirs(f, root, sorted(dirs_new - dirs_old))
     only_old = _files_of_dirs(f, root, sorted(dirs_old - dirs_new))
-    return sorted(only_new - only_old)
+    return (
+        only_new - only_old,
+        only_old - only_new,
+        sorted(dirs_old & dirs_new),
+        only_new & only_old,
+    )
+
+
+def _added_files(f, root: str, since: int, until: int) -> list[str]:
+    """Files ``until`` resolves beyond ``since``."""
+    _check_window_py(f, root, since, until)
+    added, _, _, _ = _dir_diff_py(f, root, since, until)
+    return sorted(added)
+
+
+def _dv_named_files(f, root: str, dv_rel: str | None) -> set[str]:
+    """The distinct files a DV sidecar names (metadata-sized — one
+    small parquet read driver-side)."""
+    if not dv_rel:
+        return set()
+    import pyarrow.parquet as pq
+
+    dv = pq.read_table(
+        f"{root}/{dv_rel}", filesystem=f, columns=["file"]
+    )
+    return set(dv.column("file").to_pylist())
 
 
 def _hive_value(raw: str, dtype):
@@ -185,12 +217,29 @@ def _hive_value(raw: str, dtype):
 
 
 class _FilePartition(InputPartition):
+    """One data file's worth of work. ``kind``:
+
+    - 'insert'  — rows of an ADDED file, minus ``dv_new`` positions
+    - 'delete'  — rows of a REMOVED file visible at since (minus
+                  ``dv_old``), emitted as deletes (cdc mode)
+    - 'dvdelta' — a SHARED file one of the DVs names: rows in
+                  dv_new−dv_old are deletes, dv_old−dv_new are
+                  resurrect-inserts (cdc mode)
+    """
+
     def __init__(
-        self, root: str, rel_file: str, dv_file: str | None
+        self,
+        root: str,
+        rel_file: str,
+        kind: str = "insert",
+        dv_old: str | None = None,
+        dv_new: str | None = None,
     ) -> None:
         self.root = root
         self.rel_file = rel_file
-        self.dv_file = dv_file
+        self.kind = kind
+        self.dv_old = dv_old
+        self.dv_new = dv_new
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -205,7 +254,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "versioned_table source requires .option('path', <table>)"
             )
+        self._mode = options.get("mode", "appends").lower()
+        if self._mode not in ("appends", "cdc"):
+            raise ValueError(
+                f"unknown mode {self._mode!r} (use 'appends' or 'cdc')"
+            )
+        # data fields exclude the synthetic _change_type of cdc mode
         self._schema = schema
+        self._data_fields = [
+            fld for fld in schema.fields if fld.name != "_change_type"
+        ]
         self._starting = int(options.get("startingversion", 0))
         f, root = _pa_fs(self._path)
         self._f, self._root = f, root
@@ -218,21 +276,71 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         latest = vs[-1] if vs else 0
         return {"version": max(latest, self._starting)}
 
+    def _dv_rel(self, version: int) -> str | None:
+        if version <= 0:
+            return None
+        dv = _manifest(self._f, self._root, version).get("_dv")
+        return f"_dv/{dv}" if dv else None
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         since, until = int(start["version"]), int(end["version"])
         if until <= since:
             return []
-        files = _added_files(self._f, self._root, since, until)
-        dv = _manifest(self._f, self._root, until).get("_dv")
-        dv_file = f"_dv/{dv}" if dv else None
-        return [
-            _FilePartition(self._root, rel, dv_file) for rel in files
+        f, root = self._f, self._root
+        _check_window_py(f, root, since, until)
+        dv_new = self._dv_rel(until)
+        if self._mode == "appends":
+            added, _, _, _ = _dir_diff_py(f, root, since, until)
+            return [
+                _FilePartition(root, rel, "insert", None, dv_new)
+                for rel in sorted(added)
+            ]
+        # cdc: adds removed-file deletes and the DV delta over shared
+        # files — pruned to the files either endpoint's DV names, the
+        # same O(delta) plan as operators/changes.changes_between
+        added, removed, shared_dirs, shared_overlap = _dir_diff_py(
+            f, root, since, until
+        )
+        dv_old = self._dv_rel(since)
+        out = [
+            _FilePartition(root, rel, "insert", None, dv_new)
+            for rel in sorted(added)
         ]
+        out += [
+            _FilePartition(root, rel, "delete", dv_old, None)
+            for rel in sorted(removed)
+        ]
+        named = _dv_named_files(f, root, dv_new) | _dv_named_files(
+            f, root, dv_old
+        )
+        prefixes = tuple(f"{d}/" for d in shared_dirs)
+        cands = sorted(
+            x
+            for x in named
+            if x in shared_overlap or (prefixes and x.startswith(prefixes))
+        )
+        out += [
+            _FilePartition(root, rel, "dvdelta", dv_old, dv_new)
+            for rel in cands
+        ]
+        return out
+
+    def _positions(self, f, root: str, dv_rel: str | None, rel: str):
+        if not dv_rel:
+            return set()
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        dv = pq.read_table(f"{root}/{dv_rel}", filesystem=f)
+        mask = pc.equal(dv.column("file"), rel)
+        return set(dv.filter(mask).column("pos").to_pylist())
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         """Executor-side: one parquet file through pyarrow, hive
-        partition values recovered from the path, the endpoint DV's
-        positions for THIS file subtracted by row index."""
+        partition values recovered from the path, DV positions for
+        THIS file resolved by row index. In cdc mode each emitted
+        tuple carries its change type; 'dvdelta' files emit only the
+        delta rows (newly deleted / resurrected)."""
         import pyarrow.parquet as pq
 
         f, _ = _pa_fs(partition.root)
@@ -245,17 +353,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if "=" in seg:
                 k, raw = seg.split("=", 1)
                 hive[k] = raw
-        dropped: set[int] = set()
-        if partition.dv_file:
-            import pyarrow.compute as pc
-
-            dv = pq.read_table(
-                f"{partition.root}/{partition.dv_file}", filesystem=f
-            )
-            mask = pc.equal(dv.column("file"), rel)
-            dropped = set(dv.filter(mask).column("pos").to_pylist())
+        pos_old = self._positions(f, partition.root, partition.dv_old, rel)
+        pos_new = self._positions(f, partition.root, partition.dv_new, rel)
+        if partition.kind == "insert":
+            emit = [(lambda i: i not in pos_new, "insert")]
+        elif partition.kind == "delete":
+            emit = [(lambda i: i not in pos_old, "delete")]
+        else:  # dvdelta over a shared file
+            emit = [
+                (lambda i: i in pos_new and i not in pos_old, "delete"),
+                (lambda i: i in pos_old and i not in pos_new, "insert"),
+            ]
         cols = {}
-        for field in self._schema.fields:
+        for field in self._data_fields:
             if field.name in hive:
                 cols[field.name] = None  # filled per-row below
             elif field.name in tbl.column_names:
@@ -265,20 +375,25 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         hive_vals = {
             fld.name: _hive_value(hive[fld.name], fld.dataType)
-            for fld in self._schema.fields
+            for fld in self._data_fields
             if fld.name in hive
         }
-        for i in range(n):
-            if i in dropped:
-                continue
-            yield tuple(
-                hive_vals[fld.name]
-                if fld.name in hive_vals
-                else (
-                    cols[fld.name][i] if cols[fld.name] is not None else None
+        cdc = self._mode == "cdc"
+        for keep, change in emit:
+            for i in range(n):
+                if not keep(i):
+                    continue
+                row = tuple(
+                    hive_vals[fld.name]
+                    if fld.name in hive_vals
+                    else (
+                        cols[fld.name][i]
+                        if cols[fld.name] is not None
+                        else None
+                    )
+                    for fld in self._data_fields
                 )
-                for fld in self._schema.fields
-            )
+                yield row + (change,) if cdc else row
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; nothing to ack
@@ -291,6 +406,13 @@ class VersionedTableDataSource(DataSource):
     - ``path`` (required): the table root
     - ``startingVersion`` (default 0): emit rows added AFTER this
       version (0 = the whole table, first batch = initial snapshot)
+    - ``mode`` (default 'appends'): 'appends' streams added rows only
+      (the incremental-sync feed); 'cdc' streams the FULL change feed
+      — the table's columns plus ``_change_type`` ('insert'|'delete'),
+      including removed-file deletes and the deletion-vector delta
+      over shared files (pruned to the files the DVs name) — Delta's
+      readChangeFeed, with the same semantics as the batch
+      operators/changes.changes_between
     """
 
     @classmethod
@@ -298,6 +420,8 @@ class VersionedTableDataSource(DataSource):
         return SOURCE_NAME
 
     def schema(self) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
         path = self.options.get("path")
         if not path:
             raise ValueError(
@@ -313,7 +437,12 @@ class VersionedTableDataSource(DataSource):
                 f"table {path} predates recorded schemas — compact once "
                 "to record one"
             )
-        return StructType.fromJson(man["_schema"])
+        schema = StructType.fromJson(man["_schema"])
+        if self.options.get("mode", "appends").lower() == "cdc":
+            schema = StructType(
+                schema.fields + [StructField("_change_type", StringType())]
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return VersionedTableStreamReader(schema, dict(self.options))

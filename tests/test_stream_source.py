@@ -167,3 +167,68 @@ def test_rewrite_in_window_stops_loudly(spark, tmp_path):
         .start()
     )
     q3.awaitTermination(180)
+
+
+def test_cdc_mode_matches_batch_feed(spark, tmp_path):
+    """mode=cdc streams the FULL change feed — equal to the batch
+    changes_between over the same window, including removed-file
+    deletes (COW) and the DV delta (MOR), with nothing re-emitted on
+    the second pass."""
+    from collections import Counter
+
+    from temp_data_pipeline_spark.operators.changes import changes_between
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_merge_cow,
+    )
+
+    path = os.path.join(str(tmp_path), "tbl")
+    base = spark.createDataFrame(
+        [(i, "a" if i < 3 else "b", i) for i in range(6)], SCHEMA
+    )
+    commit_merge_cow(base, path, ["k"], "v", "part")
+    register_versioned_source(spark)
+    ckpt = os.path.join(str(tmp_path), "ck")
+    out = os.path.join(str(tmp_path), "out")
+
+    def one_pass():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("mode", "cdc")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    one_pass()  # initial snapshot: all inserts
+    got0 = spark.read.parquet(out)
+    assert got0.count() == 6
+    assert {r["_change_type"] for r in got0.collect()} == {"insert"}
+
+    # window with a COW rewrite AND a MOR delete
+    v2 = commit_merge_cow(
+        spark.createDataFrame([(0, "a", 100)], SCHEMA), path, ["k"], "v", "part"
+    )
+    v3 = commit_delete_mor(spark, path, "k = 4")
+    one_pass()
+    got = spark.read.parquet(out)
+
+    def rows(df):
+        return Counter(
+            (r["k"], r["part"], r["v"], r["_change_type"])
+            for r in df.collect()
+        )
+
+    want = rows(
+        changes_between(spark, path, 1, v3).withColumnRenamed(
+            "_change_type", "_change_type"
+        )
+    ) + rows(got0)
+    assert rows(got) == want
+    # third pass: nothing new
+    one_pass()
+    assert spark.read.parquet(out).count() == got.count()
