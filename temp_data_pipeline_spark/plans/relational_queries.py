@@ -1375,6 +1375,87 @@ def q_cdf_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_replicate",
+    ["extension-relational", "maintenance", "cdc"],
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 3
+                THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_custkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, CAST(1 AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 5
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "CDC replication (operators/replicate.py — Delta Live "
+        "Tables' APPLY CHANGES INTO): seed a replica from the "
+        "source's snapshot, then catch it up TWICE through the "
+        "key-level change feed — an upsert window (keys %10=3 "
+        "repriced +1000, fresh +10M keys inserted) and a delete "
+        "window (custkey%10=7) — each catch-up ONE delta-sized "
+        "keyed feed applied as ONE merge-on-read commit: upserted "
+        "keys DV'd out and re-appended, deleted keys DV'd out with "
+        "no replacement, zero partition rewrites, O(change) cost. "
+        "The replica's manifest records which source version it "
+        "reflects, making catch-up a pure incremental pull. The "
+        "replica's final rows must equal the source's final "
+        "snapshot (this oracle); IEEE-exact +1000.0 keeps the "
+        "compare bit-exact."
+    ),
+)
+def q_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.replicate import (
+        replicate_incremental,
+        replicate_seed,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="repl_")
+    src, dst = f"{scratch}/src", f"{scratch}/replica"
+    try:
+        commit_version(orders.repartition(4), src)
+        replicate_seed(spark, src, dst, ["o_orderkey"])
+        updates = (
+            orders.filter(F.col("o_orderkey") % 10 == 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 10 == 5).select(
+                    (F.col("o_orderkey") + F.lit(10000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit(1).cast("long").alias("o_custkey"),
+                    F.col("o_totalprice"),
+                )
+            )
+        )
+        commit_upsert_mor(updates, src, ["o_orderkey"])
+        replicate_incremental(spark, src, dst, ["o_orderkey"])
+        commit_delete_mor(spark, src, "o_custkey % 10 = 7")
+        replicate_incremental(spark, src, dst, ["o_orderkey"])
+        return (
+            read_table(spark, dst)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_partition_evolution",
     ["extension-relational", "maintenance", "governance"],
     """

@@ -564,6 +564,106 @@ STREAMING_QUERIES["q_stream_cdc"] = QuerySpec(
 )
 
 
+def _q_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end continuous replication: source versioned table →
+    streaming cdc source → apply_changes_into on the replica, two
+    availableNow passes over one checkpoint with a MOR delete, a MOR
+    upsert, and an append between them. The replica's final snapshot
+    must equal the source's."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        versions,
+    )
+    from temp_data_pipeline_spark.sources.registry import load_table
+    from temp_data_pipeline_spark.streaming.sink import (
+        stream_replicate_versioned,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="srepl_")
+    src = f"{scratch}/src"
+    dst, ckpt = f"{scratch}/replica", f"{scratch}/ckpt"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), src
+        )
+
+        def one_pass():
+            q = stream_replicate_versioned(
+                spark, src, dst, ckpt, ["o_orderkey"]
+            )
+            q.awaitTermination()
+
+        one_pass()  # seeds the replica with the initial snapshot
+        commit_delete_mor(spark, src, "o_custkey % 10 = 7")
+        commit_upsert_mor(
+            orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+            ),
+            src,
+            ["o_orderkey"],
+        )
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            src,
+            carry_from=versions(spark, src)[-1],
+        )
+        one_pass()  # one cdc window covering delete + upsert + append
+        return (
+            read_table(spark, dst)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+STREAMING_QUERIES["q_stream_replicate"] = QuerySpec(
+    name="q_stream_replicate",
+    builder=_q_stream_replicate,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 4 = 0
+                THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 2 = 0
+           AND (o_custkey % 10 <> 7 OR o_orderkey % 4 = 0))
+       OR o_orderkey % 2 = 1
+    ORDER BY o_orderkey
+    """,
+    families=("streaming", "maintenance", "cdc"),
+    note=(
+        "Continuous CDC replication (streaming/sink.py::"
+        "stream_replicate_versioned): the source's change feed reads "
+        "through the cdc streaming source and each micro-batch's NET "
+        "effect lands on the replica as one merge-on-read commit "
+        "(operators/replicate.apply_changes_into) — upserts for keys "
+        "with a replacement row, DV-only deletes for keys without — "
+        "exactly-once via the replica's batch-id high-water mark. "
+        "Two availableNow passes: snapshot seed, then ONE window "
+        "covering a MOR delete + MOR upsert (+100 on keys %4=0, "
+        "resurrecting deleted custkey%10=7 keys it touches) + an "
+        "append — the replica's final rows must equal the source's "
+        "final snapshot (this oracle). O(change) per trigger on both "
+        "sides; IEEE-exact +100.0 keeps the compare bit-exact."
+    ),
+)
+
+
 def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert stream into a versioned table
     (streaming/sink.py::stream_upsert_versioned): base orders land as

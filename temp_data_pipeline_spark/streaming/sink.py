@@ -406,3 +406,83 @@ def stream_upsert_versioned(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_replicate_versioned(
+    spark: SparkSession,
+    src_path: str,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    *,
+    starting_version: int = 0,
+    available_now: bool = True,
+):
+    """Continuous CDC REPLICATION between versioned tables: read the
+    source's change feed through the streaming ``versioned_table``
+    source in ``mode=cdc`` (offsets = committed versions, one input
+    partition per changed file, shared-file scans pruned to the files
+    the deletion vectors name) and land every micro-batch's NET
+    effect on the replica as one merge-on-read commit
+    (operators/replicate.apply_changes_into) — upserts for keys with
+    a replacement row, DV-only deletes for keys without, no partition
+    rewrites. The first batch is the source's initial snapshot, which
+    seeds the replica.
+
+    Exactly-once via the same batch-id high-water mark as
+    ``stream_append_versioned``: a replayed batch whose id is ≤ the
+    replica's mark is skipped, and commits conflict-check + retry
+    against concurrent writers. ``keys`` must uniquely identify rows
+    in every source snapshot (the keyed-apply contract).
+
+    Per-trigger cost: the delta's files on the read side, one
+    position-finding scan of the replica plus the delta-sized append
+    on the write side — O(change), never O(table), the property that
+    keeps a 100 TB replica maintainable from a trickle feed. Returns
+    the started query."""
+    from temp_data_pipeline_spark.operators.replicate import (
+        apply_changes_into,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_with_retries,
+        versions,
+    )
+    from temp_data_pipeline_spark.streaming.source import (
+        register_versioned_source,
+    )
+
+    register_versioned_source(spark)
+    stream_df = (
+        spark.readStream.format("versioned_table")
+        .option("path", src_path)
+        .option("mode", "cdc")
+        .option("startingVersion", starting_version)
+        .load()
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+
+        def _plan() -> int | None:
+            vs = versions(spark, path)
+            if vs and batch_id <= _stream_high_water(spark, path, vs):
+                return None  # replayed batch: already durably applied
+            return apply_changes_into(
+                spark,
+                batch_df,
+                path,
+                keys,
+                meta={"_stream_batch_id": batch_id, "replica_of": src_path},
+            )
+
+        commit_with_retries(_plan)
+
+    w = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,188 @@
+"""CDC replication (operators/replicate.py + streaming/sink.py::
+stream_replicate_versioned): apply a change-feed window to a replica
+as one MOR commit, batch catch-up bookkeeping, and the exactly-once
+streaming composition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.changes import (
+    FeedResetRequired,
+    table_changes_keyed,
+)
+from temp_data_pipeline_spark.operators.deletion_vectors import (
+    commit_delete_mor,
+    commit_upsert_mor,
+    read_table,
+)
+from temp_data_pipeline_spark.operators.replicate import (
+    apply_changes_into,
+    replica_of_version,
+    replicate_incremental,
+    replicate_seed,
+)
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    compact_snapshot,
+    versions,
+)
+
+SCHEMA = "k long, part string, v long"
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", i * 10) for i in range(8)], SCHEMA
+    )
+
+
+def test_batch_replicate_tracks_source(spark, tmp_path):
+    """Seed + two incremental catch-ups across an upsert window and a
+    delete window: the replica equals the source snapshot after each
+    step, and the manifest records which source version it reflects."""
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), src)
+    replicate_seed(spark, src, dst, ["k"])
+    assert replica_of_version(spark, dst) == 1
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+    # window 1: an upsert (changed rows + a fresh key)
+    commit_upsert_mor(
+        spark.createDataFrame([(2, "a", 999), (100, "c", 1)], SCHEMA),
+        src,
+        ["k"],
+    )
+    replicate_incremental(spark, src, dst, ["k"])
+    assert replica_of_version(spark, dst) == 2
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+    # window 2: deletes only
+    commit_delete_mor(spark, src, "part = 'b'")
+    replicate_incremental(spark, src, dst, ["k"])
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+    # already current: a further catch-up is a no-op (no new version)
+    before = versions(spark, dst)[-1]
+    replicate_incremental(spark, src, dst, ["k"])
+    assert versions(spark, dst)[-1] == before
+
+
+def test_apply_keyed_feed_semantics(spark, tmp_path):
+    """update_preimage rows are dropped, postimages upsert, deletes
+    without replacement leave the table, inserts append."""
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), dst)
+    feed = spark.createDataFrame(
+        [
+            (1, "a", 10, "update_preimage"),
+            (1, "a", 111, "update_postimage"),
+            (7, "b", 70, "delete"),
+            (50, "c", 500, "insert"),
+        ],
+        SCHEMA + ", _change_type string",
+    )
+    apply_changes_into(spark, feed, dst, ["k"])
+    got = {r["k"]: r["v"] for r in read_table(spark, dst).collect()}
+    assert got[1] == 111 and got[50] == 500 and 7 not in got
+    assert len(got) == 8  # 8 base − 1 delete + 1 insert
+
+
+def test_apply_rewrite_pair_is_idempotent_upsert(spark, tmp_path):
+    """A file-level COW rewrite pair (identical delete+insert for one
+    key) nets to an upsert that leaves the row unchanged."""
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), dst)
+    feed = spark.createDataFrame(
+        [(3, "a", 30, "delete"), (3, "a", 30, "insert")],
+        SCHEMA + ", _change_type string",
+    )
+    apply_changes_into(spark, feed, dst, ["k"])
+    assert _rows(read_table(spark, dst)) == _rows(_base(spark))
+
+
+def test_replicate_rewrite_window_raises(spark, tmp_path):
+    """A catch-up window crossing a compaction raises the feed's
+    FeedResetRequired — re-seed instead of silently re-copying."""
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), src)
+    replicate_seed(spark, src, dst, ["k"])
+    commit_version(
+        spark.createDataFrame([(200, "c", 2)], SCHEMA),
+        src,
+        carry_from=1,
+    )
+    compact_snapshot(spark, src)
+    with pytest.raises(FeedResetRequired):
+        replicate_incremental(spark, src, dst, ["k"])
+    replicate_seed(spark, src, dst, ["k"])  # the documented recovery
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+
+def test_stream_replicate_exactly_once(spark, tmp_path):
+    """Streaming replication: seed pass, a mutation window (MOR
+    delete + upsert + append), then a THIRD pass over the same
+    checkpoint — the replica equals the source and the no-op pass
+    neither duplicates rows nor mints versions."""
+    from temp_data_pipeline_spark.streaming.sink import (
+        stream_replicate_versioned,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    commit_version(_base(spark), src)
+
+    def one_pass():
+        q = stream_replicate_versioned(spark, src, dst, ckpt, ["k"])
+        q.awaitTermination(180)
+
+    one_pass()
+    assert _rows(read_table(spark, dst)) == _rows(_base(spark))
+
+    commit_delete_mor(spark, src, "k = 0")
+    commit_upsert_mor(
+        spark.createDataFrame([(4, "b", 444), (300, "c", 3)], SCHEMA),
+        src,
+        ["k"],
+    )
+    commit_version(
+        spark.createDataFrame([(301, "c", 4)], SCHEMA),
+        src,
+        carry_from=versions(spark, src)[-1],
+    )
+    one_pass()
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+    n_versions = versions(spark, dst)[-1]
+    one_pass()  # nothing new: no growth, no new replica versions
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+    assert versions(spark, dst)[-1] == n_versions
+
+
+def test_keyed_feed_update_then_delete_nets_to_delete(spark, tmp_path):
+    """A key updated then deleted inside one window reaches the
+    replica as one delete (the keyed feed nets it); the replica ends
+    equal to the source."""
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), src)
+    replicate_seed(spark, src, dst, ["k"])
+    commit_upsert_mor(
+        spark.createDataFrame([(5, "b", 555)], SCHEMA), src, ["k"]
+    )
+    commit_delete_mor(spark, src, "k = 5")
+    feed = table_changes_keyed(spark, src, ["k"], 1)
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+    replicate_incremental(spark, src, dst, ["k"])
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
