@@ -84,6 +84,25 @@ def apply_changes_into(
         raise ValueError(f"key columns absent from the feed: {missing}")
     data_cols = [c for c in feed.columns if c != "_change_type"]
 
+    # the apply runs several actions over the feed (DV write, append,
+    # key sets); cache the delta-sized frame so a recompute-expensive
+    # feed (the keyed CDF's join, the cdc streaming source's python
+    # reads) materializes once
+    feed = feed.persist()
+    try:
+        return _apply(spark, feed, path, keys, data_cols, meta)
+    finally:
+        feed.unpersist()
+
+
+def _apply(
+    spark: SparkSession,
+    feed: DataFrame,
+    path: str,
+    keys: list[str],
+    data_cols: list[str],
+    meta: dict | None,
+) -> int:
     ups = feed.filter(F.col("_change_type").isin(*_UPSERT_TYPES)).select(
         *data_cols
     )

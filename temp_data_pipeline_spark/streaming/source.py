@@ -335,17 +335,25 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         mask = pc.equal(dv.column("file"), rel)
         return set(dv.filter(mask).column("pos").to_pylist())
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator:
         """Executor-side: one parquet file through pyarrow, hive
         partition values recovered from the path, DV positions for
-        THIS file resolved by row index. In cdc mode each emitted
-        tuple carries its change type; 'dvdelta' files emit only the
-        delta rows (newly deleted / resurrected)."""
+        THIS file resolved by row index. Emits Arrow RecordBatches
+        (the Python DataSource fast path — columnar end to end, no
+        per-row tuple materialization); in cdc mode each batch
+        carries its constant ``_change_type`` column, and 'dvdelta'
+        files emit only the delta rows (newly deleted /
+        resurrected)."""
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
 
         f, _ = _pa_fs(partition.root)
         rel = partition.rel_file
         tbl = pq.read_table(f"{partition.root}/{rel}", filesystem=f)
+        n = tbl.num_rows
         # hive partition columns: every path segment between the
         # version dir and the file name
         hive = {}
@@ -355,45 +363,54 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 hive[k] = raw
         pos_old = self._positions(f, partition.root, partition.dv_old, rel)
         pos_new = self._positions(f, partition.root, partition.dv_new, rel)
+
+        def _without(pos: set[int]):
+            keep = np.ones(n, dtype=bool)
+            if pos:
+                keep[np.fromiter(pos, dtype=np.int64)] = False
+            return keep
+
+        def _only(pos: set[int]):
+            keep = np.zeros(n, dtype=bool)
+            if pos:
+                keep[np.fromiter(pos, dtype=np.int64)] = True
+            return keep
+
         if partition.kind == "insert":
-            emit = [(lambda i: i not in pos_new, "insert")]
+            emit = [(_without(pos_new), "insert")]
         elif partition.kind == "delete":
-            emit = [(lambda i: i not in pos_old, "delete")]
+            emit = [(_without(pos_old), "delete")]
         else:  # dvdelta over a shared file
             emit = [
-                (lambda i: i in pos_new and i not in pos_old, "delete"),
-                (lambda i: i in pos_old and i not in pos_new, "insert"),
+                (_only(pos_new - pos_old), "delete"),
+                (_only(pos_old - pos_new), "insert"),
             ]
-        cols = {}
-        for field in self._data_fields:
-            if field.name in hive:
-                cols[field.name] = None  # filled per-row below
-            elif field.name in tbl.column_names:
-                cols[field.name] = tbl.column(field.name).to_pylist()
-            else:
-                cols[field.name] = None
-        n = tbl.num_rows
-        hive_vals = {
-            fld.name: _hive_value(hive[fld.name], fld.dataType)
-            for fld in self._data_fields
-            if fld.name in hive
-        }
         cdc = self._mode == "cdc"
         for keep, change in emit:
-            for i in range(n):
-                if not keep(i):
-                    continue
-                row = tuple(
-                    hive_vals[fld.name]
-                    if fld.name in hive_vals
-                    else (
-                        cols[fld.name][i]
-                        if cols[fld.name] is not None
-                        else None
+            m = int(keep.sum())
+            if m == 0:
+                continue
+            sub = tbl.filter(pa.array(keep))
+            arrays, names = [], []
+            for fld in self._data_fields:
+                at = to_arrow_type(fld.dataType)
+                if fld.name in hive:
+                    v = _hive_value(hive[fld.name], fld.dataType)
+                    arr = (
+                        pa.nulls(m, at)
+                        if v is None
+                        else pa.array([v] * m, type=at)
                     )
-                    for fld in self._data_fields
-                )
-                yield row + (change,) if cdc else row
+                elif fld.name in sub.column_names:
+                    arr = sub.column(fld.name).combine_chunks().cast(at)
+                else:
+                    arr = pa.nulls(m, at)  # schema-evolution null fill
+                arrays.append(arr)
+                names.append(fld.name)
+            if cdc:
+                arrays.append(pa.array([change] * m, type=pa.string()))
+                names.append("_change_type")
+            yield from pa.table(arrays, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; nothing to ack
