@@ -1456,6 +1456,102 @@ def q_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_scd2",
+    ["extension-relational", "maintenance", "cdc"],
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(1 AS BIGINT) AS _valid_from,
+           CASE WHEN o_orderkey % 10 = 3 THEN CAST(2 AS BIGINT)
+                WHEN o_custkey % 10 = 7 THEN CAST(3 AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS _valid_to
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+           CAST(2 AS BIGINT),
+           CASE WHEN o_custkey % 10 = 7 THEN CAST(3 AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END
+    FROM base WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey + 10000000, CAST(1 AS BIGINT), o_totalprice,
+           CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM base WHERE o_orderkey % 10 = 5
+    ORDER BY o_orderkey, _valid_from
+    """,
+    note=(
+        "SCD Type-2 dimension maintenance (operators/scd.py — the "
+        "Kimball full-history dimension, fed by the key-level change "
+        "feed): seed from the source snapshot, then fold an upsert "
+        "window (keys %10=3 repriced, fresh +10M keys) and a delete "
+        "window (custkey%10=7), each as ONE merge-on-read commit — "
+        "the affected keys' CURRENT rows are DV'd out and re-appended "
+        "closed (_valid_to = source version), new content appends as "
+        "the new current row, and closed history is NEVER rewritten; "
+        "O(change) per window. Interval boundaries are source "
+        "versions, so scd2_snapshot_at reconstructs any ingested "
+        "source snapshot even after the source vacuums its history. "
+        "The final dimension must equal this oracle's interval "
+        "algebra; IEEE-exact +1000.0 keeps the compare bit-exact."
+    ),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.scd import (
+        scd2_catchup,
+        scd2_init,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="scd2_")
+    src, dim = f"{scratch}/src", f"{scratch}/dim"
+    try:
+        commit_version(orders.repartition(4), src)
+        scd2_init(spark, src, dim, ["o_orderkey"])
+        updates = (
+            orders.filter(F.col("o_orderkey") % 10 == 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 10 == 5).select(
+                    (F.col("o_orderkey") + F.lit(10000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit(1).cast("long").alias("o_custkey"),
+                    F.col("o_totalprice"),
+                )
+            )
+        )
+        commit_upsert_mor(updates, src, ["o_orderkey"])
+        commit_delete_mor(spark, src, "o_custkey % 10 = 7")
+        scd2_catchup(spark, src, dim, ["o_orderkey"])
+        return (
+            read_table(spark, dim)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "_valid_from",
+                "_valid_to",
+            )
+            .orderBy("o_orderkey", "_valid_from")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_partition_evolution",
     ["extension-relational", "maintenance", "governance"],
     """

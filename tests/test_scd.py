@@ -1,0 +1,140 @@
+"""SCD Type-2 dimension maintenance (operators/scd.py): interval
+bookkeeping, closed-history immutability, and snapshot-at
+reconstruction against the source's own time travel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temp_data_pipeline_spark.operators.deletion_vectors import (
+    commit_delete_mor,
+    commit_upsert_mor,
+    read_table,
+)
+from temp_data_pipeline_spark.operators.scd import (
+    scd2_catchup,
+    scd2_init,
+    scd2_of_version,
+    scd2_snapshot_at,
+)
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    versions,
+)
+
+SCHEMA = "k long, part string, v long"
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", i * 10) for i in range(8)], SCHEMA
+    )
+
+
+def _history(spark, src):
+    """v1 base, v2 update k=2 + insert k=100, v3 delete part='b',
+    v4 re-insert k=5 (previously deleted)."""
+    commit_version(_base(spark), src)
+    commit_upsert_mor(
+        spark.createDataFrame([(2, "a", 999), (100, "c", 1)], SCHEMA),
+        src,
+        ["k"],
+    )
+    commit_delete_mor(spark, src, "part = 'b'")
+    commit_upsert_mor(
+        spark.createDataFrame([(5, "b", 555)], SCHEMA), src, ["k"]
+    )
+
+
+def test_scd2_intervals(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    dim = os.path.join(str(tmp_path), "dim")
+    _history(spark, src)
+    # seed retroactively impossible — init reflects LATEST; so build
+    # the dim the intended way: init against v1 by replaying commits
+    # is covered below via a fresh source; here init at latest then
+    # assert the one-version dim is the v4 snapshot
+    scd2_init(spark, src, dim, ["k"])
+    assert scd2_of_version(spark, dim) == 4
+    assert _rows(
+        read_table(spark, dim).drop("_valid_from", "_valid_to")
+    ) == _rows(read_table(spark, src))
+
+
+def test_scd2_catchup_full_history(spark, tmp_path):
+    """Init at v1, evolve the source, catch up: every interval
+    boundary is a source version, snapshot_at(v) reconstructs each
+    source snapshot, and closed rows never change afterwards."""
+    src = os.path.join(str(tmp_path), "src")
+    dim = os.path.join(str(tmp_path), "dim")
+    commit_version(_base(spark), src)
+    scd2_init(spark, src, dim, ["k"])
+
+    commit_upsert_mor(
+        spark.createDataFrame([(2, "a", 999), (100, "c", 1)], SCHEMA),
+        src,
+        ["k"],
+    )
+    scd2_catchup(spark, src, dim, ["k"])
+    closed_after_v2 = _rows(
+        read_table(spark, dim).filter(F.col("_valid_to").isNotNull())
+    )
+
+    commit_delete_mor(spark, src, "part = 'b'")
+    commit_upsert_mor(
+        spark.createDataFrame([(5, "b", 555)], SCHEMA), src, ["k"]
+    )
+    scd2_catchup(spark, src, dim, ["k"])
+    assert scd2_of_version(spark, dim) == 4
+
+    # every source version reconstructs from the dimension
+    for v in versions(spark, src):
+        assert _rows(scd2_snapshot_at(spark, dim, v)) == _rows(
+            read_table(spark, src, v)
+        ), f"snapshot_at({v}) diverged"
+    # closed history is immutable: rows closed after v2 still there
+    now_closed = _rows(
+        read_table(spark, dim).filter(F.col("_valid_to").isNotNull())
+    )
+    for row in closed_after_v2:
+        assert row in now_closed
+    # k=2's history: (20, [1,2)) then (999, [2,∞))
+    hist = sorted(
+        (r["_valid_from"], r["_valid_to"], r["v"])
+        for r in read_table(spark, dim).filter(F.col("k") == 2).collect()
+    )
+    assert hist == [(1, 2, 20), (2, None, 999)]
+    # k=5 (part b): created v1, deleted v3, re-inserted v4
+    hist5 = sorted(
+        (r["_valid_from"], r["_valid_to"], r["v"])
+        for r in read_table(spark, dim).filter(F.col("k") == 5).collect()
+    )
+    assert hist5 == [(1, 3, 50), (4, None, 555)]
+
+
+def test_scd2_noop_and_reserved_columns(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    dim = os.path.join(str(tmp_path), "dim")
+    commit_version(_base(spark), src)
+    scd2_init(spark, src, dim, ["k"])
+    before = versions(spark, dim)[-1]
+    scd2_catchup(spark, src, dim, ["k"])  # already current
+    assert versions(spark, dim)[-1] == before
+
+    bad = os.path.join(str(tmp_path), "bad")
+    commit_version(
+        _base(spark).withColumn("_valid_from", F.lit(1)), bad
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_init(spark, bad, os.path.join(str(tmp_path), "d2"), ["k"])
