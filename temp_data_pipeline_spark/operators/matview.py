@@ -6,12 +6,19 @@ base version it reflects. ``refresh_agg_view`` advances the view to
 the base's latest version at a cost proportional to what CHANGED,
 not to the base:
 
-  1. both base versions reduce to ONE fingerprint row per group
-     (count + order-independent content-hash sum — a groupBy, not a
-     join, so group keys need not identify rows uniquely),
-  2. groups whose fingerprints differ between the two versions are
-     the TOUCHED groups; every other group's aggregate is provably
-     unchanged (up to 64-bit hash-sum collision),
+  1. the TOUCHED groups are the distinct group keys of the
+     file-level change feed over (reflected, latest] — O(delta):
+     appended rows, the deletion-vector delta (scans pruned to the
+     files the DVs name), and removed-file rows, so the view can sit
+     on merge-on-read bases (upsert/delete targets, CDC replicas) as
+     well as append-only chains; every group absent from the feed is
+     provably unchanged,
+  2. when the window crosses a full-table rewrite (the feed raises
+     ``FeedResetRequired``), both DV-resolved base versions reduce to
+     ONE fingerprint row per group (count + order-independent
+     content-hash sum — a groupBy, not a join) and groups whose
+     fingerprints differ are touched (up to 64-bit hash-sum
+     collision),
   3. touched groups are recomputed from base@latest (group-pruned
      scan: a semi-join on the touched key set — and a partition-
      pruned one when the view partitions on a group key),
@@ -44,7 +51,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.versioned import (
-    _require_no_dv,
     commit_cdc_cow,
     commit_version,
     read_manifest,
@@ -128,12 +134,17 @@ def build_agg_view(
     """Full build: materialize ``agg(base@version)`` as view version 1
     (or the next version — rebuilding is always allowed). Returns the
     committed view version."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+
     vs = versions(spark, base_path)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {base_path}")
     bv = base_version if base_version is not None else vs[-1]
-    _require_no_dv(read_manifest(spark, base_path, bv), "build_agg_view")
-    out = agg(read_version(spark, base_path, bv))
+    # DV-resolved read: the view aggregates VISIBLE rows, so it can
+    # sit on merge-on-read bases (upsert/delete targets, replicas)
+    out = agg(read_table(spark, base_path, bv))
     _check_agg(out, keys)
     pcol = partition_col or keys[0]
     _check_pcol(pcol, keys)
@@ -172,40 +183,39 @@ def refresh_agg_view(
     if base_latest == reflected:
         return view_latest
 
-    # the view aggregates read_version rows; a DV base would fold
-    # deleted rows back in — refuse like the other rewrite-readers
-    man_new = read_manifest(spark, base_path, base_latest)
-    man_old = read_manifest(spark, base_path, reflected)
-    _require_no_dv(man_new, "refresh_agg_view")
-    base_now = read_version(spark, base_path, base_latest)
-    touched = None
-    if not man_old.get("_dv"):
-        # APPEND-ONLY fast path: when the newer version's file set is
-        # a superset of the reflected one (metadata-level appends, no
-        # deletes), a group's aggregate can only change if the delta
-        # contains its key — touched = the appended rows' distinct
-        # keys, ONE O(delta) scan instead of fingerprinting BOTH full
-        # base versions. This is what keeps per-batch streaming view
-        # maintenance (stream_append_versioned_with_view) O(batch).
-        # The probe diffs the manifests' DIR sets first (shared dirs
-        # are immutable and cancel by name), so the per-micro-batch
-        # driver metadata walk lists only the new dirs — O(delta),
-        # not O(table files).
-        from temp_data_pipeline_spark.operators.changes import (
-            _scan_files,
-            appended_files_if_superset,
-        )
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
 
-        delta_files = appended_files_if_superset(
-            spark, base_path, reflected, base_latest
-        )
-        if delta_files is not None:
-            appended = _scan_files(spark, base_path, base_latest, delta_files)
-            if appended is None:
-                return view_latest  # pure metadata commit: no new rows
-            touched = appended.select(*keys).distinct()
-    if touched is None:
-        base_then = read_version(spark, base_path, reflected)
+    base_now = read_table(spark, base_path, base_latest)
+    touched = None
+    # O(DELTA) fast path: the file-level change feed's distinct keys
+    # are exactly the groups whose row multisets can have changed —
+    # appended rows, MOR-deleted rows (the DV delta, scans pruned to
+    # the files the DVs name), and removed-file rows all surface
+    # there, so the view can sit on merge-on-read bases (upsert /
+    # delete targets, CDC replicas), not just append-only chains.
+    # For a streaming appender this reduces to one scan of the new
+    # files (the probe diffs manifest DIR sets first, shared dirs
+    # cancel by name), which is what keeps per-batch view maintenance
+    # (stream_append_versioned_with_view) O(batch). A window crossing
+    # a full-table rewrite (compaction/restore) can't be expressed as
+    # a delta — fall back to the two-sided group fingerprint diff.
+    from temp_data_pipeline_spark.operators.changes import (
+        FeedResetRequired,
+        changes_between,
+    )
+
+    try:
+        feed = changes_between(spark, base_path, reflected, base_latest)
+        missing = [k for k in keys if k not in feed.columns]
+        if missing:  # evolution dropped a group key: recompute fully
+            raise FeedResetRequired(f"group keys {missing} not in feed")
+        touched = feed.select(*keys).distinct()
+        if touched.isEmpty():
+            return view_latest  # pure metadata commit: no new rows
+    except FeedResetRequired:
+        base_then = read_table(spark, base_path, reflected)
         touched = _touched_groups(base_then, base_now, keys)
     # group-pruned recompute: only touched groups' rows are scanned
     recomputed = agg(base_now.join(touched, keys, "left_semi"))

@@ -639,6 +639,99 @@ def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_matview_mor",
+    ["extension-relational", "maintenance", "cdc"],
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 4 THEN '9-SPECIAL'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 8 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_orderpriority
+      FROM orders WHERE o_orderkey % 8 = 3
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM final GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note=(
+        "Aggregate matview over a MERGE-ON-READ base: the view is "
+        "built on even orders, then the base takes a MOR delete "
+        "(keys %8=0, deletion vector only) and a MOR upsert (keys "
+        "%8=4 moved to a NEW group '9-SPECIAL', fresh +20M keys "
+        "inserted) — no partition rewrites on the base — and ONE "
+        "refresh catches the view up: touched groups are the "
+        "distinct keys of the O(delta) change feed (DV-delta scans "
+        "pruned to the files the DVs name), recomputed DV-resolved, "
+        "applied as one COW CDC commit (groups may shrink, move, "
+        "appear, or vanish). The refreshed view must equal a plain "
+        "GROUP BY over the final visible state."
+    ),
+)
+def q_matview_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+    )
+    from temp_data_pipeline_spark.operators.matview import (
+        build_agg_view,
+        refresh_agg_view,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    scratch = tempfile.mkdtemp(prefix="mvmor_")
+    bp, vp = f"{scratch}/base", f"{scratch}/view"
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+
+    try:
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), bp
+        )
+        build_agg_view(spark, bp, vp, agg, ["o_orderpriority"])
+        commit_delete_mor(spark, bp, "o_orderkey % 8 = 0")
+        commit_upsert_mor(
+            orders.filter(F.col("o_orderkey") % 8 == 4)
+            .withColumn("o_orderpriority", F.lit("9-SPECIAL"))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 8 == 3).select(
+                    (F.col("o_orderkey") + F.lit(20000000)).alias(
+                        "o_orderkey"
+                    ),
+                    "o_orderpriority",
+                )
+            ),
+            bp,
+            ["o_orderkey"],
+        )
+        refresh_agg_view(spark, bp, vp, agg, ["o_orderpriority"])
+        return (
+            read_version(spark, vp)
+            .select("o_orderpriority", "n", "sum_key")
+            .orderBy("o_orderpriority")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_zorder_skip",
     ["extension-relational", "maintenance"],
     """

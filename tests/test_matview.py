@@ -156,3 +156,60 @@ class TestMatView:
         )
         assert rewritten == ["day=d2"]          # only the touched group
         assert any("day=d1" in d for d in man["data_dirs"])  # carried
+
+
+def test_refresh_on_mor_base(spark, tmp_path):
+    """The view sits on a MERGE-ON-READ base: a DV delete shrinks a
+    group, an upsert moves a key between groups and vanishes another,
+    and each refresh equals the full DV-resolved recompute."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    def full_mor(bp):
+        return {
+            r["day"]: (r["n"], r["total"], r["mx"])
+            for r in _agg(read_table(spark, bp)).collect()
+        }
+
+    bp = os.path.join(str(tmp_path), "base")
+    vp = os.path.join(str(tmp_path), "view")
+    commit_version(_df(spark, BASE), bp)
+    build_agg_view(spark, bp, vp, _agg, ["day"])
+
+    # DV delete: d1 shrinks to one row
+    commit_delete_mor(spark, bp, "k = 2")
+    refresh_agg_view(spark, bp, vp, _agg, ["day"])
+    assert _view_rows(spark, vp) == full_mor(bp)
+
+    # upsert: k=3 moves d2 -> d9 (d2 vanishes), fresh k=50 lands in d1
+    commit_upsert_mor(
+        _df(spark, [(3, "d9", 300, 2), (50, "d1", 5, 2)]), bp, ["k"]
+    )
+    refresh_agg_view(spark, bp, vp, _agg, ["day"])
+    got = _view_rows(spark, vp)
+    assert got == full_mor(bp)
+    assert "d2" not in got and got["d9"] == (1, 300, 300)
+
+    # untouched group d3's view row survived both refreshes unchanged
+    assert got["d3"] == (1, 40, 40)
+
+
+def test_build_on_mor_base_is_dv_resolved(spark, tmp_path):
+    """build_agg_view over a base that already carries a DV must
+    aggregate only VISIBLE rows."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    bp = os.path.join(str(tmp_path), "base")
+    vp = os.path.join(str(tmp_path), "view")
+    commit_version(_df(spark, BASE), bp)
+    commit_delete_mor(spark, bp, "day = 'd1'")
+    build_agg_view(spark, bp, vp, _agg, ["day"])
+    got = _view_rows(spark, vp)
+    assert "d1" not in got and set(got) == {"d2", "d3"}
