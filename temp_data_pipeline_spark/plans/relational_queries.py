@@ -639,6 +639,71 @@ def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_expectations",
+    ["extension-relational", "governance"],
+    """
+    SELECT o_orderkey,
+           concat_ws(',',
+             CASE WHEN NOT COALESCE(o_custkey % 10 <> 7, FALSE)
+                  THEN 'custkey_not7' END,
+             CASE WHEN NOT COALESCE(o_totalprice <= 400000.0, FALSE)
+                  THEN 'price_cap' END
+           ) AS violations
+    FROM orders ORDER BY o_orderkey
+    """,
+    note=(
+        "Row-level expectations with quarantine "
+        "(operators/expectations.py — DLT's EXPECT ... ON VIOLATION): "
+        "orders commit through two named gates; passing rows land as "
+        "the table version, violators append to the sibling "
+        "_quarantine versioned table carrying a _violations column "
+        "naming every failed gate in declaration order (queryable / "
+        "replayable, never silently dropped), and both manifests "
+        "record the gate set + violation count. The split is one "
+        "map-only projection — zero shuffles at any scale. The query "
+        "unions (table rows, '') with (quarantine rows, tags) and "
+        "must reproduce the oracle's per-row violation calculus."
+    ),
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.expectations import (
+        commit_with_expectations,
+    )
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="expect_")
+    path = f"{scratch}/orders"
+    try:
+        commit_with_expectations(
+            orders.repartition(4),
+            path,
+            {
+                "custkey_not7": "o_custkey % 10 <> 7",
+                "price_cap": "o_totalprice <= 400000.0",
+            },
+        )
+        good = read_version(spark, path).select(
+            "o_orderkey", F.lit("").alias("violations")
+        )
+        bad = read_version(spark, f"{path}_quarantine").select(
+            "o_orderkey", F.col("_violations").alias("violations")
+        )
+        return (
+            good.unionByName(bad)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_matview_mor",
     ["extension-relational", "maintenance", "cdc"],
     """

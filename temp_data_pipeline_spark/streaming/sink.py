@@ -104,6 +104,7 @@ def stream_append_versioned(
     partition_by: list[str] | None = None,
     stats_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    expectations: dict[str, str] | None = None,
     available_now: bool = True,
 ):
     """Exactly-once streaming appends into a VERSIONED table
@@ -128,6 +129,13 @@ def stream_append_versioned(
     also passes ``expected_base`` and retries on conflict, so a
     maintenance commit landing mid-batch is never silently dropped.
 
+    ``expectations`` (``name -> SQL predicate``) gates every batch
+    through operators/expectations.py: passing rows commit, violators
+    append to ``<path>_quarantine`` with their ``_violations`` tags —
+    the quarantine leg runs after the data commit under its OWN
+    batch-id high-water mark, so both tables are exactly-once by
+    idempotence and a crash between the legs is caught up on replay.
+
     ``stats_columns`` / ``bloom_columns`` keep the table SKIPPABLE
     while it ingests: after each commit the zone-map and Bloom
     sidecars are refreshed incrementally (only the new batch's files
@@ -149,6 +157,7 @@ def stream_append_versioned(
             partition_by=partition_by,
             stats_columns=stats_columns,
             bloom_columns=bloom_columns,
+            expectations=expectations,
         )
 
     w = (
@@ -169,6 +178,7 @@ def _append_versioned_batch(
     partition_by: list[str] | None,
     stats_columns: list[str] | None,
     bloom_columns: list[str] | None,
+    expectations: dict[str, str] | None = None,
 ) -> None:
     """One micro-batch of the versioned append sink — shared by
     ``stream_append_versioned`` and the view-maintaining composite."""
@@ -194,6 +204,20 @@ def _append_versioned_batch(
         # exactly-once contract without advancing the mark)
         return
 
+    good, bad, extra_meta = batch_df, None, {}
+    if expectations:
+        from temp_data_pipeline_spark.operators.expectations import (
+            split_expectations,
+        )
+
+        batch_df = batch_df.persist()  # good/bad each scan it once
+        good, bad = split_expectations(batch_df, expectations)
+        n_bad = bad.count()
+        extra_meta = {
+            "_expectations": dict(expectations),
+            "_quarantined": n_bad,
+        }
+
     def _plan() -> tuple[int, int | None] | None:
         """Re-planned per attempt: re-reads the version list, so a
         conflict with a concurrent maintenance commit (compaction
@@ -205,16 +229,45 @@ def _append_versioned_batch(
             return None  # replayed batch: already durably committed
         prev = vs[-1] if vs else None
         v = commit_version(
-            batch_df,
+            good,
             path,
             partition_by=partition_by,
             carry_from=prev,
-            meta={"_stream_batch_id": batch_id},
+            meta={"_stream_batch_id": batch_id, **extra_meta},
             expected_base=prev if prev is not None else 0,
         )
         return v, prev
 
-    committed = commit_with_retries(_plan)
+    try:
+        committed = commit_with_retries(_plan)
+        # quarantine leg AFTER the data commit, with its OWN batch-id
+        # high-water on the sibling table: a crash between the two
+        # legs replays the batch, the data leg skips, and THIS leg
+        # catches up — exactly-once on both tables by idempotence,
+        # same composition as the view-maintaining sink
+        if bad is not None and n_bad:
+            qpath = f"{path}_quarantine"
+
+            def _qplan() -> int | None:
+                qvs = versions(spark, qpath)
+                if batch_id <= _stream_high_water(spark, qpath, qvs):
+                    return None
+                return commit_version(
+                    bad,
+                    qpath,
+                    carry_from=(qvs[-1] if qvs else None),
+                    meta={
+                        "_stream_batch_id": batch_id,
+                        "_quarantine_of": path,
+                        "_expectations": dict(expectations),
+                    },
+                    expected_base=(qvs[-1] if qvs else 0),
+                )
+
+            commit_with_retries(_qplan)
+    finally:
+        if expectations:
+            batch_df.unpersist()
     if committed is None:
         return
     v, prev = committed
