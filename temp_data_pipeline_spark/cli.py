@@ -84,14 +84,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "table",
         help=(
             "versioned-table ops: history/verify/maintain/vacuum/"
-            "rollback/changes/tag/refs/untag/compact-small"
+            "rollback/changes/tag/refs/untag/compact-small/"
+            "replicate/scd2"
         ),
     )
     t.add_argument(
         "action",
         choices=[
             "history", "verify", "maintain", "vacuum", "rollback", "changes",
-            "tag", "refs", "untag", "compact-small",
+            "tag", "refs", "untag", "compact-small", "replicate", "scd2",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -109,6 +110,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="changes: comma-separated key columns — emit the "
                         "KEY-LEVEL feed (update pre/post images, rewrite "
                         "noise suppressed) instead of the file-level one")
+    t.add_argument("--dest", default=None,
+                   help="replicate/scd2: the downstream table root")
     t.add_argument("--name", default=None,
                    help="tag/untag: the ref name")
     t.add_argument("--at-version", type=int, default=None,
@@ -302,6 +305,38 @@ def main(argv: list[str] | None = None) -> int:
                     f"[changes] since v{args.since}: "
                     + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                 )
+        elif args.action == "replicate":
+            from temp_data_pipeline_spark.operators.replicate import (
+                replicate_incremental,
+                replicate_seed,
+            )
+            from temp_data_pipeline_spark.operators.versioned import versions
+
+            if not args.dest or not args.keys:
+                raise SystemExit("replicate needs --dest and --keys")
+            keys = [c for c in args.keys.split(",") if c]
+            if not versions(spark, args.dest):
+                v = replicate_seed(spark, args.path, args.dest, keys)
+                print(f"[replicate] seeded {args.dest} at v{v}")
+            else:
+                v = replicate_incremental(spark, args.path, args.dest, keys)
+                print(f"[replicate] {args.dest} caught up (replica v{v})")
+        elif args.action == "scd2":
+            from temp_data_pipeline_spark.operators.scd import (
+                scd2_catchup,
+                scd2_init,
+            )
+            from temp_data_pipeline_spark.operators.versioned import versions
+
+            if not args.dest or not args.keys:
+                raise SystemExit("scd2 needs --dest and --keys")
+            keys = [c for c in args.keys.split(",") if c]
+            if not versions(spark, args.dest):
+                v = scd2_init(spark, args.path, args.dest, keys)
+                print(f"[scd2] seeded dimension {args.dest} at v{v}")
+            else:
+                v = scd2_catchup(spark, args.path, args.dest, keys)
+                print(f"[scd2] dimension caught up (v{v})")
         else:
             if args.to_version is None:
                 raise SystemExit("rollback needs --to-version")

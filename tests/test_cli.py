@@ -167,3 +167,40 @@ def test_cli_table_refs(spark, tmp_path, capsys):
     assert "gold -> v2" in out and "base -> v1" in out
     assert main(["table", "untag", path, "--name", "base"]) in (0, None)
     assert "removed" in capsys.readouterr().out
+
+
+def test_cli_table_replicate_and_scd2(spark, tmp_path, capsys):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    src = str(tmp_path / "src")
+    commit_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), src
+    )
+
+    dst = str(tmp_path / "replica")
+    assert main(["table", "replicate", src, "--dest", dst, "--keys", "k"]) == 0
+    assert "seeded" in capsys.readouterr().out
+    dim = str(tmp_path / "dim")
+    assert main(["table", "scd2", src, "--dest", dim, "--keys", "k"]) == 0
+
+    commit_upsert_mor(
+        spark.createDataFrame([(2, 999), (3, 30)], "k long, v long"),
+        src,
+        ["k"],
+    )
+    assert main(["table", "replicate", src, "--dest", dst, "--keys", "k"]) == 0
+    assert "caught up" in capsys.readouterr().out
+    assert main(["table", "scd2", src, "--dest", dim, "--keys", "k"]) == 0
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    assert rows(read_table(spark, dst)) == rows(read_table(spark, src))
+    from pyspark.sql import functions as F
+
+    cur = read_table(spark, dim).filter(F.col("_valid_to").isNull())
+    assert rows(cur.select("k", "v")) == rows(read_table(spark, src))
