@@ -242,6 +242,68 @@ def _visible_tagged(
     return tagged
 
 
+def _visible_tagged_for_keys(
+    spark: SparkSession,
+    path: str,
+    base: int,
+    man: dict,
+    keys: list[str],
+    key_frame: DataFrame,
+) -> DataFrame:
+    """``_visible_tagged`` PRUNED to the files whose zone-map key
+    ranges can contain any of ``key_frame``'s key values — the
+    position-finding scan every MOR merge writer runs, reduced from
+    O(table) to O(candidate files) when the table keeps stats on the
+    merge keys. One tiny aggregation over the delta-sized key frame
+    yields a per-key bounding box; files outside ANY key column's
+    [min, max] cannot hold a matching row, so skipping them never
+    changes the DV (same conservative contract as read_version_
+    skipped). Falls back to the full scan when the version has no
+    zone maps, the stats don't cover the keys, or a key bound is
+    NULL. A clustered table (z-order on the key) makes the ranges
+    tight — a trickle CDC batch then opens a handful of files instead
+    of the whole 100 TB target."""
+    from temp_data_pipeline_spark.operators.zonemap import (
+        SKIP_LIST_MAX,
+        _read_files,
+        _semi_join_scan,
+        _zm_survivors,
+    )
+
+    try:
+        bounds = key_frame.agg(
+            *[F.min(k).alias(f"mn_{k}") for k in keys],
+            *[F.max(k).alias(f"mx_{k}") for k in keys],
+        ).first()
+        preds: list[tuple] = []
+        for k in keys:
+            mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+            if mn is None or mx is None:
+                return _visible_tagged(spark, path, base, man)
+            preds += [(k, ">=", mn), (k, "<=", mx)]
+        survivors = _zm_survivors(spark, path, preds, base)
+        head = survivors.limit(SKIP_LIST_MAX + 1).collect()
+    except (FileNotFoundError, ValueError):
+        return _visible_tagged(spark, path, base, man)
+    if len(head) <= SKIP_LIST_MAX:
+        tagged = _read_files(
+            spark,
+            path,
+            base,
+            sorted(r["file"] for r in head),
+            with_positions=True,
+        )
+    else:
+        tagged = _semi_join_scan(
+            spark, path, base, survivors, with_positions=True
+        )
+    if man.get("_dv"):
+        tagged = _anti_dv(
+            tagged, read_dv(spark, path, base), man.get("_dv_rows")
+        )
+    return tagged
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -429,10 +491,15 @@ def commit_upsert_mor(
         return commit_version(updates, path, meta=meta, expected_base=0)
     base = vs[-1]
     man = read_manifest(spark, path, base)
-    tagged = _visible_tagged(spark, path, base, man)
-    # keys-only semi join finds the displaced positions: nothing but
-    # keys and positions shuffle
-    dv_new = tagged.join(
-        updates.select(*keys).distinct(), keys, "left_semi"
-    ).select(F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos"))
+    # position-finding scan pruned by the update batch's key bounding
+    # box when the table keeps zone maps on the keys (full scan
+    # otherwise); keys-only semi join finds the displaced positions —
+    # nothing but keys and positions shuffle
+    update_keys = updates.select(*keys).distinct()
+    tagged = _visible_tagged_for_keys(
+        spark, path, base, man, keys, update_keys
+    )
+    dv_new = tagged.join(update_keys, keys, "left_semi").select(
+        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+    )
     return _commit_with_dv(spark, path, base, man, dv_new, updates, meta)

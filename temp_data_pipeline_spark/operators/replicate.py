@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.deletion_vectors import (
     _commit_with_dv,
-    _visible_tagged,
+    _visible_tagged_for_keys,
 )
 from temp_data_pipeline_spark.operators.versioned import (
     commit_version,
@@ -125,9 +125,10 @@ def _apply(
     base = vs[-1]
     man = read_manifest(spark, path, base)
     affected = ups.select(*keys).unionByName(del_keys).distinct()
-    # the one position-finding scan: keys-only semi join, same plan
-    # as commit_upsert_mor
-    tagged = _visible_tagged(spark, path, base, man)
+    # the one position-finding scan (keys-only semi join, same plan
+    # as commit_upsert_mor), pruned by the delta's key bounding box
+    # when the replica keeps zone maps on the keys
+    tagged = _visible_tagged_for_keys(spark, path, base, man, keys, affected)
     dv_new = tagged.join(affected, keys, "left_semi").select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.deletion_vectors import (
     _commit_with_dv,
-    _visible_tagged,
+    _visible_tagged_for_keys,
     read_table,
 )
 from temp_data_pipeline_spark.operators.versioned import (
@@ -118,9 +118,13 @@ def scd2_apply(
         )
         base = versions(spark, dim_path)[-1]
         man = read_manifest(spark, dim_path, base)
-        # the one position-finding scan: CURRENT rows of affected keys
+        # the one position-finding scan — pruned by the delta's key
+        # bounding box when the dimension keeps zone maps on the keys
+        # — narrowed to CURRENT rows of affected keys
         cur = (
-            _visible_tagged(spark, dim_path, base, man)
+            _visible_tagged_for_keys(
+                spark, dim_path, base, man, keys, affected
+            )
             .filter(F.col("_valid_to").isNull())
             .join(affected, keys, "left_semi")
         )

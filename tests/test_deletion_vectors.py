@@ -266,8 +266,12 @@ def test_dv_over_hive_partitioned_cow_table(spark, tmp_path):
         )
 
 
-def test_matview_refuses_dv_base(spark, tmp_path):
+def test_matview_on_dv_base_is_dv_resolved(spark, tmp_path):
+    """r8: matviews no longer refuse DV bases — the build aggregates
+    VISIBLE rows (deleted ones excluded), so views sit on MOR
+    upsert/delete targets directly (full lifecycle in test_matview)."""
     from temp_data_pipeline_spark.operators.matview import build_agg_view
+    from temp_data_pipeline_spark.operators.versioned import read_version
 
     path = os.path.join(str(tmp_path), "morview")
     commit_version(
@@ -278,10 +282,10 @@ def test_matview_refuses_dv_base(spark, tmp_path):
     def agg(df):
         return df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
 
-    with pytest.raises(ValueError, match="materialize_deletes"):
-        build_agg_view(
-            spark, path, os.path.join(str(tmp_path), "v"), agg, ["g"]
-        )
+    vp = os.path.join(str(tmp_path), "v")
+    build_agg_view(spark, path, vp, agg, ["g"])
+    got = {r["g"]: r["n"] for r in read_version(spark, vp).collect()}
+    assert got == {"y": 1}  # the DV'd row never reached the view
 
 
 def test_export_snapshot_plain_parquet(spark, table, tmp_path):

@@ -186,3 +186,53 @@ def test_keyed_feed_update_then_delete_nets_to_delete(spark, tmp_path):
     assert {r["_change_type"] for r in feed.collect()} == {"delete"}
     replicate_incremental(spark, src, dst, ["k"])
     assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+
+def test_apply_prunes_position_scan_with_zonemaps(
+    spark, tmp_path, monkeypatch
+):
+    """With zone maps on the key, a narrow-key apply opens only the
+    files whose ranges can hold the affected keys — never the whole
+    target (the O(table)-per-batch trap at 100 TB)."""
+    import temp_data_pipeline_spark.operators.zonemap as ZM
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+    dst = os.path.join(str(tmp_path), "dst")
+    # 4 files with disjoint k ranges (repartitionByRange on k)
+    big = spark.createDataFrame(
+        [(i, "a", i) for i in range(1000)], SCHEMA
+    ).repartitionByRange(4, "k")
+    commit_version(big, dst)
+    write_zone_maps(spark, dst, ["k"])
+
+    opened: list[list[str]] = []
+    real = ZM._read_files
+
+    def recording(spark_, path_, version_, files_, **kw):
+        opened.append(sorted(files_))
+        return real(spark_, path_, version_, files_, **kw)
+
+    monkeypatch.setattr(ZM, "_read_files", recording)
+    feed = spark.createDataFrame(
+        [(5, "a", 999, "update_postimage"), (7, "b", 70, "delete")],
+        SCHEMA + ", _change_type string",
+    )
+    apply_changes_into(spark, feed, dst, ["k"])
+    # the position scan went through the pruned path and opened a
+    # strict subset of the table's files (keys 5 and 7 share a range)
+    pruned = [fs for fs in opened if 0 < len(fs) < 4]
+    assert pruned, f"no pruned scan recorded: {opened}"
+    got = {r["k"]: r["v"] for r in read_table(spark, dst).collect()}
+    assert got[5] == 999 and 7 not in got and len(got) == 999
+
+
+def test_apply_without_zonemaps_falls_back(spark, tmp_path):
+    """No sidecar: the apply still lands via the full position scan."""
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), dst)
+    feed = spark.createDataFrame(
+        [(1, "a", 111, "insert")], SCHEMA + ", _change_type string"
+    )
+    apply_changes_into(spark, feed, dst, ["k"])
+    got = {r["k"]: r["v"] for r in read_table(spark, dst).collect()}
+    assert got[1] == 111
