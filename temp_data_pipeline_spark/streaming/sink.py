@@ -539,3 +539,61 @@ def stream_replicate_versioned(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_scd2_versioned(
+    spark: SparkSession,
+    src_path: str,
+    dim_path: str,
+    checkpoint: str,
+    keys: list[str],
+    *,
+    available_now: bool = True,
+):
+    """Continuously maintained SCD TYPE-2 DIMENSION: each micro-batch
+    of the source's version stream triggers ``operators/scd.
+    scd2_catchup``, which replays one keyed-feed window PER SOURCE
+    VERSION (interval boundaries stay exact — a multi-version trigger
+    never collapses intermediate history). The stream is the change
+    SIGNAL; the catch-up pulls its own O(change) windows, so replays
+    need no batch-id protocol at all — a replayed trigger finds
+    ``scd2_of_version`` already current and no-ops. The dimension is
+    seeded from the source's earliest stream-visible state on the
+    first trigger.
+
+    Per-trigger cost: one delta-sized keyed feed + one position scan
+    of the dimension's CURRENT rows per new source version (zone-map
+    pruned when the dim keeps stats on the keys). Returns the started
+    query."""
+    from temp_data_pipeline_spark.operators.scd import (
+        scd2_catchup,
+        scd2_init,
+    )
+    from temp_data_pipeline_spark.operators.versioned import versions
+    from temp_data_pipeline_spark.streaming.source import (
+        register_versioned_source,
+    )
+
+    register_versioned_source(spark)
+    # appends-only mode is enough: the batch content is unused, the
+    # stream only signals "the source advanced"
+    stream_df = (
+        spark.readStream.format("versioned_table")
+        .option("path", src_path)
+        .load()
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not versions(spark, dim_path):
+            scd2_init(spark, src_path, dim_path, keys)
+            return
+        scd2_catchup(spark, src_path, dim_path, keys)
+
+    w = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -138,3 +138,38 @@ def test_scd2_noop_and_reserved_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         scd2_init(spark, bad, os.path.join(str(tmp_path), "d2"), ["k"])
+
+
+def test_stream_scd2_dimension(spark, tmp_path):
+    """Streaming SCD2 maintenance: the cdc version stream triggers
+    per-version catch-ups; a restart over the same checkpoint no-ops;
+    every source snapshot reconstructs from the dimension."""
+    from temp_data_pipeline_spark.streaming.sink import stream_scd2_versioned
+
+    src = os.path.join(str(tmp_path), "src")
+    dim = os.path.join(str(tmp_path), "dim")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    commit_version(_base(spark), src)
+
+    def one_pass():
+        q = stream_scd2_versioned(spark, src, dim, ckpt, ["k"])
+        q.awaitTermination(180)
+
+    one_pass()  # seeds the dimension at v1
+    assert scd2_of_version(spark, dim) == 1
+
+    commit_upsert_mor(
+        spark.createDataFrame([(2, "a", 999), (100, "c", 1)], SCHEMA),
+        src,
+        ["k"],
+    )
+    commit_delete_mor(spark, src, "part = 'b'")
+    one_pass()  # catch-up: two per-version windows
+    assert scd2_of_version(spark, dim) == 3
+    for v in versions(spark, src):
+        assert _rows(scd2_snapshot_at(spark, dim, v)) == _rows(
+            read_table(spark, src, v)
+        )
+    before = versions(spark, dim)[-1]
+    one_pass()  # restart on a current source: no new dim versions
+    assert versions(spark, dim)[-1] == before
