@@ -216,6 +216,34 @@ def _hive_value(raw: str, dtype):
     )
 
 
+def _colmap(
+    ids_man: dict, dirs_man: dict, rel_file: str
+) -> dict | None:
+    """``output name -> on-disk name`` for this file's dir, or None
+    (identity) — the plain-python twin of versioned._dir_mapping +
+    _disk_schema_and_rename's id inversion, so the streaming source
+    reads dirs written BEFORE a metadata-only column rename/drop
+    under their stable field ids like every batch reader. Output
+    names come from ``ids_man`` (always the UNTIL manifest — the
+    stream's schema), the dir's disk layout from ``dirs_man`` (the
+    manifest that LISTS the dir: until for added/shared files, since
+    for removed ones). A name with no disk counterpart (column added
+    after the dir was written, including drop-then-re-add's fresh id)
+    maps to None → null fill."""
+    dirf = dirs_man.get("_dir_fields") or {}
+    if not dirf:
+        return None
+    d = rel_file.rsplit("/", 1)[0] if "/" in rel_file else ""
+    mapping = dirf.get(d)
+    if mapping is None:
+        mapping = dirf.get(d.split("/", 1)[0])
+    if mapping is None:
+        return None  # dir written under the current schema: identity
+    ids = ids_man.get("_field_ids") or {}
+    inv = {fid: disk for disk, fid in mapping.items()}
+    return {name: inv.get(fid) for name, fid in ids.items()}
+
+
 class _FilePartition(InputPartition):
     """One data file's worth of work. ``kind``:
 
@@ -225,6 +253,11 @@ class _FilePartition(InputPartition):
     - 'dvdelta' — a SHARED file one of the DVs names: rows in
                   dv_new−dv_old are deletes, dv_old−dv_new are
                   resurrect-inserts (cdc mode)
+
+    ``colmap`` (current name -> on-disk name, or None = identity)
+    aligns dirs written before a column rename/drop by stable field
+    id; it is resolved driver-side from the manifest that LISTS the
+    file's dir.
     """
 
     def __init__(
@@ -234,12 +267,14 @@ class _FilePartition(InputPartition):
         kind: str = "insert",
         dv_old: str | None = None,
         dv_new: str | None = None,
+        colmap: dict | None = None,
     ) -> None:
         self.root = root
         self.rel_file = rel_file
         self.kind = kind
         self.dv_old = dv_old
         self.dv_new = dv_new
+        self.colmap = colmap
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -288,11 +323,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return []
         f, root = self._f, self._root
         _check_window_py(f, root, since, until)
+        man_until = _manifest(f, root, until)
         dv_new = self._dv_rel(until)
         if self._mode == "appends":
             added, _, _, _ = _dir_diff_py(f, root, since, until)
             return [
-                _FilePartition(root, rel, "insert", None, dv_new)
+                _FilePartition(
+                    root, rel, "insert", None, dv_new,
+                    colmap=_colmap(man_until, man_until, rel),
+                )
                 for rel in sorted(added)
             ]
         # cdc: adds removed-file deletes and the DV delta over shared
@@ -302,12 +341,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             f, root, since, until
         )
         dv_old = self._dv_rel(since)
+        man_since = _manifest(f, root, since) if removed else {}
         out = [
-            _FilePartition(root, rel, "insert", None, dv_new)
+            _FilePartition(
+                root, rel, "insert", None, dv_new,
+                colmap=_colmap(man_until, man_until, rel),
+            )
             for rel in sorted(added)
         ]
         out += [
-            _FilePartition(root, rel, "delete", dv_old, None)
+            # removed files are listed by SINCE's manifest — resolve
+            # their disk names there, project to until's field set
+            _FilePartition(
+                root, rel, "delete", dv_old, None,
+                colmap=_colmap(man_until, man_since, rel),
+            )
             for rel in sorted(removed)
         ]
         named = _dv_named_files(f, root, dv_new) | _dv_named_files(
@@ -320,7 +368,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if x in shared_overlap or (prefixes and x.startswith(prefixes))
         )
         out += [
-            _FilePartition(root, rel, "dvdelta", dv_old, dv_new)
+            _FilePartition(
+                root, rel, "dvdelta", dv_old, dv_new,
+                colmap=_colmap(man_until, man_until, rel),
+            )
             for rel in cands
         ]
         return out
@@ -394,6 +445,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             arrays, names = [], []
             for fld in self._data_fields:
                 at = to_arrow_type(fld.dataType)
+                # disk name: identity unless the dir predates a
+                # rename/drop (colmap by stable field id; a mapped
+                # None = column added after the dir was written)
+                disk = fld.name
+                if partition.colmap is not None:
+                    disk = partition.colmap.get(fld.name, fld.name)
                 if fld.name in hive:
                     v = _hive_value(hive[fld.name], fld.dataType)
                     arr = (
@@ -401,8 +458,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         if v is None
                         else pa.array([v] * m, type=at)
                     )
-                elif fld.name in sub.column_names:
-                    arr = sub.column(fld.name).combine_chunks().cast(at)
+                elif disk is not None and disk in sub.column_names:
+                    arr = sub.column(disk).combine_chunks().cast(at)
                 else:
                     arr = pa.nulls(m, at)  # schema-evolution null fill
                 arrays.append(arr)

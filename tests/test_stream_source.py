@@ -232,3 +232,44 @@ def test_cdc_mode_matches_batch_feed(spark, tmp_path):
     # third pass: nothing new
     one_pass()
     assert spark.read.parquet(out).count() == got.count()
+
+
+def test_stream_reads_renamed_dirs_by_field_id(spark, tmp_path):
+    """Dirs written BEFORE a metadata-only column rename must stream
+    under the NEW name with their real values (stable field ids), not
+    null-fill — the streaming source resolves per-dir disk schemas
+    like every batch reader."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_version,
+        rename_column,
+    )
+
+    path = os.path.join(str(tmp_path), "tbl")
+    ckpt = os.path.join(str(tmp_path), "ck")
+    out = os.path.join(str(tmp_path), "out")
+    commit_version(
+        spark.createDataFrame([(1, "a", 10), (2, "a", 20)], SCHEMA), path
+    )
+    rename_column(spark, path, "v", "val")
+    commit_version(
+        spark.createDataFrame([(3, "a", 30)], "k long, part string, val long"),
+        path,
+        carry_from=versions(spark, path)[-1],
+    )
+    register_versioned_source(spark)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _rows(spark.read.parquet(out))
+    assert got == _rows(read_version(spark, path))
+    # the pre-rename dir's values survived under the new name
+    vals = {r["k"]: r["val"] for r in spark.read.parquet(out).collect()}
+    assert vals == {1: 10, 2: 20, 3: 30}
