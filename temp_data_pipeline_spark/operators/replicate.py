@@ -123,6 +123,13 @@ def _apply(
         # is all inserts; deletes against nothing are dropped
         return commit_version(ups, path, meta=meta, expected_base=0)
     base = vs[-1]
+    if feed.isEmpty():
+        # empty window (a metadata-only source commit): advance the
+        # bookkeeping with one carry commit — no position scan
+        return commit_version(
+            ups.limit(0), path, carry_from=base, meta=meta,
+            expected_base=base,
+        )
     man = read_manifest(spark, path, base)
     affected = ups.select(*keys).unionByName(del_keys).distinct()
     # the one position-finding scan (keys-only semi join, same plan

@@ -117,6 +117,16 @@ def scd2_apply(
             .distinct()
         )
         base = versions(spark, dim_path)[-1]
+        if feed.isEmpty():
+            # empty window (a metadata-only source commit): advance
+            # the bookkeeping with one carry commit — no position scan
+            fresh = ups.withColumn(
+                "_valid_from", F.lit(ordinal).cast("long")
+            ).withColumn("_valid_to", F.lit(None).cast("long"))
+            return commit_version(
+                fresh.limit(0), dim_path, carry_from=base, meta=meta,
+                expected_base=base,
+            )
         man = read_manifest(spark, dim_path, base)
         # the one position-finding scan — pruned by the delta's key
         # bounding box when the dimension keeps zone maps on the keys

@@ -236,3 +236,29 @@ def test_apply_without_zonemaps_falls_back(spark, tmp_path):
     apply_changes_into(spark, feed, dst, ["k"])
     got = {r["k"]: r["v"] for r in read_table(spark, dst).collect()}
     assert got[1] == 111
+
+
+def test_empty_window_advances_bookkeeping_without_scan(
+    spark, tmp_path, monkeypatch
+):
+    """A source window with no row changes (e.g. an empty append
+    commit) advances replica_of_version with ONE carry commit — the
+    target position scan never runs."""
+    import temp_data_pipeline_spark.operators.replicate as REPL
+
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), src)
+    replicate_seed(spark, src, dst, ["k"])
+    commit_version(
+        spark.createDataFrame([], SCHEMA), src, carry_from=1
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("position scan ran on an empty window")
+
+    # patch the name replicate actually calls (bound at import)
+    monkeypatch.setattr(REPL, "_visible_tagged_for_keys", boom)
+    replicate_incremental(spark, src, dst, ["k"])
+    assert replica_of_version(spark, dst) == 2
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
