@@ -262,3 +262,31 @@ def test_empty_window_advances_bookkeeping_without_scan(
     replicate_incremental(spark, src, dst, ["k"])
     assert replica_of_version(spark, dst) == 2
     assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+
+def test_composite_key_replication(spark, tmp_path):
+    """Multi-column keys: the apply joins on ALL key columns (a key
+    differing in only one column is a different entity)."""
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    schema = "k1 long, k2 string, v long"
+    commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 11), (2, "a", 20)], schema
+        ),
+        src,
+    )
+    replicate_seed(spark, src, dst, ["k1", "k2"])
+    commit_upsert_mor(
+        spark.createDataFrame([(1, "a", 999), (3, "c", 30)], schema),
+        src,
+        ["k1", "k2"],
+    )
+    commit_delete_mor(spark, src, "k1 = 1 AND k2 = 'b'")
+    replicate_incremental(spark, src, dst, ["k1", "k2"])
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+    got = {
+        (r["k1"], r["k2"]): r["v"] for r in read_table(spark, dst).collect()
+    }
+    # (1,'a') updated, (1,'b') deleted, (2,'a') untouched, (3,'c') new
+    assert got == {(1, "a"): 999, (2, "a"): 20, (3, "c"): 30}
