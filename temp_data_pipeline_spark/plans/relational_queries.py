@@ -639,6 +639,91 @@ def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_merge_into",
+    ["extension-relational", "maintenance", "cdc"],
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 8 = 0
+                THEN o_totalprice + 50.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 8 = 4 AND o_custkey % 10 = 7)
+    UNION ALL
+    SELECT o_orderkey + 30000000, CAST(3 AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 1 AND o_totalprice > 1000.0
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Conditional MERGE INTO (operators/merge.py — Delta's full "
+        "clause family in ONE merge-on-read commit): the source "
+        "re-lands keys %4=0 with price+50 on %8=0 but price-50 on "
+        "%8=4, plus fresh +30M keys. WHEN MATCHED AND s.price > "
+        "t.price UPDATE takes only the %8=0 half; WHEN MATCHED AND "
+        "t.custkey%10=7 DELETE (after the update clause, Delta "
+        "order) removes the matched-but-not-updated %8=4∧custkey7 "
+        "rows; matched rows firing neither clause are UNTOUCHED "
+        "(bytes never rewritten); WHEN NOT MATCHED AND price>1000 "
+        "INSERT gates the fresh keys. One zone-map-prunable position "
+        "scan + one classifying join + one delta append; the final "
+        "snapshot must equal this oracle. IEEE-exact ±50.0 keeps the "
+        "compare bit-exact."
+    ),
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.merge import commit_merge_into
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="minto_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(orders.repartition(4), path)
+        source = (
+            orders.filter(F.col("o_orderkey") % 4 == 0)
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 8 == 0,
+                    F.col("o_totalprice") + F.lit(50.0),
+                ).otherwise(F.col("o_totalprice") - F.lit(50.0)),
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 10 == 1).select(
+                    (F.col("o_orderkey") + F.lit(30000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit(3).cast("long").alias("o_custkey"),
+                    "o_totalprice",
+                )
+            )
+        )
+        commit_merge_into(
+            source,
+            path,
+            ["o_orderkey"],
+            update_when="s.o_totalprice > t.o_totalprice",
+            delete_when="t.o_custkey % 10 = 7",
+            insert_when="o_totalprice > 1000.0",
+        )
+        return (
+            read_table(spark, path)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_expectations",
     ["extension-relational", "governance"],
     """
