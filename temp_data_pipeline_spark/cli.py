@@ -85,7 +85,7 @@ def _build_parser() -> argparse.ArgumentParser:
         help=(
             "versioned-table ops: history/verify/maintain/vacuum/"
             "rollback/changes/tag/refs/untag/compact-small/"
-            "replicate/scd2"
+            "replicate/scd2/add-constraint/drop-constraint/constraints"
         ),
     )
     t.add_argument(
@@ -93,6 +93,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "history", "verify", "maintain", "vacuum", "rollback", "changes",
             "tag", "refs", "untag", "compact-small", "replicate", "scd2",
+            "add-constraint", "drop-constraint", "constraints",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -113,7 +114,9 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dest", default=None,
                    help="replicate/scd2: the downstream table root")
     t.add_argument("--name", default=None,
-                   help="tag/untag: the ref name")
+                   help="tag/untag/add-constraint/drop-constraint: the name")
+    t.add_argument("--sql", default=None,
+                   help="add-constraint: the CHECK predicate")
     t.add_argument("--at-version", type=int, default=None,
                    help="tag: version to tag (default latest)")
     t.add_argument("--small-bytes", type=int, default=128 * 1024 * 1024,
@@ -305,6 +308,31 @@ def main(argv: list[str] | None = None) -> int:
                     f"[changes] since v{args.since}: "
                     + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                 )
+        elif args.action == "add-constraint":
+            from temp_data_pipeline_spark.operators.versioned import (
+                add_table_constraint,
+            )
+
+            if not args.name or not args.sql:
+                raise SystemExit("add-constraint needs --name and --sql")
+            v = add_table_constraint(spark, args.path, args.name, args.sql)
+            print(f"[add-constraint] {args.name} enforced from v{v}")
+        elif args.action == "drop-constraint":
+            from temp_data_pipeline_spark.operators.versioned import (
+                drop_table_constraint,
+            )
+
+            if not args.name:
+                raise SystemExit("drop-constraint needs --name")
+            v = drop_table_constraint(spark, args.path, args.name)
+            print(f"[drop-constraint] {args.name} removed at v{v}")
+        elif args.action == "constraints":
+            from temp_data_pipeline_spark.operators.versioned import (
+                table_constraints,
+            )
+
+            for cname, csql in sorted(table_constraints(spark, args.path).items()):
+                print(f"[constraints] {cname}: {csql}")
         elif args.action == "replicate":
             from temp_data_pipeline_spark.operators.replicate import (
                 replicate_incremental,

@@ -513,6 +513,19 @@ def commit_version(
     # dirs (a crashed writer's v=N would otherwise collide with every
     # future slot claim until vacuum — the table would wedge)
     committed = versions(spark, path)
+    # PERSISTED table constraints (add_table_constraint) inherit from
+    # the latest manifest regardless of carry style — every writer
+    # (append, MOR, COW, maintenance rewrite) enforces them on its
+    # newly written rows and carries them forward; the add/drop ops
+    # override via meta
+    inherited_tc: dict = {}
+    if committed and (meta or {}).get("_table_constraints") is None:
+        prev_man = (
+            base_man
+            if carry_from == committed[-1] and base_man is not None
+            else read_manifest(spark, path, committed[-1])
+        )
+        inherited_tc = prev_man.get("_table_constraints") or {}
     if expected_base is not None:
         latest = committed[-1] if committed else 0
         if latest != expected_base:
@@ -566,7 +579,12 @@ def commit_version(
             continue
         break
     version = expected_base + 1 if expected_base is not None else data_slot
-    if checks:
+    enforce = {
+        **inherited_tc,
+        **((meta or {}).get("_table_constraints") or {}),
+        **(checks or {}),
+    }
+    if enforce:
         written = spark.read.schema(df.schema).parquet(data)
         viol_row = written.agg(
             *[
@@ -575,10 +593,10 @@ def commit_version(
                     .eqNullSafe(F_sql.lit(False))
                     .cast("long")
                 ).alias(n)
-                for n, s in checks.items()
+                for n, s in enforce.items()
             ]
         ).collect()[0]
-        bad = {n: viol_row[n] for n in checks if (viol_row[n] or 0) > 0}
+        bad = {n: viol_row[n] for n in enforce if (viol_row[n] or 0) > 0}
         if bad:
             fs.delete(Path(data), True)
             raise ValueError(
@@ -607,6 +625,7 @@ def commit_version(
             # table would find no hive subdirs to carry
             "_partition_by": list(partition_by or []),
             **({"_checks": checks} if checks else {}),
+            **({"_table_constraints": inherited_tc} if inherited_tc else {}),
             **evo,
             **(meta or {}),
         }
@@ -1619,6 +1638,81 @@ def _check_ref_name(name: str) -> None:
             f"invalid ref name {name!r} (letters, digits, '.', '_', '-'; "
             "must start alphanumeric)"
         )
+
+
+def table_constraints(spark: SparkSession, path: str) -> dict[str, str]:
+    """The PERSISTED named CHECK constraints of the table's latest
+    version (``{} `` when none)."""
+    vs = versions(spark, path)
+    if not vs:
+        return {}
+    return read_manifest(spark, path, vs[-1]).get("_table_constraints") or {}
+
+
+def add_table_constraint(
+    spark: SparkSession, path: str, name: str, sql: str
+) -> int:
+    """Persist a named CHECK constraint on the table (Delta's ALTER
+    TABLE ADD CONSTRAINT): existing VISIBLE rows are validated first
+    (one scan — rows where the predicate is FALSE reject the add;
+    NULL passes, per SQL), then one metadata-level carry commit
+    records the constraint. From that version on EVERY writer —
+    append, MOR merge, COW, maintenance rewrite — enforces it on the
+    rows it writes and carries it forward, so a manifested version
+    can never violate its constraints. Returns the committed
+    version."""
+    from pyspark.sql.types import StructType
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+
+    vs = versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    current = table_constraints(spark, path)
+    if name in current:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    n_bad = (
+        read_table(spark, path)
+        .filter(F_sql.expr(sql).eqNullSafe(F_sql.lit(False)))
+        .count()
+    )
+    if n_bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: {n_bad} existing row(s) "
+            "violate it"
+        )
+    latest = vs[-1]
+    schema = StructType.fromJson(read_manifest(spark, path, latest)["_schema"])
+    return commit_version(
+        spark.createDataFrame([], schema),
+        path,
+        carry_from=latest,
+        expected_base=latest,
+        meta={"_table_constraints": {**current, name: sql}},
+    )
+
+
+def drop_table_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """Remove a persisted constraint (one metadata-level carry
+    commit); earlier versions keep theirs for time travel. Returns
+    the committed version."""
+    from pyspark.sql.types import StructType
+
+    current = table_constraints(spark, path)
+    if name not in current:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    latest = versions(spark, path)[-1]
+    schema = StructType.fromJson(read_manifest(spark, path, latest)["_schema"])
+    rest = {k: v for k, v in current.items() if k != name}
+    return commit_version(
+        spark.createDataFrame([], schema),
+        path,
+        carry_from=latest,
+        expected_base=latest,
+        meta={"_table_constraints": rest},
+    )
 
 
 def tag_version(

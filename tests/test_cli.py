@@ -204,3 +204,17 @@ def test_cli_table_replicate_and_scd2(spark, tmp_path, capsys):
 
     cur = read_table(spark, dim).filter(F.col("_valid_to").isNull())
     assert rows(cur.select("k", "v")) == rows(read_table(spark, src))
+
+
+def test_cli_table_constraints(spark, tmp_path, capsys):
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    p = str(tmp_path / "t")
+    commit_version(
+        spark.createDataFrame([(1, 10)], "k long, v long"), p
+    )
+    assert main(["table", "add-constraint", p, "--name", "v_pos",
+                 "--sql", "v > 0"]) == 0
+    assert main(["table", "constraints", p]) == 0
+    assert "v_pos: v > 0" in capsys.readouterr().out
+    assert main(["table", "drop-constraint", p, "--name", "v_pos"]) == 0
