@@ -378,6 +378,8 @@ def _commit_with_dv(
     dv_new: DataFrame,
     rows_new: DataFrame | None,
     meta: dict | None,
+    *,
+    allow_evolution: bool = False,
 ) -> int:
     """Shared MOR commit: cumulative DV = base DV ∪ dv_new (deduped),
     sidecar written first under a fresh name, then ONE metadata-level
@@ -393,7 +395,10 @@ def _commit_with_dv(
     from pyspark.sql.types import StructType
 
     if rows_new is not None:
-        _check_schema_against_manifest(rows_new, man, what="MOR commit")
+        _check_schema_against_manifest(
+            rows_new, man, what="MOR commit",
+            allow_evolution=allow_evolution,
+        )
     if man.get("_dv"):
         # writers pass dv_new computed over VISIBLE rows, so it is
         # already disjoint from the base DV — a plain union dedupes
@@ -417,6 +422,7 @@ def _commit_with_dv(
             carry_dirs=_manifest_dirs(man),
             meta={**(meta or {}), "_dv": name, "_dv_rows": n_dv},
             expected_base=base,
+            allow_evolution=allow_evolution,
         )
     except CommitConflictError:
         # the losing writer's sidecar would otherwise linger as an

@@ -123,14 +123,23 @@ def _apply(
         # is all inserts; deletes against nothing are dropped
         return commit_version(ups, path, meta=meta, expected_base=0)
     base = vs[-1]
+    man = read_manifest(spark, path, base)
+    # add-column evolution on the source flows through: the feed
+    # carries the until-schema (old rows null-filled), and the apply
+    # widens the replica the same way an add-column append would —
+    # carried replica dirs read the new column back as NULL. Dropped
+    # or retyped source columns still fail loudly (re-seed).
+    have = {
+        f["name"] for f in (man.get("_schema") or {}).get("fields", [])
+    }
+    evolve = bool(have) and set(data_cols) > have
     if feed.isEmpty():
         # empty window (a metadata-only source commit): advance the
         # bookkeeping with one carry commit — no position scan
         return commit_version(
             ups.limit(0), path, carry_from=base, meta=meta,
-            expected_base=base,
+            expected_base=base, allow_evolution=evolve,
         )
-    man = read_manifest(spark, path, base)
     affected = ups.select(*keys).unionByName(del_keys).distinct()
     # the one position-finding scan (keys-only semi join, same plan
     # as commit_upsert_mor), pruned by the delta's key bounding box
@@ -139,7 +148,9 @@ def _apply(
     dv_new = tagged.join(affected, keys, "left_semi").select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
-    return _commit_with_dv(spark, path, base, man, dv_new, ups, meta)
+    return _commit_with_dv(
+        spark, path, base, man, dv_new, ups, meta, allow_evolution=evolve
+    )
 
 
 def replica_of_version(spark: SparkSession, replica_path: str) -> int:

@@ -290,3 +290,31 @@ def test_composite_key_replication(spark, tmp_path):
     }
     # (1,'a') updated, (1,'b') deleted, (2,'a') untouched, (3,'c') new
     assert got == {(1, "a"): 999, (2, "a"): 20, (3, "c"): 30}
+
+
+def test_replication_follows_add_column_evolution(spark, tmp_path):
+    """An add-column evolution on the source flows through the keyed
+    feed into the replica: the new column widens the replica schema,
+    old replica rows read back NULL, and the replica equals the
+    source."""
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    commit_version(_base(spark), src)
+    replicate_seed(spark, src, dst, ["k"])
+    # source gains a column via an evolving append
+    commit_version(
+        spark.createDataFrame(
+            [(100, "c", 1, "tagged")], SCHEMA + ", note string"
+        ),
+        src,
+        carry_from=1,
+        allow_evolution=True,
+    )
+    replicate_incremental(spark, src, dst, ["k"])
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+    got = {r["k"]: r["note"] for r in read_table(spark, dst).collect()}
+    assert got[100] == "tagged" and got[0] is None
+    # next plain window still applies cleanly on the widened replica
+    commit_delete_mor(spark, src, "k = 1")
+    replicate_incremental(spark, src, dst, ["k"])
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
