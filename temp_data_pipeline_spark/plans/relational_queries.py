@@ -639,6 +639,77 @@ def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_constraints",
+    ["extension-relational", "governance"],
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_totalprice <= 400000.0
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Persisted table constraints (versioned.add_table_constraint "
+        "— Delta's ALTER TABLE ADD CONSTRAINT): the constraint lands "
+        "as one metadata-level commit after validating existing rows; "
+        "a later append whose batch violates it must ABORT before its "
+        "manifest (nothing becomes visible — the query asserts the "
+        "rejection), while the clean batch lands; every writer "
+        "inherits the set from the latest manifest and carries it "
+        "forward. Final rows ≡ the constraint-satisfying subset."
+    ),
+)
+def q_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        add_table_constraint,
+        commit_version,
+        read_version,
+        versions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ok = orders.filter(F.col("o_totalprice") <= 400000.0)
+    scratch = tempfile.mkdtemp(prefix="constr_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(
+            ok.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path
+        )
+        add_table_constraint(
+            spark, path, "price_cap", "o_totalprice <= 400000.0"
+        )
+        # a violating batch must abort with nothing visible
+        before = versions(spark, path)[-1]
+        try:
+            commit_version(
+                orders.filter(F.col("o_totalprice") > 400000.0),
+                path,
+                carry_from=before,
+            )
+            raise AssertionError("violating commit must abort")
+        except ValueError:
+            pass
+        if versions(spark, path)[-1] != before:
+            raise AssertionError("aborted commit minted a version")
+        # the clean complement lands and carries the constraint
+        commit_version(
+            ok.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            path,
+            carry_from=before,
+        )
+        return (
+            read_version(spark, path)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_merge_into",
     ["extension-relational", "maintenance", "cdc"],
     """

@@ -394,6 +394,7 @@ def stream_upsert_versioned(
     ts_col: str | None = None,
     *,
     tiebreak: str | None = None,
+    expectations: dict[str, str] | None = None,
     available_now: bool = True,
 ):
     """Exactly-once streaming UPSERT into a VERSIONED table: every
@@ -408,10 +409,14 @@ def stream_upsert_versioned(
 
     ``ts_col`` resolves duplicate keys WITHIN a batch last-writer-wins
     (operators/upsert.keep_latest); omit it when the stream never
-    repeats a key inside one trigger. Exactly-once via the same
-    batch-id high-water mark as ``stream_append_versioned`` (replays
-    skipped), and every commit conflict-checks + retries against
-    concurrent maintenance. Returns the started query."""
+    repeats a key inside one trigger. ``expectations`` gates each
+    batch like the append sink's (operators/expectations.py):
+    passing rows merge, violators append to ``<path>_quarantine``
+    under its own batch-id high-water mark — exactly-once on both
+    tables. Exactly-once via the same batch-id high-water mark as
+    ``stream_append_versioned`` (replays skipped), and every commit
+    conflict-checks + retries against concurrent maintenance.
+    Returns the started query."""
     from temp_data_pipeline_spark.operators.deletion_vectors import (
         commit_upsert_mor,
     )
@@ -425,10 +430,23 @@ def stream_upsert_versioned(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        good, bad, n_bad, extra_meta = batch_df, None, 0, {}
+        if expectations:
+            from temp_data_pipeline_spark.operators.expectations import (
+                split_expectations,
+            )
+
+            batch_df = batch_df.persist()
+            good, bad = split_expectations(batch_df, expectations)
+            n_bad = bad.count()
+            extra_meta = {
+                "_expectations": dict(expectations),
+                "_quarantined": n_bad,
+            }
         resolved = (
-            keep_latest(batch_df, keys, ts_col, tiebreak)
+            keep_latest(good, keys, ts_col, tiebreak)
             if ts_col
-            else batch_df.dropDuplicates(keys)
+            else good.dropDuplicates(keys)
         )
 
         def _plan() -> int | None:
@@ -439,17 +457,41 @@ def stream_upsert_versioned(
                 return commit_version(
                     resolved,
                     path,
-                    meta={"_stream_batch_id": batch_id},
+                    meta={"_stream_batch_id": batch_id, **extra_meta},
                     expected_base=0,
                 )
             return commit_upsert_mor(
                 resolved,
                 path,
                 keys,
-                meta={"_stream_batch_id": batch_id},
+                meta={"_stream_batch_id": batch_id, **extra_meta},
             )
 
-        commit_with_retries(_plan)
+        try:
+            commit_with_retries(_plan)
+            if bad is not None and n_bad:
+                qpath = f"{path}_quarantine"
+
+                def _qplan() -> int | None:
+                    qvs = versions(spark, qpath)
+                    if batch_id <= _stream_high_water(spark, qpath, qvs):
+                        return None
+                    return commit_version(
+                        bad,
+                        qpath,
+                        carry_from=(qvs[-1] if qvs else None),
+                        meta={
+                            "_stream_batch_id": batch_id,
+                            "_quarantine_of": path,
+                            "_expectations": dict(expectations),
+                        },
+                        expected_base=(qvs[-1] if qvs else 0),
+                    )
+
+                commit_with_retries(_qplan)
+        finally:
+            if expectations:
+                batch_df.unpersist()
 
     w = (
         stream_df.writeStream.foreachBatch(apply_batch)

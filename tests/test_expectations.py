@@ -119,3 +119,43 @@ def test_streaming_gated_ingest_exactly_once(spark, tmp_path):
         (r["k"], r["_violations"])
         for r in read_version(spark, f"{dest}_quarantine").collect()
     ) == [(2, "v_positive"), (200, "k_small")]
+
+
+def test_streaming_upsert_gated(spark, tmp_path):
+    """The upsert sink gates batches too: violators quarantine, clean
+    rows merge, restart exactly-once on both tables."""
+    from temp_data_pipeline_spark.streaming.sink import (
+        stream_upsert_versioned,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    dest = os.path.join(str(tmp_path), "tbl")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _df(spark, [(1, 5), (2, -1)]).coalesce(1).write.parquet(src)
+    _df(spark, [(1, 7), (200, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(reader):
+        q = stream_upsert_versioned(
+            reader, dest, ckpt, ["k"], expectations=EXPECT
+        )
+        q.awaitTermination(180)
+
+    run(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run(spark.readStream.schema(SCHEMA).parquet(src))  # restart no-op
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+
+    got = {r["k"]: r["v"] for r in read_table(spark, dest).collect()}
+    assert got == {1: 7}  # k=1 upserted 5 -> 7; violators never merged
+    q = read_version(spark, f"{dest}_quarantine")
+    assert sorted((r["k"], r["_violations"]) for r in q.collect()) == [
+        (2, "v_positive"),
+        (200, "k_small"),
+    ]
