@@ -144,15 +144,35 @@ def scd2_apply(
         dim_cols = [
             c for c in cur.columns if c not in ("_dv_file", "_dv_pos")
         ]
+        # schema evolution: an ADDED source column widens the dim
+        # (history rows read/close with NULL there — exactly the
+        # add-column contract); a DROPPED source column would
+        # silently null future history, so it fails loudly (re-init)
+        dim_data = [c for c in dim_cols if c not in _RESERVED]
+        dropped = [c for c in dim_data if c not in data_cols]
+        if dropped:
+            raise ValueError(
+                f"source dropped column(s) {dropped} mid-history — "
+                "scd2 cannot represent that without a re-init "
+                "(scd2_init on a fresh dimension path)"
+            )
+        added = [c for c in data_cols if c not in dim_data]
+        ups_types = dict(ups.dtypes)
         closed = cur.select(*dim_cols).withColumn(
             "_valid_to", F.lit(ordinal).cast("long")
         )
+        for c in added:
+            closed = closed.withColumn(c, F.lit(None).cast(ups_types[c]))
         fresh = ups.withColumn(
             "_valid_from", F.lit(ordinal).cast("long")
         ).withColumn("_valid_to", F.lit(None).cast("long"))
-        rows_new = closed.unionByName(fresh.select(*closed.columns))
+        out_cols = list(data_cols) + ["_valid_from", "_valid_to"]
+        rows_new = closed.select(*out_cols).unionByName(
+            fresh.select(*out_cols)
+        )
         return _commit_with_dv(
-            spark, dim_path, base, man, dv_new, rows_new, meta
+            spark, dim_path, base, man, dv_new, rows_new, meta,
+            allow_evolution=bool(added),
         )
     finally:
         feed.unpersist()

@@ -173,3 +173,48 @@ def test_stream_scd2_dimension(spark, tmp_path):
     before = versions(spark, dim)[-1]
     one_pass()  # restart on a current source: no new dim versions
     assert versions(spark, dim)[-1] == before
+
+
+def test_scd2_follows_add_column_and_rejects_drop(spark, tmp_path):
+    """An added source column widens the dimension (closed history
+    reads NULL there); a dropped column fails loudly instead of
+    silently nulling future history."""
+    src = os.path.join(str(tmp_path), "src")
+    dim = os.path.join(str(tmp_path), "dim")
+    commit_version(_base(spark), src)
+    scd2_init(spark, src, dim, ["k"])
+    commit_version(
+        spark.createDataFrame(
+            [(100, "c", 999, "tagged")], SCHEMA + ", note string"
+        ),
+        src,
+        carry_from=1,
+        allow_evolution=True,
+    )
+    scd2_catchup(spark, src, dim, ["k"])
+    # reconstruction compares on each source version's OWN columns —
+    # the dimension (like the source's latest schema) carries the
+    # added column as NULL for pre-evolution history
+    def rows_r(df):  # None-tolerant ordering (mixed str/None columns)
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+        )
+
+    for v in versions(spark, src):
+        src_v = read_table(spark, src, v)
+        snap = scd2_snapshot_at(spark, dim, v).select(*src_v.columns)
+        assert rows_r(snap) == rows_r(src_v)
+    got = {r["k"]: r["note"] for r in read_table(spark, dim).collect()}
+    assert got[100] == "tagged" and got[0] is None
+
+    # a dropped column cannot be represented mid-history
+    from pyspark.sql import functions as F
+
+    feed = spark.createDataFrame(
+        [(3, "a", "insert")], "k long, part string, _change_type string"
+    )
+    from temp_data_pipeline_spark.operators.scd import scd2_apply
+
+    with pytest.raises(ValueError, match="dropped column"):
+        scd2_apply(spark, feed, dim, ["k"], 99)
