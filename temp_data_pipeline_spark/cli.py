@@ -85,7 +85,8 @@ def _build_parser() -> argparse.ArgumentParser:
         help=(
             "versioned-table ops: history/verify/maintain/vacuum/"
             "rollback/changes/tag/refs/untag/compact-small/"
-            "replicate/scd2/add-constraint/drop-constraint/constraints"
+            "replicate/scd2/add-constraint/drop-constraint/constraints/"
+            "merge"
         ),
     )
     t.add_argument(
@@ -93,7 +94,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "history", "verify", "maintain", "vacuum", "rollback", "changes",
             "tag", "refs", "untag", "compact-small", "replicate", "scd2",
-            "add-constraint", "drop-constraint", "constraints",
+            "add-constraint", "drop-constraint", "constraints", "merge",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -117,6 +118,19 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="tag/untag/add-constraint/drop-constraint: the name")
     t.add_argument("--sql", default=None,
                    help="add-constraint: the CHECK predicate")
+    t.add_argument("--source", default=None,
+                   help="merge: parquet path of the source batch")
+    t.add_argument("--update-when", default=None,
+                   help="merge: WHEN MATCHED AND <s./t. SQL> THEN UPDATE "
+                        "(pass 'true' for unconditional)")
+    t.add_argument("--update-set", default=None,
+                   help="merge: semicolon-separated col=expr SET list "
+                        "(default SET * = take the source row)")
+    t.add_argument("--delete-when", default=None,
+                   help="merge: WHEN MATCHED AND <s./t. SQL> THEN DELETE")
+    t.add_argument("--insert-when", default=None,
+                   help="merge: WHEN NOT MATCHED AND <SQL> THEN INSERT "
+                        "(default: all unmatched source rows insert)")
     t.add_argument("--at-version", type=int, default=None,
                    help="tag: version to tag (default latest)")
     t.add_argument("--small-bytes", type=int, default=128 * 1024 * 1024,
@@ -308,6 +322,41 @@ def main(argv: list[str] | None = None) -> int:
                     f"[changes] since v{args.since}: "
                     + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                 )
+        elif args.action == "merge":
+            from temp_data_pipeline_spark.operators.merge import (
+                commit_merge_into,
+            )
+
+            if not args.source or not args.keys:
+                raise SystemExit("merge needs --source and --keys")
+
+            def _clause(v):
+                if v is None:
+                    return None
+                return True if v.strip().lower() == "true" else v
+
+            upd_set = None
+            if args.update_set:
+                upd_set = dict(
+                    pair.split("=", 1)
+                    for pair in args.update_set.split(";")
+                    if pair
+                )
+            v = commit_merge_into(
+                spark.read.parquet(args.source),
+                args.path,
+                [c for c in args.keys.split(",") if c],
+                update_when=_clause(args.update_when),
+                update_set=upd_set,
+                delete_when=_clause(args.delete_when),
+                insert_when=(
+                    True
+                    if (args.update_when is None and args.delete_when is None
+                        and args.insert_when is None)
+                    else _clause(args.insert_when)
+                ),
+            )
+            print(f"[merge] committed v{v}")
         elif args.action == "add-constraint":
             from temp_data_pipeline_spark.operators.versioned import (
                 add_table_constraint,

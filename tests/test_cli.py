@@ -218,3 +218,29 @@ def test_cli_table_constraints(spark, tmp_path, capsys):
     assert main(["table", "constraints", p]) == 0
     assert "v_pos: v > 0" in capsys.readouterr().out
     assert main(["table", "drop-constraint", p, "--name", "v_pos"]) == 0
+
+
+def test_cli_table_merge(spark, tmp_path, capsys):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    p = str(tmp_path / "t")
+    commit_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), p
+    )
+    src = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, 99), (2, 5), (3, 30)], "k long, v long"
+    ).write.parquet(src)
+    assert main([
+        "table", "merge", p, "--source", src, "--keys", "k",
+        "--update-when", "s.v > t.v",
+        "--delete-when", "t.k = 2",
+        "--insert-when", "true",
+    ]) == 0
+    assert "committed v2" in capsys.readouterr().out
+    got = {r["k"]: r["v"] for r in read_table(spark, p).collect()}
+    # k=1 updated (99>10), k=2 deleted (5<20, delete fires), k=3 inserted
+    assert got == {1: 99, 3: 30}
