@@ -1065,3 +1065,83 @@ def test_keyed_cdf_transition_invariant(spark, tmp_path_factory, seed):
             for r in read_table(spark, p, j).collect()
         }
         assert got == snapshots[j]
+
+
+@given(seed=st.integers(0, 10**9))
+@settings(max_examples=3, deadline=None)
+def test_replication_and_scd2_track_any_history(
+    spark, tmp_path_factory, seed
+):
+    """For ANY interleaving of appends / MOR deletes / updates /
+    upserts: after each incremental catch-up the replica equals the
+    source snapshot, and at the end the SCD2 dimension reconstructs
+    EVERY source version — the two downstream-sync consumers are
+    sound over arbitrary histories, not just the scripted ones."""
+    import random
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_update_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.replicate import (
+        replicate_incremental,
+        replicate_seed,
+    )
+    from temp_data_pipeline_spark.operators.scd import (
+        scd2_catchup,
+        scd2_init,
+        scd2_snapshot_at,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        versions,
+    )
+
+    rng = random.Random(seed)
+    root = tmp_path_factory.mktemp("sync")
+    src, rep, dim = str(root / "src"), str(root / "rep"), str(root / "dim")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, grp long, val long")
+
+    def rows(df):
+        return sorted(
+            (r["k"], r["grp"], r["val"])
+            for r in df.select("k", "grp", "val").collect()
+        )
+
+    commit_version(frame([(k, k % 3, k * 10) for k in range(20)]), src)
+    replicate_seed(spark, src, rep, ["k"])
+    scd2_init(spark, src, dim, ["k"])
+    next_k = 20
+    for _ in range(4):
+        op = rng.choice(["append", "delete", "update", "upsert"])
+        if op == "append":
+            new = [(next_k + i, (next_k + i) % 3, rng.randint(0, 99))
+                   for i in range(rng.randint(1, 3))]
+            next_k += len(new)
+            commit_version(
+                frame(new), src, carry_from=versions(spark, src)[-1]
+            )
+        elif op == "delete":
+            commit_delete_mor(spark, src, f"grp = {rng.randint(0, 2)}")
+        elif op == "update":
+            commit_update_mor(
+                spark, src, f"grp = {rng.randint(0, 2)}",
+                {"val": "val + 1000"},
+            )
+        else:
+            ks = rng.sample(range(next_k), k=min(3, next_k))
+            commit_upsert_mor(
+                frame([(k, k % 3, rng.randint(0, 99)) for k in ks]),
+                src, ["k"],
+            )
+        replicate_incremental(spark, src, rep, ["k"])
+        assert rows(read_table(spark, rep)) == rows(read_table(spark, src))
+    scd2_catchup(spark, src, dim, ["k"])
+    for v in versions(spark, src):
+        assert rows(scd2_snapshot_at(spark, dim, v)) == rows(
+            read_table(spark, src, v)
+        ), f"seed={seed}: scd2 snapshot_at({v}) diverged"
