@@ -24,10 +24,11 @@ retried commit then contains BOTH writers' dirs: no batch is ever
 silently dropped.
 
 Same atomic-rename filesystem requirement as the versioned tables:
-the arbiter is ``rename`` failing onto an existing destination, which
-holds on HDFS and local filesystems; object-store connectors that
-emulate rename with copy+delete (S3A) need an external lock or a
-conditional-put primitive instead.
+the arbiter is ``rename`` failing onto an existing destination FILE,
+which holds on HDFS and local filesystems; object-store connectors
+that emulate rename with copy+delete (S3A) plug a conditional-put /
+lock primitive through ``versioned.set_commit_arbiter`` — this module
+publishes through the same seam.
 
 Legacy single-file ``index.json`` manifests read back as version 0,
 so the first logged commit on a pre-existing index lands at
@@ -116,23 +117,20 @@ def commit_index_manifest(
     between racing writers; the loser raises the retryable
     ``CommitConflictError`` (re-read the latest state, re-base, commit
     again). Returns the committed version number."""
-    import uuid
+    from temp_data_pipeline_spark.operators.versioned import _arbiter
 
     fs, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs.mkdirs(Path(path))
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
     latest = _latest(spark, path)
     if latest != expected_base:
         raise CommitConflictError(path, expected_base, latest)
     version = expected_base + 1
-    tmp = Path(f"{path}/.{_PREFIX}{version}.json.tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(man).encode("utf-8")))
-    out.close()
-    final = Path(f"{path}/{_PREFIX}{version}.json")
-    if fs.rename(tmp, final):
+    if _arbiter()(
+        spark,
+        f"{path}/{_PREFIX}{version}.json",
+        json.dumps(man).encode("utf-8"),
+    ):
         return version
-    fs.delete(tmp, False)
     raise CommitConflictError(path, expected_base, version)
 
 

@@ -71,11 +71,11 @@ class CommitConflictError(RuntimeError):
     the needed atomic, fail-onto-existing directory/file rename; raw
     S3 through S3A emulates rename as copy+delete behind a
     check-then-act existence probe, leaving a window where two racers
-    both believe they won ``expected_base + 1``. On such stores front
-    the commit with an external arbiter (a DynamoDB/ZooKeeper lock or
-    a conditional-PUT commit object — exactly what Delta's S3
-    LogStore and Iceberg's lock-manager catalogs exist for); the
-    protocol here assumes rename is the lock."""
+    both believe they won ``expected_base + 1``. On such stores plug
+    an external arbiter through ``set_commit_arbiter`` (a DynamoDB/
+    ZooKeeper lock or a conditional-PUT commit object — exactly what
+    Delta's S3 LogStore and Iceberg's lock-manager catalogs exist
+    for); the default arbiter assumes rename is the lock."""
 
     def __init__(self, path: str, expected_base: int, actual: int):
         self.path = path
@@ -119,6 +119,57 @@ def commit_with_retries(plan_fn, max_attempts: int = 5, backoff: float = 0.0):
                 _time.sleep(backoff * attempt)
     assert last is not None
     raise last
+
+
+# --- commit-arbiter seam ---------------------------------------------
+# The manifest publish ("this version number is now taken, and this is
+# its content") must be atomic-iff-absent. The default arbiter is the
+# Hadoop temp+rename (rename onto an EXISTING FILE fails on HDFS, local
+# FS, ABFS/GCS — verified for files, unlike directories, see
+# commit_version's slot claim). Object stores whose rename is
+# copy+delete behind a check-then-act probe (raw S3 via S3A) need an
+# external primitive instead — a conditional PUT, DynamoDB lock, or
+# ZooKeeper lease, exactly what Delta's S3 LogStore / Iceberg's
+# lock-manager catalogs provide. ``set_commit_arbiter`` is that
+# injection point: every manifest publish in this module AND the LLM
+# index commit log (llm/index_commit.py) routes through it.
+
+_COMMIT_ARBITER = None
+
+
+def default_rename_arbiter(
+    spark: SparkSession, final_path: str, payload: bytes
+) -> bool:
+    """Publish ``payload`` at ``final_path`` iff absent: write a
+    per-writer temp (unique name — two racers sharing one temp would
+    let the loser's bytes win the winner's rename) and rename onto the
+    final name. True = this writer owns the path."""
+    import uuid as _uuid
+
+    fs, jvm = _fs(spark, final_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    d, name = final_path.rsplit("/", 1)
+    tmp = Path(f"{d}/.{name}.{_uuid.uuid4().hex[:8]}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload))
+    out.close()
+    if fs.rename(tmp, Path(final_path)):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
+def set_commit_arbiter(fn) -> None:
+    """Install a custom commit arbiter: ``fn(spark, final_path, payload)
+    -> bool`` must atomically publish ``payload`` at ``final_path`` iff
+    nothing is published there yet, returning True only for the single
+    winner. Pass None to restore the rename-based default."""
+    global _COMMIT_ARBITER
+    _COMMIT_ARBITER = fn
+
+
+def _arbiter():
+    return _COMMIT_ARBITER or default_rename_arbiter
 
 
 def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -377,6 +428,40 @@ def _data_dir(path: str, version: int) -> str:
     return f"{path}/v={version}"
 
 
+def _claim_slot(
+    fs, Path, path: str, staging: str, claim: str, token: str,
+    data_slot: int, probe=None,
+) -> tuple[str, int]:
+    """Move the staged snapshot into the first free ``v=K`` slot and
+    PROVE ownership before returning ``(data_dir, slot)``. The exists
+    probe dodges occupied slots cheaply, but probe→rename is
+    check-then-act: a slot claimed in the gap makes Hadoop's rename
+    return true by moving the staging INTO the winner's dir instead of
+    failing. The ``claim`` sentinel (written inside the staging dir by
+    the caller) travels with the bytes, so ownership is decided by
+    where it surfaces: directly under ``v=K`` = claimed; nested under
+    ``v=K/.tmp-<token>`` = race lost — the staging is recovered intact
+    and retried at the next slot, and the winner's data is never
+    touched. ``probe`` is a test seam simulating the race window."""
+    exists = probe or (lambda p: fs.exists(Path(p)))
+    while True:
+        data = _data_dir(path, data_slot)
+        if exists(data) or not fs.rename(Path(staging), Path(data)):
+            data_slot += 1
+            continue
+        if fs.exists(Path(f"{data}/{claim}")):
+            fs.delete(Path(f"{data}/{claim}"), False)
+            return data, data_slot  # owned: OUR bytes occupy v=K
+        nested = Path(f"{data}/.tmp-{token}")
+        if not fs.exists(nested) or not fs.rename(nested, Path(staging)):
+            raise IOError(
+                f"slot claim for {data} lost and the staging dir "
+                f".tmp-{token} could not be recovered — filesystem "
+                "rename semantics violated the move-into contract"
+            )
+        data_slot += 1
+
+
 def versions(spark: SparkSession, path: str) -> list[int]:
     """Committed versions, ascending. Orphan data dirs (crashed or
     in-flight writers) are excluded by construction — only the
@@ -563,21 +648,28 @@ def commit_version(
     # bytes. A crash leaves an orphan .tmp-* dir; vacuum reclaims it.
     import uuid as _uuid
 
-    staging = f"{path}/.tmp-{_uuid.uuid4().hex[:12]}"
+    token = _uuid.uuid4().hex[:12]
+    staging = f"{path}/.tmp-{token}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    while True:
-        data = _data_dir(path, data_slot)
-        # the exists probe keeps Hadoop's rename from MOVING INTO an
-        # existing dir; the rename itself still arbitrates the race
-        # (onto a non-empty dir it fails, and a claimed slot is never
-        # empty — the writer's _SUCCESS lands with the claim)
-        if fs.exists(Path(data)) or not fs.rename(Path(staging), Path(data)):
-            data_slot += 1
-            continue
-        break
+    # ownership sentinel: Hadoop's rename onto a dir that APPEARED
+    # between the exists probe and the rename returns true by moving
+    # the source INTO it (verified on the bundled local FS, which
+    # falls through to FileUtil.copy; HDFS documents the same
+    # move-into semantics) — so a true rename is NOT proof the slot
+    # was claimed. A hidden marker file named after the staging token
+    # travels with the bytes; only the writer that finds ITS marker
+    # directly under v=K owns the slot. The loser's staging lands
+    # nested as v=K/.tmp-<token> — recovered intact, retried at the
+    # next slot (ADVICE r8 #1: without this, the loser's conflict
+    # cleanup deleted the WINNER's committed data).
+    claim = f"._claim-{token}"
+    fs.create(Path(f"{staging}/{claim}"), True).close()
+    data, data_slot = _claim_slot(
+        fs, Path, path, staging, claim, token, data_slot
+    )
     version = expected_base + 1 if expected_base is not None else data_slot
     enforce = {
         **inherited_tc,
@@ -629,15 +721,13 @@ def commit_version(
             **evo,
             **(meta or {}),
         }
-        tmp = Path(f"{_manifest_dir(path)}/.{version}.json.tmp")
-        out = fs.create(tmp, True)
-        out.write(bytearray(json.dumps(doc).encode("utf-8")))
-        out.close()
-        final = Path(f"{_manifest_dir(path)}/{version}.json")
-        if fs.rename(tmp, final):
+        if _arbiter()(
+            spark,
+            f"{_manifest_dir(path)}/{version}.json",
+            json.dumps(doc).encode("utf-8"),
+        ):
             return version
-        # lost the manifest race for this number: discard the temp
-        fs.delete(tmp, False)
+        # lost the manifest race for this number
         if expected_base is not None:
             # a competitor won the <B+1>.json slot — its commit was
             # planned against the same base, so ours is now stale:

@@ -320,3 +320,217 @@ class TestCommitWithRetries:
         assert got == {"u3", "u4", "u5"}
         # the log is healthy: contiguous versions, fsck-clean
         assert verify_table(spark, path) == []
+
+
+class TestSlotClaimOwnership:
+    """ADVICE r8 #1: Hadoop rename onto a dir that appeared between the
+    exists probe and the rename returns TRUE by moving the staging
+    INTO it (local FS falls through to FileUtil.copy; HDFS documents
+    move-into) — so a true rename is not proof of the slot claim. The
+    claimer must verify ownership via its sentinel and recover the
+    nested staging on a lost race, never touching the winner's data."""
+
+    def test_lost_probe_race_recovers_and_retries(self, spark, tmp_path):
+        path = _mk(spark, tmp_path, "slot1", [(1, "a", 10)])
+        fs, jvm = V._fs(spark, path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        # the loser's staging, exactly as commit_version stages it
+        token = "feedfacecafe"
+        staging = os.path.join(path, f".tmp-{token}")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "part-0.txt"), "w") as fh:
+            fh.write("loser")
+        claim = f"._claim-{token}"
+        open(os.path.join(staging, claim), "w").close()
+        # the winner already occupies v=2 with committed bytes
+        os.makedirs(os.path.join(path, "v=2"))
+        with open(os.path.join(path, "v=2", "part-0.txt"), "w") as fh:
+            fh.write("winner")
+        # first probe lies ("v=2 is free") — the race window; later
+        # probes see the real filesystem
+        lied = []
+
+        def probe(p):
+            if not lied:
+                lied.append(True)
+                return False
+            return fs.exists(Path(p))
+
+        data, slot = V._claim_slot(
+            fs, Path, path, staging, claim, token, 2, probe=probe
+        )
+        assert slot == 3 and data.endswith("v=3")
+        # the winner's dir is intact — no deletion, no nested leftovers
+        with open(os.path.join(path, "v=2", "part-0.txt")) as fh:
+            assert fh.read() == "winner"
+        assert sorted(os.listdir(os.path.join(path, "v=2"))) == ["part-0.txt"]
+        # the loser's bytes landed whole at v=3, sentinel consumed
+        with open(os.path.join(path, "v=3", "part-0.txt")) as fh:
+            assert fh.read() == "loser"
+        assert claim not in os.listdir(os.path.join(path, "v=3"))
+
+    def test_conflict_cleanup_only_after_verified_ownership(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The full end-to-end shape of the r8 finding: a MOR-style
+        commit loses BOTH the slot probe and the manifest race. Its
+        conflict cleanup must delete ITS OWN recovered data dir, and
+        the winner's committed version must survive untouched."""
+        path = _mk(spark, tmp_path, "slot2", [(1, "a", 10), (2, "b", 20)])
+        # winner commits version 2 (carry append)
+        commit_version(
+            spark.createDataFrame([(3, "c", 30)], "k long, user string, val long"),
+            path,
+            carry_from=1,
+        )
+        winner_rows = {r["k"] for r in read_version(spark, path, 2).collect()}
+        # loser planned against version 1; its commit must conflict and
+        # clean up only its own dir
+        with pytest.raises(CommitConflictError):
+            commit_version(
+                spark.createDataFrame([(9, "z", 90)], "k long, user string, val long"),
+                path,
+                carry_from=1,
+                expected_base=1,
+            )
+        assert versions(spark, path) == [1, 2]
+        assert {r["k"] for r in read_version(spark, path, 2).collect()} == winner_rows
+        # nothing of the loser persists: no stray v= dirs, no staging
+        stray = [
+            d for d in os.listdir(path)
+            if (d.startswith("v=") and d not in ("v=1", "v=2"))
+            or d.startswith(".tmp-")
+        ]
+        assert stray == []
+
+
+class TestCommitArbiterSeam:
+    """Verdict r8 #6: object stores without atomic rename plug a
+    conditional-put/lock arbiter through set_commit_arbiter; every
+    manifest publish (versioned tables AND the LLM index commit log)
+    routes through the seam."""
+
+    def _conditional_put(self):
+        claimed: set[str] = set()
+
+        def cput(spark, final, payload):
+            if final in claimed or os.path.exists(final):
+                return False
+            claimed.add(final)
+            with open(final, "wb") as fh:
+                fh.write(payload)
+            return True
+
+        return cput
+
+    def test_protocol_unchanged_through_custom_arbiter(self, spark, tmp_path):
+        V.set_commit_arbiter(self._conditional_put())
+        try:
+            path = os.path.join(str(tmp_path), "arb1")
+            commit_version(
+                spark.createDataFrame([(1, "a", 10)], "k long, user string, val long"),
+                path,
+            )
+            commit_version(
+                spark.createDataFrame([(2, "b", 20)], "k long, user string, val long"),
+                path,
+                carry_from=1,
+            )
+            with pytest.raises(CommitConflictError):
+                commit_version(
+                    spark.createDataFrame(
+                        [(3, "c", 30)], "k long, user string, val long"
+                    ),
+                    path,
+                    carry_from=1,
+                    expected_base=1,
+                )
+            assert versions(spark, path) == [1, 2]
+            assert {r["k"] for r in read_version(spark, path).collect()} == {1, 2}
+            assert verify_table(spark, path) == []
+        finally:
+            V.set_commit_arbiter(None)
+
+    def test_hook_closes_a_non_atomic_store_race(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """On a store whose publish is blind overwrite (the raw-S3
+        failure mode), the manifest race stays OPEN: the stale writer
+        'wins' too and silently replaces the winner's manifest. The
+        same staged race through a conditional-put arbiter is closed.
+        This pins the seam as the exact point where atomicity is
+        required."""
+        import json
+
+        def blind(spark_, final, payload):
+            with open(final, "wb") as fh:
+                fh.write(payload)
+            return True
+
+        def stage(name):
+            path = _mk(spark, tmp_path, name, [(1, "a", 10)])
+            # competitor's manifest lands between the version scan and
+            # our publish (hidden from the patched versions())
+            man = dict(read_manifest(spark, path, 1))
+            man["version"] = 2
+            with open(os.path.join(path, "_manifest", "2.json"), "w") as fh:
+                json.dump(man, fh)
+            return path
+
+        path = stage("arbopen")
+        path2 = stage("arbclosed")
+        real_versions = V.versions
+        monkeypatch.setattr(V, "versions", lambda s, p: [1])
+        try:
+            V.set_commit_arbiter(blind)
+            # race OPEN: the stale commit overwrites the winner's manifest
+            v = commit_version(
+                spark.createDataFrame([(5, "e", 50)], "k long, user string, val long"),
+                path,
+                expected_base=1,
+            )
+            assert v == 2  # silent lost update — the broken-store anomaly
+
+            V.set_commit_arbiter(self._conditional_put())
+            # race CLOSED by the conditional-put hook alone
+            with pytest.raises(CommitConflictError):
+                commit_version(
+                    spark.createDataFrame(
+                        [(5, "e", 50)], "k long, user string, val long"
+                    ),
+                    path2,
+                    expected_base=1,
+                )
+        finally:
+            V.set_commit_arbiter(None)
+            monkeypatch.setattr(V, "versions", real_versions)
+
+    def test_index_commit_routes_through_seam(self, spark, tmp_path):
+        from temp_data_pipeline_spark.llm.index_commit import (
+            commit_index_manifest,
+            read_index_state,
+        )
+
+        calls: list[str] = []
+        put = self._conditional_put()
+
+        def spy(spark_, final, payload):
+            calls.append(final)
+            return put(spark_, final, payload)
+
+        V.set_commit_arbiter(spy)
+        try:
+            path = os.path.join(str(tmp_path), "idx")
+            v = commit_index_manifest(
+                spark, path, {"dirs": ["a"]}, expected_base=0
+            )
+            assert v == 1
+            assert any(c.endswith("index-1.json") for c in calls)
+            got_v, man = read_index_state(spark, path)
+            assert got_v == 1 and man == {"dirs": ["a"]}
+            with pytest.raises(CommitConflictError):
+                commit_index_manifest(
+                    spark, path, {"dirs": ["b"]}, expected_base=0
+                )
+        finally:
+            V.set_commit_arbiter(None)
