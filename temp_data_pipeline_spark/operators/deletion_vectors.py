@@ -201,6 +201,39 @@ def commit_delete_mor(
 _DV_BROADCAST_MAX = 50_000_000
 
 
+def semi_on_keys(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """``left`` rows whose key tuple appears in ``right`` — NULL-SAFE
+    (NULL matches NULL, the eqNullSafe semantics every merge writer
+    matches with). A bare ``join(right, keys, 'left_semi')`` uses
+    plain equality, so a NULL-key row never matches and its stale
+    target row survives as a duplicate (ADVICE r8 #2's second leg).
+    Still a hash-joinable condition — eqNullSafe plans as
+    BroadcastHashJoin/SortMergeJoin like plain equality."""
+    return _keys_join(left, right, keys, "left_semi")
+
+
+def anti_on_keys(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """``left`` rows whose key tuple does NOT appear in ``right`` —
+    null-safe complement of ``semi_on_keys`` (a plain-equality anti
+    join keeps every NULL-key row regardless of the right side)."""
+    return _keys_join(left, right, keys, "left_anti")
+
+
+def _keys_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    l, r = left.alias("_skl"), right.alias("_skr")
+    cond = None
+    for k in keys:
+        c = F.col(f"_skl.{k}").eqNullSafe(F.col(f"_skr.{k}"))
+        cond = c if cond is None else (cond & c)
+    return l.join(r, cond, how)
+
+
 def _anti_dv(
     tagged: DataFrame, dv: DataFrame, n: int | None = None
 ) -> DataFrame:
@@ -274,11 +307,22 @@ def _visible_tagged_for_keys(
         bounds = key_frame.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
+            # NULL keys are legal (the merge writers match with
+            # eqNullSafe) but INVISIBLE to min/max bounds, and a file
+            # whose key stats are all-NULL is dropped by the zone-map
+            # keep-condition — pruning would skip the very files that
+            # hold NULL-key target rows, mis-classifying their pairs
+            # as unmatched and appending duplicates (ADVICE r8 #2).
+            # Detect them in the SAME single pass and fall back.
+            *[
+                F.max(F.col(k).isNull().cast("int")).alias(f"nl_{k}")
+                for k in keys
+            ],
         ).first()
         preds: list[tuple] = []
         for k in keys:
             mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
-            if mn is None or mx is None:
+            if mn is None or mx is None or bounds[f"nl_{k}"] == 1:
                 return _visible_tagged(spark, path, base, man)
             preds += [(k, ">=", mn), (k, "<=", mx)]
         survivors = _zm_survivors(spark, path, preds, base)
@@ -505,7 +549,7 @@ def commit_upsert_mor(
     tagged = _visible_tagged_for_keys(
         spark, path, base, man, keys, update_keys
     )
-    dv_new = tagged.join(update_keys, keys, "left_semi").select(
+    dv_new = semi_on_keys(tagged, update_keys, keys).select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
     return _commit_with_dv(spark, path, base, man, dv_new, updates, meta)

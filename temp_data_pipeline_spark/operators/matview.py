@@ -218,14 +218,23 @@ def refresh_agg_view(
         base_then = read_table(spark, base_path, reflected)
         touched = _touched_groups(base_then, base_now, keys)
     # group-pruned recompute: only touched groups' rows are scanned
-    recomputed = agg(base_now.join(touched, keys, "left_semi"))
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        anti_on_keys,
+        semi_on_keys,
+    )
+
+    # NULL group keys are legal (groupBy keeps a NULL group): both the
+    # group-pruned recompute and the vanished-group probe must match
+    # keys null-safely, or the NULL group is never recomputed and is
+    # perpetually re-emitted as vanished
+    recomputed = agg(semi_on_keys(base_now, touched, keys))
     _check_agg(recomputed, keys)
     upserts = recomputed.withColumn("_ts", F.lit(base_latest).cast("long"))
 
     # groups whose rows all vanished: touched but absent from the
     # recompute — they must leave the view (CDC delete rows carry the
     # full view schema with null payload)
-    vanished = touched.join(recomputed.select(*keys), keys, "left_anti")
+    vanished = anti_on_keys(touched, recomputed.select(*keys), keys)
     view_cols = read_version(spark, view_path, view_latest).drop("_ts").columns
     del_rows = vanished
     for c in view_cols:

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.operators.deletion_vectors import (
     _commit_with_dv,
     _visible_tagged_for_keys,
+    semi_on_keys,
 )
 from temp_data_pipeline_spark.operators.versioned import (
     commit_version,
@@ -145,7 +146,7 @@ def _apply(
     # as commit_upsert_mor), pruned by the delta's key bounding box
     # when the replica keeps zone maps on the keys
     tagged = _visible_tagged_for_keys(spark, path, base, man, keys, affected)
-    dv_new = tagged.join(affected, keys, "left_semi").select(
+    dv_new = semi_on_keys(tagged, affected, keys).select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
     return _commit_with_dv(

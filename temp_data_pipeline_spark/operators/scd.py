@@ -41,6 +41,7 @@ from temp_data_pipeline_spark.operators.deletion_vectors import (
     _commit_with_dv,
     _visible_tagged_for_keys,
     read_table,
+    semi_on_keys,
 )
 from temp_data_pipeline_spark.operators.versioned import (
     commit_version,
@@ -131,12 +132,12 @@ def scd2_apply(
         # the one position-finding scan — pruned by the delta's key
         # bounding box when the dimension keeps zone maps on the keys
         # — narrowed to CURRENT rows of affected keys
-        cur = (
+        cur = semi_on_keys(
             _visible_tagged_for_keys(
                 spark, dim_path, base, man, keys, affected
-            )
-            .filter(F.col("_valid_to").isNull())
-            .join(affected, keys, "left_semi")
+            ).filter(F.col("_valid_to").isNull()),
+            affected,
+            keys,
         )
         dv_new = cur.select(
             F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")

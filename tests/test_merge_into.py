@@ -140,3 +140,67 @@ def test_merge_is_one_version_and_time_travelable(spark, tmp_path):
     # v1 unchanged under time travel
     old = {r["k"]: r["v"] for r in read_table(spark, path, 1).collect()}
     assert old == {1: 10, 2: 20}
+
+
+def test_null_key_rows_are_never_duplicated_by_pruning(spark, tmp_path):
+    """ADVICE r8 #2: MERGE matches keys with eqNullSafe, but the
+    zone-map bounding box excludes NULL source keys (min/max ignore
+    NULL) and a file whose key stats are all-NULL is dropped by the
+    keep-condition — so a NULL-key target row's file could be skipped,
+    its pair mis-classified as unmatched, and the source row appended
+    as a duplicate on top of the never-DV'd old row. With any NULL
+    source key the position scan must fall back to the unpruned
+    form."""
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+    path = os.path.join(str(tmp_path), "nullkey")
+    # two files: one holds ONLY the NULL-key row (all-NULL key stats),
+    # committed separately so it is its own parquet file
+    commit_version(_df(spark, [(1, 10, "live"), (2, 20, "live")]), path)
+    commit_version(
+        spark.createDataFrame([(None, 30, "live")], SCHEMA),
+        path,
+        carry_from=1,
+    )
+    v = versions(spark, path)[-1]
+    write_zone_maps(spark, path, ["k"], version=v)
+    src = spark.createDataFrame(
+        [(None, 99, "fresh"), (1, 11, "fresh")], SCHEMA
+    )
+    commit_merge_into(src, path, ["k"], update_when=True)
+    got = read_table(spark, path).collect()
+    # exactly one row per key — the NULL-key row was UPDATED in place,
+    # not duplicated
+    by_k = {}
+    for r in got:
+        by_k.setdefault(r["k"], []).append((r["v"], r["status"]))
+    assert by_k[None] == [(99, "fresh")]
+    assert by_k[1] == [(11, "fresh")]
+    assert by_k[2] == [(20, "live")]
+
+
+def test_null_key_upsert_mor_not_duplicated(spark, tmp_path):
+    """Same hole through commit_upsert_mor (shares the pruned
+    position scan)."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_upsert_mor,
+    )
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+    path = os.path.join(str(tmp_path), "nullup")
+    commit_version(_df(spark, [(1, 10, "live")]), path)
+    commit_version(
+        spark.createDataFrame([(None, 30, "live")], SCHEMA),
+        path,
+        carry_from=1,
+    )
+    write_zone_maps(spark, path, ["k"], version=versions(spark, path)[-1])
+    commit_upsert_mor(
+        spark.createDataFrame([(None, 77, "upd")], SCHEMA), path, ["k"]
+    )
+    got = [
+        (r["v"], r["status"])
+        for r in read_table(spark, path).collect()
+        if r["k"] is None
+    ]
+    assert got == [(77, "upd")]
