@@ -424,6 +424,7 @@ def _commit_with_dv(
     meta: dict | None,
     *,
     allow_evolution: bool = False,
+    meta_late=None,
 ) -> int:
     """Shared MOR commit: cumulative DV = base DV ∪ dv_new (deduped),
     sidecar written first under a fresh name, then ONE metadata-level
@@ -467,6 +468,7 @@ def _commit_with_dv(
             meta={**(meta or {}), "_dv": name, "_dv_rows": n_dv},
             expected_base=base,
             allow_evolution=allow_evolution,
+            meta_late=meta_late,
         )
     except CommitConflictError:
         # the losing writer's sidecar would otherwise linger as an
@@ -524,6 +526,7 @@ def commit_upsert_mor(
     keys: list[str],
     *,
     meta: dict | None = None,
+    meta_late=None,
 ) -> int:
     """Merge-on-read MERGE (upsert): base rows whose key appears in
     ``updates`` are DV'd out, and the update batch is appended as one
@@ -538,7 +541,9 @@ def commit_upsert_mor(
     spark = updates.sparkSession
     vs = versions(spark, path)
     if not vs:
-        return commit_version(updates, path, meta=meta, expected_base=0)
+        return commit_version(
+            updates, path, meta=meta, expected_base=0, meta_late=meta_late
+        )
     base = vs[-1]
     man = read_manifest(spark, path, base)
     # position-finding scan pruned by the update batch's key bounding
@@ -552,4 +557,6 @@ def commit_upsert_mor(
     dv_new = semi_on_keys(tagged, update_keys, keys).select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
-    return _commit_with_dv(spark, path, base, man, dv_new, updates, meta)
+    return _commit_with_dv(
+        spark, path, base, man, dv_new, updates, meta, meta_late=meta_late
+    )

@@ -492,9 +492,19 @@ def commit_version(
     allow_evolution: bool = False,
     checks: dict[str, str] | None = None,
     expected_base: int | None = None,
+    meta_late=None,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
+
+    ``meta_late`` (optional) is a zero-arg callable resolved AFTER the
+    snapshot's data write but before the manifest publish, merged into
+    the manifest last. It exists for metadata only known once the
+    write action ran — e.g. a ``df.observe`` metric collected on the
+    commit pass itself (expectations' violation counts) — without a
+    second job over the data. Keys that steer the commit itself
+    (``_dv``, ``_table_constraints``, ``_field_ids``) must go in
+    ``meta``, which is read before the write.
 
     Data first (invisible until manifested), then the manifest via
     temp-file + rename. The snapshot is written ONCE into a private
@@ -694,6 +704,7 @@ def commit_version(
             raise ValueError(
                 f"commit rejected: CHECK constraint violations {bad}"
             )
+    late = dict(meta_late() if meta_late is not None else {})
     while True:
         import time as _time
 
@@ -720,6 +731,7 @@ def commit_version(
             **({"_table_constraints": inherited_tc} if inherited_tc else {}),
             **evo,
             **(meta or {}),
+            **late,
         }
         if _arbiter()(
             spark,
@@ -1613,6 +1625,43 @@ def verify_table(spark: SparkSession, path: str) -> list[str]:
         dv = man.get("_dv")
         if dv and not fs.exists(Path(f"{path}/_dv/{dv}")):
             issues.append(f"version {v}: missing deletion vector _dv/{dv}")
+        # quarantine linkage: a gated commit promises its violating
+        # rows to a sibling table BEFORE that second commit runs; a
+        # crash in the window leaves the promise unfulfilled —
+        # flagged here so the forensic gap is visible from metadata
+        qtable = man.get("_quarantine_table")
+        if qtable and int(man.get("_quarantined") or 0) > 0:
+            expect_n = int(man["_quarantined"])
+            found = False
+            for qv in versions(spark, qtable):
+                try:
+                    qman = read_manifest(spark, qtable, qv)
+                except Exception:
+                    continue
+                # batch commits link by target version, streaming
+                # commits by the micro-batch id (the sink's
+                # exactly-once key) — accept either
+                linked = qman.get("_quarantine_for_version") == v or (
+                    man.get("_stream_batch_id") is not None
+                    and qman.get("_stream_batch_id")
+                    == man.get("_stream_batch_id")
+                )
+                if linked and qman.get("_quarantine_of") == path:
+                    found = True
+                    qn = qman.get("_quarantined")
+                    if qn is not None and int(qn) != expect_n:
+                        issues.append(
+                            f"version {v}: quarantine batch row count "
+                            f"{qn} != promised {expect_n} ({qtable})"
+                        )
+                    break
+            if not found:
+                issues.append(
+                    f"version {v}: promised quarantine batch "
+                    f"({expect_n} rows -> {qtable}) never committed — "
+                    "crash between the gated commit and its "
+                    "quarantine leg; re-run the gate to re-append"
+                )
     # sidecars for versions that no longer resolve
     for side in ("_zonemaps", "_blooms"):
         sdir = Path(f"{path}/{side}")

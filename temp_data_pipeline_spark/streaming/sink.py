@@ -204,19 +204,18 @@ def _append_versioned_batch(
         # exactly-once contract without advancing the mark)
         return
 
-    good, bad, extra_meta = batch_df, None, {}
+    good, bad, n_bad_fn, extra_meta = batch_df, None, None, {}
+    qpath = f"{path}_quarantine"
     if expectations:
         from temp_data_pipeline_spark.operators.expectations import (
-            split_expectations,
+            observed_split,
         )
 
         batch_df = batch_df.persist()  # good/bad each scan it once
-        good, bad = split_expectations(batch_df, expectations)
-        n_bad = bad.count()
-        extra_meta = {
-            "_expectations": dict(expectations),
-            "_quarantined": n_bad,
-        }
+        # the violation count rides the commit's own write pass as an
+        # observed metric — no bad.count() second job (verdict r8 #4)
+        good, bad, n_bad_fn = observed_split(batch_df, expectations)
+        extra_meta = {"_expectations": dict(expectations)}
 
     def _plan() -> tuple[int, int | None] | None:
         """Re-planned per attempt: re-reads the version list, so a
@@ -234,6 +233,21 @@ def _append_versioned_batch(
             partition_by=partition_by,
             carry_from=prev,
             meta={"_stream_batch_id": batch_id, **extra_meta},
+            # quarantine linkage in the DATA commit's manifest
+            # (verdict r8 #5): the observed count resolves after the
+            # write action, before the manifest publish
+            meta_late=(
+                None
+                if n_bad_fn is None
+                else lambda: {
+                    "_quarantined": n_bad_fn(),
+                    **(
+                        {"_quarantine_table": qpath}
+                        if n_bad_fn() > 0
+                        else {}
+                    ),
+                }
+            ),
             expected_base=prev if prev is not None else 0,
         )
         return v, prev
@@ -245,26 +259,40 @@ def _append_versioned_batch(
         # legs replays the batch, the data leg skips, and THIS leg
         # catches up — exactly-once on both tables by idempotence,
         # same composition as the view-maintaining sink
-        if bad is not None and n_bad:
-            qpath = f"{path}_quarantine"
-
-            def _qplan() -> int | None:
-                qvs = versions(spark, qpath)
-                if batch_id <= _stream_high_water(spark, qpath, qvs):
-                    return None
-                return commit_version(
-                    bad,
-                    qpath,
-                    carry_from=(qvs[-1] if qvs else None),
-                    meta={
-                        "_stream_batch_id": batch_id,
-                        "_quarantine_of": path,
-                        "_expectations": dict(expectations),
-                    },
-                    expected_base=(qvs[-1] if qvs else 0),
+        if bad is not None:
+            if committed is not None:
+                n_bad = n_bad_fn()  # free: observed on the commit pass
+            else:
+                # replayed data leg — no action ran, so the
+                # observation never fired. Only pay a count when the
+                # quarantine leg might still be behind (the crash
+                # window between the two legs)
+                qvs0 = versions(spark, qpath)
+                n_bad = (
+                    0
+                    if batch_id <= _stream_high_water(spark, qpath, qvs0)
+                    else bad.count()
                 )
+            if n_bad:
 
-            commit_with_retries(_qplan)
+                def _qplan() -> int | None:
+                    qvs = versions(spark, qpath)
+                    if batch_id <= _stream_high_water(spark, qpath, qvs):
+                        return None
+                    return commit_version(
+                        bad,
+                        qpath,
+                        carry_from=(qvs[-1] if qvs else None),
+                        meta={
+                            "_stream_batch_id": batch_id,
+                            "_quarantine_of": path,
+                            "_quarantined": n_bad,
+                            "_expectations": dict(expectations),
+                        },
+                        expected_base=(qvs[-1] if qvs else 0),
+                    )
+
+                commit_with_retries(_qplan)
     finally:
         if expectations:
             batch_df.unpersist()
@@ -430,23 +458,30 @@ def stream_upsert_versioned(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        good, bad, n_bad, extra_meta = batch_df, None, 0, {}
+        good, bad, n_bad_fn, extra_meta = batch_df, None, None, {}
+        qpath = f"{path}_quarantine"
         if expectations:
             from temp_data_pipeline_spark.operators.expectations import (
-                split_expectations,
+                observed_split,
             )
 
             batch_df = batch_df.persist()
-            good, bad = split_expectations(batch_df, expectations)
-            n_bad = bad.count()
-            extra_meta = {
-                "_expectations": dict(expectations),
-                "_quarantined": n_bad,
-            }
+            # violation count observed on the commit's own scan of the
+            # batch — no bad.count() second job (verdict r8 #4)
+            good, bad, n_bad_fn = observed_split(batch_df, expectations)
+            extra_meta = {"_expectations": dict(expectations)}
         resolved = (
             keep_latest(good, keys, ts_col, tiebreak)
             if ts_col
             else good.dropDuplicates(keys)
+        )
+        late = (
+            None
+            if n_bad_fn is None
+            else lambda: {
+                "_quarantined": n_bad_fn(),
+                **({"_quarantine_table": qpath} if n_bad_fn() > 0 else {}),
+            }
         )
 
         def _plan() -> int | None:
@@ -458,6 +493,7 @@ def stream_upsert_versioned(
                     resolved,
                     path,
                     meta={"_stream_batch_id": batch_id, **extra_meta},
+                    meta_late=late,
                     expected_base=0,
                 )
             return commit_upsert_mor(
@@ -465,30 +501,45 @@ def stream_upsert_versioned(
                 path,
                 keys,
                 meta={"_stream_batch_id": batch_id, **extra_meta},
+                meta_late=late,
             )
 
         try:
-            commit_with_retries(_plan)
-            if bad is not None and n_bad:
-                qpath = f"{path}_quarantine"
-
-                def _qplan() -> int | None:
-                    qvs = versions(spark, qpath)
-                    if batch_id <= _stream_high_water(spark, qpath, qvs):
-                        return None
-                    return commit_version(
-                        bad,
-                        qpath,
-                        carry_from=(qvs[-1] if qvs else None),
-                        meta={
-                            "_stream_batch_id": batch_id,
-                            "_quarantine_of": path,
-                            "_expectations": dict(expectations),
-                        },
-                        expected_base=(qvs[-1] if qvs else 0),
+            committed = commit_with_retries(_plan)
+            if bad is not None:
+                if committed is not None:
+                    n_bad = n_bad_fn()
+                else:
+                    # replayed data leg: the observation never fired —
+                    # pay a count only inside the crash window where
+                    # the quarantine leg is still behind
+                    qvs0 = versions(spark, qpath)
+                    n_bad = (
+                        0
+                        if batch_id
+                        <= _stream_high_water(spark, qpath, qvs0)
+                        else bad.count()
                     )
+                if n_bad:
 
-                commit_with_retries(_qplan)
+                    def _qplan() -> int | None:
+                        qvs = versions(spark, qpath)
+                        if batch_id <= _stream_high_water(spark, qpath, qvs):
+                            return None
+                        return commit_version(
+                            bad,
+                            qpath,
+                            carry_from=(qvs[-1] if qvs else None),
+                            meta={
+                                "_stream_batch_id": batch_id,
+                                "_quarantine_of": path,
+                                "_quarantined": n_bad,
+                                "_expectations": dict(expectations),
+                            },
+                            expected_base=(qvs[-1] if qvs else 0),
+                        )
+
+                    commit_with_retries(_qplan)
         finally:
             if expectations:
                 batch_df.unpersist()

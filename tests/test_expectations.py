@@ -159,3 +159,110 @@ def test_streaming_upsert_gated(spark, tmp_path):
         (2, "v_positive"),
         (200, "k_small"),
     ]
+
+
+def test_concurrent_writer_mid_gate_retries_to_union(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 #3: a concurrent append landing between the gate's
+    versions() read and its commit must surface as a retried re-plan
+    (expected_base + commit_with_retries), never a silent renumber
+    that carries the STALE base's dir list and drops the winner's
+    rows from the new latest manifest."""
+    from temp_data_pipeline_spark.operators import expectations as E
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    path = os.path.join(str(tmp_path), "race")
+    commit_version(_df(spark, [(1, 5)]), path)
+    real_versions = E.versions
+    fired = []
+
+    def racing_versions(s, p):
+        vs = real_versions(s, p)
+        if p == path and not fired:
+            fired.append(True)
+            # the competitor's append lands right after our read
+            commit_version(
+                _df(spark, [(50, 9)]), path, carry_from=vs[-1]
+            )
+        return vs
+
+    monkeypatch.setattr(E, "versions", racing_versions)
+    v, n = commit_with_expectations(
+        _df(spark, [(2, 7), (3, -1)]), path, EXPECT
+    )
+    monkeypatch.setattr(E, "versions", real_versions)
+    assert n == 1
+    # the final version contains BOTH writers' rows — no lost update
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
+        1,
+        2,
+        50,
+    ]
+
+
+def test_gating_adds_no_extra_job(spark, tmp_path):
+    """Verdict r8 #4: the violation count rides the commit's write
+    pass as an observed metric. A drop-policy gated commit therefore
+    runs exactly ONE job (the append) — the old bad.count() second
+    job is gone."""
+    sc = spark.sparkContext
+    path = os.path.join(str(tmp_path), "jobs")
+    sc.setJobGroup("gate-baseline", "ungated commit")
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    commit_version(_df(spark, [(1, 5)]), os.path.join(str(tmp_path), "b"))
+    base_jobs = len(
+        sc.statusTracker()._jtracker.getJobIdsForGroup("gate-baseline")
+    )
+    sc.setJobGroup("gate-test", "gated commit, drop policy")
+    v, n = commit_with_expectations(
+        _df(spark, [(1, 5), (2, -1)]), path, EXPECT, on_violation="drop"
+    )
+    got_jobs = len(
+        sc.statusTracker()._jtracker.getJobIdsForGroup("gate-test")
+    )
+    sc.setJobGroup("gate-done", "")
+    assert (v, n) == (1, 1)
+    assert got_jobs == base_jobs  # gating itself costs zero extra jobs
+
+
+def test_quarantine_linkage_and_fsck(spark, tmp_path):
+    """Verdict r8 #5: the data commit's manifest records the promised
+    quarantine batch (table + row count) BEFORE the quarantine leg
+    runs; verify_table flags a version whose promise went unfulfilled
+    (crash between the two commits)."""
+    import json
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+        verify_table,
+    )
+
+    path = os.path.join(str(tmp_path), "link")
+    v, n = commit_with_expectations(
+        _df(spark, [(1, 5), (2, -1), (3, -2)]), path, EXPECT
+    )
+    assert n == 2
+    man = read_manifest(spark, path, v)
+    assert man["_quarantined"] == 2
+    assert man["_quarantine_table"] == f"{path}_quarantine"
+    # healthy: the quarantine batch landed, fsck is clean
+    assert verify_table(spark, path) == []
+    # simulate the crash window: the quarantine commit never happened
+    qman_dir = os.path.join(f"{path}_quarantine", "_manifest")
+    for name in os.listdir(qman_dir):
+        os.remove(os.path.join(qman_dir, name))
+    issues = verify_table(spark, path)
+    assert any("quarantine batch" in i and "never committed" in i for i in issues)
+
+
+def test_clean_gated_commit_records_no_quarantine_table(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    path = os.path.join(str(tmp_path), "clean")
+    v, n = commit_with_expectations(_df(spark, [(1, 5)]), path, EXPECT)
+    assert n == 0
+    man = read_manifest(spark, path, v)
+    assert man["_quarantined"] == 0
+    assert "_quarantine_table" not in man
