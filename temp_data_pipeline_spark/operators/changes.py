@@ -264,22 +264,61 @@ def _until_schema(spark: SparkSession, path: str, until: int, man_new: dict):
     return read_version(spark, path, until).schema
 
 
-def _project_to(tagged: DataFrame | None, schema) -> DataFrame | None:
+def _project_to(
+    tagged: DataFrame | None,
+    schema,
+    man_old: dict | None = None,
+    man_new: dict | None = None,
+) -> DataFrame | None:
     """Align a scanned frame to the feed's output schema: since-side
     scans run under ``since``'s (narrower) schema, so an add-column
     evolution inside the window would otherwise fail the union —
     absent columns surface as typed NULLs, exactly how read_version
-    reads old files under an evolved schema."""
+    reads old files under an evolved schema.
+
+    When BOTH endpoint manifests are passed (the delete side — its
+    scan resolves under ``since``'s schema), columns map by STABLE
+    FIELD ID first: a window spanning a metadata-only rename_column
+    would otherwise align by name and emit NULL in the renamed
+    column, mis-keying table_changes_keyed / replication / SCD2 when
+    it is a key (ADVICE r8 #4). A field id absent at ``since``
+    (column added inside the window) null-fills as before."""
     if tagged is None:
         return None
+    rename: dict[str, str] = {}
+    if man_old is not None and man_new is not None:
+        from temp_data_pipeline_spark.operators.versioned import (
+            _dir_mapping,
+        )
+
+        ids_new = man_new.get("_field_ids") or {}
+        inv_old = {
+            fid: n for n, fid in (man_old.get("_field_ids") or {}).items()
+        }
+        if ids_new and not inv_old:
+            # tracking engaged INSIDE the window: since's current
+            # names ARE its dirs' disk names, and the newer manifest
+            # records those per-dir (carry commits propagate
+            # _dir_fields for every referenced version root)
+            for d in _manifest_dirs(man_old):
+                m = _dir_mapping(man_new, d)
+                if m:
+                    for disk, fid in m.items():
+                        inv_old.setdefault(fid, disk)
+        rename = {
+            name: inv_old[fid]
+            for name, fid in ids_new.items()
+            if fid in inv_old and inv_old[fid] != name
+        }
     have = set(tagged.columns)
-    return tagged.select(
-        *[
-            F.col(f.name) if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-    )
+    cols = []
+    for f in schema.fields:
+        src = rename.get(f.name, f.name)
+        if src in have:
+            cols.append(F.col(src).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return tagged.select(*cols)
 
 
 def read_appended(
@@ -374,10 +413,16 @@ def changes_between(
 
     frames: list[DataFrame] = []
 
-    def _emit(tagged: DataFrame | None, change: str) -> None:
+    def _emit(
+        tagged: DataFrame | None, change: str, *, since_side: bool = False
+    ) -> None:
         if tagged is None:
             return
-        aligned = _project_to(tagged, out_schema)
+        aligned = (
+            _project_to(tagged, out_schema, man_old, man_new)
+            if since_side
+            else _project_to(tagged, out_schema)
+        )
         frames.append(aligned.withColumn("_change_type", F.lit(change)))
 
     # inserts: rows of the added files, minus what until's DV hides
@@ -385,10 +430,13 @@ def changes_between(
         _minus(_scan_files(spark, path, until, sorted(added)), dv_new, n_new),
         "insert",
     )
-    # deletes: rows of the removed files that were VISIBLE at since
+    # deletes: rows of the removed files that were VISIBLE at since —
+    # scanned under SINCE's schema, so they align to the output names
+    # by stable field id (a rename inside the window)
     _emit(
         _minus(_scan_files(spark, path, since, sorted(removed)), dv_old, n_old),
         "delete",
+        since_side=True,
     )
     # DV delta over the shared files — pruned to the files either DV
     # actually names, so a 3-row MOR delete scans the files holding

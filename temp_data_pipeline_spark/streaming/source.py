@@ -229,17 +229,42 @@ def _colmap(
     manifest that LISTS the dir: until for added/shared files, since
     for removed ones). A name with no disk counterpart (column added
     after the dir was written, including drop-then-re-add's fresh id)
-    maps to None → null fill."""
-    dirf = dirs_man.get("_dir_fields") or {}
-    if not dirf:
-        return None
-    d = rel_file.rsplit("/", 1)[0] if "/" in rel_file else ""
-    mapping = dirf.get(d)
-    if mapping is None:
-        mapping = dirf.get(d.split("/", 1)[0])
-    if mapping is None:
-        return None  # dir written under the current schema: identity
+    maps to None → null fill.
+
+    A dir that is IDENTITY under ``dirs_man`` (written under its
+    current schema) is still not identity under ``ids_man`` when the
+    two manifests disagree — a window spanning a metadata-only
+    rename: removed files resolve from SINCE, whose disk names are
+    the OLD names (ADVICE r8 #4: aligning them by name null-filled
+    the renamed column, mis-keying every keyed consumer). The disk
+    mapping then derives from ``dirs_man``'s own field ids."""
     ids = ids_man.get("_field_ids") or {}
+    if not ids:
+        return None  # tracking never engaged on the output side
+    d = rel_file.rsplit("/", 1)[0] if "/" in rel_file else ""
+
+    def _lookup(man: dict) -> dict | None:
+        dirf = man.get("_dir_fields") or {}
+        m = dirf.get(d)
+        if m is None:
+            head = d.split("/", 1)[0]
+            m = dirf.get(head)
+            if m is None:
+                for k2, v2 in dirf.items():
+                    if k2.split("/", 1)[0] == head:
+                        return v2
+        return m
+
+    mapping = _lookup(dirs_man)
+    if mapping is None and dirs_man is not ids_man:
+        # a since-listed dir the until manifest still knows (carried
+        # siblings share the version root's mapping)
+        mapping = _lookup(ids_man)
+    if mapping is None:
+        own = dirs_man.get("_field_ids")
+        if own is None or own == ids:
+            return None  # both endpoints agree: identity
+        mapping = dict(own)  # disk names ARE dirs_man's current names
     inv = {fid: disk for disk, fid in mapping.items()}
     return {name: inv.get(fid) for name, fid in ids.items()}
 
@@ -451,8 +476,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 disk = fld.name
                 if partition.colmap is not None:
                     disk = partition.colmap.get(fld.name, fld.name)
-                if fld.name in hive:
-                    v = _hive_value(hive[fld.name], fld.dataType)
+                if disk is not None and disk in hive:
+                    # hive dir segments carry the DISK name — a
+                    # renamed partition column resolves through the
+                    # same field-id mapping as data columns
+                    v = _hive_value(hive[disk], fld.dataType)
                     arr = (
                         pa.nulls(m, at)
                         if v is None

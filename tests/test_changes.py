@@ -426,3 +426,106 @@ def test_keyed_cdf_guards(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_rename_in_window_keys_delete_side_by_field_id(spark, tmp_path):
+    """ADVICE r8 #4: a window spanning a metadata-only rename_column
+    plus a file-removing commit (a COW rewrite) must emit the removed
+    files' delete rows with the renamed column POPULATED — the
+    since-side scan resolves old disk names to the new output names by
+    stable field id, so keyed consumers (table_changes_keyed,
+    replication, SCD2) stay correctly keyed when the renamed column
+    is a key."""
+    from temp_data_pipeline_spark.operators.changes import (
+        table_changes_keyed,
+    )
+    from temp_data_pipeline_spark.operators.versioned import rename_column
+
+    path = os.path.join(str(tmp_path), "renwin")
+    commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], SCHEMA
+        ),
+        path,
+        partition_by=["part"],
+    )
+    rename_column(spark, path, "k", "kid")  # metadata-only
+    # COW rewrite of part=a: removes its since-era file
+    commit_merge_cow(
+        spark.createDataFrame([(1, "a", 11)], "kid long, part string, v long"),
+        path,
+        ["kid"],
+        "v",
+        "part",
+    )
+    until = versions(spark, path)[-1]
+    feed = changes_between(spark, path, 1, until)
+    dels = feed.filter(F.col("_change_type") == "delete").collect()
+    # the removed file's rows carry their key under the NEW name
+    assert [(r["kid"], r["v"]) for r in dels] == [(1, 10)]
+    # multiset identity across the window (the _invariant helper reads
+    # the since snapshot under its PRE-rename names, so spell it out):
+    # visible(until) = visible(since as renamed) − deletes + inserts
+    ins = feed.filter(F.col("_change_type") == "insert").collect()
+    assert [(r["kid"], r["v"]) for r in ins] == [(1, 11)]
+    after = {
+        (r["kid"], r["v"]) for r in read_table(spark, path, until).collect()
+    }
+    assert after == {(1, 11), (2, 20)}
+    # keyed feed: k=1 classifies as an update pair, never as a
+    # NULL-keyed spurious insert+delete
+    keyed = table_changes_keyed(spark, path, ["kid"], 1, until)
+    got = {
+        (r["_change_type"], r["kid"], r["v"]) for r in keyed.collect()
+    }
+    assert got == {
+        ("update_preimage", 1, 10),
+        ("update_postimage", 1, 11),
+    }
+
+
+def test_stream_cdc_rename_in_window_keys_removed_files(spark, tmp_path):
+    """The streaming source's twin of the same ADVICE r8 #4 hole:
+    removed files resolve their colmap from SINCE's manifest, which
+    may predate field-id tracking — the disk mapping then derives
+    from the manifests that still record the dir's layout."""
+    from temp_data_pipeline_spark.operators.versioned import rename_column
+    from temp_data_pipeline_spark.streaming.source import (
+        register_versioned_source,
+    )
+
+    path = os.path.join(str(tmp_path), "renstream")
+    out = os.path.join(str(tmp_path), "renstream_out")
+    ckpt = os.path.join(str(tmp_path), "renstream_ckpt")
+    commit_version(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], SCHEMA),
+        path,
+        partition_by=["part"],
+    )
+    rename_column(spark, path, "k", "kid")
+    commit_merge_cow(
+        spark.createDataFrame([(1, "a", 11)], "kid long, part string, v long"),
+        path,
+        ["kid"],
+        "v",
+        "part",
+    )
+    register_versioned_source(spark)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("mode", "cdc")
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["_change_type"], r["kid"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("delete", 1, 10), ("insert", 1, 11)}
