@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from temp_data_pipeline_spark.operators.versioned import (
     CommitConflictError,
     _check_schema_against_manifest,
+    _fs,
     _manifest_dirs,
     _rel_file,
     _rel_from_any,
@@ -301,10 +302,19 @@ def _visible_tagged_for_keys(
         _read_files,
         _semi_join_scan,
         _zm_survivors,
+        _zonemap_dir,
     )
 
+    # no zone maps on this version -> the bounding-box agg job would
+    # be computed and thrown away; decide driver-side first
+    fs, jvm = _fs(spark, path)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(_zonemap_dir(path, base))
+    ):
+        return _visible_tagged(spark, path, base, man)
     try:
         bounds = key_frame.agg(
+            F.count(F.lit(1)).alias("_n_keys"),
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
             # NULL keys are legal (the merge writers match with
@@ -319,6 +329,10 @@ def _visible_tagged_for_keys(
                 for k in keys
             ],
         ).first()
+        if bounds["_n_keys"] == 0:
+            # empty key frame: no row can match — a limit(0) plan the
+            # optimizer folds to an empty relation, not a full scan
+            return _visible_tagged(spark, path, base, man).limit(0)
         preds: list[tuple] = []
         for k in keys:
             mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
