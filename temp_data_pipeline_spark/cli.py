@@ -86,7 +86,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "versioned-table ops: history/verify/maintain/vacuum/"
             "rollback/changes/tag/refs/untag/compact-small/"
             "replicate/scd2/add-constraint/drop-constraint/constraints/"
-            "merge"
+            "merge/expect-ingest/expect-show/quarantine/quarantine-replay"
         ),
     )
     t.add_argument(
@@ -95,6 +95,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "history", "verify", "maintain", "vacuum", "rollback", "changes",
             "tag", "refs", "untag", "compact-small", "replicate", "scd2",
             "add-constraint", "drop-constraint", "constraints", "merge",
+            "expect-ingest", "expect-show", "quarantine",
+            "quarantine-replay",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -133,6 +135,13 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(default: all unmatched source rows insert)")
     t.add_argument("--at-version", type=int, default=None,
                    help="tag: version to tag (default latest)")
+    t.add_argument("--expect", default=None,
+                   help="expect-ingest/quarantine-replay: the gate as "
+                        "semicolon-separated name=SQL pairs (replay "
+                        "defaults to the table's recorded set)")
+    t.add_argument("--on-violation", default="quarantine",
+                   choices=["quarantine", "drop", "fail"],
+                   help="expect-ingest: violation policy")
     t.add_argument("--small-bytes", type=int, default=128 * 1024 * 1024,
                    help="compact-small: dirs below this size collapse")
     t.add_argument("--small-dir-bytes", type=int, default=None,
@@ -236,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             tag_version,
             vacuum,
             verify_table,
+            versions,
         )
 
         if args.action == "history":
@@ -382,6 +392,72 @@ def main(argv: list[str] | None = None) -> int:
 
             for cname, csql in sorted(table_constraints(spark, args.path).items()):
                 print(f"[constraints] {cname}: {csql}")
+        elif args.action == "expect-ingest":
+            from temp_data_pipeline_spark.operators.expectations import (
+                commit_with_expectations,
+            )
+
+            if not args.source or not args.expect:
+                raise SystemExit("expect-ingest needs --source and --expect")
+            exp = dict(
+                pair.split("=", 1)
+                for pair in args.expect.split(";")
+                if pair
+            )
+            v, n_bad = commit_with_expectations(
+                spark.read.parquet(args.source),
+                args.path,
+                exp,
+                on_violation=args.on_violation,
+            )
+            print(f"[expect-ingest] committed v{v}, quarantined {n_bad}")
+        elif args.action == "expect-show":
+            from temp_data_pipeline_spark.operators.expectations import (
+                table_expectations,
+            )
+            from temp_data_pipeline_spark.operators.versioned import (
+                read_manifest,
+            )
+
+            exp = table_expectations(spark, args.path)
+            if not exp:
+                print("[expect-show] no expectations recorded")
+            for name, sql in sorted(exp.items()):
+                print(f"[expect-show] {name}: {sql}")
+            for v in versions(spark, args.path):
+                man = read_manifest(spark, args.path, v)
+                if "_quarantined" in man:
+                    print(
+                        f"[expect-show] v{v}: quarantined "
+                        f"{man['_quarantined']}"
+                    )
+        elif args.action == "quarantine":
+            from temp_data_pipeline_spark.operators.expectations import (
+                quarantine_summary,
+            )
+
+            for r in quarantine_summary(spark, args.path).collect():
+                print(f"[quarantine] {r['expectation']}: {r['rows']} rows")
+        elif args.action == "quarantine-replay":
+            from temp_data_pipeline_spark.operators.expectations import (
+                replay_quarantine,
+            )
+
+            exp = None
+            if args.expect:
+                exp = dict(
+                    pair.split("=", 1)
+                    for pair in args.expect.split(";")
+                    if pair
+                )
+            v, n_pass, n_still = replay_quarantine(
+                spark, args.path, exp
+            )
+            where = f"v{v}" if v is not None else "no commit"
+            print(
+                f"[quarantine-replay] {n_pass} rows passed ({where}), "
+                f"{n_still} still quarantined"
+            )
         elif args.action == "replicate":
             from temp_data_pipeline_spark.operators.replicate import (
                 replicate_incremental,

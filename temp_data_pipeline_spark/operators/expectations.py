@@ -57,6 +57,9 @@ __all__ = [
     "split_expectations",
     "observed_split",
     "commit_with_expectations",
+    "table_expectations",
+    "quarantine_summary",
+    "replay_quarantine",
 ]
 
 
@@ -215,3 +218,125 @@ def commit_with_expectations(
         return v, n_bad
     finally:
         df.unpersist()
+
+
+def table_expectations(spark, path: str) -> dict[str, str]:
+    """The expectation set the table's LATEST gated commit recorded
+    (empty when the table was never gated) — the operator console's
+    'show expectations' and the default gate for a quarantine
+    replay."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+    )
+
+    vs = versions(spark, path)
+    for v in reversed(vs):
+        exp = read_manifest(spark, path, v).get("_expectations")
+        if exp:
+            return dict(exp)
+    return {}
+
+
+def quarantine_summary(spark, path: str) -> DataFrame:
+    """Per-expectation violation counts over the table's quarantine —
+    one small aggregation (quarantine tables are violation-sized).
+    Columns: ``expectation``, ``rows``. A row violating several
+    expectations counts once per expectation (the _violations tag is
+    exploded)."""
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    qpath = f"{path}_quarantine"
+    if not versions(spark, qpath):
+        raise FileNotFoundError(f"no quarantine table at {qpath}")
+    bad = read_version(spark, qpath)
+    return (
+        bad.select(
+            F.explode(F.split(F.col("_violations"), ",")).alias(
+                "expectation"
+            )
+        )
+        .groupBy("expectation")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("expectation")
+    )
+
+
+def replay_quarantine(
+    spark,
+    path: str,
+    expectations: dict[str, str] | None = None,
+) -> tuple[int | None, int, int]:
+    """Re-gate the quarantined rows after a gate fix (the DLT
+    'reprocess quarantine' move): rows that now PASS append to the
+    main table as one carry commit; rows still violating become the
+    quarantine's next version — a REWRITE lineage, so the replay is
+    idempotent (a second replay re-gates only what still fails, and
+    the passing rows cannot re-append). Returns
+    ``(main version or None, n_passed, n_still_bad)``.
+
+    ``expectations`` defaults to the MAIN table's latest recorded set
+    — the natural flow is add/fix the gate on the ingest side, then
+    replay. Cold-path maintenance: the two counts are plain actions,
+    quarantine tables are violation-sized."""
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    qpath = f"{path}_quarantine"
+    qvs = versions(spark, qpath)
+    if not qvs:
+        return None, 0, 0
+    exp = expectations or table_expectations(spark, path)
+    if not exp:
+        raise ValueError(
+            f"no expectations recorded on {path} and none passed — "
+            "a replay needs the gate to re-check against"
+        )
+    quarantined = read_version(spark, qpath).drop("_violations")
+    good, still = split_expectations(quarantined, exp)
+    good = good.persist()
+    try:
+        n_pass = good.count()
+        v = None
+        if n_pass:
+
+            def _commit() -> int:
+                vs = versions(spark, path)
+                base = vs[-1] if vs else 0
+                return commit_version(
+                    good,
+                    path,
+                    carry_from=(base if vs else None),
+                    meta={
+                        "_expectations": dict(exp),
+                        "_quarantined": 0,
+                        "_replayed_from": qpath,
+                        "_replayed_rows": n_pass,
+                    },
+                    expected_base=base,
+                )
+
+            v = commit_with_retries(_commit)
+        # the remaining quarantine = rows still violating, RE-TAGGED
+        # under the (possibly fixed) gate — fresh lineage, no carry
+        still_tagged = quarantined.withColumn(
+            "_violations", violations_column(exp)
+        ).filter(F.col("_violations") != "")
+        n_still = still_tagged.count()
+
+        def _qcommit() -> int:
+            qbase = versions(spark, qpath)[-1]
+            return commit_version(
+                still_tagged,
+                qpath,
+                meta={
+                    "_quarantine_of": path,
+                    "_quarantined": n_still,
+                    "_expectations": dict(exp),
+                    "_replay_remainder": True,
+                },
+                expected_base=qbase,
+            )
+
+        commit_with_retries(_qcommit)
+        return v, n_pass, n_still
+    finally:
+        good.unpersist()

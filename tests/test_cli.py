@@ -244,3 +244,51 @@ def test_cli_table_merge(spark, tmp_path, capsys):
     got = {r["k"]: r["v"] for r in read_table(spark, p).collect()}
     # k=1 updated (99>10), k=2 deleted (5<20, delete fires), k=3 inserted
     assert got == {1: 99, 3: 30}
+
+
+def test_cli_expect_lifecycle(spark, tmp_path, capsys):
+    """Verdict r8 #7: the expectations/quarantine operator console —
+    gated ingest, show, quarantine summary, and replay after a gate
+    fix."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_version,
+        versions,
+    )
+
+    p = str(tmp_path / "gated")
+    src = str(tmp_path / "batch1")
+    spark.createDataFrame(
+        [(1, 5), (2, -1), (3, 7), (4, -9)], "k long, v long"
+    ).write.parquet(src)
+    assert main([
+        "table", "expect-ingest", p, "--source", src,
+        "--expect", "v_positive=v > 0",
+    ]) == 0
+    assert "quarantined 2" in capsys.readouterr().out
+    assert sorted(r["k"] for r in read_version(spark, p).collect()) == [1, 3]
+
+    assert main(["table", "expect-show", p]) == 0
+    out = capsys.readouterr().out
+    assert "v_positive: v > 0" in out and "quarantined 2" in out
+
+    assert main(["table", "quarantine", p]) == 0
+    assert "v_positive: 2 rows" in capsys.readouterr().out
+
+    # gate fix: negatives are fine now as long as v != -9
+    assert main([
+        "table", "quarantine-replay", p, "--expect", "v_ok=v <> -9",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "1 rows passed" in out and "1 still quarantined" in out
+    assert sorted(r["k"] for r in read_version(spark, p).collect()) == [
+        1, 2, 3,
+    ]
+    # replay is idempotent: the passed row left the quarantine
+    q = read_version(spark, f"{p}_quarantine")
+    assert [(r["k"], r["_violations"]) for r in q.collect()] == [(4, "v_ok")]
+    n_before = len(versions(spark, p))
+    assert main([
+        "table", "quarantine-replay", p, "--expect", "v_ok=v <> -9",
+    ]) == 0
+    assert "0 rows passed" in capsys.readouterr().out
+    assert len(versions(spark, p)) == n_before  # nothing re-appended
