@@ -1917,3 +1917,96 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
+    "q_sql_dml",
+    ["extension-relational", "maintenance", "sql"],
+    """
+    WITH t1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE NOT (o_custkey % 10 = 7)
+    ),
+    t2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 3
+                  THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM t1
+    ),
+    t3 AS (
+      SELECT * FROM t2
+      UNION ALL
+      SELECT o_orderkey + 50000000, CAST(9 AS BIGINT), o_totalprice
+      FROM t2 WHERE o_orderkey % 100 = 11
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 6 AND o_totalprice + 10.0 > 500.0
+                THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM t3
+    WHERE NOT (o_orderkey % 10 = 6 AND o_totalprice + 10.0 <= 500.0)
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "SQL statement surface (sql.py::SqlEngine — the engine.sql() "
+        "front the r8 verdict listed): the full DML family typed as "
+        "SQL text against a catalog of versioned tables. DELETE FROM "
+        "(MOR deletion vector), UPDATE .. SET .. WHERE (DV + "
+        "delta-sized re-append), INSERT INTO .. SELECT (carry-commit "
+        "append with store-assignment casts), and MERGE INTO with a "
+        "parenthesized subquery source, alias rewriting, and the "
+        "update/delete clause family — each statement delegating to "
+        "the oracle-verified MOR operators, so the SQL front adds "
+        "parsing, not new semantics. The final snapshot must equal "
+        "this oracle; IEEE-exact +100.0/+10.0 keeps the compare "
+        "bit-exact."
+    ),
+)
+def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="sqldml_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(orders.repartition(4), path)
+        eng = SqlEngine(spark, {"t": path})
+        eng.sql("DELETE FROM t WHERE o_custkey % 10 = 7")
+        eng.sql(
+            "UPDATE t SET o_totalprice = o_totalprice + 100.0 "
+            "WHERE o_orderkey % 10 = 3"
+        )
+        eng.sql(
+            "INSERT INTO t SELECT o_orderkey + 50000000, "
+            "CAST(9 AS BIGINT), o_totalprice FROM t "
+            "WHERE o_orderkey % 100 = 11"
+        )
+        eng.sql(
+            """
+            MERGE INTO t USING (
+              SELECT o_orderkey, o_custkey,
+                     o_totalprice + 10.0 AS o_totalprice
+              FROM t WHERE o_orderkey % 10 = 6
+            ) s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_totalprice > 500.0 THEN UPDATE SET *
+            WHEN MATCHED THEN DELETE
+            """
+        )
+        return (
+            read_table(spark, path)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1,0 +1,123 @@
+"""SQL statement surface (temp_data_pipeline_spark/sql.py): SELECT
+passthrough over DV-aware snapshots and the DML family delegating to
+the MOR operators (verdict r8 'What's missing' #3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from temp_data_pipeline_spark.operators.deletion_vectors import read_table
+from temp_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    versions,
+)
+from temp_data_pipeline_spark.sql import SqlEngine
+
+SCHEMA = "k long, v long, status string"
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t")
+    commit_version(
+        spark.createDataFrame(
+            [(1, 10, "live"), (2, 20, "live"), (3, 30, "expired")], SCHEMA
+        ),
+        p,
+    )
+    return SqlEngine(spark, {"t": p}), p
+
+
+def _rows(spark, p):
+    return {
+        r["k"]: (r["v"], r["status"])
+        for r in read_table(spark, p).collect()
+    }
+
+
+def test_select_sees_dv_resolved_snapshot(spark, eng):
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k = 2")
+    got = e.sql("SELECT k, v FROM t ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 10), (3, 30)]
+
+
+def test_delete_update_insert(spark, eng):
+    e, p = eng
+    v = e.sql("DELETE FROM t WHERE status = 'expired'")
+    assert v == 2
+    v = e.sql("UPDATE t SET v = v + 1, status = 'bumped' WHERE k = 1")
+    assert v == 3
+    v = e.sql("INSERT INTO t SELECT 9, 90, 'new'")
+    assert v == 4
+    assert _rows(spark, p) == {
+        1: (11, "bumped"),
+        2: (20, "live"),
+        9: (90, "new"),
+    }
+
+
+def test_merge_full_clause_family(spark, eng):
+    e, p = eng
+    batch = spark.createDataFrame(
+        [(1, 99, "x"), (2, 5, "x"), (3, 1, "x"), (50, 500, "new"),
+         (51, -1, "new")],
+        SCHEMA,
+    )
+    batch.createOrReplaceTempView("batch")
+    v = e.sql(
+        """
+        MERGE INTO t AS tgt USING batch AS b ON tgt.k = b.k
+        WHEN MATCHED AND b.v > tgt.v THEN UPDATE SET v = b.v, status = b.status
+        WHEN MATCHED AND tgt.status = 'live' THEN DELETE
+        WHEN NOT MATCHED AND b.v > 0 THEN INSERT *
+        """
+    )
+    assert v == 2
+    # k=1 updated (99>10); k=2 deleted (5<20, matched+live); k=3
+    # matched but neither clause (status 'expired', v not greater):
+    # untouched; 50 inserted; 51 filtered by insert_when
+    assert _rows(spark, p) == {
+        1: (99, "x"),
+        3: (30, "expired"),
+        50: (500, "new"),
+    }
+
+
+def test_merge_subquery_source_and_case_when(spark, eng):
+    e, p = eng
+    v = e.sql(
+        """
+        MERGE INTO t USING (
+          SELECT k, v * 2 AS v, status FROM t WHERE k <= 2
+        ) s ON t.k = s.k
+        WHEN MATCHED AND (CASE WHEN s.v > 25 THEN true ELSE false END)
+          THEN UPDATE SET *
+        """
+    )
+    assert v == 2
+    assert _rows(spark, p) == {
+        1: (10, "live"),       # 20 <= 25: untouched
+        2: (40, "live"),       # 40 > 25: doubled
+        3: (30, "expired"),
+    }
+
+
+def test_guards(spark, eng):
+    e, p = eng
+    with pytest.raises(ValueError, match="unknown table"):
+        e.sql("DELETE FROM nope WHERE k = 1")
+    with pytest.raises(ValueError, match="same-named"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.v "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="conjunction"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.k OR t.v = s.v "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        e.sql("DROP TABLE t")
