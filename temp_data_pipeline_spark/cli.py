@@ -68,6 +68,23 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--output-dir", default="runs")
     e.add_argument("--run-id", default=None)
 
+    q = sub.add_parser(
+        "sql",
+        help="run one SQL statement (SELECT/DML/utility) against a "
+             "catalog of versioned tables",
+    )
+    q.add_argument("statement", help="the SQL text")
+    q.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="catalog entry (repeatable): bare table name = versioned "
+             "table root",
+    )
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows to print for SELECTs")
+
     ft = sub.add_parser(
         "fetch", help="download + parse raw feeds (reference run_pipeline.py)"
     )
@@ -495,6 +512,24 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("rollback needs --to-version")
             v = rollback(spark, args.path, args.to_version)
             print(f"[rollback] restored v{args.to_version} as v{v}")
+
+    elif args.cmd == "sql":
+        from pyspark.sql import DataFrame as _DF
+
+        from temp_data_pipeline_spark.sql import SqlEngine
+
+        catalog = {}
+        for entry in args.table:
+            if "=" not in entry:
+                raise SystemExit(f"--table needs NAME=PATH (got {entry!r})")
+            name, path = entry.split("=", 1)
+            catalog[name] = path
+        out = SqlEngine(spark, catalog).sql(args.statement)
+        if isinstance(out, _DF):
+            for r in out.limit(args.limit).collect():
+                print(r.asDict())
+        elif out is not None:
+            print(f"[sql] committed v{out}")
 
     elif args.cmd == "fetch":
         from pathlib import Path

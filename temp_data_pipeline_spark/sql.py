@@ -189,10 +189,79 @@ class SqlEngine:
             return self._insert(st)
         if st.match(r"MERGE\b"):
             return self._merge(st)
+        if st.match(r"(VACUUM|OPTIMIZE|DESCRIBE|RESTORE)\b"):
+            return self._utility(st)
         raise ValueError(
             "unsupported statement (SELECT/WITH, DELETE, UPDATE, "
-            f"INSERT INTO, MERGE INTO): {st.text[:80]!r}"
+            "INSERT INTO, MERGE INTO, VACUUM, OPTIMIZE, DESCRIBE "
+            f"HISTORY, RESTORE): {st.text[:80]!r}"
         )
+
+    def _utility(self, st: _Stmt):
+        """The Delta-style table-utility statements, mapped onto the
+        maintenance operators:
+
+          VACUUM t [RETAIN <n> VERSIONS]   -> versioned.vacuum
+          OPTIMIZE t [ZORDER BY (a, b)]    -> compact_snapshot /
+                                              optimize_zorder
+          DESCRIBE HISTORY t               -> versioned.history (DF)
+          RESTORE t TO VERSION AS OF <n>   -> versioned.rollback
+        """
+        m = st.match(
+            r"VACUUM" + _WS + r"(\w+)"
+            r"(?:" + _WS + r"RETAIN" + _WS + r"(\d+)" + _WS
+            + r"VERSIONS)?$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                vacuum,
+            )
+
+            vacuum(
+                self.spark,
+                self._path(m.group(1)),
+                keep_last=int(m.group(2) or 3),
+            )
+            return None
+        m = st.match(
+            r"OPTIMIZE" + _WS + r"(\w+)"
+            r"(?:" + _WS + r"ZORDER" + _WS + r"BY" + _WS
+            + r"\(([^)]+)\))?$"
+        )
+        if m:
+            name, zcols = m.group(1), m.group(2)
+            if zcols:
+                from temp_data_pipeline_spark.operators.zonemap import (
+                    optimize_zorder,
+                )
+
+                cols = [c.strip() for c in zcols.split(",") if c.strip()]
+                return optimize_zorder(self.spark, self._path(name), cols)
+            from temp_data_pipeline_spark.operators.versioned import (
+                compact_snapshot,
+            )
+
+            return compact_snapshot(self.spark, self._path(name))
+        m = st.match(r"DESCRIBE" + _WS + r"HISTORY" + _WS + r"(\w+)$")
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                history,
+            )
+
+            return history(self.spark, self._path(m.group(1)))
+        m = st.match(
+            r"RESTORE" + _WS + r"(\w+)" + _WS + r"TO" + _WS + r"VERSION"
+            + _WS + r"AS" + _WS + r"OF" + _WS + r"(\d+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                rollback,
+            )
+
+            return rollback(
+                self.spark, self._path(m.group(1)), int(m.group(2))
+            )
+        raise ValueError(f"cannot parse utility statement: {st.text[:80]!r}")
 
     def _delete(self, st: _Stmt) -> int:
         from temp_data_pipeline_spark.operators.deletion_vectors import (

@@ -292,3 +292,24 @@ def test_cli_expect_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     assert "0 rows passed" in capsys.readouterr().out
     assert len(versions(spark, p)) == n_before  # nothing re-appended
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    p = str(tmp_path / "sqltab")
+    commit_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), p
+    )
+    assert main([
+        "sql", "DELETE FROM t WHERE k = 2", "--table", f"t={p}",
+    ]) == 0
+    assert "committed v2" in capsys.readouterr().out
+    assert main([
+        "sql", "SELECT k, v FROM t ORDER BY k", "--table", f"t={p}",
+    ]) == 0
+    assert "'k': 1" in capsys.readouterr().out
+    assert [r["k"] for r in read_table(spark, p).collect()] == [1]

@@ -121,3 +121,30 @@ def test_guards(spark, eng):
         )
     with pytest.raises(ValueError, match="unsupported statement"):
         e.sql("DROP TABLE t")
+
+
+def test_utility_statements(spark, eng):
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k = 2")
+    hist = e.sql("DESCRIBE HISTORY t")
+    assert [r["version"] for r in hist.collect()] == [1, 2]
+    v = e.sql("RESTORE t TO VERSION AS OF 1")
+    assert v == 3
+    got = sorted(r["k"] for r in e.sql("SELECT k FROM t").collect())
+    assert got == [1, 2, 3]  # the delete rolled back
+    v = e.sql("OPTIMIZE t")
+    assert v == 4
+    e.sql("VACUUM t RETAIN 1 VERSIONS")
+    assert [r["version"] for r in e.sql("DESCRIBE HISTORY t").collect()] == [4]
+    assert sorted(r["k"] for r in e.sql("SELECT k FROM t").collect()) == [
+        1, 2, 3,
+    ]
+
+
+def test_optimize_zorder_statement(spark, eng):
+    e, p = eng
+    v = e.sql("OPTIMIZE t ZORDER BY (k, v)")
+    assert v == 2
+    assert sorted(r["k"] for r in e.sql("SELECT k FROM t").collect()) == [
+        1, 2, 3,
+    ]
