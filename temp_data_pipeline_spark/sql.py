@@ -180,7 +180,7 @@ class SqlEngine:
         st = _Stmt(statement)
         if st.match(r"(SELECT|WITH)\b"):
             self._register_views()
-            return self.spark.sql(st.text)
+            return self.spark.sql(self._rewrite_time_travel(st.text))
         if st.match(r"DELETE\b"):
             return self._delete(st)
         if st.match(r"UPDATE\b"):
@@ -195,6 +195,51 @@ class SqlEngine:
             "unsupported statement (SELECT/WITH, DELETE, UPDATE, "
             "INSERT INTO, MERGE INTO, VACUUM, OPTIMIZE, DESCRIBE "
             f"HISTORY, RESTORE): {st.text[:80]!r}"
+        )
+
+    def _rewrite_time_travel(self, text: str) -> str:
+        """Delta-style time travel inside queries: ``FROM t VERSION AS
+        OF 3`` / ``FROM t TIMESTAMP AS OF '...'`` — each occurrence is
+        rewritten to a uniquely-named temp view of the historical
+        (DV-resolved for versions; manifest-clock for timestamps)
+        snapshot. Catalog tables only; pure rewrite, the query text
+        otherwise reaches Spark SQL untouched."""
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            read_table,
+        )
+        from temp_data_pipeline_spark.operators.versioned import (
+            read_as_of,
+        )
+
+        def _version(m: re.Match) -> str:
+            name, v = m.group(1), int(m.group(2))
+            if name not in self.catalog:
+                return m.group(0)
+            view = f"{name}__v{v}"
+            read_table(self.spark, self.catalog[name], v)\
+                .createOrReplaceTempView(view)
+            return view
+
+        def _timestamp(m: re.Match) -> str:
+            name, ts = m.group(1), m.group(2)
+            if name not in self.catalog:
+                return m.group(0)
+            view = f"{name}__ts{abs(hash(ts)) % 10**8}"
+            read_as_of(self.spark, self.catalog[name], float(ts))\
+                .createOrReplaceTempView(view)
+            return view
+
+        text = re.sub(
+            r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+            _version,
+            text,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+([0-9.]+)\b",
+            _timestamp,
+            text,
+            flags=re.IGNORECASE,
         )
 
     def _utility(self, st: _Stmt):

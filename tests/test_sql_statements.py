@@ -148,3 +148,25 @@ def test_optimize_zorder_statement(spark, eng):
     assert sorted(r["k"] for r in e.sql("SELECT k FROM t").collect()) == [
         1, 2, 3,
     ]
+
+
+def test_time_travel_select(spark, eng):
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k = 2")
+    e.sql("INSERT INTO t SELECT 7, 70, 'new'")
+    # current = {1, 3, 7}; v1 = {1, 2, 3}; v2 (post-delete) = {1, 3}
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM t").collect()
+    ) == [1, 3, 7]
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM t VERSION AS OF 1").collect()
+    ) == [1, 2, 3]
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM t VERSION AS OF 2").collect()
+    ) == [1, 3]
+    # mixed: current joined to history
+    got = e.sql(
+        "SELECT cur.k FROM t cur LEFT ANTI JOIN "
+        "t VERSION AS OF 1 old ON cur.k = old.k"
+    ).collect()
+    assert [r["k"] for r in got] == [7]
