@@ -78,12 +78,8 @@ _DRIVER_WINDOW = 50
 
 # name -> last round with a green driver record (CORRECTNESS_r{N}.json).
 _LAST_VERIFIED = {
-    # r3 green (the oldest remaining tail — leads round 6's window)
-    **{n: 3 for n in (
-        "q_cardinality", "q_cube", "q_except", "q_incr_rollup",
-        "q_intersect", "q_pivot", "q_rank_topn", "q_rollup",
-    )},
-    # r4 green
+    # r4 green (driver-stale tail — re-oracled by the r8 sweep, but
+    # rotation tracks DRIVER records; this cohort leads round 9's window)
     **{n: 4 for n in (
         "llm_ann_lsh_topk", "llm_ann_topk", "llm_bloom_decontam",
         "llm_bpe_encode", "llm_classifier", "llm_dedup_exact",
@@ -91,50 +87,80 @@ _LAST_VERIFIED = {
         "llm_fingerprint", "llm_gopher", "llm_intra_dup", "llm_lang_id",
         "llm_minhash", "llm_mix_temperature", "llm_neardup_window",
         "llm_pq_topk", "llm_semdedup", "llm_simhash",
-        "llm_simhash_neardup", "llm_span_dedup", "llm_text_quality",
-        "llm_token_bpe", "llm_token_count", "q_asof_forward",
-        "q_asof_join", "q_datetime", "q_events_window", "q_gap_fill",
-        "q_harmonic", "q_keep_latest", "q_metrics", "q_quantile",
-        "q_quantile_group", "q_range_join", "q_session_window",
-        "q_sessionize", "q_split", "q_stream_events", "q_stream_join",
-        "q_stream_neardup", "q_stream_sessions", "q_union",
-        "q_window_expand", "q_window_range", "q_window_roll",
+        "llm_simhash_neardup", "llm_span_dedup", "q_asof_forward",
+        "q_asof_join", "q_gap_fill", "q_keep_latest", "q_range_join",
+        "q_session_window", "q_sessionize", "q_stream_events",
+        "q_stream_join", "q_stream_neardup", "q_stream_sessions",
+        "q_window_range"
     )},
-    # r5 green (CORRECTNESS_r05.json: 50/50 pass)
+    # r5 green (CORRECTNESS_r05.json)
     **{n: 5 for n in (
-        "llm_ann_recall", "llm_bm25", "llm_centroid", "llm_chunk",
-        "llm_cluster_best", "llm_corpus_report", "llm_curation_funnel",
-        "llm_decontam", "llm_dup_clusters", "llm_hash_embed",
-        "llm_hash_split", "llm_heavy_hitters", "llm_ivf_index_topk",
-        "llm_ivf_topk", "llm_keywords", "llm_line_dedup", "llm_lm_score",
-        "llm_minhash_dedup", "llm_multimodal", "llm_pack", "llm_pii",
-        "llm_quantize_int8", "llm_repetition", "llm_stratified",
-        "llm_text_knn", "llm_topk_lang", "llm_vocab_coverage", "q_agg",
-        "q_anti_join", "q_bitor", "q_case", "q_dedup", "q_filter",
-        "q_ghcnh_parse", "q_isd_parse", "q_join", "q_json_extract",
-        "q_lead_hours", "q_multijoin", "q_pipeline_clean",
-        "q_pipeline_daily", "q_project", "q_scan", "q_season",
-        "q_semi_join", "q_skew_agg", "q_stream_dedup", "q_ts_parse",
-        "q_units", "q_window_lag",
+        "llm_ann_recall", "llm_centroid", "llm_chunk", "llm_cluster_best",
+        "llm_corpus_report", "llm_curation_funnel", "llm_decontam",
+        "llm_dup_clusters", "llm_hash_embed", "llm_hash_split",
+        "llm_heavy_hitters", "llm_ivf_topk", "llm_keywords",
+        "llm_line_dedup", "llm_lm_score", "llm_minhash_dedup",
+        "llm_multimodal", "llm_pack", "llm_pii", "llm_quantize_int8",
+        "llm_repetition", "llm_stratified", "llm_text_knn",
+        "llm_topk_lang", "llm_vocab_coverage", "q_agg", "q_anti_join",
+        "q_bitor", "q_case", "q_dedup", "q_filter", "q_ghcnh_parse",
+        "q_isd_parse", "q_join", "q_json_extract", "q_lead_hours",
+        "q_multijoin", "q_pipeline_clean", "q_pipeline_daily",
+        "q_project", "q_scan", "q_season", "q_semi_join", "q_skew_agg",
+        "q_stream_dedup", "q_ts_parse", "q_units", "q_window_lag"
+    )},
+    # r6 green
+    **{n: 6 for n in (
+        "llm_text_quality", "llm_token_bpe"
+    )},
+    # r7 green (CORRECTNESS_r07.json)
+    **{n: 7 for n in (
+        "llm_token_count", "q_cardinality", "q_datetime",
+        "q_events_window", "q_harmonic", "q_incr_rollup", "q_metrics",
+        "q_quantile", "q_quantile_group", "q_split", "q_union",
+        "q_window_expand", "q_window_roll"
+    )},
+    # r8 green (CORRECTNESS_r08.json: 50/50 pass)
+    **{n: 8 for n in (
+        "llm_bm25", "llm_budget_select", "llm_corpus_line_dedup",
+        "llm_dedup_index", "llm_dsir", "llm_exact_sample",
+        "llm_ivf_index_topk", "llm_knn_join", "llm_length_buckets",
+        "llm_normalize", "llm_pack_read", "llm_shuffle", "llm_url_cap",
+        "q_analyze", "q_bloom_lookup", "q_cdf_keyed", "q_change_feed",
+        "q_constraints", "q_cube", "q_delete_mor", "q_except",
+        "q_expectations", "q_fk_orphans", "q_funnel",
+        "q_hidden_partition", "q_intersect", "q_jsonl_ingest",
+        "q_lakehouse_scan", "q_matview_mor", "q_matview_refresh",
+        "q_merge_into", "q_meta_agg", "q_part_agg",
+        "q_partition_evolution", "q_pivot", "q_rank_topn",
+        "q_rename_evolution", "q_replicate", "q_retention", "q_rollup",
+        "q_scd2", "q_star_revenue", "q_stream_cdc", "q_stream_matview",
+        "q_stream_replicate", "q_stream_source", "q_stream_upsert",
+        "q_stream_versioned", "q_update_mor", "q_zorder_skip"
     )},
 }
 
-# Implementations changed in round 6 since their last green record:
-#   - llm_bm25: per-document tf frame persisted at the stats/scoring
-#     fork (one tokenization pass; values unchanged);
-#   - llm_ivf_index_topk: index layout moved to uniquely-named cell
-#     dirs resolved via the manifest (atomic rebuild + add_vectors
-#     appends; probe results unchanged).
+# Implementations or inputs changed in ROUND 9 since their last green
+# driver record (all locally re-verified green against DuckDB this
+# round; listed so the driver mints fresh records):
+#   - NULL-key zone-map pruning + null-safe key joins: q_merge_into,
+#     q_update_mor, q_delete_mor, q_replicate, q_matview_mor,
+#     q_matview_refresh, q_stream_matview;
+#   - batched SCD2 catch-up (one position scan per backlog): q_scd2,
+#     q_stream_replicate;
+#   - expectations observe-gating + quarantine linkage:
+#     q_expectations, q_stream_upsert;
+#   - streaming-source DV embedding + rename-aware colmap / keyed
+#     delete-side field-id mapping: q_stream_source, q_stream_cdc,
+#     q_cdf_keyed, q_rename_evolution.
 # New this round (never verified — priority 0 automatically):
-# llm_pack_read (pack reader — inverse of llm_pack), llm_url_cap,
-# llm_budget_select, llm_dsir, llm_corpus_line_dedup, llm_dedup_index,
-# llm_length_buckets, q_analyze, llm_normalize, q_hidden_partition,
-# llm_knn_join, q_funnel, q_retention, q_fk_orphans,
-# q_matview_refresh, llm_shuffle, llm_exact_sample, q_stream_versioned,
-# q_zorder_skip, q_meta_agg, q_bloom_lookup, q_delete_mor, q_update_mor,
-# q_lakehouse_scan, q_jsonl_ingest, q_star_revenue, q_part_agg.
+# q_sql_dml (SQL statement surface: DELETE/UPDATE/INSERT/MERGE text).
 _RECHECK = [
-    "llm_bm25", "llm_ivf_index_topk",
+    "q_merge_into", "q_update_mor", "q_delete_mor", "q_replicate",
+    "q_matview_mor", "q_matview_refresh", "q_stream_matview",
+    "q_scd2", "q_stream_replicate", "q_expectations",
+    "q_stream_upsert", "q_stream_source", "q_stream_cdc",
+    "q_cdf_keyed", "q_rename_evolution",
 ]
 
 
