@@ -467,14 +467,21 @@ def _commit_with_dv(
     # sorted by (file, pos): a per-file probe (the streaming source's
     # fallback read, any pyarrow filtered scan) then prunes by
     # row-group stats instead of scanning the whole sidecar
-    dv_new.coalesce(1).sortWithinPartitions("file", "pos").write.parquet(
-        f"{path}/_dv/{name}"
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        dv_new.observe(obs, F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .sortWithinPartitions("file", "pos")
+        .write.parquet(f"{path}/_dv/{name}")
     )
     # record the sidecar's row count in the manifest so every reader's
     # broadcast-size gate is a metadata lookup, not a count() job
-    # (verdict r7 #8); counting the WRITTEN file is a parquet-footer
-    # aggregate, and it prices the commit, not every read
-    n_dv = int(spark.read.parquet(f"{path}/_dv/{name}").count())
+    # (verdict r7 #8); the count rides the write action itself as an
+    # observed metric — zero extra jobs at commit too (the r9
+    # observe-gating pattern)
+    n_dv = int(obs.get["n"] or 0)
     schema = StructType.fromJson(man["_schema"])
     if rows_new is None:
         rows_new = spark.createDataFrame([], schema)
