@@ -199,17 +199,30 @@ def replicate_incremental(
     from temp_data_pipeline_spark.operators.changes import (
         table_changes_keyed,
     )
+    from temp_data_pipeline_spark.operators.scd import (
+        _window_changes_rows,
+    )
 
     src_latest = versions(spark, src_path)[-1]
     reflected = replica_of_version(spark, replica_path)
     if src_latest == reflected:
         return versions(spark, replica_path)[-1]
+    meta = {"replica_of": src_path, "replica_of_version": src_latest,
+            "replica_keys": keys}
+    if not _window_changes_rows(spark, src_path, reflected, src_latest):
+        # metadata-only window (same dirs, same DV): advance the
+        # bookkeeping with one carry commit — no feed pull, no
+        # isEmpty probe, zero Spark jobs
+        base = versions(spark, replica_path)[-1]
+        from pyspark.sql.types import StructType
+
+        man = read_manifest(spark, replica_path, base)
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(man["_schema"])
+        )
+        return commit_version(
+            empty, replica_path, carry_from=base, meta=meta,
+            expected_base=base,
+        )
     feed = table_changes_keyed(spark, src_path, keys, reflected, src_latest)
-    return apply_changes_into(
-        spark,
-        feed,
-        replica_path,
-        keys,
-        meta={"replica_of": src_path, "replica_of_version": src_latest,
-              "replica_keys": keys},
-    )
+    return apply_changes_into(spark, feed, replica_path, keys, meta=meta)

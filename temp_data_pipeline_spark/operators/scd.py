@@ -238,19 +238,50 @@ def scd2_catchup(
 def _window_changes_rows(
     spark: SparkSession, path: str, since: int, until: int
 ) -> bool:
-    """Can the (since, until] single-version window contain ANY row
-    change? Pure manifest arithmetic — same data dirs and same DV
-    sidecar mean the identical visible rows (dirs and DV files are
-    immutable), so the feed pull is skipped without a listing."""
+    """Can the (since, until] window contain ANY row change? Manifest
+    arithmetic first — same data dirs and same DV sidecar mean the
+    identical visible rows (dirs and DV files are immutable) — then,
+    when the dir sets differ, ONE driver-side listing of only the
+    symmetric-difference dirs: a metadata-level commit (persisted
+    constraint, empty gated batch) mints an EMPTY new dir, which must
+    not count as a row change or every such window pays a feed pull
+    (verdict r8 #4). Conservative by construction: never skips a
+    window that could hold a row."""
     a = read_manifest(spark, path, since)
     b = read_manifest(spark, path, until)
+    if a.get("_dv") != b.get("_dv"):
+        return True
+    from temp_data_pipeline_spark.operators.changes import _files_in_dirs
     from temp_data_pipeline_spark.operators.versioned import (
         _manifest_dirs,
     )
 
-    return set(_manifest_dirs(a)) != set(_manifest_dirs(b)) or a.get(
-        "_dv"
-    ) != b.get("_dv")
+    da, db = set(_manifest_dirs(a)), set(_manifest_dirs(b))
+    if da == db:
+        return False
+    diff = sorted(
+        _files_in_dirs(spark, path, sorted(da - db))
+        | _files_in_dirs(spark, path, sorted(db - da))
+    )
+    if not diff:
+        return False
+    if len(diff) > 16:
+        return True  # real data movement — don't pay per-file footers
+    # a metadata-level commit's fresh dir holds one 0-ROW part file:
+    # footer row counts (driver-side, no data read) decide exactly
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        f, root = pafs.FileSystem.from_uri(path)
+    else:
+        f, root = pafs.LocalFileSystem(), path
+
+    def _rows_of(rel: str) -> int:
+        with f.open_input_file(f"{root}/{rel}") as fh:
+            return pq.ParquetFile(fh).metadata.num_rows
+
+    return any(_rows_of(rel) > 0 for rel in diff)
 
 
 def _scd2_carry_commit(

@@ -318,3 +318,46 @@ def test_replication_follows_add_column_evolution(spark, tmp_path):
     commit_delete_mor(spark, src, "k = 1")
     replicate_incremental(spark, src, dst, ["k"])
     assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+
+def test_metadata_only_window_is_one_carry_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A source backlog of commits that change no rows (persisted
+    constraints, renames re-listing the same dirs) advances the
+    replica's bookkeeping with one carry commit — no feed pull, no
+    position scan, no isEmpty probe (verdict r8 #4's replication
+    leg)."""
+    import os
+
+    from temp_data_pipeline_spark.operators import replicate as R
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        add_table_constraint,
+        commit_version,
+        versions,
+    )
+
+    src = os.path.join(str(tmp_path), "srcmd")
+    dst = os.path.join(str(tmp_path), "dstmd")
+    commit_version(
+        spark.createDataFrame([(1, 10)], "k long, v long"), src
+    )
+    R.replicate_seed(spark, src, dst, ["k"])
+    add_table_constraint(spark, src, "v_pos", "v > 0")
+
+    def boom(*a, **kw):
+        raise AssertionError("no feed pull for a metadata-only window")
+
+    import temp_data_pipeline_spark.operators.changes as C
+
+    monkeypatch.setattr(C, "table_changes_keyed", boom)
+    monkeypatch.setattr(R, "apply_changes_into", boom)
+    v = R.replicate_incremental(spark, src, dst, ["k"])
+    assert R.replica_of_version(spark, dst) == versions(spark, src)[-1]
+    assert {(r["k"], r["v"]) for r in read_table(spark, dst).collect()} == {
+        (1, 10)
+    }
+    assert v == versions(spark, dst)[-1]
