@@ -2010,3 +2010,76 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_quarantine_replay",
+    ["extension-relational", "maintenance", "governance"],
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_custkey % 10 = 7 AND o_orderkey % 3 = 0
+                THEN 'quarantined' ELSE 'live' END AS state
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Quarantine replay lifecycle (operators/expectations.py::"
+        "replay_quarantine — the DLT 'reprocess quarantine' move, "
+        "verdict r8 #7): ingest gated on custkey%10<>7 quarantines "
+        "the violating tenth; after the gate fix (okey%3<>0) ONE "
+        "replay re-appends the now-passing rows as a conflict-safe "
+        "carry commit and rewrites the quarantine to the still-"
+        "violating remainder re-tagged under the new gate — replay "
+        "is idempotent (a second replay appends nothing). The final "
+        "live table ∪ remaining quarantine must equal this row "
+        "classification."
+    ),
+)
+def q_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.expectations import (
+        commit_with_expectations,
+        replay_quarantine,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_version,
+        versions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="qrep_")
+    path = f"{scratch}/t"
+    try:
+        commit_with_expectations(
+            orders.repartition(4),
+            path,
+            {"tenant_ok": "o_custkey % 10 <> 7"},
+        )
+        replay_quarantine(
+            spark, path, {"fixed_gate": "o_orderkey % 3 <> 0"}
+        )
+        # idempotence: the second replay must append nothing
+        n_before = len(versions(spark, path))
+        _, n_pass, _ = replay_quarantine(
+            spark, path, {"fixed_gate": "o_orderkey % 3 <> 0"}
+        )
+        assert n_pass == 0 and len(versions(spark, path)) == n_before
+        live = read_version(spark, path).withColumn(
+            "state", F.lit("live")
+        )
+        quarantined = (
+            read_version(spark, f"{path}_quarantine")
+            .drop("_violations")
+            .withColumn("state", F.lit("quarantined"))
+        )
+        return (
+            live.unionByName(quarantined)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
