@@ -170,3 +170,48 @@ def test_time_travel_select(spark, eng):
         "t VERSION AS OF 1 old ON cur.k = old.k"
     ).collect()
     assert [r["k"] for r in got] == [7]
+
+
+def test_parser_robustness(spark, eng):
+    e, p = eng
+    # string literal containing keywords must not split clauses
+    e.sql(
+        "MERGE INTO t USING t AS s ON t.k <=> s.k "
+        "WHEN MATCHED AND s.status = 'WHEN MATCHED THEN DELETE' "
+        "THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1"
+    )
+    got = {r["k"]: r["v"] for r in e.sql("SELECT k, v FROM t").collect()}
+    assert got == {1: 11, 2: 21, 3: 31}
+    # nested function parens inside SET expressions
+    e.sql(
+        "UPDATE t SET v = CAST(round(v / 2.0, 0) AS BIGINT), "
+        "status = concat(status, '!') WHERE k IN (1, 3)"
+    )
+    got = {r["k"]: (r["v"], r["status"]) for r in e.sql(
+        "SELECT k, v, status FROM t"
+    ).collect()}
+    assert got[1] == (6, "live!") and got[3] == (16, "expired!")
+    assert got[2] == (21, "live")
+
+
+def test_merge_null_safe_on_and_insert_values(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    p = os.path.join(str(tmp_path), "nt")
+    commit_version(
+        spark.createDataFrame([(None, 1), (5, 2)], "k long, v long"), p
+    )
+    e = SqlEngine(spark, {"t": p})
+    e.sql("INSERT INTO t VALUES (7, 3)")
+    spark.createDataFrame(
+        [(None, 100), (7, 300)], "k long, v long"
+    ).createOrReplaceTempView("nbatch")
+    # NULL-safe ON: the NULL-key row matches and updates
+    e.sql(
+        "MERGE INTO t USING nbatch AS s ON t.k <=> s.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {r["k"]: r["v"] for r in e.sql("SELECT k, v FROM t").collect()}
+    assert got == {None: 100, 5: 2, 7: 300}
