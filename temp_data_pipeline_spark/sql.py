@@ -191,11 +191,73 @@ class SqlEngine:
             return self._merge(st)
         if st.match(r"(VACUUM|OPTIMIZE|DESCRIBE|RESTORE)\b"):
             return self._utility(st)
+        if st.match(r"ALTER\b"):
+            return self._alter(st)
         raise ValueError(
             "unsupported statement (SELECT/WITH, DELETE, UPDATE, "
-            "INSERT INTO, MERGE INTO, VACUUM, OPTIMIZE, DESCRIBE "
-            f"HISTORY, RESTORE): {st.text[:80]!r}"
+            "INSERT INTO, MERGE INTO, ALTER TABLE, VACUUM, OPTIMIZE, "
+            f"DESCRIBE HISTORY, RESTORE): {st.text[:80]!r}"
         )
+
+    def _alter(self, st: _Stmt) -> int:
+        """ALTER TABLE DDL, each one metadata-level commit:
+
+          ALTER TABLE t RENAME COLUMN a TO b    (stable-field-id rename)
+          ALTER TABLE t DROP COLUMN a
+          ALTER TABLE t ADD CONSTRAINT n CHECK (<predicate>)
+          ALTER TABLE t DROP CONSTRAINT n
+        """
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"RENAME" + _WS + r"COLUMN" + _WS + r"(\w+)" + _WS
+            + r"TO" + _WS + r"(\w+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                rename_column,
+            )
+
+            return rename_column(
+                self.spark, self._path(m.group(1)), m.group(2), m.group(3)
+            )
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"DROP" + _WS + r"COLUMN" + _WS + r"(\w+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                drop_column,
+            )
+
+            return drop_column(
+                self.spark, self._path(m.group(1)), m.group(2)
+            )
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"ADD" + _WS + r"CONSTRAINT" + _WS + r"(\w+)" + _WS
+            + r"CHECK" + r"\s*\((.+)\)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                add_table_constraint,
+            )
+
+            return add_table_constraint(
+                self.spark, self._path(m.group(1)), m.group(2), m.group(3)
+            )
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"DROP" + _WS + r"CONSTRAINT" + _WS + r"(\w+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                drop_table_constraint,
+            )
+
+            return drop_table_constraint(
+                self.spark, self._path(m.group(1)), m.group(2)
+            )
+        raise ValueError(f"cannot parse ALTER TABLE: {st.text[:80]!r}")
 
     def _rewrite_time_travel(self, text: str) -> str:
         """Delta-style time travel inside queries: ``FROM t VERSION AS

@@ -215,3 +215,22 @@ def test_merge_null_safe_on_and_insert_values(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in e.sql("SELECT k, v FROM t").collect()}
     assert got == {None: 100, 5: 2, 7: 300}
+
+
+def test_alter_table_ddl(spark, eng):
+    e, p = eng
+    v = e.sql("ALTER TABLE t RENAME COLUMN v TO val")
+    assert v == 2
+    got = {r["k"]: r["val"] for r in e.sql("SELECT k, val FROM t").collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    v = e.sql("ALTER TABLE t ADD CONSTRAINT val_pos CHECK (val > 0)")
+    assert v == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        e.sql("INSERT INTO t VALUES (9, -5, 'bad')")
+    e.sql("ALTER TABLE t DROP CONSTRAINT val_pos")
+    e.sql("INSERT INTO t VALUES (9, -5, 'ok now')")
+    v = e.sql("ALTER TABLE t DROP COLUMN status")
+    cols = e.sql("SELECT * FROM t").columns
+    assert cols == ["k", "val"]
