@@ -228,11 +228,18 @@ def scd2_catchup(
         return _scd2_carry_commit(spark, dim_path, dim_latest, meta)
     # schema evolution mid-backlog: early feeds are narrower — union
     # to the widest (latest) schema, absent columns as typed NULLs,
-    # exactly how the per-version applies null-filled them
+    # exactly how the per-version applies null-filled them. The drop
+    # check must see the FINAL window's schema (the union retains a
+    # mid-backlog-dropped column, which would hide the drop).
+    final_cols = [
+        c for c in feeds[-1].columns if c not in ("_change_type", "_ordinal")
+    ]
     feed = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), feeds
     )
-    return _scd2_apply_backlog(spark, feed, dim_path, keys, meta)
+    return _scd2_apply_backlog(
+        spark, feed, dim_path, keys, meta, final_cols=final_cols
+    )
 
 
 def _window_changes_rows(
@@ -304,6 +311,8 @@ def _scd2_apply_backlog(
     dim_path: str,
     keys: list[str],
     meta: dict,
+    *,
+    final_cols: list[str] | None = None,
 ) -> int:
     """Fold an ordinal-stamped multi-window keyed feed into the
     dimension as ONE MOR commit. Semantics match a version-by-version
@@ -349,7 +358,11 @@ def _scd2_apply_backlog(
             c for c in cur.columns if c not in ("_dv_file", "_dv_pos")
         ]
         dim_data = [c for c in dim_cols if c not in _RESERVED]
-        dropped = [c for c in dim_data if c not in data_cols]
+        # the drop check runs against the SOURCE'S FINAL schema when
+        # known — a column dropped mid-backlog still rides the union
+        # feed (null-filled) and must fail like the per-version chain
+        current = final_cols if final_cols is not None else data_cols
+        dropped = [c for c in dim_data if c not in current]
         if dropped:
             raise ValueError(
                 f"source dropped column(s) {dropped} mid-history — "
