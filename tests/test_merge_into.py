@@ -204,3 +204,23 @@ def test_null_key_upsert_mor_not_duplicated(spark, tmp_path):
         if r["k"] is None
     ]
     assert got == [(77, "upd")]
+
+
+def test_null_safe_semi_join_stays_hash_joinable(spark):
+    """eqNullSafe must plan as a hash join (Broadcast at this size),
+    never a nested loop — the null-safe fix cannot cost the join
+    strategy."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        semi_on_keys,
+    )
+
+    left = spark.range(10000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN NULL ELSE id END AS k", "id AS v"
+    )
+    right = spark.range(50).selectExpr(
+        "CASE WHEN id = 0 THEN NULL ELSE id END AS k"
+    )
+    plan = semi_on_keys(left, right, ["k"])._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join LeftSemi" in plan or "HashJoin" in plan
