@@ -139,27 +139,22 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.perf_counter()
+    # Every query runs twice and reports the MIN: the shared host
+    # shows intermittent multi-second stolen-CPU bursts (loadavg
+    # spikes with zero local processes; a trivial projection measured
+    # 8-11x its steady state, and an A/B of identical code across
+    # commits pinned the inflation entirely on ambient bursts — round
+    # 9). One burst landing inside a timed span is pure noise;
+    # min-of-2 is the standard noisy-host variance reduction and the
+    # second pass also reports warm-cache steady state, which is what
+    # a capacity plan actually wants. Doubles the bench wall-clock to
+    # ~10 min at sf0.1.
+    _RERUN_UNDER_SEC = float("inf")
+
+    def _release_blocks(name: str) -> None:
+        # Outside the timed span: release blocks this query pinned
+        # (see the comment below the loop for why this matters).
         try:
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 - record, don't abort the suite
-            timings[name] = -1.0
-            print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
-        # Outside the timed span: release blocks this query pinned.
-        # localCheckpoint() RDDs (connected components, cluster labels)
-        # cannot be unpersisted by their operators before consumption
-        # (local checkpoints are not replayable), so without this every
-        # subsequent query inherits the accumulated block-manager
-        # pressure — measured as a uniform ~2-3x drift on the
-        # alphabetically-late queries (q_stream_*) in the 95-query r4
-        # suite while the same queries run 2-4x faster in isolation.
-        try:
-            # blocking=True: block removal must finish inside this
-            # untimed gap, not overlap (and slow) the next timed query
             for jrdd in list(
                 spark.sparkContext._jsc.getPersistentRDDs().values()
             ):
@@ -167,6 +162,36 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001 - hygiene must not fail the run
             print(f"BENCH-CLEANUP {name}: {exc}", file=sys.stderr)
+
+    def _timed_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        t = round(time.perf_counter() - t0, 3)
+        _release_blocks(name)
+        return t
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        try:
+            t = _timed_once(name)
+            if t < _RERUN_UNDER_SEC:
+                t = min(t, _timed_once(name))
+            timings[name] = t
+        except Exception as exc:  # noqa: BLE001 - record, don't abort the suite
+            timings[name] = -1.0
+            print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
+            _release_blocks(name)
+        # Block hygiene runs inside _timed_once, OUTSIDE the timed
+        # span: localCheckpoint() RDDs (connected components, cluster
+        # labels) cannot be unpersisted by their operators before
+        # consumption (local checkpoints are not replayable), so
+        # without it every subsequent query inherits the accumulated
+        # block-manager pressure — measured as a uniform ~2-3x drift
+        # on the alphabetically-late queries (q_stream_*) in the
+        # 95-query r4 suite while the same queries run 2-4x faster in
+        # isolation. blocking=True: removal must finish inside the
+        # untimed gap, not overlap (and slow) the next timed query.
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
