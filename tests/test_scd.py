@@ -348,3 +348,65 @@ def test_catchup_metadata_only_backlog_is_one_carry_commit(
     assert {(r["k"], r["v"]) for r in read_table(spark, dim).collect()} == {
         (1, 10)
     }
+
+
+def test_backlog_catchup_prunes_position_scan_with_zonemaps(
+    spark, tmp_path, monkeypatch
+):
+    """The batched catch-up's ONE position scan routes through the
+    zone-map pruned path: with key stats on a range-laid-out
+    dimension, a narrow-key backlog opens a strict subset of the
+    dimension's files (the O(table)-per-catchup trap at 100 TB)."""
+    import os
+
+    import temp_data_pipeline_spark.operators.zonemap as ZM
+    from temp_data_pipeline_spark.operators import scd as S
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+    src = os.path.join(str(tmp_path), "srcz")
+    dim = os.path.join(str(tmp_path), "dimz")
+    SCHEMA = "k long, v long"
+    rows = [(i, 10 * i) for i in range(1000)]
+    commit_version(
+        spark.createDataFrame(rows, SCHEMA).repartitionByRange(4, "k"),
+        src,
+    )
+    # dimension seeded with the same range layout, then zone-mapped
+    snap = read_table(spark, src).withColumn(
+        "_valid_from", F.lit(1).cast("long")
+    ).withColumn("_valid_to", F.lit(None).cast("long"))
+    commit_version(
+        snap.repartitionByRange(4, "k"),
+        dim,
+        meta={"scd2_of": src, "scd2_of_version": 1, "scd2_keys": ["k"]},
+    )
+    write_zone_maps(spark, dim, ["k"])
+    # two-version narrow-key backlog (keys 5 and 6 share one range)
+    commit_upsert_mor(spark.createDataFrame([(5, 555)], SCHEMA), src, ["k"])
+    commit_upsert_mor(spark.createDataFrame([(6, 666)], SCHEMA), src, ["k"])
+
+    opened: list[list[str]] = []
+    real = ZM._read_files
+
+    def recording(spark_, path_, version_, files_, **kw):
+        opened.append((path_, sorted(files_)))
+        return real(spark_, path_, version_, files_, **kw)
+
+    monkeypatch.setattr(ZM, "_read_files", recording)
+    S.scd2_catchup(spark, src, dim, ["k"])
+    dim_scans = [fs for p, fs in opened if p == dim and 0 < len(fs) < 4]
+    assert dim_scans, f"no pruned dimension scan recorded: {opened}"
+    got = {
+        (r["k"], r["v"], r["_valid_from"], r["_valid_to"])
+        for r in read_table(spark, dim).collect()
+        if r["k"] in (5, 6)
+    }
+    assert got == {
+        (5, 50, 1, 2), (5, 555, 2, None),
+        (6, 60, 1, 3), (6, 666, 3, None),
+    }
