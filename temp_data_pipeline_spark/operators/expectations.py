@@ -277,8 +277,23 @@ def replay_quarantine(
     ``expectations`` defaults to the MAIN table's latest recorded set
     — the natural flow is add/fix the gate on the ingest side, then
     replay. Cold-path maintenance: the two counts are plain actions,
-    quarantine tables are violation-sized."""
-    from temp_data_pipeline_spark.operators.versioned import read_version
+    quarantine tables are violation-sized.
+
+    CRASH SAFETY: the append and the quarantine rewrite are two
+    transactions. The append's manifest records the gate it replayed
+    under (``_replayed_from`` + ``_expectations``), and the rewrite's
+    manifest records which replay it completed
+    (``_replayed_to_version``). A crash in the window leaves the
+    appended rows STILL in the quarantine — naively re-replaying
+    would append them twice — so every replay first detects an
+    unfinished predecessor (latest replay append > latest
+    ``_replayed_to_version``) and completes ITS quarantine rewrite
+    under the RECORDED gate before re-gating anything;
+    ``verify_table`` flags the same window from metadata alone."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+        read_version,
+    )
 
     qpath = f"{path}_quarantine"
     qvs = versions(spark, qpath)
@@ -290,6 +305,12 @@ def replay_quarantine(
             f"no expectations recorded on {path} and none passed — "
             "a replay needs the gate to re-check against"
         )
+    # crash recovery: finish a predecessor's missing quarantine
+    # rewrite (under ITS recorded gate) before re-gating
+    pending = _pending_replay(spark, path, qpath)
+    if pending is not None:
+        pending_v, pexp = pending
+        _rewrite_remainder(spark, path, qpath, pexp, pending_v)
     quarantined = read_version(spark, qpath).drop("_violations")
     good, still = split_expectations(quarantined, exp)
     good = good.persist()
@@ -317,26 +338,75 @@ def replay_quarantine(
             v = commit_with_retries(_commit)
         # the remaining quarantine = rows still violating, RE-TAGGED
         # under the (possibly fixed) gate — fresh lineage, no carry
-        still_tagged = quarantined.withColumn(
-            "_violations", violations_column(exp)
-        ).filter(F.col("_violations") != "")
-        n_still = still_tagged.count()
-
-        def _qcommit() -> int:
-            qbase = versions(spark, qpath)[-1]
-            return commit_version(
-                still_tagged,
-                qpath,
-                meta={
-                    "_quarantine_of": path,
-                    "_quarantined": n_still,
-                    "_expectations": dict(exp),
-                    "_replay_remainder": True,
-                },
-                expected_base=qbase,
-            )
-
-        commit_with_retries(_qcommit)
+        n_still = _rewrite_remainder(
+            spark,
+            path,
+            qpath,
+            exp,
+            v if v is not None else versions(spark, path)[-1],
+        )
         return v, n_pass, n_still
     finally:
         good.unpersist()
+
+
+def _pending_replay(spark, path: str, qpath: str):
+    """(main version, recorded gate) of the latest replay append whose
+    quarantine rewrite never landed, or None. Driver-side manifest
+    walk."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_manifest,
+    )
+
+    qvs = versions(spark, qpath)
+    if not qvs:
+        return None
+    done_to = 0
+    for qv in reversed(qvs):
+        t = read_manifest(spark, qpath, qv).get("_replayed_to_version")
+        if t is not None:
+            done_to = int(t)
+            break
+    for v in reversed(versions(spark, path)):
+        man = read_manifest(spark, path, v)
+        if man.get("_replayed_from"):
+            if v > done_to:
+                return v, dict(man.get("_expectations") or {})
+            return None
+    return None
+
+
+def _rewrite_remainder(
+    spark, path: str, qpath: str, exp: dict[str, str], main_v: int
+) -> int:
+    """Rewrite the quarantine to the rows still violating ``exp``,
+    re-tagged — the replay's second transaction, stamped with the
+    main replay version it completes (``_replayed_to_version``).
+    Returns the remainder row count."""
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    still_tagged = (
+        read_version(spark, qpath)
+        .drop("_violations")
+        .withColumn("_violations", violations_column(exp))
+        .filter(F.col("_violations") != "")
+    )
+    n_still = still_tagged.count()
+
+    def _qcommit() -> int:
+        qbase = versions(spark, qpath)[-1]
+        return commit_version(
+            still_tagged,
+            qpath,
+            meta={
+                "_quarantine_of": path,
+                "_quarantined": n_still,
+                "_expectations": dict(exp),
+                "_replay_remainder": True,
+                "_replayed_to_version": int(main_v),
+            },
+            expected_base=qbase,
+        )
+
+    commit_with_retries(_qcommit)
+    return n_still

@@ -1662,6 +1662,38 @@ def verify_table(spark: SparkSession, path: str) -> list[str]:
                     "crash between the gated commit and its "
                     "quarantine leg; re-run the gate to re-append"
                 )
+    # replay linkage: the newest replay append promises a quarantine
+    # rewrite stamped _replayed_to_version >= its version; a missing
+    # stamp is the replay crash window (re-running the replay first
+    # completes the predecessor's rewrite — expectations.py)
+    replays = []
+    for v in committed:
+        try:
+            man = read_manifest(spark, path, v)
+        except Exception:
+            continue
+        if man.get("_replayed_from"):
+            replays.append((v, man["_replayed_from"]))
+    if replays:
+        rv, rq = replays[-1]
+        done_to = 0
+        for qv in reversed(versions(spark, rq)):
+            try:
+                t = read_manifest(spark, rq, qv).get(
+                    "_replayed_to_version"
+                )
+            except Exception:
+                continue
+            if t is not None:
+                done_to = int(t)
+                break
+        if done_to < rv:
+            issues.append(
+                f"version {rv}: quarantine replay never rewrote {rq} "
+                "(crash between the append and the rewrite — the "
+                "replayed rows are still quarantined; re-run "
+                "replay_quarantine to complete it)"
+            )
     # sidecars for versions that no longer resolve
     for side in ("_zonemaps", "_blooms"):
         sdir = Path(f"{path}/{side}")

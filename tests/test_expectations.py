@@ -266,3 +266,59 @@ def test_clean_gated_commit_records_no_quarantine_table(spark, tmp_path):
     man = read_manifest(spark, path, v)
     assert man["_quarantined"] == 0
     assert "_quarantine_table" not in man
+
+
+def test_replay_crash_window_recovers_without_duplicates(
+    spark, tmp_path
+):
+    """The replay's two transactions (main append, quarantine rewrite)
+    are crash-separable: simulate the crash by rolling the quarantine
+    back to its pre-replay state after a successful replay, then run
+    the replay again — the recovery must complete the predecessor's
+    rewrite (removing the already-appended rows from the quarantine)
+    instead of appending them a second time; verify_table flags the
+    window from metadata alone."""
+    import shutil
+
+    from temp_data_pipeline_spark.operators.expectations import (
+        replay_quarantine,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        read_version,
+        verify_table,
+        versions,
+    )
+
+    path = os.path.join(str(tmp_path), "crash")
+    qpath = f"{path}_quarantine"
+    commit_with_expectations(
+        _df(spark, [(1, 5), (2, -1), (4, -9)]), path, EXPECT
+    )
+    # snapshot the quarantine's pre-replay state
+    qman_dir = os.path.join(qpath, "_manifest")
+    pre = {
+        n: open(os.path.join(qman_dir, n), "rb").read()
+        for n in os.listdir(qman_dir)
+        if n.endswith(".json")
+    }
+    v, n_pass, n_still = replay_quarantine(
+        spark, path, {"fix": "v <> -9"}
+    )
+    assert (n_pass, n_still) == (1, 1)
+    # simulate the crash: the quarantine rewrite never happened
+    for n in os.listdir(qman_dir):
+        if n.endswith(".json") and n not in pre:
+            os.remove(os.path.join(qman_dir, n))
+    issues = verify_table(spark, path)
+    assert any("replay never rewrote" in i for i in issues)
+    # second replay: recovery completes the rewrite; the row appended
+    # by the first replay must NOT re-append
+    v2, n_pass2, n_still2 = replay_quarantine(
+        spark, path, {"fix": "v <> -9"}
+    )
+    assert n_pass2 == 0 and n_still2 == 1
+    got = sorted(r["k"] for r in read_version(spark, path).collect())
+    assert got == [1, 2]  # exactly once
+    assert verify_table(spark, path) == []
+    q = read_version(spark, qpath).collect()
+    assert [(r["k"], r["_violations"]) for r in q] == [(4, "fix")]
