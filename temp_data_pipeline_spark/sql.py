@@ -193,11 +193,55 @@ class SqlEngine:
             return self._utility(st)
         if st.match(r"ALTER\b"):
             return self._alter(st)
+        if st.match(r"CREATE\b"):
+            return self._create(st)
         raise ValueError(
             "unsupported statement (SELECT/WITH, DELETE, UPDATE, "
             "INSERT INTO, MERGE INTO, ALTER TABLE, VACUUM, OPTIMIZE, "
             f"DESCRIBE HISTORY, RESTORE): {st.text[:80]!r}"
         )
+
+    def _create(self, st: _Stmt) -> int:
+        """CTAS into a NEW versioned table:
+
+          CREATE TABLE name LOCATION '<path>' AS <query>
+              [PARTITIONED BY (col, ...)]  — before AS
+
+        The query runs over the catalog views; the result commits as
+        version 1 of a fresh table at the given root, and the engine's
+        catalog gains the name for subsequent statements."""
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_version,
+        )
+
+        m = st.match(
+            r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"LOCATION" + _WS + r"'([^']+)'"
+            r"(?:" + _WS + r"PARTITIONED" + _WS + r"BY"
+            + r"\s*\(([^)]+)\))?" + _WS + r"AS" + _WS + r"(.+)$"
+        )
+        if not m:
+            raise ValueError(
+                "CREATE supports: CREATE TABLE <name> LOCATION '<path>' "
+                f"[PARTITIONED BY (cols)] AS <query> — got {st.text[:80]!r}"
+            )
+        name, location, pcols, query = m.groups()
+        if name in self.catalog:
+            raise ValueError(f"table {name!r} already in the catalog")
+        self._register_views()
+        rows = self.spark.sql(self._rewrite_time_travel(query))
+        v = commit_version(
+            rows,
+            location,
+            partition_by=(
+                [c.strip() for c in pcols.split(",") if c.strip()]
+                if pcols
+                else None
+            ),
+            expected_base=0,
+        )
+        self.catalog[name] = location
+        return v
 
     def _alter(self, st: _Stmt) -> int:
         """ALTER TABLE DDL, each one metadata-level commit:

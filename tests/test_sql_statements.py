@@ -234,3 +234,23 @@ def test_alter_table_ddl(spark, eng):
     v = e.sql("ALTER TABLE t DROP COLUMN status")
     cols = e.sql("SELECT * FROM t").columns
     assert cols == ["k", "val"]
+
+
+def test_create_table_as(spark, eng, tmp_path):
+    e, p = eng
+    loc = os.path.join(str(tmp_path), "derived")
+    v = e.sql(
+        f"CREATE TABLE derived LOCATION '{loc}' "
+        "PARTITIONED BY (status) AS "
+        "SELECT k, v * 10 AS v10, status FROM t WHERE k <= 2"
+    )
+    assert v == 1
+    got = {r["k"]: (r["v10"], r["status"]) for r in e.sql(
+        "SELECT k, v10, status FROM derived"
+    ).collect()}
+    assert got == {1: (100, "live"), 2: (200, "live")}
+    # the new table is a full citizen: DML + history work
+    e.sql("DELETE FROM derived WHERE k = 1")
+    assert [r["k"] for r in e.sql("SELECT k FROM derived").collect()] == [2]
+    with pytest.raises(ValueError, match="already in the catalog"):
+        e.sql(f"CREATE TABLE derived LOCATION '{loc}2' AS SELECT 1 AS x")
