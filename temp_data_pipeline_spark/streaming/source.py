@@ -99,13 +99,16 @@ def _manifest_dirs(man: dict) -> list[str]:
     return out
 
 
-def _files_of_dirs(f, root: str, dirs: list[str]) -> set[str]:
-    """TABLE-RELATIVE data files under the given manifest dirs —
-    recursive listing, hidden/marker files skipped (the plain-python
-    twin of operators/changes._files_in_dirs)."""
+def _files_of_dirs_sized(
+    f, root: str, dirs: list[str]
+) -> dict[str, int]:
+    """TABLE-RELATIVE data files (with byte sizes) under the given
+    manifest dirs — recursive listing, hidden/marker files skipped
+    (the plain-python twin of operators/changes._files_in_dirs). The
+    sizes come free with the listing and drive partition grouping."""
     from pyarrow import fs as pafs
 
-    out: set[str] = set()
+    out: dict[str, int] = {}
     for d in dirs:
         sel = pafs.FileSelector(f"{root}/{d}", recursive=True)
         for info in f.get_file_info(sel):
@@ -115,8 +118,12 @@ def _files_of_dirs(f, root: str, dirs: list[str]) -> set[str]:
             if name.startswith(("_", ".")):
                 continue
             rel = info.path[len(root.rstrip("/")) + 1 :]
-            out.add(rel)
+            out[rel] = int(info.size or 0)
     return out
+
+
+def _files_of_dirs(f, root: str, dirs: list[str]) -> set[str]:
+    return set(_files_of_dirs_sized(f, root, dirs))
 
 
 def _check_window_py(f, root: str, since: int, until: int) -> None:
@@ -142,29 +149,32 @@ def _check_window_py(f, root: str, since: int, until: int) -> None:
 
 def _dir_diff_py(
     f, root: str, since: int, until: int
-) -> tuple[set[str], set[str], list[str], set[str]]:
-    """(added, removed, shared_dirs, shared_overlap) — the plain-python
-    twin of operators/changes._dir_diff: shared dir NAMES are immutable
-    and cancel without a listing; only the symmetric-difference dirs
-    are walked."""
+) -> tuple[set[str], set[str], list[str], set[str], dict[str, int]]:
+    """(added, removed, shared_dirs, shared_overlap, sizes) — the
+    plain-python twin of operators/changes._dir_diff: shared dir NAMES
+    are immutable and cancel without a listing; only the
+    symmetric-difference dirs are walked. ``sizes`` covers every
+    listed file (added and removed) for partition grouping."""
     dirs_new = set(_manifest_dirs(_manifest(f, root, until)))
     dirs_old = (
         set(_manifest_dirs(_manifest(f, root, since))) if since else set()
     )
-    only_new = _files_of_dirs(f, root, sorted(dirs_new - dirs_old))
-    only_old = _files_of_dirs(f, root, sorted(dirs_old - dirs_new))
+    sized_new = _files_of_dirs_sized(f, root, sorted(dirs_new - dirs_old))
+    sized_old = _files_of_dirs_sized(f, root, sorted(dirs_old - dirs_new))
+    only_new, only_old = set(sized_new), set(sized_old)
     return (
         only_new - only_old,
         only_old - only_new,
         sorted(dirs_old & dirs_new),
         only_new & only_old,
+        {**sized_old, **sized_new},
     )
 
 
 def _added_files(f, root: str, since: int, until: int) -> list[str]:
     """Files ``until`` resolves beyond ``since``."""
     _check_window_py(f, root, since, until)
-    added, _, _, _ = _dir_diff_py(f, root, since, until)
+    added, _, _, _, _ = _dir_diff_py(f, root, since, until)
     return sorted(added)
 
 
@@ -309,46 +319,69 @@ def _colmap(
     return {name: inv.get(fid) for name, fid in ids.items()}
 
 
-class _FilePartition(InputPartition):
-    """One data file's worth of work. ``kind``:
+# one input partition targets this many bytes of parquet: a table of
+# many small files (trickle streaming appends before compaction) would
+# otherwise cost one high-overhead Python task PER FILE — at 100k
+# files that is 100k task launches per micro-batch. Grouping is by the
+# listing's sizes (free) and never splits a file.
+_GROUP_TARGET_BYTES = 128 * 1024 * 1024
 
-    - 'insert'  — rows of an ADDED file, minus ``dv_new`` positions
-    - 'delete'  — rows of a REMOVED file visible at since (minus
+
+class _FilePartition(InputPartition):
+    """One input partition = one KIND of work over a GROUP of files
+    (grouped to ~_GROUP_TARGET_BYTES so small files amortize the
+    Python task overhead). ``kind``:
+
+    - 'insert'  — rows of ADDED files, minus ``dv_new`` positions
+    - 'delete'  — rows of REMOVED files visible at since (minus
                   ``dv_old``), emitted as deletes (cdc mode)
-    - 'dvdelta' — a SHARED file one of the DVs names: rows in
+    - 'dvdelta' — SHARED files one of the DVs names: rows in
                   dv_new−dv_old are deletes, dv_old−dv_new are
                   resurrect-inserts (cdc mode)
 
+    ``files`` is a list of ``(rel_file, colmap, pos_old, pos_new)``:
     ``colmap`` (current name -> on-disk name, or None = identity)
     aligns dirs written before a column rename/drop by stable field
-    id; it is resolved driver-side from the manifest that LISTS the
-    file's dir.
+    id, resolved driver-side from the manifest that LISTS the file's
+    dir; ``pos_*`` are THIS file's DV positions, resolved driver-side
+    from one read of each sidecar and embedded while the window's DVs
+    are small (the overwhelmingly common case). None = not embedded:
+    the executor falls back to a filtered sidecar read (row-group
+    stats prune — sidecars are written sorted by file).
     """
 
     def __init__(
         self,
         root: str,
-        rel_file: str,
-        kind: str = "insert",
+        kind: str,
+        files: list,
         dv_old: str | None = None,
         dv_new: str | None = None,
-        colmap: dict | None = None,
-        pos_old: list | None = None,
-        pos_new: list | None = None,
     ) -> None:
         self.root = root
-        self.rel_file = rel_file
         self.kind = kind
+        self.files = files
         self.dv_old = dv_old
         self.dv_new = dv_new
-        self.colmap = colmap
-        # THIS file's DV positions, resolved driver-side from one read
-        # of each sidecar and embedded while the window's DVs are small
-        # (the overwhelmingly common case). None = not embedded: the
-        # executor falls back to a filtered sidecar read (row-group
-        # stats prune — sidecars are written sorted by file).
-        self.pos_old = pos_old
-        self.pos_new = pos_new
+
+
+def _grouped(entries: list, sizes: dict) -> list[list]:
+    """Bin-pack ``(rel, colmap, pos_old, pos_new)`` entries into
+    ~_GROUP_TARGET_BYTES groups, preserving sorted order (adjacent
+    files usually share a dir → one object-store prefix per task)."""
+    groups: list[list] = []
+    cur: list = []
+    acc = 0
+    for e in entries:
+        sz = sizes.get(e[0], _GROUP_TARGET_BYTES)
+        if cur and acc + sz > _GROUP_TARGET_BYTES:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(e)
+        acc += sz
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -419,39 +452,39 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return emb_old.get(rel, []) if emb_old is not None else None
 
         if self._mode == "appends":
-            added, _, _, _ = _dir_diff_py(f, root, since, until)
-            return [
-                _FilePartition(
-                    root, rel, "insert", None, dv_new,
-                    colmap=_colmap(man_until, man_until, rel),
-                    pos_new=_new(rel),
-                )
+            added, _, _, _, sizes = _dir_diff_py(f, root, since, until)
+            ins = [
+                (rel, _colmap(man_until, man_until, rel), None, _new(rel))
                 for rel in sorted(added)
+            ]
+            return [
+                _FilePartition(root, "insert", g, None, dv_new)
+                for g in _grouped(ins, sizes)
             ]
         # cdc: adds removed-file deletes and the DV delta over shared
         # files — pruned to the files either endpoint's DV names, the
         # same O(delta) plan as operators/changes.changes_between
-        added, removed, shared_dirs, shared_overlap = _dir_diff_py(
+        added, removed, shared_dirs, shared_overlap, sizes = _dir_diff_py(
             f, root, since, until
         )
         man_since = _manifest(f, root, since) if removed else {}
-        out = [
-            _FilePartition(
-                root, rel, "insert", None, dv_new,
-                colmap=_colmap(man_until, man_until, rel),
-                pos_new=_new(rel),
-            )
+        ins = [
+            (rel, _colmap(man_until, man_until, rel), None, _new(rel))
             for rel in sorted(added)
         ]
-        out += [
-            # removed files are listed by SINCE's manifest — resolve
-            # their disk names there, project to until's field set
-            _FilePartition(
-                root, rel, "delete", dv_old, None,
-                colmap=_colmap(man_until, man_since, rel),
-                pos_old=_old(rel),
-            )
+        out = [
+            _FilePartition(root, "insert", g, None, dv_new)
+            for g in _grouped(ins, sizes)
+        ]
+        # removed files are listed by SINCE's manifest — resolve
+        # their disk names there, project to until's field set
+        dels = [
+            (rel, _colmap(man_until, man_since, rel), _old(rel), None)
             for rel in sorted(removed)
+        ]
+        out += [
+            _FilePartition(root, "delete", g, dv_old, None)
+            for g in _grouped(dels, sizes)
         ]
         if emb_new is not None:
             named = set(emb_new) | set(emb_old)
@@ -465,14 +498,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             for x in named
             if x in shared_overlap or (prefixes and x.startswith(prefixes))
         )
-        out += [
-            _FilePartition(
-                root, rel, "dvdelta", dv_old, dv_new,
-                colmap=_colmap(man_until, man_until, rel),
-                pos_old=_old(rel),
-                pos_new=_new(rel),
-            )
+        # shared dirs are never listed (that is the point of the
+        # dir-level diff), so dvdelta files have no known size: group
+        # them one per partition — the DV delta names few files
+        dvd = [
+            (rel, _colmap(man_until, man_until, rel), _old(rel), _new(rel))
             for rel in cands
+        ]
+        out += [
+            _FilePartition(root, "dvdelta", [e], dv_old, dv_new)
+            for e in dvd
         ]
         return out
 
@@ -491,22 +526,28 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         return set(t.column("pos").to_pylist())
 
     def read(self, partition: _FilePartition) -> Iterator:
-        """Executor-side: one parquet file through pyarrow, hive
-        partition values recovered from the path, DV positions for
-        THIS file resolved by row index. Emits Arrow RecordBatches
+        """Executor-side: the partition's file group through pyarrow,
+        hive partition values recovered from each path, DV positions
+        per file resolved by row index. Emits Arrow RecordBatches
         (the Python DataSource fast path — columnar end to end, no
         per-row tuple materialization); in cdc mode each batch
         carries its constant ``_change_type`` column, and 'dvdelta'
         files emit only the delta rows (newly deleted /
         resurrected)."""
+        f, _ = _pa_fs(partition.root)
+        for entry in partition.files:
+            yield from self._read_one(f, partition, entry)
+
+    def _read_one(
+        self, f, partition: _FilePartition, entry
+    ) -> Iterator:
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_type
 
-        f, _ = _pa_fs(partition.root)
-        rel = partition.rel_file
+        rel, colmap, e_pos_old, e_pos_new = entry
         tbl = pq.read_table(f"{partition.root}/{rel}", filesystem=f)
         n = tbl.num_rows
         # hive partition columns: every path segment between the
@@ -517,13 +558,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 k, raw = seg.split("=", 1)
                 hive[k] = raw
         pos_old = (
-            set(partition.pos_old)
-            if partition.pos_old is not None
+            set(e_pos_old)
+            if e_pos_old is not None
             else self._positions(f, partition.root, partition.dv_old, rel)
         )
         pos_new = (
-            set(partition.pos_new)
-            if partition.pos_new is not None
+            set(e_pos_new)
+            if e_pos_new is not None
             else self._positions(f, partition.root, partition.dv_new, rel)
         )
 
@@ -561,8 +602,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # rename/drop (colmap by stable field id; a mapped
                 # None = column added after the dir was written)
                 disk = fld.name
-                if partition.colmap is not None:
-                    disk = partition.colmap.get(fld.name, fld.name)
+                if colmap is not None:
+                    disk = colmap.get(fld.name, fld.name)
                 if disk is not None and disk in hive:
                     # hive dir segments carry the DISK name — a
                     # renamed partition column resolves through the

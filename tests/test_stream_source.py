@@ -301,10 +301,10 @@ def test_dv_positions_embedded_per_partition(spark, tmp_path):
     assert parts
     total_positions = 0
     for p in parts:
-        assert p.pos_new is not None  # embedded, not a sidecar ref
-        total_positions += len(p.pos_new)
-        # every embedded position belongs to THIS partition's file
-        assert p.pos_old in (None, []) or p.kind != "insert"
+        for rel, colmap, pos_old, pos_new in p.files:
+            assert pos_new is not None  # embedded, not a sidecar ref
+            total_positions += len(pos_new)
+            assert pos_old in (None, []) or p.kind != "insert"
     assert total_positions == 4  # k in {3,13,23,33}
     # rows stream correctly off the embedded positions
     ckpt = os.path.join(str(tmp_path), "ck_emb")
@@ -337,7 +337,9 @@ def test_dv_over_cap_falls_back_to_filtered_read(
     monkeypatch.setattr(SRC, "_DV_EMBED_MAX", -1)
     parts = reader.partitions({"version": 0}, {"version": 2})
     monkeypatch.setattr(SRC, "_DV_EMBED_MAX", 2_000_000)
-    assert parts and all(p.pos_new is None for p in parts)
+    assert parts and all(
+        e[3] is None for p in parts for e in p.files
+    )
     rows = []
     for p in parts:
         for batch in reader.read(p):
@@ -348,3 +350,46 @@ def test_dv_over_cap_falls_back_to_filtered_read(
         for r in read_table(spark, path).collect()
     )
     assert got == want
+
+
+def test_small_files_group_into_few_partitions(spark, tmp_path, monkeypatch):
+    """A many-small-files table plans far fewer input partitions than
+    files (~_GROUP_TARGET_BYTES bins) — the per-task Python overhead
+    cannot scale with file count — and the grouped read equals the
+    batch read."""
+    from temp_data_pipeline_spark.streaming import source as SRC
+
+    path = os.path.join(str(tmp_path), "many")
+    # 16 part files in one commit
+    commit_version(
+        spark.createDataFrame(
+            [(i, "a", i) for i in range(64)], SCHEMA
+        ).repartition(16),
+        path,
+    )
+    reader = SRC.VersionedTableStreamReader(
+        spark.read.parquet(path + "/v=1").schema, {"path": path}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    n_files = sum(len(p.files) for p in parts)
+    assert n_files == 16
+    assert len(parts) == 1  # tiny files pack into one 128MB bin
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(batch.to_pylist())
+    got = sorted((r["k"], r["part"], r["v"]) for r in rows)
+    want = sorted(
+        (r["k"], r["part"], r["v"])
+        for r in read_table(spark, path).collect()
+    )
+    assert got == want
+    # shrink the bin: files split across partitions, same rows
+    monkeypatch.setattr(SRC, "_GROUP_TARGET_BYTES", 1)
+    parts2 = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts2) == 16
+    rows2 = []
+    for p in parts2:
+        for batch in reader.read(p):
+            rows2.extend(batch.to_pylist())
+    assert sorted((r["k"], r["part"], r["v"]) for r in rows2) == want
