@@ -78,21 +78,6 @@ _DRIVER_WINDOW = 50
 
 # name -> last round with a green driver record (CORRECTNESS_r{N}.json).
 _LAST_VERIFIED = {
-    # r4 green (driver-stale tail — re-oracled by the r8 sweep, but
-    # rotation tracks DRIVER records; this cohort leads round 9's window)
-    **{n: 4 for n in (
-        "llm_ann_lsh_topk", "llm_ann_topk", "llm_bloom_decontam",
-        "llm_bpe_encode", "llm_classifier", "llm_dedup_exact",
-        "llm_dup_ngram_frac", "llm_embed_neardup", "llm_filtered_ann",
-        "llm_fingerprint", "llm_gopher", "llm_intra_dup", "llm_lang_id",
-        "llm_minhash", "llm_mix_temperature", "llm_neardup_window",
-        "llm_pq_topk", "llm_semdedup", "llm_simhash",
-        "llm_simhash_neardup", "llm_span_dedup", "q_asof_forward",
-        "q_asof_join", "q_gap_fill", "q_keep_latest", "q_range_join",
-        "q_session_window", "q_sessionize", "q_stream_events",
-        "q_stream_join", "q_stream_neardup", "q_stream_sessions",
-        "q_window_range"
-    )},
     # r5 green (CORRECTNESS_r05.json)
     **{n: 5 for n in (
         "llm_ann_recall", "llm_centroid", "llm_chunk", "llm_cluster_best",
@@ -138,29 +123,39 @@ _LAST_VERIFIED = {
         "q_stream_replicate", "q_stream_source", "q_stream_upsert",
         "q_stream_versioned", "q_update_mor", "q_zorder_skip"
     )},
+    # r9 green (CORRECTNESS_r09.json: 50/50 pass, zero err) — overrides
+    # any earlier round for the same name.
+    **{n: 9 for n in (
+        "llm_ann_lsh_topk", "llm_ann_topk", "llm_bloom_decontam",
+        "llm_bpe_encode", "llm_classifier", "llm_dedup_exact",
+        "llm_dup_ngram_frac", "llm_embed_neardup", "llm_filtered_ann",
+        "llm_fingerprint", "llm_gopher", "llm_intra_dup", "llm_lang_id",
+        "llm_minhash", "llm_mix_temperature", "llm_neardup_window",
+        "llm_pq_topk", "llm_semdedup", "llm_simhash",
+        "llm_simhash_neardup", "llm_span_dedup", "q_asof_forward",
+        "q_asof_join", "q_cdf_keyed", "q_delete_mor", "q_expectations",
+        "q_gap_fill", "q_keep_latest", "q_matview_mor",
+        "q_matview_refresh", "q_merge_into", "q_quarantine_replay",
+        "q_range_join", "q_rename_evolution", "q_replicate", "q_scd2",
+        "q_session_window", "q_sessionize", "q_sql_dml", "q_stream_cdc",
+        "q_stream_events", "q_stream_join", "q_stream_matview",
+        "q_stream_neardup", "q_stream_replicate", "q_stream_sessions",
+        "q_stream_source", "q_stream_upsert", "q_update_mor",
+        "q_window_range"
+    )},
 }
 
-# Implementations or inputs changed in ROUND 9 since their last green
-# driver record (all locally re-verified green against DuckDB this
-# round; listed so the driver mints fresh records):
-#   - NULL-key zone-map pruning + null-safe key joins: q_merge_into,
-#     q_update_mor, q_delete_mor, q_replicate, q_matview_mor,
-#     q_matview_refresh, q_stream_matview;
-#   - batched SCD2 catch-up (one position scan per backlog): q_scd2,
-#     q_stream_replicate;
-#   - expectations observe-gating + quarantine linkage:
-#     q_expectations, q_stream_upsert;
-#   - streaming-source DV embedding + rename-aware colmap / keyed
-#     delete-side field-id mapping: q_stream_source, q_stream_cdc,
-#     q_cdf_keyed, q_rename_evolution.
-# New this round (never verified — priority 0 automatically):
-# q_sql_dml (SQL statement surface: DELETE/UPDATE/INSERT/MERGE text).
-_RECHECK = [
-    "q_merge_into", "q_update_mor", "q_delete_mor", "q_replicate",
-    "q_matview_mor", "q_matview_refresh", "q_stream_matview",
-    "q_scd2", "q_stream_replicate", "q_expectations",
-    "q_stream_upsert", "q_stream_source", "q_stream_cdc",
-    "q_cdf_keyed", "q_rename_evolution",
+# Implementations or inputs changed in ROUND 10 since their last green
+# driver record (each locally re-verified green against DuckDB before
+# being listed; the driver mints fresh records):
+#   - SCD2 emptiness probe folded into the position scan's bounds agg
+#     (operators/scd.py _observed_count): q_scd2, q_stream_replicate;
+#   - SQL front: word-boundary clause separators, quoted TIMESTAMP AS
+#     OF, named-column INSERT, warehouse-default CTAS (sql.py):
+#     q_sql_dml.
+# The rest of the window is the r5-stale cohort + the two r6 entries.
+_RECHECK: list[str] = [
+    "q_scd2", "q_stream_replicate", "q_sql_dml",
 ]
 
 
