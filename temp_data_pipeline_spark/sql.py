@@ -57,9 +57,16 @@ class _Stmt:
 
 def _split_top_level(text: str, sep_pattern: str) -> list[str]:
     """Split on a regex separator at paren-depth 0 (SET lists and
-    AND conjunctions may nest parens/functions/string literals)."""
+    AND conjunctions may nest parens/functions/string literals).
+
+    A separator that starts with a word character (``AND``, ``THEN``)
+    only matches at a token boundary: the preceding character must not
+    be part of an identifier, or a key named ``operand`` / a column
+    named ``x_then`` would split mid-token.
+    """
     parts, depth, last = [], 0, 0
     sep = re.compile(sep_pattern, re.IGNORECASE)
+    word_sep = bool(re.match(r"\w", sep_pattern))
     i = 0
     while i < len(text):
         c = text[i]
@@ -71,7 +78,9 @@ def _split_top_level(text: str, sep_pattern: str) -> list[str]:
             # skip string literal
             j = text.find("'", i + 1)
             i = len(text) if j < 0 else j
-        if depth == 0:
+        if depth == 0 and not (
+            word_sep and i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_.$")
+        ):
             m = sep.match(text, i)
             if m and i > last:
                 parts.append(text[last:i])
@@ -137,9 +146,17 @@ class SqlEngine:
     as its latest DV-resolved snapshot; mutations commit new versions
     through the MOR operators and return the committed version."""
 
-    def __init__(self, spark: SparkSession, catalog: dict[str, str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: dict[str, str],
+        warehouse: str | None = None,
+    ):
         self.spark = spark
         self.catalog = dict(catalog)
+        # default root for CREATE TABLE without LOCATION: new tables
+        # land at <warehouse>/<name>
+        self.warehouse = warehouse.rstrip("/") if warehouse else None
 
     # -- helpers -----------------------------------------------------
     def _path(self, name: str) -> str:
@@ -204,9 +221,11 @@ class SqlEngine:
     def _create(self, st: _Stmt) -> int:
         """CTAS into a NEW versioned table:
 
-          CREATE TABLE name LOCATION '<path>' AS <query>
+          CREATE TABLE name [LOCATION '<path>'] AS <query>
               [PARTITIONED BY (col, ...)]  — before AS
 
+        Without LOCATION the table lands at ``<warehouse>/<name>``
+        (the engine's ``warehouse`` root — required in that form).
         The query runs over the catalog views; the result commits as
         version 1 of a fresh table at the given root, and the engine's
         catalog gains the name for subsequent statements."""
@@ -215,17 +234,26 @@ class SqlEngine:
         )
 
         m = st.match(
-            r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
-            + r"LOCATION" + _WS + r"'([^']+)'"
+            r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)"
+            r"(?:" + _WS + r"LOCATION" + _WS + r"'([^']+)')?"
             r"(?:" + _WS + r"PARTITIONED" + _WS + r"BY"
             + r"\s*\(([^)]+)\))?" + _WS + r"AS" + _WS + r"(.+)$"
         )
         if not m:
             raise ValueError(
-                "CREATE supports: CREATE TABLE <name> LOCATION '<path>' "
+                "CREATE supports: CREATE TABLE <name> [LOCATION '<path>'] "
                 f"[PARTITIONED BY (cols)] AS <query> — got {st.text[:80]!r}"
             )
         name, location, pcols, query = m.groups()
+        if location is None:
+            if self.warehouse is None:
+                raise ValueError(
+                    f"CREATE TABLE {name}: no LOCATION given and the "
+                    "engine has no warehouse root — construct "
+                    "SqlEngine(..., warehouse='<dir>') or add "
+                    "LOCATION '<path>'"
+                )
+            location = f"{self.warehouse}/{name}"
         if name in self.catalog:
             raise ValueError(f"table {name!r} already in the catalog")
         self._register_views()
@@ -330,8 +358,19 @@ class SqlEngine:
             name, ts = m.group(1), m.group(2)
             if name not in self.catalog:
                 return m.group(0)
+            if ts.startswith("'"):
+                # quoted ISO-8601 literal; naive datetimes are UTC
+                # (the manifest clock is epoch seconds = UTC)
+                from datetime import datetime, timezone
+
+                parsed = datetime.fromisoformat(ts.strip("'").replace(" ", "T"))
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=timezone.utc)
+                epoch = parsed.timestamp()
+            else:
+                epoch = float(ts)
             view = f"{name}__ts{abs(hash(ts)) % 10**8}"
-            read_as_of(self.spark, self.catalog[name], float(ts))\
+            read_as_of(self.spark, self.catalog[name], epoch)\
                 .createOrReplaceTempView(view)
             return view
 
@@ -342,7 +381,7 @@ class SqlEngine:
             flags=re.IGNORECASE,
         )
         return re.sub(
-            r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+([0-9.]+)\b",
+            r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+('[^']+'|[0-9.]+)",
             _timestamp,
             text,
             flags=re.IGNORECASE,
@@ -465,31 +504,65 @@ class SqlEngine:
         )
 
         m = st.match(
-            r"INSERT" + _WS + r"INTO" + _WS + r"(\w+)" + _WS
+            r"INSERT" + _WS + r"INTO" + _WS + r"(\w+)"
+            r"(?:\s*\(([\w\s,]+)\))?" + _WS
             + r"((?:SELECT|WITH|VALUES|TABLE)\b.+)$"
         )
         if not m:
             raise ValueError(f"cannot parse INSERT INTO: {st.text!r}")
-        name, query = m.group(1), m.group(2)
+        name, col_list, query = m.group(1), m.group(2), m.group(3)
         path = self._path(name)
         self._register_views()
         rows = self.spark.sql(query)
         from pyspark.sql import functions as F
 
         target = self._snapshot(name).schema
-        if len(rows.columns) != len(target.fields):
+        if col_list is not None:
+            # named-column INSERT: values map positionally onto the
+            # NAMED columns; every unnamed table column gets NULL
+            named = [c.strip() for c in col_list.split(",") if c.strip()]
+            field_names = {f.name for f in target.fields}
+            unknown = [c for c in named if c not in field_names]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {name} ({col_list}): unknown "
+                    f"column(s) {unknown}; table has {sorted(field_names)}"
+                )
+            if len(set(named)) != len(named):
+                raise ValueError(
+                    f"INSERT INTO {name} ({col_list}): duplicate column"
+                )
+            if len(rows.columns) != len(named):
+                raise ValueError(
+                    f"INSERT INTO {name}: query yields "
+                    f"{len(rows.columns)} columns, column list names "
+                    f"{len(named)}"
+                )
+            pos = {c: i for i, c in enumerate(named)}
+            rows = rows.select(
+                *[
+                    (
+                        F.col(rows.columns[pos[f.name]])
+                        if f.name in pos
+                        else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+        elif len(rows.columns) != len(target.fields):
             raise ValueError(
                 f"INSERT INTO {name}: query yields {len(rows.columns)} "
                 f"columns, table has {len(target.fields)}"
             )
-        # positional with store-assignment casts — SQL INSERT semantics
-        # (a literal 9 must land in a BIGINT column)
-        rows = rows.select(
-            *[
-                F.col(rows.columns[i]).cast(f.dataType).alias(f.name)
-                for i, f in enumerate(target.fields)
-            ]
-        )
+        else:
+            # positional with store-assignment casts — SQL INSERT
+            # semantics (a literal 9 must land in a BIGINT column)
+            rows = rows.select(
+                *[
+                    F.col(rows.columns[i]).cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(target.fields)
+                ]
+            )
 
         def _commit() -> int:
             vs = versions(self.spark, path)

@@ -254,3 +254,154 @@ def test_create_table_as(spark, eng, tmp_path):
     assert [r["k"] for r in e.sql("SELECT k FROM derived").collect()] == [2]
     with pytest.raises(ValueError, match="already in the catalog"):
         e.sql(f"CREATE TABLE derived LOCATION '{loc}2' AS SELECT 1 AS x")
+
+
+def test_keyword_bearing_identifiers(spark, tmp_path):
+    """Identifiers containing AND/THEN as substrings (`operand`,
+    `x_then`) must not split mid-token (verdict r9 nit #1)."""
+    p = os.path.join(str(tmp_path), "kw")
+    commit_version(
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 200)], "operand long, x_then long, v long"
+        ),
+        p,
+    )
+    e = SqlEngine(spark, {"t": p})
+    spark.createDataFrame(
+        [(1, 10, 111), (3, 33, 333)], "operand long, x_then long, v long"
+    ).createOrReplaceTempView("kwbatch")
+    e.sql(
+        "MERGE INTO t USING kwbatch AS s "
+        "ON t.operand = s.operand AND t.x_then = s.x_then "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        r["operand"]: (r["x_then"], r["v"])
+        for r in e.sql("SELECT * FROM t").collect()
+    }
+    assert got == {1: (10, 111), 2: (20, 200), 3: (33, 333)}
+    # SET list naming the keyword-bearing column directly
+    e.sql("UPDATE t SET x_then = x_then + 1 WHERE operand = 2")
+    got = {
+        r["operand"]: r["x_then"] for r in e.sql("SELECT * FROM t").collect()
+    }
+    assert got[2] == 21
+    # DELETE predicate conjunction over the same identifiers
+    e.sql("DELETE FROM t WHERE operand = 3 AND x_then = 33")
+    assert sorted(
+        r["operand"] for r in e.sql("SELECT operand FROM t").collect()
+    ) == [1, 2]
+
+
+def test_timestamp_as_of_quoted_literal(spark, eng):
+    from datetime import datetime, timezone
+
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    e, p = eng
+    import time as _time
+
+    _time.sleep(0.05)
+    e.sql("DELETE FROM t WHERE k = 2")  # v2
+    t1 = read_manifest(spark, p, 1)["committed_at"]
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    got = sorted(
+        r["k"]
+        for r in e.sql(
+            f"SELECT k FROM t TIMESTAMP AS OF '{iso}'"
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    # naive literal (no offset) is interpreted as UTC
+    naive = datetime.fromtimestamp(t1, tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat(sep=" ")
+    got = sorted(
+        r["k"]
+        for r in e.sql(
+            f"SELECT k FROM t TIMESTAMP AS OF '{naive}'"
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    # numeric epoch form still works
+    got = sorted(
+        r["k"]
+        for r in e.sql(f"SELECT k FROM t TIMESTAMP AS OF {t1}").collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_time_travel_grammar_matrix(spark, eng):
+    """Pin what the time-travel rewrite DOES support (verdict r9 #7):
+    aliased refs, CTE referenced twice, subquery position."""
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k = 2")  # v2: {1, 3}
+    # aliased: t VERSION AS OF 1 AS x
+    got = sorted(
+        r["k"]
+        for r in e.sql("SELECT x.k FROM t VERSION AS OF 1 AS x").collect()
+    )
+    assert got == [1, 2, 3]
+    # bare alias (no AS)
+    got = sorted(
+        r["k"]
+        for r in e.sql("SELECT x.k FROM t VERSION AS OF 1 x").collect()
+    )
+    assert got == [1, 2, 3]
+    # CTE referencing the SAME historical version twice
+    got = e.sql(
+        "WITH old AS (SELECT k FROM t VERSION AS OF 1) "
+        "SELECT a.k FROM old a JOIN old b ON a.k = b.k ORDER BY a.k"
+    ).collect()
+    assert [r["k"] for r in got] == [1, 2, 3]
+    # subquery position
+    got = e.sql(
+        "SELECT k FROM t WHERE k IN "
+        "(SELECT k FROM t VERSION AS OF 1) ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in got] == [1, 3]
+    # two DIFFERENT versions in one statement
+    got = e.sql(
+        "SELECT (SELECT count(*) FROM t VERSION AS OF 1) AS n1, "
+        "(SELECT count(*) FROM t VERSION AS OF 2) AS n2"
+    ).collect()[0]
+    assert (got["n1"], got["n2"]) == (3, 2)
+    # non-catalog names pass through untouched (no rewrite, loud
+    # Spark error — not a silent misparse)
+    with pytest.raises(Exception):
+        e.sql("SELECT k FROM nosuch VERSION AS OF 1")
+
+
+def test_insert_named_columns(spark, eng):
+    e, p = eng
+    e.sql("INSERT INTO t (v, k) SELECT 70, 7")
+    got = _rows(spark, p)
+    assert got[7] == (70, None)  # status unnamed -> NULL
+    e.sql("INSERT INTO t (k, status) VALUES (8, 'part')")
+    got = _rows(spark, p)
+    assert got[8] == (None, "part")
+    with pytest.raises(ValueError, match="unknown"):
+        e.sql("INSERT INTO t (k, nope) VALUES (9, 9)")
+    with pytest.raises(ValueError, match="duplicate"):
+        e.sql("INSERT INTO t (k, k) VALUES (9, 9)")
+    with pytest.raises(ValueError, match="column list names"):
+        e.sql("INSERT INTO t (k, v) VALUES (9, 9, 'x')")
+
+
+def test_create_table_warehouse_default(spark, eng, tmp_path):
+    e, p = eng
+    wh = os.path.join(str(tmp_path), "wh")
+    e.warehouse = wh
+    v = e.sql("CREATE TABLE summary AS SELECT status, count(*) AS n FROM t GROUP BY status")
+    assert v == 1
+    assert e.catalog["summary"] == f"{wh}/summary"
+    got = {
+        r["status"]: r["n"]
+        for r in e.sql("SELECT * FROM summary").collect()
+    }
+    assert got == {"live": 2, "expired": 1}
+    # without a warehouse root the LOCATION-less form is a loud error
+    e2 = SqlEngine(spark, {"t": p})
+    with pytest.raises(ValueError, match="warehouse"):
+        e2.sql("CREATE TABLE x AS SELECT 1 AS a")
