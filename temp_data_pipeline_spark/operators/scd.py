@@ -92,6 +92,22 @@ def scd2_of_version(spark: SparkSession, dim_path: str) -> int:
     return int(man["scd2_of_version"])
 
 
+def _observed_count(obs) -> int | None:
+    """Non-blocking read of a single-count Observation: the value if
+    some action already populated it, else None.  ``Observation.get``
+    BLOCKS until a first action — unusable here because the position
+    scan's eager bounds aggregation (the action the metric rides) is
+    skipped when the dimension has no zone maps, and may be skipped by
+    its own scan-error fallback."""
+    try:
+        row = obs._jo.getRowOrEmpty()
+        if row.isEmpty():
+            return None
+        return int(row.get().getLong(0))
+    except Exception:  # noqa: BLE001 - py4j interop guard: fall back to a probe
+        return None
+
+
 def scd2_apply(
     spark: SparkSession,
     feed: DataFrame,
@@ -109,16 +125,33 @@ def scd2_apply(
     data_cols = [c for c in feed.columns if c != "_change_type"]
     feed = feed.persist()
     try:
+        from pyspark.sql import Observation
+
         ups = feed.filter(
             F.col("_change_type").isin(*_UPSERT_TYPES)
         ).select(*data_cols)
+        obs = Observation()
         affected = (
-            feed.filter(F.col("_change_type") != "update_preimage")
+            feed.observe(obs, F.count(F.lit(1)).alias("n"))
+            .filter(F.col("_change_type") != "update_preimage")
             .select(*keys)
             .distinct()
         )
         base = versions(spark, dim_path)[-1]
-        if feed.isEmpty():
+        man = read_manifest(spark, dim_path, base)
+        # the one position-finding scan — pruned by the delta's key
+        # bounding box when the dimension keeps zone maps on the keys
+        # — narrowed to CURRENT rows of affected keys.  Its eager
+        # bounds aggregation doubles as the emptiness probe: the
+        # Observation on the feed lineage rides that same job, so a
+        # metadata-only window costs no separate isEmpty job (verdict
+        # r9 #4); only a dim without zone maps (nothing eager ran)
+        # still pays the explicit probe.
+        tagged = _visible_tagged_for_keys(
+            spark, dim_path, base, man, keys, affected
+        )
+        n = _observed_count(obs)
+        if (n == 0) if n is not None else feed.isEmpty():
             # empty window (a metadata-only source commit): advance
             # the bookkeeping with one carry commit — no position scan
             fresh = ups.withColumn(
@@ -128,14 +161,8 @@ def scd2_apply(
                 fresh.limit(0), dim_path, carry_from=base, meta=meta,
                 expected_base=base,
             )
-        man = read_manifest(spark, dim_path, base)
-        # the one position-finding scan — pruned by the delta's key
-        # bounding box when the dimension keeps zone maps on the keys
-        # — narrowed to CURRENT rows of affected keys
         cur = semi_on_keys(
-            _visible_tagged_for_keys(
-                spark, dim_path, base, man, keys, affected
-            ).filter(F.col("_valid_to").isNull()),
+            tagged.filter(F.col("_valid_to").isNull()),
             affected,
             keys,
         )
@@ -335,19 +362,32 @@ def _scd2_apply_backlog(
         data_cols = [
             c for c in feed.columns if c not in ("_change_type", "_ordinal")
         ]
+        from pyspark.sql import Observation
+
         events = feed.filter(F.col("_change_type") != "update_preimage")
         base = versions(spark, dim_path)[-1]
-        if events.isEmpty():
+        man = read_manifest(spark, dim_path, base)
+        obs = Observation()
+        affected = (
+            events.observe(obs, F.count(F.lit(1)).alias("n"))
+            .select(*keys)
+            .distinct()
+        )
+        # THE one position-finding scan — union of all windows' keys.
+        # Its eager bounds aggregation doubles as the emptiness probe
+        # (Observation on the events lineage — verdict r9 #4): an
+        # all-net-zero backlog is detected from the metric that rode
+        # the scan's own job, not a separate isEmpty job.
+        tagged = _visible_tagged_for_keys(
+            spark, dim_path, base, man, keys, affected
+        )
+        n = _observed_count(obs)
+        if (n == 0) if n is not None else events.isEmpty():
             # every window netted to zero rows (idempotent rewrites):
             # bookkeeping only
             return _scd2_carry_commit(spark, dim_path, base, meta)
-        man = read_manifest(spark, dim_path, base)
-        affected = events.select(*keys).distinct()
-        # THE one position-finding scan — union of all windows' keys
         cur = semi_on_keys(
-            _visible_tagged_for_keys(
-                spark, dim_path, base, man, keys, affected
-            ).filter(F.col("_valid_to").isNull()),
+            tagged.filter(F.col("_valid_to").isNull()),
             affected,
             keys,
         )

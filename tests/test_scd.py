@@ -410,3 +410,111 @@ def test_backlog_catchup_prunes_position_scan_with_zonemaps(
         (5, 50, 1, 2), (5, 555, 2, None),
         (6, 60, 1, 3), (6, 666, 3, None),
     }
+
+
+def test_emptiness_probe_folded_into_position_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Verdict r9 #4: with zone maps on the dimension keys, the
+    position scan's eager bounds aggregation doubles as the feed
+    emptiness probe (Observation on the feed lineage) — neither
+    scd2_apply nor the batched catch-up calls DataFrame.isEmpty, an
+    empty window still lands as a carry commit, and a statusTracker
+    A/B of the SAME apply with the observed count artificially
+    unavailable shows the fold saves exactly one job."""
+    from temp_data_pipeline_spark.operators import scd as S
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+    src = os.path.join(str(tmp_path), "srco")
+    dim = os.path.join(str(tmp_path), "dimo")
+    S2 = "k long, v long"
+    commit_version(
+        spark.createDataFrame([(i, 10 * i) for i in range(1, 101)], S2), src
+    )
+    scd2_init(spark, src, dim, ["k"])
+    write_zone_maps(spark, dim, ["k"])
+
+    df_cls = type(spark.range(1))  # the CONCRETE DataFrame class
+    real_is_empty = df_cls.isEmpty
+    calls: list[int] = []
+
+    def counting(self):
+        calls.append(1)
+        return real_is_empty(self)
+
+    monkeypatch.setattr(df_cls, "isEmpty", counting)
+    meta = {"scd2_of": src, "scd2_of_version": 1, "scd2_keys": ["k"]}
+
+    # non-empty window through the public apply — no isEmpty call
+    feed = spark.createDataFrame([(5, 555)], S2).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    v = S.scd2_apply(spark, feed, dim, ["k"], 2, meta=meta)
+    cur = {
+        r["k"]: r["v"]
+        for r in read_table(spark, dim)
+        .filter(F.col("_valid_to").isNull())
+        .collect()
+    }
+    assert cur[5] == 555 and cur[1] == 10
+    assert not calls
+
+    # the batched catch-up (production path) — no isEmpty either
+    commit_upsert_mor(spark.createDataFrame([(7, 777)], S2), src, ["k"])
+    write_zone_maps(spark, dim, ["k"], version=v)
+    v = S.scd2_catchup(spark, src, dim, ["k"])
+    cur = {
+        r["k"]: r["v"]
+        for r in read_table(spark, dim)
+        .filter(F.col("_valid_to").isNull())
+        .collect()
+    }
+    assert cur[7] == 777 and cur[5] == 555
+    assert not calls
+
+    # empty window: the observed n==0 routes to the carry commit
+    write_zone_maps(spark, dim, ["k"], version=v)
+    before = {
+        (r["k"], r["v"], r["_valid_from"], r["_valid_to"])
+        for r in read_table(spark, dim).collect()
+    }
+    v2 = S.scd2_apply(spark, feed.limit(0), dim, ["k"], 99, meta=meta)
+    assert v2 == v + 1 and not calls
+    assert {
+        (r["k"], r["v"], r["_valid_from"], r["_valid_to"])
+        for r in read_table(spark, dim).collect()
+    } == before
+
+    # statusTracker A/B of the SAME apply shape: forcing the fallback
+    # (observed count unavailable) costs exactly one extra job — the
+    # isEmpty probe the fold removed
+    sc = spark.sparkContext
+    write_zone_maps(spark, dim, ["k"], version=v2)
+    sc.setJobGroup("scd-fold", "apply, emptiness folded")
+    v3 = S.scd2_apply(
+        spark,
+        spark.createDataFrame([(8, 888)], S2).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        dim, ["k"], 4, meta=meta,
+    )
+    jobs_fold = len(
+        sc.statusTracker()._jtracker.getJobIdsForGroup("scd-fold")
+    )
+    assert not calls
+    monkeypatch.setattr(S, "_observed_count", lambda obs: None)
+    write_zone_maps(spark, dim, ["k"], version=v3)
+    sc.setJobGroup("scd-fallback", "apply, fallback probe")
+    S.scd2_apply(
+        spark,
+        spark.createDataFrame([(9, 999)], S2).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        dim, ["k"], 5, meta=meta,
+    )
+    jobs_fallback = len(
+        sc.statusTracker()._jtracker.getJobIdsForGroup("scd-fallback")
+    )
+    sc.setJobGroup("scd-probe-done", "")
+    assert len(calls) == 1
+    assert jobs_fallback == jobs_fold + 1
