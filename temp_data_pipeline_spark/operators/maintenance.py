@@ -223,6 +223,32 @@ def maintain_table(
     dropped = vacuum(spark, path, keep_last=policy.keep_last)
     if dropped:
         actions.append(f"vacuum dropped {dropped}")
+
+    # 5. quarantine sibling (expectations gating): ``<path>_quarantine``
+    # gains a version per gated commit and per replay and would
+    # otherwise accumulate forever — run the same compaction + expiry
+    # over it under a sidecar-free policy (quarantines are
+    # violation-sized; they are read whole on replay, never
+    # merge-read, so stats/bloom/zorder buy nothing).  The replay
+    # linkage survives: compact_snapshot carries the extra manifest
+    # keys (``_quarantine_of`` / ``_replayed_to_version``), and if
+    # expiry ever drops the newest ``_replayed_to_version`` marker,
+    # ``_pending_replay``'s walk degrades to one redundant —
+    # idempotent, self-restamping — remainder rewrite, never a double
+    # append.  One level only: a quarantine has no quarantine.
+    if not path.endswith("_quarantine"):
+        qpath = f"{path}_quarantine"
+        if versions(spark, qpath):
+            from dataclasses import replace as _dc_replace
+
+            for act in maintain_table(
+                spark,
+                qpath,
+                _dc_replace(
+                    policy, stats_columns=[], bloom_columns=[], zorder=[]
+                ),
+            ):
+                actions.append(f"quarantine: {act}")
     return actions
 
 

@@ -257,3 +257,68 @@ def test_policy_incremental_compaction_spares_the_big_dir(spark, tmp_path):
     assert read_version(spark, path).count() == 5004
     # idempotent: second run is a no-op
     assert maintain_table(spark, path, pol) == []
+
+
+def test_quarantine_sibling_maintained_with_main(spark, tmp_path):
+    """Verdict r9 #6: maintaining a gated table also compacts and
+    expires its <path>_quarantine sibling, and the replay linkage
+    keeps working afterwards (no double appends, remainder exact)."""
+    from temp_data_pipeline_spark.operators.expectations import (
+        commit_with_expectations,
+        replay_quarantine,
+    )
+
+    path = os.path.join(str(tmp_path), "gated")
+    qpath = f"{path}_quarantine"
+    exp = {"v_pos": "v > 0"}
+    # five gated commits, each quarantining one bad row -> a 5-version
+    # quarantine chain of tiny dirs
+    for i in range(5):
+        commit_with_expectations(
+            spark.createDataFrame(
+                [(10 * i + 1, 5), (10 * i + 2, -i - 1)], "k long, v long"
+            ),
+            path,
+            exp,
+        )
+    assert len(versions(spark, qpath)) == 5
+    pol = MaintenancePolicy(max_chain=2, keep_last=2)
+    actions = maintain_table(spark, path, pol)
+    q_actions = [a for a in actions if a.startswith("quarantine: ")]
+    assert any("compact" in a for a in q_actions)
+    assert any("vacuum" in a for a in q_actions)
+    assert len(versions(spark, qpath)) <= 2
+    # idempotent: a second pass is quiet on the quarantine too
+    assert [
+        a
+        for a in maintain_table(spark, path, pol)
+        if a.startswith("quarantine: ")
+    ] == []
+    # the quarantine content survived maintenance intact
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    bad = {
+        (r["k"], r["v"]) for r in read_version(spark, qpath).collect()
+    }
+    assert bad == {(10 * i + 2, -i - 1) for i in range(5)}
+    # replay after a gate fix: all five quarantined rows pass and
+    # append exactly once; the remainder rewrite still lands
+    v, n_pass, n_still = replay_quarantine(
+        spark, path, {"v_any": "v IS NOT NULL"}
+    )
+    assert (n_pass, n_still) == (5, 0)
+    main = {
+        (r["k"], r["v"]) for r in read_table(spark, path).collect()
+    }
+    assert {(10 * i + 2, -i - 1) for i in range(5)} <= main
+    assert len(main) == 10
+    # maintaining again after the replay keeps the linkage invariants
+    # (pending-replay walk sees a completed replay -> no double append)
+    maintain_table(spark, path, pol)
+    v2, n_pass2, n_still2 = replay_quarantine(
+        spark, path, {"v_any": "v IS NOT NULL"}
+    )
+    assert (n_pass2, n_still2) == (0, 0)
+    assert len(
+        {(r["k"], r["v"]) for r in read_table(spark, path).collect()}
+    ) == 10
