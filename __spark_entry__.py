@@ -148,14 +148,15 @@ _LAST_VERIFIED = {
 # Implementations or inputs changed in ROUND 10 since their last green
 # driver record (each locally re-verified green against DuckDB before
 # being listed; the driver mints fresh records):
-#   - SCD2 emptiness probe folded into the position scan's bounds agg
-#     (operators/scd.py _observed_count): q_scd2, q_stream_replicate;
+#   - emptiness probe folded into the position scan's bounds agg
+#     (deletion_vectors._observed_count, used by scd.py and
+#     replicate.py): q_scd2, q_stream_replicate, q_replicate;
 #   - SQL front: word-boundary clause separators, quoted TIMESTAMP AS
 #     OF, named-column INSERT, warehouse-default CTAS (sql.py):
 #     q_sql_dml.
 # The rest of the window is the r5-stale cohort + the two r6 entries.
 _RECHECK: list[str] = [
-    "q_scd2", "q_stream_replicate", "q_sql_dml",
+    "q_scd2", "q_stream_replicate", "q_replicate", "q_sql_dml",
 ]
 
 

@@ -276,6 +276,23 @@ def _visible_tagged(
     return tagged
 
 
+def _observed_count(obs) -> int | None:
+    """Non-blocking read of a single-count Observation: the value if
+    some action already populated it, else None.  ``Observation.get``
+    BLOCKS until a first action — unusable when the action the metric
+    rides (the position scan's eager bounds aggregation) is skipped
+    because the table has no zone maps, or by the scan-error
+    fallback.  Callers fall back to an explicit emptiness probe on
+    None."""
+    try:
+        row = obs._jo.getRowOrEmpty()
+        if row.isEmpty():
+            return None
+        return int(row.get().getLong(0))
+    except Exception:  # noqa: BLE001 - py4j interop guard: fall back to a probe
+        return None
+
+
 def _visible_tagged_for_keys(
     spark: SparkSession,
     path: str,

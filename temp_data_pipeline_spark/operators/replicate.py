@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.deletion_vectors import (
     _commit_with_dv,
+    _observed_count,
     _visible_tagged_for_keys,
     semi_on_keys,
 )
@@ -134,18 +135,35 @@ def _apply(
         f["name"] for f in (man.get("_schema") or {}).get("fields", [])
     }
     evolve = bool(have) and set(data_cols) > have
-    if feed.isEmpty():
+    # emptiness probe folded into the position scan (the scd.py r10
+    # pattern): the Observation rides ONE branch of the affected-keys
+    # union — its metrics node sits below that branch's filter, so it
+    # still counts every feed row, and appearing once keeps Spark's
+    # duplicate-observed-metrics check happy.  The scan's eager bounds
+    # aggregation populates it; a replica without zone maps (nothing
+    # eager ran) falls back to the explicit probe.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    affected = (
+        feed.observe(obs, F.count(F.lit(1)).alias("n"))
+        .filter(F.col("_change_type").isin(*_UPSERT_TYPES))
+        .select(*keys)
+        .unionByName(del_keys)
+        .distinct()
+    )
+    # the one position-finding scan (keys-only semi join, same plan
+    # as commit_upsert_mor), pruned by the delta's key bounding box
+    # when the replica keeps zone maps on the keys
+    tagged = _visible_tagged_for_keys(spark, path, base, man, keys, affected)
+    n = _observed_count(obs)
+    if (n == 0) if n is not None else feed.isEmpty():
         # empty window (a metadata-only source commit): advance the
         # bookkeeping with one carry commit — no position scan
         return commit_version(
             ups.limit(0), path, carry_from=base, meta=meta,
             expected_base=base, allow_evolution=evolve,
         )
-    affected = ups.select(*keys).unionByName(del_keys).distinct()
-    # the one position-finding scan (keys-only semi join, same plan
-    # as commit_upsert_mor), pruned by the delta's key bounding box
-    # when the replica keeps zone maps on the keys
-    tagged = _visible_tagged_for_keys(spark, path, base, man, keys, affected)
     dv_new = semi_on_keys(tagged, affected, keys).select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.deletion_vectors import (
     _commit_with_dv,
+    _observed_count,
     _visible_tagged_for_keys,
     read_table,
     semi_on_keys,
@@ -90,22 +91,6 @@ def scd2_of_version(spark: SparkSession, dim_path: str) -> int:
     """The source version the dimension's LATEST snapshot reflects."""
     man = read_manifest(spark, dim_path, versions(spark, dim_path)[-1])
     return int(man["scd2_of_version"])
-
-
-def _observed_count(obs) -> int | None:
-    """Non-blocking read of a single-count Observation: the value if
-    some action already populated it, else None.  ``Observation.get``
-    BLOCKS until a first action — unusable here because the position
-    scan's eager bounds aggregation (the action the metric rides) is
-    skipped when the dimension has no zone maps, and may be skipped by
-    its own scan-error fallback."""
-    try:
-        row = obs._jo.getRowOrEmpty()
-        if row.isEmpty():
-            return None
-        return int(row.get().getLong(0))
-    except Exception:  # noqa: BLE001 - py4j interop guard: fall back to a probe
-        return None
 
 
 def scd2_apply(
