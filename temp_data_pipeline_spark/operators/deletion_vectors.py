@@ -196,6 +196,55 @@ def commit_delete_mor(
 
 
 
+def commit_replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    predicate,
+    *,
+    validate: bool = True,
+    meta: dict | None = None,
+) -> int:
+    """Delta-style ``replaceWhere``: atomically swap the rows matching
+    ``predicate`` (a Column or SQL string) for ``df``'s rows, in ONE
+    merge-on-read commit — currently visible matching rows are DV'd
+    out of their files, the incoming rows append, untouched files are
+    carried by reference. The classic partition-overwrite shape
+    (backfill one day / region) at O(matching files + new rows), never
+    a table rewrite. Returns the new version.
+
+    With ``validate`` (Delta's semantics, the default) every incoming
+    row must itself satisfy the predicate or the commit aborts with
+    sample offenders BEFORE anything is written — a backfill that
+    would leak rows outside its declared window fails loudly.  Rows
+    where the predicate is NULL count as outside the window on both
+    legs (SQL WHERE semantics: NULL-predicate target rows are kept).
+
+    Extension surface (Delta Lake ``replaceWhere`` parity): the
+    reference's batch overwrite is a whole-file rewrite of the output
+    parquet (/root/reference/src/tempdata/clean/clean_hourly.py:310-313);
+    this is its partition-scoped lakehouse generalization."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if validate:
+        sample = df.filter(
+            ~F.coalesce(predicate, F.lit(False))
+        ).limit(5).collect()
+        if sample:
+            raise ValueError(
+                f"replace_where on {path}: incoming rows fall outside "
+                f"the predicate window; sample (first {len(sample)}): "
+                + "; ".join(str(r.asDict()) for r in sample)
+            )
+    base = _resolve_version(spark, path, None)
+    man = read_manifest(spark, path, base)
+    visible = _visible_tagged(spark, path, base, man)
+    dv_new = visible.filter(F.coalesce(predicate, F.lit(False))).select(
+        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+    )
+    return _commit_with_dv(spark, path, base, man, dv_new, df, meta)
+
+
 # above this many deleted positions the forced broadcast would strain
 # the driver (~24 bytes/entry -> ~1.2 GB at 50M); fall back to a plain
 # shuffled anti-join, which AQE may still broadcast if it fits

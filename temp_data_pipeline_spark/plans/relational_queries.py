@@ -1170,6 +1170,61 @@ def q_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_replace_where",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE NOT (o_orderkey % 7 = 3)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus FROM orders
+      WHERE o_orderkey % 7 = 3
+    ) ORDER BY o_orderkey
+    """,
+    note=(
+        "Delta-style replaceWhere (deletion_vectors."
+        "commit_replace_where): commit orders, then atomically swap "
+        "the o_orderkey%7=3 window for recomputed rows (status 'R') "
+        "in ONE merge-on-read commit — matching rows DV'd out, new "
+        "rows appended, untouched files carried by reference. The "
+        "partition-backfill shape at O(window), never a table "
+        "rewrite; incoming rows are validated against the predicate "
+        "(the pytest pins the abort)."
+    ),
+)
+def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_replace_where,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rw_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        commit_version(orders.repartition(8), path)
+        replacement = orders.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+            "o_orderstatus", F.lit("R")
+        )
+        commit_replace_where(
+            spark, replacement, path, "o_orderkey % 7 = 3"
+        )
+        return (
+            read_table(spark, path)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
     "q_change_feed",
     ["extension-relational", "maintenance", "cdc"],
     """

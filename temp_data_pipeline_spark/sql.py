@@ -505,12 +505,23 @@ class SqlEngine:
 
         m = st.match(
             r"INSERT" + _WS + r"INTO" + _WS + r"(\w+)"
-            r"(?:\s*\(([\w\s,]+)\))?" + _WS
-            + r"((?:SELECT|WITH|VALUES|TABLE)\b.+)$"
+            r"(?:\s*\(([\w\s,]+)\))?"
+            r"(?:" + _WS + r"REPLACE" + _WS + r"WHERE" + _WS + r"(.+?))?"
+            + _WS + r"((?:SELECT|WITH|VALUES|TABLE)\b.+)$"
         )
         if not m:
             raise ValueError(f"cannot parse INSERT INTO: {st.text!r}")
-        name, col_list, query = m.group(1), m.group(2), m.group(3)
+        name, col_list, replace_pred, query = m.groups()
+        if replace_pred is not None and (
+            replace_pred.count("(") != replace_pred.count(")")
+        ):
+            # the non-greedy predicate capture stops at the first
+            # query keyword — a subquery inside REPLACE WHERE would
+            # misparse silently, so refuse it loudly
+            raise ValueError(
+                "REPLACE WHERE predicate may not contain a subquery "
+                f"(unbalanced parens in {replace_pred!r})"
+            )
         path = self._path(name)
         self._register_views()
         rows = self.spark.sql(query)
@@ -562,6 +573,21 @@ class SqlEngine:
                     F.col(rows.columns[i]).cast(f.dataType).alias(f.name)
                     for i, f in enumerate(target.fields)
                 ]
+            )
+
+        if replace_pred is not None:
+            # INSERT INTO t REPLACE WHERE <pred> <query> — the Delta
+            # partition-overwrite statement: one MOR commit swaps the
+            # predicate window for the incoming rows (validated
+            # against the window inside commit_replace_where)
+            from temp_data_pipeline_spark.operators.deletion_vectors import (
+                commit_replace_where,
+            )
+
+            return commit_with_retries(
+                lambda: commit_replace_where(
+                    self.spark, rows, path, replace_pred
+                )
             )
 
         def _commit() -> int:

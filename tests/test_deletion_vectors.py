@@ -355,3 +355,88 @@ def test_missing_carried_dir_fails_loudly_in_mor(spark, tmp_path):
     shutil.rmtree(os.path.join(path, "v=1"))
     with _pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
         commit_delete_mor(spark, path, "user = 'a'")
+
+
+def test_replace_where_swaps_window_in_one_commit(spark, tmp_path):
+    """Delta replaceWhere parity: matching rows leave via DV, incoming
+    rows append, untouched files are carried — one commit; NULL
+    predicate rows are outside the window (kept)."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_replace_where,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    path = os.path.join(str(tmp_path), "rw")
+    commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, None, 40)],
+            "k long, part string, v long",
+        ),
+        path,
+    )
+    v = commit_replace_where(
+        spark,
+        spark.createDataFrame(
+            [(9, "a", 90), (10, "a", 100)], "k long, part string, v long"
+        ),
+        path,
+        "part = 'a'",
+    )
+    assert v == 2
+    got = {
+        (r["k"], r["part"], r["v"])
+        for r in read_table(spark, path).collect()
+    }
+    # part='a' rows replaced; part='b' kept; NULL-part row kept (the
+    # predicate is NULL there -> outside the window)
+    assert got == {
+        (2, "b", 20), (4, None, 40), (9, "a", 90), (10, "a", 100)
+    }
+    # one MOR commit: v2 carries v1's dir by reference + a DV sidecar
+    man = read_manifest(spark, path, 2)
+    assert man.get("_dv")
+    # empty window still lands the incoming rows (Delta semantics)
+    v = commit_replace_where(
+        spark,
+        spark.createDataFrame([(11, "zz", 1)], "k long, part string, v long"),
+        path,
+        "part = 'zz'",
+    )
+    assert v == 3
+    assert (11, "zz", 1) in {
+        (r["k"], r["part"], r["v"])
+        for r in read_table(spark, path).collect()
+    }
+
+
+def test_replace_where_validates_incoming_rows(spark, tmp_path):
+    """A backfill leaking rows outside its declared window aborts
+    BEFORE writing; validate=False opts out (rows land, window still
+    cleared)."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_replace_where,
+        read_table,
+    )
+
+    path = os.path.join(str(tmp_path), "rwv")
+    commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, part string, v long"
+        ),
+        path,
+    )
+    leak = spark.createDataFrame(
+        [(9, "a", 90), (8, "b", 80)], "k long, part string, v long"
+    )
+    with pytest.raises(ValueError, match="outside the predicate window"):
+        commit_replace_where(spark, leak, path, "part = 'a'")
+    assert versions(spark, path) == [1]  # nothing written
+    v = commit_replace_where(
+        spark, leak, path, "part = 'a'", validate=False
+    )
+    assert v == 2
+    got = {
+        (r["k"], r["part"]) for r in read_table(spark, path).collect()
+    }
+    assert got == {(2, "b"), (9, "a"), (8, "b")}

@@ -405,3 +405,35 @@ def test_create_table_warehouse_default(spark, eng, tmp_path):
     e2 = SqlEngine(spark, {"t": p})
     with pytest.raises(ValueError, match="warehouse"):
         e2.sql("CREATE TABLE x AS SELECT 1 AS a")
+
+
+def test_insert_replace_where_statement(spark, eng):
+    e, p = eng
+    v = e.sql(
+        "INSERT INTO t REPLACE WHERE status = 'live' "
+        "SELECT 7, 70, 'live'"
+    )
+    assert v == 2
+    got = _rows(spark, p)
+    assert got == {3: (30, "expired"), 7: (70, "live")}
+    # leaking outside the window aborts (validation inside the op)
+    with pytest.raises(ValueError, match="outside the predicate window"):
+        e.sql(
+            "INSERT INTO t REPLACE WHERE status = 'live' "
+            "SELECT 8, 80, 'dead'"
+        )
+    # a balanced subquery predicate parses (the lazy capture extends
+    # past '(SELECT' because no whitespace precedes it) and validates:
+    # k=9 is not in t, so the incoming row is outside the window
+    with pytest.raises(ValueError, match="outside the predicate window"):
+        e.sql(
+            "INSERT INTO t REPLACE WHERE k IN (SELECT k FROM t) "
+            "SELECT 9, 90, 'x'"
+        )
+    # named-column form composes with REPLACE WHERE
+    v = e.sql(
+        "INSERT INTO t (k, status) REPLACE WHERE status = 'expired' "
+        "VALUES (12, 'expired')"
+    )
+    got = _rows(spark, p)
+    assert got[12] == (None, "expired") and 3 not in got
