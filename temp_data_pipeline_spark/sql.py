@@ -157,6 +157,10 @@ class SqlEngine:
         # default root for CREATE TABLE without LOCATION: new tables
         # land at <warehouse>/<name>
         self.warehouse = warehouse.rstrip("/") if warehouse else None
+        # CREATE VIEW text, re-planned over the CURRENT snapshots on
+        # every statement (insertion order = dependency order for
+        # views over views, since Spark analyzes view SQL eagerly)
+        self.views: dict[str, str] = {}
 
     # -- helpers -----------------------------------------------------
     def _path(self, name: str) -> str:
@@ -177,6 +181,10 @@ class SqlEngine:
     def _register_views(self) -> None:
         for name in self.catalog:
             self._snapshot(name).createOrReplaceTempView(name)
+        for vname, vtext in self.views.items():
+            self.spark.sql(
+                self._rewrite_time_travel(vtext)
+            ).createOrReplaceTempView(vname)
 
     def _frame(self, source_sql_or_name: str) -> DataFrame:
         """A MERGE source / INSERT query: a catalog table name, an
@@ -206,17 +214,113 @@ class SqlEngine:
             return self._insert(st)
         if st.match(r"MERGE\b"):
             return self._merge(st)
-        if st.match(r"(VACUUM|OPTIMIZE|DESCRIBE|RESTORE)\b"):
+        if st.match(r"(VACUUM|OPTIMIZE|DESCRIBE|RESTORE|SHOW)\b"):
             return self._utility(st)
         if st.match(r"ALTER\b"):
             return self._alter(st)
         if st.match(r"CREATE\b"):
             return self._create(st)
+        if st.match(r"DROP\b"):
+            return self._drop(st)
         raise ValueError(
             "unsupported statement (SELECT/WITH, DELETE, UPDATE, "
-            "INSERT INTO, MERGE INTO, ALTER TABLE, VACUUM, OPTIMIZE, "
-            f"DESCRIBE HISTORY, RESTORE): {st.text[:80]!r}"
+            "INSERT INTO, MERGE INTO, ALTER TABLE, CREATE TABLE/VIEW, "
+            "DROP TABLE/VIEW, VACUUM, OPTIMIZE, SHOW TABLES, DESCRIBE "
+            f"HISTORY/DETAIL, RESTORE): {st.text[:80]!r}"
         )
+
+    def _describe_detail(self, name: str) -> DataFrame:
+        """DESCRIBE DETAIL t — ONE metadata-only row (the Delta
+        utility): location, latest version + commit clock, data-dir
+        chain length, deletion-vector presence + row count, partition
+        columns, column count, recorded CHECK constraints.  Pure
+        driver-side manifest read, no Spark job beyond the local
+        DataFrame."""
+        import json as _json
+
+        from temp_data_pipeline_spark.operators.versioned import (
+            _manifest_dirs,
+            read_manifest,
+            versions,
+        )
+
+        path = self._path(name)
+        vs = versions(self.spark, path)
+        if not vs:
+            raise ValueError(f"table {name!r} has no committed versions")
+        man = read_manifest(self.spark, path, vs[-1])
+        fields = (man.get("_schema") or {}).get("fields", [])
+        return self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    path,
+                    int(vs[-1]),
+                    float(man.get("committed_at", 0.0)),
+                    len(_manifest_dirs(man)),
+                    bool(man.get("_dv")),
+                    int(man.get("_dv_rows") or 0),
+                    ",".join(man.get("_partition_by") or []),
+                    len(fields),
+                    _json.dumps(man.get("_checks") or {}, sort_keys=True),
+                )
+            ],
+            "name string, location string, version long, "
+            "committed_at double, num_data_dirs long, "
+            "has_deletion_vector boolean, dv_rows long, "
+            "partition_columns string, num_columns long, checks string",
+        )
+
+    def _drop(self, st: _Stmt):
+        """DROP TABLE [IF EXISTS] t / DROP VIEW v.
+
+        DROP TABLE removes the name from the catalog; storage is
+        deleted ONLY for managed tables (roots at
+        ``<warehouse>/<name>``) — external LOCATION tables keep their
+        files, the Hive external-table contract."""
+        m = st.match(
+            r"DROP" + _WS + r"TABLE"
+            r"(?:" + _WS + r"IF" + _WS + r"EXISTS)?" + _WS + r"(\w+)$"
+        )
+        if m:
+            name = m.group(1)
+            if_exists = bool(
+                st.match(r"DROP" + _WS + r"TABLE" + _WS + r"IF\b")
+            )
+            if name not in self.catalog:
+                if if_exists:
+                    return None
+                raise ValueError(
+                    f"unknown table {name!r} (catalog has "
+                    f"{sorted(self.catalog)})"
+                )
+            path = self.catalog.pop(name)
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 - view may never have registered
+                pass
+            if self.warehouse and path == f"{self.warehouse}/{name}":
+                from temp_data_pipeline_spark.operators.versioned import (
+                    _fs,
+                )
+
+                fs, jvm = _fs(self.spark, path)
+                fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+            return None
+        m = st.match(r"DROP" + _WS + r"VIEW" + _WS + r"(\w+)$")
+        if m:
+            name = m.group(1)
+            if name not in self.views:
+                raise ValueError(
+                    f"unknown view {name!r} (views: {sorted(self.views)})"
+                )
+            del self.views[name]
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001
+                pass
+            return None
+        raise ValueError(f"cannot parse DROP: {st.text[:80]!r}")
 
     def _create(self, st: _Stmt) -> int:
         """CTAS into a NEW versioned table:
@@ -233,6 +337,32 @@ class SqlEngine:
             commit_version,
         )
 
+        m = st.match(
+            r"CREATE(?:" + _WS + r"OR" + _WS + r"REPLACE)?" + _WS
+            + r"VIEW" + _WS + r"(\w+)" + _WS + r"AS" + _WS + r"(.+)$"
+        )
+        if m:
+            name, vtext = m.groups()
+            replace = bool(st.match(r"CREATE" + _WS + r"OR\b"))
+            if name in self.catalog:
+                raise ValueError(f"{name!r} is a table in the catalog")
+            if name in self.views and not replace:
+                raise ValueError(
+                    f"view {name!r} exists (CREATE OR REPLACE VIEW)"
+                )
+            prior = self.views.get(name)
+            self.views[name] = vtext
+            try:
+                # registering eagerly analyzes the view SQL — a bad
+                # definition fails HERE, not at first use
+                self._register_views()
+            except Exception:
+                if prior is None:
+                    del self.views[name]
+                else:
+                    self.views[name] = prior
+                raise
+            return None
         m = st.match(
             r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)"
             r"(?:" + _WS + r"LOCATION" + _WS + r"'([^']+)')?"
@@ -439,6 +569,25 @@ class SqlEngine:
             )
 
             return history(self.spark, self._path(m.group(1)))
+        m = st.match(r"DESCRIBE" + _WS + r"DETAIL" + _WS + r"(\w+)$")
+        if m:
+            return self._describe_detail(m.group(1))
+        if st.match(r"SHOW" + _WS + r"TABLES$"):
+            from pyspark.sql.types import (
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            return self.spark.createDataFrame(
+                sorted(self.catalog.items()),
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField("location", StringType()),
+                    ]
+                ),
+            )
         m = st.match(
             r"RESTORE" + _WS + r"(\w+)" + _WS + r"TO" + _WS + r"VERSION"
             + _WS + r"AS" + _WS + r"OF" + _WS + r"(\d+)$"

@@ -120,7 +120,7 @@ def test_guards(spark, eng):
             "WHEN MATCHED THEN DELETE"
         )
     with pytest.raises(ValueError, match="unsupported statement"):
-        e.sql("DROP TABLE t")
+        e.sql("TRUNCATE TABLE t")
 
 
 def test_utility_statements(spark, eng):
@@ -305,7 +305,10 @@ def test_timestamp_as_of_quoted_literal(spark, eng):
     _time.sleep(0.05)
     e.sql("DELETE FROM t WHERE k = 2")  # v2
     t1 = read_manifest(spark, p, 1)["committed_at"]
-    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    # isoformat truncates the float epoch to microseconds — nudge up
+    # a millisecond so the literal lands at-or-after the commit clock
+    # (still well before v2, which slept 50ms)
+    iso = datetime.fromtimestamp(t1 + 0.001, tz=timezone.utc).isoformat()
     got = sorted(
         r["k"]
         for r in e.sql(
@@ -314,7 +317,7 @@ def test_timestamp_as_of_quoted_literal(spark, eng):
     )
     assert got == [1, 2, 3]
     # naive literal (no offset) is interpreted as UTC
-    naive = datetime.fromtimestamp(t1, tz=timezone.utc).replace(
+    naive = datetime.fromtimestamp(t1 + 0.001, tz=timezone.utc).replace(
         tzinfo=None
     ).isoformat(sep=" ")
     got = sorted(
@@ -437,3 +440,69 @@ def test_insert_replace_where_statement(spark, eng):
     )
     got = _rows(spark, p)
     assert got[12] == (None, "expired") and 3 not in got
+
+
+def test_show_tables_and_describe_detail(spark, eng, tmp_path):
+    e, p = eng
+    got = {(r["name"], r["location"]) for r in e.sql("SHOW TABLES").collect()}
+    assert got == {("t", p)}
+    e.sql("DELETE FROM t WHERE k = 2")
+    d = e.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d["name"] == "t" and d["location"] == p
+    assert d["version"] == 2 and d["has_deletion_vector"]
+    assert d["dv_rows"] == 1 and d["num_columns"] == 3
+    assert d["committed_at"] > 0
+
+
+def test_create_and_drop_view(spark, eng):
+    e, p = eng
+    e.sql("CREATE VIEW live AS SELECT k, v FROM t WHERE status = 'live'")
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM live").collect()
+    ) == [1, 2]
+    # views see the CURRENT snapshot, not the definition-time one
+    e.sql("DELETE FROM t WHERE k = 2")
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM live").collect()
+    ) == [1]
+    # view over view
+    e.sql("CREATE VIEW live_small AS SELECT k FROM live WHERE v < 15")
+    assert [r["k"] for r in e.sql("SELECT * FROM live_small").collect()] == [1]
+    # bad definitions fail at CREATE, and don't clobber the prior one
+    with pytest.raises(Exception):
+        e.sql("CREATE OR REPLACE VIEW live AS SELECT nope FROM t")
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM live").collect()
+    ) == [1]
+    with pytest.raises(ValueError, match="exists"):
+        e.sql("CREATE VIEW live AS SELECT 1 AS x")
+    e.sql("DROP VIEW live_small")
+    with pytest.raises(ValueError, match="unknown view"):
+        e.sql("DROP VIEW live_small")
+    # replace narrows the view; dependents were dropped above (a
+    # replace that breaks a dependent fails loudly at replace time)
+    e.sql("CREATE OR REPLACE VIEW live AS SELECT k FROM t")
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM live").collect()
+    ) == [1, 3]
+
+
+def test_drop_table_managed_vs_external(spark, eng, tmp_path):
+    import os as _os
+
+    e, p = eng
+    wh = os.path.join(str(tmp_path), "wh")
+    e.warehouse = wh
+    e.sql("CREATE TABLE managed AS SELECT k FROM t")
+    assert _os.path.isdir(f"{wh}/managed")
+    e.sql("DROP TABLE managed")
+    assert "managed" not in e.catalog
+    assert not _os.path.exists(f"{wh}/managed")  # managed: storage reclaimed
+    # external table (explicit LOCATION): catalog-only removal
+    loc = os.path.join(str(tmp_path), "ext")
+    e.sql(f"CREATE TABLE ext LOCATION '{loc}' AS SELECT k FROM t")
+    e.sql("DROP TABLE ext")
+    assert "ext" not in e.catalog and _os.path.isdir(loc)
+    e.sql("DROP TABLE IF EXISTS nosuch")  # quiet
+    with pytest.raises(ValueError, match="unknown table"):
+        e.sql("DROP TABLE nosuch")
