@@ -152,11 +152,16 @@ _LAST_VERIFIED = {
 #     (deletion_vectors._observed_count, used by scd.py and
 #     replicate.py): q_scd2, q_stream_replicate, q_replicate;
 #   - SQL front: word-boundary clause separators, quoted TIMESTAMP AS
-#     OF, named-column INSERT, warehouse-default CTAS (sql.py):
-#     q_sql_dml.
+#     OF, named-column INSERT, warehouse-default CTAS, REPLACE WHERE,
+#     views/utilities (sql.py): q_sql_dml;
+#   - streaming source maxVersionsPerTrigger admission control
+#     (streaming/source.py): q_stream_source, q_stream_cdc.
+# New this round (never verified — priority 0 automatically):
+# q_replace_where, q_sql_ddl.
 # The rest of the window is the r5-stale cohort + the two r6 entries.
 _RECHECK: list[str] = [
     "q_scd2", "q_stream_replicate", "q_replicate", "q_sql_dml",
+    "q_stream_source", "q_stream_cdc",
 ]
 
 

@@ -2068,6 +2068,80 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_sql_ddl",
+    ["extension-relational", "maintenance", "sql"],
+    """
+    WITH agg AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      FROM orders GROUP BY o_custkey
+    ),
+    replaced AS (
+      SELECT o_custkey, n,
+             CASE WHEN o_custkey % 10 = 4 THEN NULL ELSE keysum END
+               AS keysum
+      FROM agg
+    )
+    SELECT o_custkey, n, keysum FROM replaced
+    WHERE n > 1 ORDER BY o_custkey
+    """,
+    note=(
+        "SQL DDL + lifecycle surface (sql.py::SqlEngine, the r10 "
+        "statement additions): CREATE TABLE ... AS without LOCATION "
+        "(lands at the engine's warehouse root), a named-column "
+        "INSERT composed with REPLACE WHERE (the o_custkey%10=4 "
+        "window is atomically swapped for (o_custkey, n)-only rows — "
+        "keysum null-fills, one MOR commit via "
+        "commit_replace_where), CREATE VIEW re-planned over the "
+        "CURRENT snapshot, and the final SELECT through the view. "
+        "Each statement delegates to oracle-verified operators; the "
+        "SQL front adds parsing, not semantics."
+    ),
+)
+def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    scratch = tempfile.mkdtemp(prefix="sqlddl_")
+    try:
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_version,
+        )
+
+        commit_version(orders.repartition(4), f"{scratch}/src")
+        eng = SqlEngine(
+            spark, {"src": f"{scratch}/src"}, warehouse=f"{scratch}/wh"
+        )
+        eng.sql(
+            "CREATE TABLE agg AS SELECT o_custkey, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS keysum "
+            "FROM src GROUP BY o_custkey"
+        )
+        eng.sql(
+            "INSERT INTO agg (o_custkey, n) "
+            "REPLACE WHERE o_custkey % 10 = 4 "
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) FROM src "
+            "WHERE o_custkey % 10 = 4 GROUP BY o_custkey"
+        )
+        eng.sql(
+            "CREATE VIEW big AS SELECT o_custkey, n, keysum "
+            "FROM agg WHERE n > 1"
+        )
+        return (
+            eng.sql("SELECT o_custkey, n, keysum FROM big ORDER BY o_custkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_quarantine_replay",
     ["extension-relational", "maintenance", "governance"],
     """

@@ -407,16 +407,46 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             fld for fld in schema.fields if fld.name != "_change_type"
         ]
         self._starting = int(options.get("startingversion", 0))
+        # admission control: at most this many source VERSIONS per
+        # micro-batch (the Delta maxFilesPerTrigger idea at this
+        # source's natural granularity) — steady-state smoothing so a
+        # bursty producer doesn't snowball into mega-batches.  The
+        # python DataSource API has no ReadLimit/SupportsAdmission-
+        # Control, so the cap anchors on the reader's own high-water
+        # mark, and that anchor MUST never sit behind Spark's
+        # checkpoint (a capped latestOffset behind the checkpoint
+        # regresses offsets and re-emits files).  The engine calls
+        # latestOffset BEFORE initialOffset, so the first call of ANY
+        # run — fresh or restart — cannot know a safe floor: the
+        # FIRST batch of a run is always uncapped, every later one is
+        # bounded (anchor armed by initialOffset / partitions /
+        # commit, whichever the engine reaches first).
+        self._max_versions = (
+            int(options.get("maxversionspertrigger", 0)) or None
+        )
+        self._anchor: int | None = None
         f, root = _pa_fs(self._path)
         self._f, self._root = f, root
 
     def initialOffset(self) -> dict:
+        self._anchor = self._starting
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
         vs = _versions(self._f, self._root)
-        latest = vs[-1] if vs else 0
-        return {"version": max(latest, self._starting)}
+        latest = max(vs[-1] if vs else 0, self._starting)
+        if self._max_versions and self._anchor is not None:
+            latest = max(
+                min(latest, self._anchor + self._max_versions),
+                self._anchor,
+            )
+            self._anchor = latest
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        v = int(end.get("version", 0))
+        if self._anchor is None or v > self._anchor:
+            self._anchor = v
 
     def _dv_rel(self, version: int) -> str | None:
         if version <= 0:
@@ -426,6 +456,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         since, until = int(start["version"]), int(end["version"])
+        # learn the checkpoint position (restart replays call this
+        # before any latestOffset) — the admission-control anchor may
+        # only move FORWARD
+        hw = max(since, until)
+        if self._anchor is None or hw > self._anchor:
+            self._anchor = hw
         if until <= since:
             return []
         f, root = self._f, self._root

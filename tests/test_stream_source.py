@@ -393,3 +393,82 @@ def test_small_files_group_into_few_partitions(spark, tmp_path, monkeypatch):
         for batch in reader.read(p):
             rows2.extend(batch.to_pylist())
     assert sorted((r["k"], r["part"], r["v"]) for r in rows2) == want
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    """Admission control: maxVersionsPerTrigger bounds every batch
+    AFTER a run's first (the engine calls latestOffset before
+    initialOffset, so the first batch of any run — fresh or restart —
+    has no safe floor and is uncapped; a capped offset behind the
+    checkpoint would regress and re-emit).  A 5-version backlog lands
+    as batch 1; 4 more versions committed while the query runs arrive
+    in steps of <= 2; every row exactly once."""
+    import time as _time
+
+    register_versioned_source(spark)
+    path = os.path.join(str(tmp_path), "tbl")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    for i in range(5):
+        commit_version(
+            spark.createDataFrame([(i, "a", 10 * i)], SCHEMA),
+            path,
+            carry_from=(i if i else None),
+        )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _wait_rows(n, deadline=120):
+        end = _time.time() + deadline
+        while _time.time() < end:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        _wait_rows(5)  # cold-start backlog: one uncapped batch
+        for i in range(5, 9):  # live burst: must arrive capped
+            commit_version(
+                spark.createDataFrame([(i, "a", 10 * i)], SCHEMA),
+                path,
+                carry_from=i,
+            )
+        _wait_rows(9)
+    finally:
+        q.stop()
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+
+    assert _rows(spark.read.parquet(out)) == _rows(read_table(spark, path))
+    # offset log: first step unbounded (backlog), every LATER step <= 2
+    import json as _json
+    from pathlib import Path as _P
+
+    offsets = sorted(
+        (
+            f for f in (_P(ckpt) / "offsets").iterdir()
+            if f.name.isdigit()
+        ),
+        key=lambda p: int(p.name),
+    )
+    ends = []
+    for p2 in offsets:
+        lines = p2.read_text().strip().splitlines()
+        ends.append(_json.loads(lines[-1])["version"])
+    assert ends[0] == 5 and ends[-1] == 9
+    steps = [b - a for a, b in zip(ends, ends[1:])]
+    assert steps and all(0 < st <= 2 for st in steps), (ends, steps)
