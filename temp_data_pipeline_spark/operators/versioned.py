@@ -1323,6 +1323,121 @@ def compact_snapshot(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: list | None = None,
+    *,
+    where: str | None = None,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Partition-scoped OPTIMIZE (Delta's ``OPTIMIZE t WHERE part=x``):
+    rewrite ONLY the selected partitions' files — coalesced toward
+    ``target_files`` per partition, optionally sorted on
+    ``cluster_by`` — and carry every OTHER partition of the previous
+    snapshot by reference (nested ``v=<N>/col=x`` manifest entries,
+    the ``commit_merge_cow`` layout). Cost scales with the selected
+    partitions, not the table: compacting yesterday's streaming
+    partition on a 100 TB table reads and writes one partition plus
+    one JSON manifest, while ``compact_snapshot`` would rewrite the
+    world.
+
+    Select partitions with explicit ``values`` (Spark-cast string
+    forms; ``None`` selects the NULL partition) or a ``where`` SQL
+    predicate over the partition column — evaluated driver-side
+    against the table's DISTINCT partition values recovered from the
+    manifest's dir names, so selection is metadata-plane (no data
+    scan). Requires a DV-free base committed
+    ``partition_by=[partition_col]`` (the ``maintain_table`` order:
+    materialize deletes first). Returns the new version; prior
+    versions stay time-travel readable, and extra manifest keys
+    (constraints, expectations bookkeeping) carry like
+    ``compact_snapshot``."""
+    from pyspark.sql import functions as F
+
+    if (values is None) == (where is None):
+        raise ValueError("pass exactly one of values= or where=")
+    vs = versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    latest = vs[-1]
+    man = read_manifest(spark, path, latest)
+    _require_no_dv(man, "compact_partitions")
+    base_dirs = _manifest_dirs(man)
+    # every partition value the snapshot holds, from dir names —
+    # _cow_carried_dirs with an empty touched set enumerates ALL
+    # partitions as nested refs (and validates the layout)
+    all_refs = _cow_carried_dirs(spark, path, base_dirs, partition_col, set())
+    all_vals = {_partition_dir_value(d.split("/", 1)[1]) for d in all_refs}
+    if values is not None:
+        touched = {None if v is None else str(v) for v in values}
+        unknown = touched - all_vals
+        if unknown:
+            raise ValueError(
+                f"partition value(s) {sorted(unknown, key=repr)} not in "
+                f"{partition_col}= dirs (have {sorted(all_vals, key=repr)})"
+            )
+    else:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        dtype = StructType.fromJson(man["_schema"])[partition_col].dataType
+        cand = spark.createDataFrame(
+            [(v,) for v in all_vals if v is not None],
+            StructType([StructField(partition_col, StringType())]),
+        ).select(F.col(partition_col).cast(dtype).alias(partition_col))
+        touched = {
+            r["_s"]
+            for r in cand.filter(F.expr(where))
+            .select(F.col(partition_col).cast("string").alias("_s"))
+            .collect()
+        }
+        if not touched:
+            return latest  # predicate selects nothing: no-op
+    cond = F.col(partition_col).cast("string").isin(
+        [t for t in touched if t is not None]
+    )
+    if None in touched:
+        cond = cond | F.col(partition_col).isNull()
+    rows = read_version(spark, path, latest).filter(cond)
+    n_out = max(len(touched), 1) * max(int(target_files), 1)
+    if cluster_by:
+        rows = rows.repartitionByRange(
+            n_out, partition_col, *cluster_by
+        ).sortWithinPartitions(partition_col, *cluster_by)
+    else:
+        # hash on the partition column: each hive partition's rows
+        # land in target_files tasks -> that many files per dir
+        rows = rows.repartition(n_out, F.col(partition_col))
+    carried = _cow_carried_dirs(
+        spark, path, base_dirs, partition_col, touched
+    )
+    keep = {
+        k: v
+        for k, v in man.items()
+        if k not in ("version", "data_dir", "data_dirs", "_schema",
+                     "_partition_by", "committed_at",
+                     "_field_ids", "_dir_fields", "_last_field_id")
+    }
+    return commit_version(
+        rows,
+        path,
+        partition_by=[partition_col],
+        carry_dirs=carried,
+        meta={
+            **keep,
+            **(meta or {}),
+            "compacted_from": latest,
+            "_compacted_partitions": sorted(
+                ("NULL" if t is None else t) for t in touched
+            ),
+        },
+        expected_base=latest,
+    )
+
+
 def compact_incremental(
     spark: SparkSession,
     path: str,

@@ -545,11 +545,42 @@ class SqlEngine:
             return None
         m = st.match(
             r"OPTIMIZE" + _WS + r"(\w+)"
+            r"(?:" + _WS + r"WHERE" + _WS + r"(.+?))?"
             r"(?:" + _WS + r"ZORDER" + _WS + r"BY" + _WS
             + r"\(([^)]+)\))?$"
         )
         if m:
-            name, zcols = m.group(1), m.group(2)
+            name, pred, zcols = m.group(1), m.group(2), m.group(3)
+            if pred:
+                # partition-scoped OPTIMIZE: rewrite only the selected
+                # partitions, carry the rest by reference
+                from temp_data_pipeline_spark.operators.versioned import (
+                    compact_partitions,
+                    read_manifest,
+                    versions,
+                )
+
+                path = self._path(name)
+                man = read_manifest(
+                    self.spark, path, versions(self.spark, path)[-1]
+                )
+                pcols = man.get("_partition_by") or []
+                if len(pcols) != 1:
+                    raise ValueError(
+                        f"OPTIMIZE ... WHERE needs a table partitioned "
+                        f"by exactly one column (got {pcols})"
+                    )
+                return compact_partitions(
+                    self.spark,
+                    path,
+                    pcols[0],
+                    where=pred,
+                    cluster_by=(
+                        [c.strip() for c in zcols.split(",") if c.strip()]
+                        if zcols
+                        else None
+                    ),
+                )
             if zcols:
                 from temp_data_pipeline_spark.operators.zonemap import (
                     optimize_zorder,
@@ -653,14 +684,21 @@ class SqlEngine:
         )
 
         m = st.match(
-            r"INSERT" + _WS + r"INTO" + _WS + r"(\w+)"
+            r"INSERT" + _WS + r"(INTO|OVERWRITE)"
+            r"(?:" + _WS + r"TABLE)?" + _WS + r"(\w+)"
             r"(?:\s*\(([\w\s,]+)\))?"
             r"(?:" + _WS + r"REPLACE" + _WS + r"WHERE" + _WS + r"(.+?))?"
             + _WS + r"((?:SELECT|WITH|VALUES|TABLE)\b.+)$"
         )
         if not m:
-            raise ValueError(f"cannot parse INSERT INTO: {st.text!r}")
-        name, col_list, replace_pred, query = m.groups()
+            raise ValueError(f"cannot parse INSERT: {st.text!r}")
+        verb, name, col_list, replace_pred, query = m.groups()
+        overwrite = verb.upper() == "OVERWRITE"
+        if overwrite and replace_pred is not None:
+            raise ValueError(
+                "INSERT OVERWRITE replaces the WHOLE table — use "
+                "INSERT INTO ... REPLACE WHERE for a predicate window"
+            )
         if replace_pred is not None and (
             replace_pred.count("(") != replace_pred.count(")")
         ):
@@ -745,7 +783,10 @@ class SqlEngine:
             return commit_version(
                 rows,
                 path,
-                carry_from=(base if vs else None),
+                # OVERWRITE starts a rewrite lineage (no carry): the
+                # new version is exactly the query result, history
+                # stays time-travelable
+                carry_from=(base if vs and not overwrite else None),
                 expected_base=base,
             )
 

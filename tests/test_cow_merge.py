@@ -398,3 +398,100 @@ class TestCdcCow:
             _df(spark, [(6, "c", "c2", 30)]), p, ["k"], "ts", "part"
         )
         assert len(_rows(read_version(spark, p, v2))) == 6
+
+
+def test_compact_partitions_rewrites_only_selected(spark, tmp_path):
+    """Partition-scoped OPTIMIZE: the selected partition's files are
+    rewritten (coalesced), every other partition is carried by
+    nested reference with untouched mtimes; rows identical; explicit
+    values and a where-predicate select the same way; time travel
+    intact."""
+    from pathlib import Path
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        compact_partitions,
+    )
+
+    path = os.path.join(str(tmp_path), "t")
+    rows = [(i, "a" if i % 2 else "b", f"v{i}", 1) for i in range(20)]
+    commit_version(
+        _df(spark, rows).repartition(6), path, partition_by=["part"]
+    )
+    # fragment partition 'a' further with appends
+    for j in range(2):
+        commit_version(
+            _df(spark, [(100 + j, "a", f"x{j}", 1)]),
+            path,
+            carry_from=j + 1,
+            partition_by=["part"],
+        )
+    before = _rows(read_version(spark, path))
+    b_files = {
+        p: p.stat().st_mtime
+        for p in Path(path).rglob("part=b/*.parquet")
+    }
+    v = compact_partitions(spark, path, "part", values=["a"])
+    assert _rows(read_version(spark, path, v)) == before
+    # 'a' collapsed to one file in the new version's own dir
+    man = read_manifest(spark, path, v)
+    dirs = man.get("data_dirs") or [man["data_dir"]]
+    new_dirs = [d for d in dirs if "/" not in d]
+    assert len(new_dirs) == 1
+    written = list(
+        (Path(path) / new_dirs[0]).rglob("part=a/*.parquet")
+    )
+    assert len(written) == 1
+    assert not list((Path(path) / new_dirs[0]).rglob("part=b/*.parquet"))
+    # 'b' carried by nested reference, bytes untouched
+    assert any(d.endswith("part=b") for d in dirs if "/" in d)
+    for p, mt in b_files.items():
+        assert p.stat().st_mtime == mt
+    # time travel to the fragmented version still works
+    assert _rows(read_version(spark, path, v - 1)) == before
+    # where-form: no-op predicate returns current version
+    assert compact_partitions(
+        spark, path, "part", where="part = 'zzz'"
+    ) == v
+    v2 = compact_partitions(spark, path, "part", where="part >= 'b'")
+    assert _rows(read_version(spark, path, v2)) == before
+    # guards
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_partitions(spark, path, "part")
+    with pytest.raises(ValueError, match="not in"):
+        compact_partitions(spark, path, "part", values=["nope"])
+
+
+def test_optimize_where_sql_statement(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+    )
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    path = os.path.join(str(tmp_path), "t")
+    commit_version(
+        _df(
+            spark,
+            [(i, "a" if i % 2 else "b", f"v{i}", 1) for i in range(10)],
+        ).repartition(4),
+        path,
+        partition_by=["part"],
+    )
+    e = SqlEngine(spark, {"t": path})
+    before = {
+        tuple(r)
+        for r in e.sql("SELECT k, part, val, ts FROM t").collect()
+    }
+    v = e.sql("OPTIMIZE t WHERE part = 'a'")
+    assert v == 2
+    assert {
+        tuple(r)
+        for r in e.sql("SELECT k, part, val, ts FROM t").collect()
+    } == before
+    # clustered variant
+    v = e.sql("OPTIMIZE t WHERE part = 'b' ZORDER BY (k)")
+    assert v == 3
+    assert {
+        tuple(r)
+        for r in e.sql("SELECT k, part, val, ts FROM t").collect()
+    } == before

@@ -506,3 +506,35 @@ def test_drop_table_managed_vs_external(spark, eng, tmp_path):
     e.sql("DROP TABLE IF EXISTS nosuch")  # quiet
     with pytest.raises(ValueError, match="unknown table"):
         e.sql("DROP TABLE nosuch")
+
+
+def test_insert_overwrite(spark, eng):
+    e, p = eng
+    v = e.sql(
+        "INSERT OVERWRITE t SELECT k, v * 2 AS v, status FROM t "
+        "WHERE status = 'live'"
+    )
+    assert v == 2
+    assert _rows(spark, p) == {1: (20, "live"), 2: (40, "live")}
+    # history stays queryable (rewrite lineage, not a carry)
+    assert sorted(
+        r["k"] for r in e.sql("SELECT k FROM t VERSION AS OF 1").collect()
+    ) == [1, 2, 3]
+    # TABLE keyword form; VALUES source
+    v = e.sql("INSERT OVERWRITE TABLE t VALUES (9, 90, 'only')")
+    assert _rows(spark, p) == {9: (90, "only")}
+    # OVERWRITE + REPLACE WHERE is contradictory — loud error
+    with pytest.raises(ValueError, match="WHOLE table"):
+        e.sql(
+            "INSERT OVERWRITE t REPLACE WHERE k = 1 SELECT 1, 1, 'x'"
+        )
+
+
+def test_time_travel_quoted_identifier_not_rewritten(spark, eng):
+    """Backquoted identifiers are OUTSIDE the rewrite grammar: the
+    time-travel regex only matches bare \\w+ names, so a quoted ref
+    passes through to Spark and fails loudly — never a silent
+    misparse (verdict r9 #7's remaining cell)."""
+    e, p = eng
+    with pytest.raises(Exception):
+        e.sql("SELECT k FROM `t` VERSION AS OF 1")
