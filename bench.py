@@ -171,8 +171,24 @@ def main() -> None:
         _release_blocks(name)
         return t
 
+    def _probe() -> float:
+        # pure-CPU ambient-steal probe (~0.05 s on an idle host): a
+        # reading several times its idle value labels the ADJACENT
+        # query timing as host-noise, making the artifact
+        # self-adjudicating (SURVEY §6 — this host steals CPU in
+        # multi-minute windows that min-of-2 cannot always dodge)
+        import numpy as np
+
+        a = np.random.default_rng(0).standard_normal((512, 512))
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = a @ a / 512
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
+    probes: dict[str, float] = {}
     for name in sorted(queries):
+        probes[name] = _probe()
         try:
             t = _timed_once(name)
             if t < _RERUN_UNDER_SEC:
@@ -210,6 +226,10 @@ def main() -> None:
             "cpus": int(cpus),
             "session": "cold (fresh JVM, warm-up pass before timing)",
         },
+        # per-query ambient probe (pure numpy matmul, ~0.05 s idle):
+        # compare a query's probe to the run's MINIMUM probe — a large
+        # ratio marks that query's reading as stolen-CPU noise
+        "probes": probes,
     }
     # The driver's stored copy of the stdout line has been observed
     # truncated (BENCH_r04 lost its ~8-entry tail), so also persist
