@@ -495,3 +495,67 @@ def test_optimize_where_sql_statement(spark, tmp_path):
         tuple(r)
         for r in e.sql("SELECT k, part, val, ts FROM t").collect()
     } == before
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=hst.lists(
+        hst.tuples(
+            hst.integers(0, 50),
+            hst.sampled_from(["a", "b", "c", "d"]),
+            hst.integers(0, 5),
+        ),
+        min_size=4,
+        max_size=30,
+    ),
+    n_appends=hst.integers(0, 2),
+    pick=hst.sets(hst.sampled_from(["a", "b", "c", "d"]), min_size=1),
+)
+def test_compact_partitions_rows_invariant(spark, tmp_path_factory, data, n_appends, pick):
+    """Property: for ANY table content, append chain, and partition
+    selection, compact_partitions preserves the exact visible multiset
+    and only rewrites the selected partitions (values= and the
+    equivalent where= agree)."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        compact_partitions,
+    )
+
+    tmp = tmp_path_factory.mktemp("cpprop")
+    path = os.path.join(str(tmp), "t")
+    rows = [(k, part, f"v{k}", ts) for k, part, ts in data]
+    commit_version(
+        _df(spark, rows).repartition(3), path, partition_by=["part"]
+    )
+    for j in range(n_appends):
+        extra = [(1000 + j, p, f"x{j}", 0) for p in sorted({r[1] for r in rows})]
+        commit_version(
+            _df(spark, extra), path, carry_from=j + 1, partition_by=["part"]
+        )
+    before = _rows(read_version(spark, path))
+    have = {r[1] for r in rows}
+    sel = sorted(pick & have) or sorted(have)[:1]
+    v = compact_partitions(spark, path, "part", values=sel)
+    assert _rows(read_version(spark, path, v)) == before
+    # where-form equivalence on a fresh compaction
+    v2 = compact_partitions(
+        spark, path, "part",
+        where="part IN (" + ",".join(f"'{s}'" for s in sel) + ")",
+    )
+    assert _rows(read_version(spark, path, v2)) == before
+    # the new version's own dir holds ONLY the selected partitions
+    man = read_manifest(spark, path, v2)
+    dirs = man.get("data_dirs") or [man["data_dir"]]
+    new_dirs = [d for d in dirs if "/" not in d]
+    assert len(new_dirs) == 1
+    from pathlib import Path as _Path
+
+    written = {
+        p.parent.name.split("=", 1)[1]
+        for p in (_Path(path) / new_dirs[0]).rglob("part=*/*.parquet")
+    }
+    assert written <= set(sel)
