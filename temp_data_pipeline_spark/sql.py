@@ -645,6 +645,9 @@ class SqlEngine:
         if not m:
             raise ValueError(f"cannot parse DELETE: {st.text!r}")
         name, pred = m.group(1), m.group(2)
+        # subquery predicates (k IN (SELECT ...)) resolve against the
+        # catalog's snapshot views
+        self._register_views()
         return commit_delete_mor(
             self.spark, self._path(name), pred if pred else "true"
         )
@@ -669,6 +672,9 @@ class SqlEngine:
             if not em:
                 raise ValueError(f"cannot parse SET item: {item!r}")
             set_exprs[em.group(1)] = em.group(2).strip()
+        # subquery predicates / SET scalars resolve against the
+        # catalog's snapshot views
+        self._register_views()
         return commit_update_mor(
             self.spark,
             self._path(name),

@@ -538,3 +538,18 @@ def test_time_travel_quoted_identifier_not_rewritten(spark, eng):
     e, p = eng
     with pytest.raises(Exception):
         e.sql("SELECT k FROM `t` VERSION AS OF 1")
+
+
+def test_delete_update_with_subquery_predicates(spark, eng):
+    """Subquery predicates resolve against the catalog's snapshot
+    views, and see the PRE-statement state (standard SQL DML
+    semantics)."""
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k IN (SELECT k FROM t WHERE v > 15)")
+    assert sorted(r["k"] for r in e.sql("SELECT k FROM t").collect()) == [1]
+    e.sql("INSERT INTO t VALUES (5, 50, 'x')")
+    e.sql(
+        "UPDATE t SET v = (SELECT max(v) FROM t) + 1 WHERE k = 1"
+    )
+    got = {r["k"]: r["v"] for r in e.sql("SELECT k, v FROM t").collect()}
+    assert got == {1: 51, 5: 50}
