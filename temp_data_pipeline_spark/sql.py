@@ -459,6 +459,35 @@ class SqlEngine:
             return drop_table_constraint(
                 self.spark, self._path(m.group(1)), m.group(2)
             )
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"CREATE" + _WS + r"TAG" + _WS + r"([\w.\-]+)"
+            r"(?:" + _WS + r"AS" + _WS + r"OF" + _WS + r"VERSION"
+            + _WS + r"(\d+))?$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                tag_version,
+            )
+
+            return tag_version(
+                self.spark,
+                self._path(m.group(1)),
+                m.group(2),
+                int(m.group(3)) if m.group(3) else None,
+            )
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"DROP" + _WS + r"TAG" + _WS + r"([\w.\-]+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                delete_ref,
+            )
+
+            if not delete_ref(self.spark, self._path(m.group(1)), m.group(2)):
+                raise ValueError(f"no tag {m.group(2)!r} on {m.group(1)}")
+            return None
         raise ValueError(f"cannot parse ALTER TABLE: {st.text[:80]!r}")
 
     def _rewrite_time_travel(self, text: str) -> str:
@@ -476,9 +505,18 @@ class SqlEngine:
         )
 
         def _version(m: re.Match) -> str:
-            name, v = m.group(1), int(m.group(2))
+            name, ref = m.group(1), m.group(2)
             if name not in self.catalog:
                 return m.group(0)
+            if ref.startswith("'"):
+                # named ref (tag): VERSION AS OF 'q3-train'
+                from temp_data_pipeline_spark.operators.versioned import (
+                    resolve_ref,
+                )
+
+                v = resolve_ref(self.spark, self.catalog[name], ref.strip("'"))
+            else:
+                v = int(ref)
             view = f"{name}__v{v}"
             read_table(self.spark, self.catalog[name], v)\
                 .createOrReplaceTempView(view)
@@ -505,7 +543,7 @@ class SqlEngine:
             return view
 
         text = re.sub(
-            r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+            r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+\b|'[\w.\-]+')",
             _version,
             text,
             flags=re.IGNORECASE,
@@ -603,6 +641,29 @@ class SqlEngine:
         m = st.match(r"DESCRIBE" + _WS + r"DETAIL" + _WS + r"(\w+)$")
         if m:
             return self._describe_detail(m.group(1))
+        m = st.match(r"SHOW" + _WS + r"REFS" + _WS + r"(\w+)$")
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                list_refs,
+            )
+
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            refs = list_refs(self.spark, self._path(m.group(1)))
+            return self.spark.createDataFrame(
+                sorted(refs.items()),
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField("version", LongType()),
+                    ]
+                ),
+            )
         if st.match(r"SHOW" + _WS + r"TABLES$"):
             from pyspark.sql.types import (
                 StringType,

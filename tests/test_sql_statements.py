@@ -553,3 +553,31 @@ def test_delete_update_with_subquery_predicates(spark, eng):
     )
     got = {r["k"]: r["v"] for r in e.sql("SELECT k, v FROM t").collect()}
     assert got == {1: 51, 5: 50}
+
+
+def test_tags_sql_surface(spark, eng):
+    """Named refs through SQL: CREATE/DROP TAG, SHOW REFS, and
+    VERSION AS OF '<tag>' time travel; tagged versions survive
+    VACUUM (refs pin history)."""
+    e, p = eng
+    v = e.sql("ALTER TABLE t CREATE TAG baseline")
+    assert v == 1
+    e.sql("DELETE FROM t WHERE k = 2")  # v2
+    e.sql("ALTER TABLE t CREATE TAG post-delete AS OF VERSION 2")
+    got = {(r["name"], r["version"]) for r in e.sql("SHOW REFS t").collect()}
+    assert got == {("baseline", 1), ("post-delete", 2)}
+    assert sorted(
+        r["k"]
+        for r in e.sql("SELECT k FROM t VERSION AS OF 'baseline'").collect()
+    ) == [1, 2, 3]
+    # a tag pins its version through VACUUM
+    e.sql("INSERT INTO t SELECT 7, 70, 'new'")  # v3
+    e.sql("VACUUM t RETAIN 1 VERSIONS")
+    assert sorted(
+        r["k"]
+        for r in e.sql("SELECT k FROM t VERSION AS OF 'baseline'").collect()
+    ) == [1, 2, 3]
+    e.sql("ALTER TABLE t DROP TAG post-delete")
+    assert {r["name"] for r in e.sql("SHOW REFS t").collect()} == {"baseline"}
+    with pytest.raises(ValueError, match="no tag"):
+        e.sql("ALTER TABLE t DROP TAG nope")
