@@ -2093,12 +2093,22 @@ def vacuum(
     path: str,
     keep_last: int = 2,
     orphan_grace: float = 86400.0,
+    older_than: float | None = None,
 ) -> list[int]:
     """Expire history: keep the newest ``keep_last`` versions, delete
     older snapshots AND orphan data dirs (crashed writers). Manifest
     removal first, then data — a reader holding an expired version
     number fails loudly at manifest resolution instead of scanning a
     half-deleted directory. Returns the dropped version numbers.
+
+    ``older_than`` (seconds) adds TIME-BASED retention on top of the
+    count floor — the production contract ("keep a week of history"):
+    a version beyond ``keep_last`` is only expired once its
+    ``committed_at`` clock is older than the horizon, so a burst of
+    commits never erases recent history just by outnumbering
+    ``keep_last``. Decided from the candidates' manifests
+    (driver-side KB of JSON); legacy manifests without a clock count
+    as epoch 0 (always expirable).
 
     An unmanifested ``v=N`` dir is only an *orphan* once it is older
     than ``orphan_grace`` seconds (modification time): a concurrent
@@ -2122,6 +2132,16 @@ def vacuum(
     Path = jvm.org.apache.hadoop.fs.Path
     committed = versions(spark, path)
     drop = committed[:-keep_last] if keep_last > 0 else committed
+    if older_than is not None:
+        cutoff = time.time() - older_than
+        drop = [
+            v
+            for v in drop
+            if float(
+                read_manifest(spark, path, v).get("committed_at", 0.0)
+            )
+            < cutoff
+        ]
     # named refs PIN their targets: a tagged version never expires
     # (delete the ref first) — the Iceberg tag-retention behavior
     pinned = set(list_refs(spark, path).values())

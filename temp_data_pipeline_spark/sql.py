@@ -568,18 +568,31 @@ class SqlEngine:
         m = st.match(
             r"VACUUM" + _WS + r"(\w+)"
             r"(?:" + _WS + r"RETAIN" + _WS + r"(\d+)" + _WS
-            + r"VERSIONS)?$"
+            + r"(VERSIONS|HOURS|DAYS))?$"
         )
         if m:
             from temp_data_pipeline_spark.operators.versioned import (
                 vacuum,
             )
 
-            vacuum(
-                self.spark,
-                self._path(m.group(1)),
-                keep_last=int(m.group(2) or 3),
-            )
+            name, n, unit = m.group(1), m.group(2), (m.group(3) or "")
+            if unit.upper() in ("HOURS", "DAYS"):
+                # time-based retention (the Delta VACUUM contract):
+                # keep the current version + everything inside the
+                # horizon
+                secs = int(n) * (3600 if unit.upper() == "HOURS" else 86400)
+                vacuum(
+                    self.spark,
+                    self._path(name),
+                    keep_last=1,
+                    older_than=secs,
+                )
+            else:
+                vacuum(
+                    self.spark,
+                    self._path(name),
+                    keep_last=int(n or 3),
+                )
             return None
         m = st.match(
             r"OPTIMIZE" + _WS + r"(\w+)"

@@ -664,3 +664,59 @@ def test_compact_incremental_rewrites_only_small_dirs(spark, tmp_path):
     # to collapse twice (min_dirs=2)
     assert compact_incremental(spark, path, small_bytes=big_size) == v6
     assert verify_table(spark, path) == []
+
+
+def test_vacuum_time_based_retention(spark, tmp_path, monkeypatch):
+    """older_than adds a time horizon on top of the count floor: a
+    burst of commits never erases recent history just by outnumbering
+    keep_last; SQL VACUUM ... RETAIN n HOURS maps onto it."""
+    import os as _os
+
+    from temp_data_pipeline_spark.operators import versioned as V
+
+    path = _os.path.join(str(tmp_path), "t")
+    for i in range(5):
+        V.commit_version(
+            spark.createDataFrame([(i,)], "k long"),
+            path,
+            carry_from=(i if i else None),
+        )
+    # ALL five versions committed "now": nothing is older than 1h even
+    # though keep_last=1 would drop four of them
+    assert V.vacuum(spark, path, keep_last=1, older_than=3600) == []
+    assert V.versions(spark, path) == [1, 2, 3, 4, 5]
+    # age versions 1-3 artificially past the horizon
+    import json as _json
+
+    for v in (1, 2, 3):
+        man = V.read_manifest(spark, path, v)
+        man["committed_at"] = man["committed_at"] - 7200
+        V.atomic_write_text(
+            spark, f"{V._manifest_dir(path)}/{v}.json", _json.dumps(man)
+        )
+    dropped = V.vacuum(spark, path, keep_last=1, older_than=3600)
+    assert dropped == [1, 2, 3]
+    assert V.versions(spark, path) == [4, 5]
+    assert {r["k"] for r in V.read_version(spark, path).collect()} == {
+        0, 1, 2, 3, 4,
+    }  # carried data intact
+
+
+def test_vacuum_retain_hours_sql(spark, tmp_path):
+    import os as _os
+
+    from temp_data_pipeline_spark.operators import versioned as V
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    path = _os.path.join(str(tmp_path), "t")
+    for i in range(3):
+        V.commit_version(
+            spark.createDataFrame([(i,)], "k long"),
+            path,
+            carry_from=(i if i else None),
+        )
+    e = SqlEngine(spark, {"t": path})
+    e.sql("VACUUM t RETAIN 1 HOURS")  # everything is fresh: no-op
+    assert V.versions(spark, path) == [1, 2, 3]
+    e.sql("VACUUM t RETAIN 1 VERSIONS")  # count form still works
+    assert V.versions(spark, path) == [3]
