@@ -224,6 +224,31 @@ def maintain_table(
     if dropped:
         actions.append(f"vacuum dropped {dropped}")
 
+    # 4b. history-clock index: keep the timestamp-travel sidecar in
+    # sync with the surviving versions (a cache of immutable facts —
+    # refreshed silently, not an "action": stale means incomplete,
+    # never wrong, and version_as_of falls back per-manifest for any
+    # version it misses)
+    import json as _json
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        _history_index_path,
+        read_text,
+        write_history_index,
+    )
+
+    current = {str(v) for v in versions(spark, path)}
+    try:
+        have = set(
+            _json.loads(
+                read_text(spark, _history_index_path(path))
+            ).get("clocks", {})
+        )
+    except Exception:  # noqa: BLE001 - missing/unreadable: rebuild
+        have = set()
+    if have != current:
+        write_history_index(spark, path)
+
     # 5. quarantine sibling (expectations gating): ``<path>_quarantine``
     # gains a version per gated commit and per replay and would
     # otherwise accumulate forever — run the same compaction + expiry

@@ -854,17 +854,47 @@ def read_manifest(
     return json.loads(read_text(spark, f"{_manifest_dir(path)}/{version}.json"))
 
 
+def _history_index_path(path: str) -> str:
+    return f"{path}/_history/clock.json"
+
+
+def write_history_index(spark: SparkSession, path: str) -> int:
+    """Materialize every committed version's ``committed_at`` clock
+    into ONE sidecar (``_history/clock.json``, atomic tmp+rename).
+    Timestamp time travel then resolves from a single driver-side
+    JSON read instead of O(versions) manifest reads — the difference
+    between milliseconds and minutes on a 90-day per-minute commit
+    history (time-based retention makes such histories routine).
+    Entries are immutable facts (a version's clock never changes;
+    expired versions are filtered against the live version list at
+    READ time), so a stale index is merely incomplete, never wrong.
+    Maintenance refreshes it; returns the entry count."""
+    clocks = {
+        str(v): float(
+            read_manifest(spark, path, v).get("committed_at", 0.0)
+        )
+        for v in versions(spark, path)
+    }
+    atomic_write_text(
+        spark, _history_index_path(path), json.dumps({"clocks": clocks})
+    )
+    return len(clocks)
+
+
 def version_as_of(spark: SparkSession, path: str, ts) -> int:
     """The newest version committed at or before ``ts`` (a unix epoch
     float or a datetime) — timestamp time travel's resolver, driven
-    by the ``committed_at`` wall clock each manifest records. All
-    manifests are scanned (version count, driver-side, KB of JSON):
-    commit ORDER is authoritative, so a later version with an earlier
-    clock (writer skew) never shadows an earlier one — the scan takes
-    the max version among those with committed_at ≤ ts. Legacy
-    manifests without a clock count as epoch 0 (always eligible).
-    Raises FileNotFoundError when the table is empty or ``ts``
-    predates every commit."""
+    by the ``committed_at`` wall clock each manifest records. Clocks
+    come from the maintenance-written history index when present
+    (one driver-side JSON read); only versions the index does not
+    cover (committed since the last maintenance) read their own
+    manifest — so the scan is O(delta since maintenance), not
+    O(versions). Commit ORDER is authoritative, so a later version
+    with an earlier clock (writer skew) never shadows an earlier one
+    — the scan takes the max version among those with committed_at ≤
+    ts. Legacy manifests without a clock count as epoch 0 (always
+    eligible). Raises FileNotFoundError when the table is empty or
+    ``ts`` predates every commit."""
     from datetime import datetime as _dt
 
     if isinstance(ts, _dt):
@@ -872,11 +902,20 @@ def version_as_of(spark: SparkSession, path: str, ts) -> int:
     committed = versions(spark, path)
     if not committed:
         raise FileNotFoundError(f"no committed versions under {path}")
-    eligible = [
-        v
-        for v in committed
-        if read_manifest(spark, path, v).get("committed_at", 0.0) <= ts
-    ]
+    try:
+        clocks = json.loads(
+            read_text(spark, _history_index_path(path))
+        ).get("clocks", {})
+    except Exception:  # noqa: BLE001 - no/unreadable index: plain scan
+        clocks = {}
+
+    def _clock(v: int) -> float:
+        c = clocks.get(str(v))
+        if c is not None:
+            return float(c)
+        return float(read_manifest(spark, path, v).get("committed_at", 0.0))
+
+    eligible = [v for v in committed if _clock(v) <= ts]
     if not eligible:
         raise FileNotFoundError(
             f"no version of {path} committed at or before {ts}"

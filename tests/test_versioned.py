@@ -720,3 +720,49 @@ def test_vacuum_retain_hours_sql(spark, tmp_path):
     assert V.versions(spark, path) == [1, 2, 3]
     e.sql("VACUUM t RETAIN 1 VERSIONS")  # count form still works
     assert V.versions(spark, path) == [3]
+
+
+def test_history_clock_index(spark, tmp_path):
+    """version_as_of resolves from the maintenance-written clock
+    index (one JSON read) and falls back per-manifest for versions
+    the index does not cover; maintenance keeps it in sync across
+    vacuum."""
+    import json as _json
+    import os as _os
+
+    from temp_data_pipeline_spark.operators import versioned as V
+    from temp_data_pipeline_spark.operators.maintenance import (
+        MaintenancePolicy,
+        maintain_table,
+    )
+
+    path = _os.path.join(str(tmp_path), "t")
+    clocks = []
+    for i in range(4):
+        V.commit_version(
+            spark.createDataFrame([(i,)], "k long"),
+            path,
+            carry_from=(i if i else None),
+        )
+        clocks.append(V.read_manifest(spark, path, i + 1)["committed_at"])
+    n = V.write_history_index(spark, path)
+    assert n == 4
+    # resolution identical to the manifest scan, for each boundary
+    for i, c in enumerate(clocks):
+        assert V.version_as_of(spark, path, c + 1e-4) == i + 1
+    # a version committed AFTER the index still resolves (fallback)
+    V.commit_version(
+        spark.createDataFrame([(9,)], "k long"), path, carry_from=4
+    )
+    c5 = V.read_manifest(spark, path, 5)["committed_at"]
+    assert V.version_as_of(spark, path, c5 + 1e-4) == 5
+    # maintenance refreshes the index after expiry
+    maintain_table(spark, path, MaintenancePolicy(keep_last=2))
+    idx = _json.loads(
+        V.read_text(spark, V._history_index_path(path))
+    )["clocks"]
+    assert set(idx) == {"4", "5"}
+    assert V.version_as_of(spark, path, c5 + 1e-4) == 5
+    # a corrupt index never breaks resolution (plain scan fallback)
+    V.atomic_write_text(spark, V._history_index_path(path), "not json")
+    assert V.version_as_of(spark, path, c5 + 1e-4) == 5
