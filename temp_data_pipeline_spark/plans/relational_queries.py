@@ -2068,6 +2068,69 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_compact_partitions",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Partition-scoped OPTIMIZE (versioned.compact_partitions): "
+        "seed orders partitioned by o_orderstatus (the %3 split), "
+        "fragment it with two hive-partitioned appends, then compact "
+        "ONLY the 'O' partition by value and the >= 'P' window by "
+        "where-predicate — each rewrite touches the selected "
+        "partitions and carries the rest as nested v=N/col=x manifest "
+        "references (the Delta OPTIMIZE ... WHERE shape: one hot "
+        "partition at O(partition), never a table rewrite). The "
+        "visible multiset must stay exactly the raw table."
+    ),
+)
+def q_compact_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        compact_partitions,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="cp_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        key = F.col("o_orderkey")
+        commit_version(
+            orders.filter(key % 3 != 0).repartition(4),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        for j, pred in enumerate(
+            [(key % 3 == 0) & (key % 2 == 0), (key % 3 == 0) & (key % 2 == 1)]
+        ):
+            commit_version(
+                orders.filter(pred),
+                path,
+                carry_from=j + 1,
+                partition_by=["o_orderstatus"],
+            )
+        compact_partitions(spark, path, "o_orderstatus", values=["O"])
+        compact_partitions(
+            spark, path, "o_orderstatus", where="o_orderstatus >= 'P'"
+        )
+        return (
+            read_version(spark, path)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@_register(
     "q_sql_ddl",
     ["extension-relational", "maintenance", "sql"],
     """
