@@ -143,26 +143,35 @@ _LAST_VERIFIED = {
         "q_stream_source", "q_stream_upsert", "q_update_mor",
         "q_window_range"
     )},
+    # r10 green (CORRECTNESS_r10.json: 50/50 pass, zero err) — overrides
+    # any earlier round for the same name.
+    **{n: 10 for n in (
+        "llm_ann_recall", "llm_centroid", "llm_chunk", "llm_cluster_best",
+        "llm_corpus_report", "llm_curation_funnel", "llm_decontam",
+        "llm_dup_clusters", "llm_hash_embed", "llm_hash_split",
+        "llm_heavy_hitters", "llm_ivf_topk", "llm_keywords",
+        "llm_line_dedup", "llm_lm_score", "llm_minhash_dedup",
+        "llm_multimodal", "llm_pack", "llm_pii", "llm_quantize_int8",
+        "llm_repetition", "llm_stratified", "llm_text_knn",
+        "llm_topk_lang", "llm_vocab_coverage", "q_agg", "q_bitor",
+        "q_case", "q_compact_partitions", "q_dedup", "q_filter",
+        "q_ghcnh_parse", "q_isd_parse", "q_join", "q_multijoin",
+        "q_pipeline_clean", "q_pipeline_daily", "q_project",
+        "q_replace_where", "q_replicate", "q_scan", "q_scd2",
+        "q_skew_agg", "q_sql_ddl", "q_sql_dml", "q_stream_cdc",
+        "q_stream_replicate", "q_stream_source", "q_ts_parse",
+        "q_window_lag"
+    )},
 }
 
-# Implementations or inputs changed in ROUND 10 since their last green
+# Implementations or inputs changed in ROUND 11 since their last green
 # driver record (each locally re-verified green against DuckDB before
 # being listed; the driver mints fresh records):
-#   - emptiness probe folded into the position scan's bounds agg
-#     (deletion_vectors._observed_count, used by scd.py and
-#     replicate.py): q_scd2, q_stream_replicate, q_replicate;
-#   - SQL front: word-boundary clause separators, quoted TIMESTAMP AS
-#     OF, named-column INSERT, warehouse-default CTAS, REPLACE WHERE,
-#     views/utilities (sql.py): q_sql_dml;
-#   - streaming source maxVersionsPerTrigger admission control
-#     (streaming/source.py): q_stream_source, q_stream_cdc.
-# New this round (never verified — priority 0 automatically):
-# q_replace_where, q_sql_ddl.
-# The rest of the window is the r5-stale cohort + the two r6 entries.
-_RECHECK: list[str] = [
-    "q_scd2", "q_stream_replicate", "q_replicate", "q_sql_dml",
-    "q_stream_source", "q_stream_cdc",
-]
+#   - MERGE gained WHEN NOT MATCHED BY SOURCE (operators/merge.py
+#     full-outer classify + sql.py clause grammar): q_sql_dml rides the
+#     same code path; q_sql_merge is new (priority 0 automatically).
+# The rest of the window is the r5/r6/r7-stale cohort + oldest r8.
+_RECHECK: list[str] = ["q_sql_dml"]
 
 
 def _ordered_specs():
