@@ -2205,6 +2205,110 @@ def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_sql_merge",
+    ["extension-relational", "maintenance", "sql"],
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 60000000, o_custkey, o_totalprice
+      FROM base WHERE o_orderkey % 100 = 17
+    ),
+    pair AS (
+      SELECT b.o_orderkey AS t_key, b.o_custkey AS t_cust,
+             b.o_totalprice AS t_price,
+             s.o_orderkey AS s_key, s.o_custkey AS s_cust,
+             s.o_totalprice AS s_price
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      -- WHEN MATCHED AND s.price > 500 THEN UPDATE SET *
+      SELECT t_key AS o_orderkey, s_cust AS o_custkey,
+             s_price AS o_totalprice
+      FROM pair WHERE s_key IS NOT NULL AND s_price > 150000.0
+      UNION ALL
+      -- WHEN NOT MATCHED BY SOURCE AND t.cust % 5 = 0
+      --   THEN UPDATE SET price = price + 1.0
+      SELECT t_key, t_cust, t_price + 1.0
+      FROM pair WHERE s_key IS NULL AND t_cust % 5 = 0
+      UNION ALL
+      -- by-source rows neither updated nor deleted: untouched
+      SELECT t_key, t_cust, t_price
+      FROM pair WHERE s_key IS NULL AND t_cust % 5 NOT IN (0, 1)
+      UNION ALL
+      -- WHEN NOT MATCHED THEN INSERT *
+      SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+      FROM src s LEFT JOIN base b ON s.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL
+    )
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "MERGE with the FULL Delta clause family including WHEN NOT "
+        "MATCHED BY SOURCE (sql.py -> operators/merge.py, r11): one "
+        "statement updates matched rows passing the condition, "
+        "deletes the remaining matched rows, inserts unmatched "
+        "source rows, and ages/deletes target rows ABSENT from the "
+        "source by t-only predicates — the sync-deletes move. "
+        "By-source semantics force the full-table position scan "
+        "(pruning to source keys would hide the clause's rows) and a "
+        "full-outer classifying join, exactly Delta's cost model; "
+        "still ONE MOR commit: DV for updated/deleted positions + "
+        "delta-sized append. +10.0/+1.0 keep the compare IEEE-exact."
+    ),
+)
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="sqlmerge_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(orders.repartition(4), path)
+        eng = SqlEngine(spark, {"t": path})
+        eng.sql(
+            """
+            MERGE INTO t USING (
+              SELECT o_orderkey, o_custkey,
+                     o_totalprice + 10.0 AS o_totalprice
+              FROM t WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey + 60000000, o_custkey, o_totalprice
+              FROM t WHERE o_orderkey % 100 = 17
+            ) s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_totalprice > 150000.0 THEN UPDATE SET *
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED BY TARGET THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 5 = 0
+              THEN UPDATE SET o_totalprice = t.o_totalprice + 1.0
+            WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 5 = 1
+              THEN DELETE
+            """
+        )
+        return (
+            read_table(spark, path)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
     "q_quarantine_replay",
     ["extension-relational", "maintenance", "governance"],
     """

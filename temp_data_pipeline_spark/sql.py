@@ -17,13 +17,18 @@ table root``), and delegate —
   MERGE INTO t [AS] a USING (src|name) [AS] b ON t.k = s.k [AND ..]
     WHEN MATCHED [AND c] THEN UPDATE SET x = e, .. | SET *
     WHEN MATCHED [AND c] THEN DELETE
-    WHEN NOT MATCHED [AND c] THEN INSERT *
+    WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT *
+    WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET x = e, ..
+    WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE
                                -> commit_merge_into      (returns int)
 
 Grammar restrictions (documented, checked loudly): the MERGE ON
 clause is a conjunction of same-named equality pairs (``a.k = b.k``
 or null-safe ``<=>``) — exactly ``commit_merge_into``'s key contract;
 at most one clause of each kind; INSERT takes ``*`` (the source row).
+BY SOURCE conditions and SET expressions may reference only the
+target alias (there is no source row on that branch); SET * is
+likewise unavailable there.
 Predicates and SET expressions are passed through verbatim to the
 underlying operators, so everything Spark SQL can express inside a
 predicate works unchanged. Mutations inherit the operators' MOR cost
@@ -921,15 +926,24 @@ class SqlEngine:
         src = self._frame(source)
 
         update_when = update_set = delete_when = insert_when = None
+        upd_bs_when = upd_bs_set = del_bs_when = None
         for clause in clause_texts:
             hm = re.match(
-                r"WHEN" + _WS + r"(NOT" + _WS + r")?MATCHED\b\s*",
+                r"WHEN" + _WS + r"(NOT" + _WS + r")?MATCHED\b"
+                r"(?:" + _WS + r"BY" + _WS + r"(SOURCE|TARGET)\b)?\s*",
                 clause,
                 re.IGNORECASE,
             )
             if not hm:
                 raise ValueError(f"cannot parse WHEN clause: {clause!r}")
-            is_not = hm.group(1)
+            is_not, by = hm.group(1), (hm.group(2) or "").upper()
+            if by and not is_not:
+                raise ValueError(
+                    f"WHEN MATCHED takes no BY qualifier: {clause!r}"
+                )
+            # BY TARGET is the standard's explicit spelling of the
+            # plain NOT MATCHED (insert) branch
+            by_source = by == "SOURCE"
             body = clause[hm.end():]
             # the THEN keyword is found at paren-depth 0, so an AND
             # condition containing a (parenthesized) CASE WHEN .. THEN
@@ -963,6 +977,47 @@ class SqlEngine:
                 else None
             )
             action = action.strip()
+            if by_source:
+                if re.match(r"DELETE$", action, re.IGNORECASE):
+                    if del_bs_when is not None:
+                        raise ValueError(
+                            "duplicate WHEN NOT MATCHED BY SOURCE "
+                            "DELETE clause"
+                        )
+                    del_bs_when = cond_sql if cond_sql else True
+                    continue
+                um = re.match(
+                    r"UPDATE" + _WS + r"SET" + _WS + r"(.+)$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not um:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports THEN "
+                        f"DELETE | UPDATE SET .. (got {action!r})"
+                    )
+                if upd_bs_when is not None:
+                    raise ValueError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE "
+                        "UPDATE clause"
+                    )
+                set_text = um.group(1).strip()
+                if set_text == "*":
+                    raise ValueError(
+                        "BY SOURCE UPDATE has no SET * (no source row)"
+                    )
+                upd_bs_when = cond_sql if cond_sql else True
+                upd_bs_set = {}
+                for item in _split_top_level(set_text, r","):
+                    em = re.match(
+                        r"(?:\w+\.)?(\w+)\s*=\s*(.+)$", item, re.DOTALL
+                    )
+                    if not em:
+                        raise ValueError(f"cannot parse SET item: {item!r}")
+                    upd_bs_set[em.group(1)] = self._rewrite_aliases(
+                        em.group(2).strip(), t_alias, s_alias
+                    )
+                continue
             if is_not:
                 if not re.match(
                     r"INSERT\s*\*$", action, re.IGNORECASE
@@ -1022,6 +1077,9 @@ class SqlEngine:
             update_set=update_set,
             delete_when=delete_when,
             insert_when=insert_when,
+            update_by_source_when=upd_bs_when,
+            update_by_source_set=upd_bs_set,
+            delete_by_source_when=del_bs_when,
         )
 
     def _merge_keys(

@@ -126,6 +126,84 @@ def test_guards(spark, tmp_path):
         )
 
 
+def test_not_matched_by_source_clauses(spark, tmp_path):
+    """Delta's sync-deletes family: target rows with no source pair
+    are updated/deleted by the by-source clauses (update wins, like
+    the matched family); matched and insert branches are unaffected."""
+    path = os.path.join(str(tmp_path), "t")
+    commit_version(
+        _df(
+            spark,
+            [
+                (1, 10, "live"),   # matched -> updated from source
+                (2, 20, "stale"),  # by-source + cond -> updated
+                (3, 30, "stale"),  # by-source, update cond false -> deleted
+                (4, 40, "keep"),   # by-source, neither cond -> untouched
+            ],
+        ),
+        path,
+    )
+    src = _df(spark, [(1, 99, "live"), (5, 50, "new")])
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        update_when=True,
+        insert_when=True,
+        update_by_source_when="t.status = 'stale' AND t.k = 2",
+        update_by_source_set={"v": "t.v + 1", "status": "'aged'"},
+        delete_by_source_when="t.status = 'stale'",
+    )
+    assert _rows(spark, path) == {
+        1: (99, "live"),
+        2: (21, "aged"),
+        4: (40, "keep"),
+        5: (50, "new"),
+    }
+    # one commit, time travel intact
+    old = {r["k"]: r["v"] for r in read_table(spark, path, 1).collect()}
+    assert old == {1: 10, 2: 20, 3: 30, 4: 40}
+
+
+def test_by_source_delete_only_syncs(spark, tmp_path):
+    """Pure mirror-sync: UPDATE */INSERT */DELETE BY SOURCE leaves the
+    target exactly equal to the source."""
+    path = os.path.join(str(tmp_path), "t")
+    commit_version(
+        _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]), path
+    )
+    src = _df(spark, [(2, 200, "b2"), (9, 90, "i")])
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        update_when=True,
+        insert_when=True,
+        delete_by_source_when=True,
+    )
+    assert _rows(spark, path) == {2: (200, "b2"), 9: (90, "i")}
+
+
+def test_by_source_guards(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    commit_version(_df(spark, [(1, 10, "a")]), path)
+    with pytest.raises(ValueError, match="requires update_by_source_set"):
+        commit_merge_into(
+            _df(spark, [(1, 1, "a")]),
+            path,
+            ["k"],
+            update_by_source_when=True,
+        )
+    with pytest.raises(ValueError, match="without update_by_source_when"):
+        commit_merge_into(
+            _df(spark, [(1, 1, "a")]),
+            path,
+            ["k"],
+            delete_when=True,
+            update_by_source_set={"v": "t.v"},
+        )
+
+
 def test_merge_is_one_version_and_time_travelable(spark, tmp_path):
     path = os.path.join(str(tmp_path), "t")
     commit_version(_df(spark, [(1, 10, "a"), (2, 20, "b")]), path)

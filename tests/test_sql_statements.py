@@ -105,6 +105,58 @@ def test_merge_subquery_source_and_case_when(spark, eng):
     }
 
 
+def test_merge_not_matched_by_source(spark, eng):
+    """Delta-parity sync clauses: BY SOURCE UPDATE/DELETE over target
+    rows absent from the source, mixed with the matched/insert family;
+    BY TARGET is the standard spelling of the plain insert branch."""
+    e, p = eng
+    batch = spark.createDataFrame([(1, 99, "x"), (9, 90, "new")], SCHEMA)
+    batch.createOrReplaceTempView("bsbatch")
+    v = e.sql(
+        """
+        MERGE INTO t AS tgt USING bsbatch AS b ON tgt.k = b.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY TARGET THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND tgt.status = 'live'
+          THEN UPDATE SET v = tgt.v + 1, status = 'aged'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert v == 2
+    # k=1 matched-updated; k=2 live -> by-source updated; k=3
+    # expired -> by-source deleted; k=9 inserted
+    assert _rows(spark, p) == {
+        1: (99, "x"),
+        2: (21, "aged"),
+        9: (90, "new"),
+    }
+
+
+def test_merge_by_source_guards(spark, eng):
+    e, p = eng
+    with pytest.raises(ValueError, match="no BY qualifier"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.k "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="no SET \\*"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="duplicate WHEN NOT MATCHED BY"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="BY SOURCE supports"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+        )
+
+
 def test_guards(spark, eng):
     e, p = eng
     with pytest.raises(ValueError, match="unknown table"):
