@@ -424,6 +424,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._max_versions = (
             int(options.get("maxversionspertrigger", 0)) or None
         )
+        # byte-based sibling (Delta's maxBytesPerTrigger): admit
+        # whole versions until their cumulative ADDED-file bytes
+        # (already in the manifests' dir listings — no data read)
+        # reach the cap, always at least one version so a fat commit
+        # can't stall the stream. Composes with the version cap
+        # (version cap bounds the candidate range first); same
+        # anchor discipline — the first batch of a run is uncapped.
+        self._max_bytes = int(options.get("maxbytespertrigger", 0)) or None
         self._anchor: int | None = None
         f, root = _pa_fs(self._path)
         self._f, self._root = f, root
@@ -435,11 +443,26 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         vs = _versions(self._f, self._root)
         latest = max(vs[-1] if vs else 0, self._starting)
-        if self._max_versions and self._anchor is not None:
-            latest = max(
-                min(latest, self._anchor + self._max_versions),
-                self._anchor,
-            )
+        if (
+            self._max_versions or self._max_bytes
+        ) and self._anchor is not None:
+            if self._max_versions:
+                latest = min(latest, self._anchor + self._max_versions)
+            if self._max_bytes and latest > self._anchor:
+                acc, admitted = 0, self._anchor
+                for v in range(self._anchor + 1, latest + 1):
+                    added, _, _, _, sizes = _dir_diff_py(
+                        self._f, self._root, v - 1, v
+                    )
+                    acc += sum(sizes.get(rel, 0) for rel in added)
+                    # the version is admitted BEFORE the cap check:
+                    # minimum-progress — one fat commit lands alone in
+                    # its own micro-batch rather than stalling forever
+                    admitted = v
+                    if acc >= self._max_bytes:
+                        break
+                latest = admitted
+            latest = max(latest, self._anchor)
             self._anchor = latest
         return {"version": latest}
 

@@ -472,3 +472,54 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     assert ends[0] == 5 and ends[-1] == 9
     steps = [b - a for a, b in zip(ends, ends[1:])]
     assert steps and all(0 < st <= 2 for st in steps), (ends, steps)
+
+
+def test_max_bytes_per_trigger_splits_on_fat_version(spark, tmp_path):
+    """Byte-based admission (maxBytesPerTrigger, the Delta sibling of
+    the version cap): a backlog whose FIRST version is fat splits —
+    the fat version lands alone in its own micro-batch (minimum
+    progress: one version is always admitted even over the cap) and
+    the small trailer comes in the next; small versions still batch
+    together under the cap. Sizes come off the manifests' dir
+    listings driver-side — no data read."""
+    from temp_data_pipeline_spark.streaming.source import (
+        VersionedTableStreamReader,
+    )
+
+    path = os.path.join(str(tmp_path), "bytecap")
+    fat = spark.createDataFrame(
+        [(i, "x" * 200, i) for i in range(4000)], SCHEMA
+    ).repartition(1)
+    small = lambda i: spark.createDataFrame([(i, "a", i)], SCHEMA)  # noqa: E731
+    commit_version(fat, path)                                   # v1 fat
+    commit_version(small(1), path, carry_from=1)                # v2
+    commit_version(small(2), path, carry_from=2)                # v3
+    schema = spark.read.parquet(path + "/v=1").schema
+    # cap between a small commit (~1 KB) and the fat one (~100 KB)
+    opts = {"path": path, "maxbytespertrigger": "20000"}
+
+    # engine calls latestOffset BEFORE initialOffset: the first call
+    # of a run has no anchor and must stay uncapped
+    cold = VersionedTableStreamReader(schema, opts)
+    assert cold.latestOffset() == {"version": 3}
+
+    r = VersionedTableStreamReader(schema, opts)
+    r.initialOffset()                     # anchor armed at 0
+    assert r.latestOffset() == {"version": 1}   # fat v1 alone
+    assert r.latestOffset() == {"version": 3}   # two small ones batch
+    # a later fat commit still lands alone mid-stream
+    commit_version(fat.withColumn("k", F.col("k") + 10000), path,
+                   carry_from=3)                               # v4 fat
+    commit_version(small(3), path, carry_from=4)               # v5
+    assert r.latestOffset() == {"version": 4}
+    assert r.latestOffset() == {"version": 5}
+
+    # composes with the version cap: version cap bounds the range
+    # first, byte cap can only shrink it further
+    r2 = VersionedTableStreamReader(
+        schema,
+        {**opts, "maxversionspertrigger": "1"},
+    )
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 1}
+    assert r2.latestOffset() == {"version": 2}
