@@ -139,7 +139,17 @@ def _scan_with_positions(
         raise FileNotFoundError(
             f"version {version} under {path} has no data files"
         )
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    from temp_data_pipeline_spark.operators.versioned import (
+        _align_partition_types,
+    )
+
+    # partition columns inferred from dir names must come back with
+    # the manifest schema's types (booleans/narrow ints drift under
+    # inference) — otherwise a MOR writer's re-appended rows fail the
+    # commit schema check on a boolean-partitioned table
+    return _align_partition_types(
+        reduce(lambda a, b: a.unionByName(b), frames), man
+    )
 
 
 def read_dv(
@@ -332,7 +342,16 @@ def _observed_count(obs) -> int | None:
     rides (the position scan's eager bounds aggregation) is skipped
     because the table has no zone maps, or by the scan-error
     fallback.  Callers fall back to an explicit emptiness probe on
-    None."""
+    None.
+
+    ``_jo.getRowOrEmpty`` is a Spark-internal (qualified-private)
+    Scala API, present in Spark 4.x (pinned here against pyspark
+    4.1); a rename/reshape lands in the broad except below and
+    silently re-enables the extra isEmpty probe — correct but slower.
+    ``tests/test_deletion_vectors.py::test_observed_count_fast_path``
+    pins that the fast path actually populates on a zone-mapped
+    table, so API drift surfaces as a test failure, not a silent
+    de-optimization (ADVICE r10 #4)."""
     try:
         row = obs._jo.getRowOrEmpty()
         if row.isEmpty():

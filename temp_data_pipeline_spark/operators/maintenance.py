@@ -263,7 +263,14 @@ def maintain_table(
     # append.  One level only: a quarantine has no quarantine.
     if not path.endswith("_quarantine"):
         qpath = f"{path}_quarantine"
-        if versions(spark, qpath):
+        qvs = versions(spark, qpath)
+        # an unrelated table that merely LIVES at '<path>_quarantine'
+        # must not inherit the parent's expiry policy (ADVICE r10 #3):
+        # real quarantines stamp `_quarantine_of == path` in their
+        # manifests — require the linkage on the latest manifest
+        if qvs and read_manifest(spark, qpath, qvs[-1]).get(
+            "_quarantine_of"
+        ) == path:
             from dataclasses import replace as _dc_replace
 
             for act in maintain_table(

@@ -795,7 +795,9 @@ def read_version(
         and _dir_mapping(man, dirs[0]) is None
     ):
         try:
-            return spark.read.parquet(f"{path}/{dirs[0]}")
+            return _align_partition_types(
+                spark.read.parquet(f"{path}/{dirs[0]}"), man
+            )
         except Exception:
             # empty snapshot (no part files to infer a schema from):
             # reconstruct from the writer schema the manifest recorded
@@ -821,6 +823,34 @@ def read_version(
     return _read_manifest_dirs(spark, path, man, dirs)
 
 
+def _align_partition_types(df: DataFrame, man: dict) -> DataFrame:
+    """Cast partition columns back to the manifest schema's types.
+
+    Partition VALUES come from Spark's dir-name inference, which
+    cannot reconstruct every type the writer declared — booleans stay
+    strings ('true' dirs), integral values come back as the narrowest
+    int — so without this a snapshot reads back with a different
+    schema than it was written with, and a partition-scoped rewrite
+    (compact_partitions) would then COMMIT the drifted type into the
+    next manifest. Data columns are untouched (parquet footers carry
+    their real types)."""
+    pb = man.get("_partition_by") or []
+    if not pb or "_schema" not in man:
+        return df
+    from pyspark.sql.types import StructType
+
+    want = {
+        f.name: f.dataType
+        for f in StructType.fromJson(man["_schema"]).fields
+    }
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for c in pb:
+        w = want.get(c)
+        if w is not None and c in have and have[c] != w:
+            df = df.withColumn(c, F_sql.col(c).cast(w))
+    return df
+
+
 def _read_manifest_dirs(
     spark: SparkSession, path: str, man: dict, dirs: list[str]
 ) -> DataFrame:
@@ -841,7 +871,10 @@ def _read_manifest_dirs(
         branch = r.parquet(f"{path}/{d}")
         return align(branch) if align is not None else branch
 
-    return reduce(lambda a, b: a.unionByName(b), [_read_dir(d) for d in dirs])
+    return _align_partition_types(
+        reduce(lambda a, b: a.unionByName(b), [_read_dir(d) for d in dirs]),
+        man,
+    )
 
 
 def read_manifest(
@@ -1412,7 +1445,35 @@ def compact_partitions(
     all_refs = _cow_carried_dirs(spark, path, base_dirs, partition_col, set())
     all_vals = {_partition_dir_value(d.split("/", 1)[1]) for d in all_refs}
     if values is not None:
-        touched = {None if v is None else str(v) for v in values}
+        # normalize user-supplied values through the SAME Spark
+        # cast-to-string round trip the dir decoder and _touched_values
+        # use — Python str() disagrees with Spark's partition-dir
+        # forms for some types (str(True)='True' vs dir 'true',
+        # datetime reprs), which made valid selections fail the
+        # unknown-partition check (ADVICE r10 #5)
+        from pyspark.sql.types import StructType as _St
+
+        dtype = _St.fromJson(man["_schema"])[partition_col].dataType
+        vals = [v for v in values if v is not None]
+        touched: set[str | None] = {None for v in values if v is None}
+        if vals:
+            # try_cast: malformed input yields NULL under ANSI too,
+            # so the loud guard below fires instead of a cast error
+            row = spark.range(1).select(
+                *[
+                    F.lit(v).try_cast(dtype).cast("string").alias(f"_c{i}")
+                    for i, v in enumerate(vals)
+                ]
+            ).first()
+            for i, v in enumerate(vals):
+                s = row[f"_c{i}"]
+                if s is None:
+                    raise ValueError(
+                        f"value {v!r} does not cast to the partition "
+                        f"column's type {dtype.simpleString()} (would "
+                        "silently select the NULL partition)"
+                    )
+                touched.add(s)
         unknown = touched - all_vals
         if unknown:
             raise ValueError(

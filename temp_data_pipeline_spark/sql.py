@@ -191,6 +191,161 @@ class SqlEngine:
                 self._rewrite_time_travel(vtext)
             ).createOrReplaceTempView(vname)
 
+    def _describe_table(self, name: str, extended: bool) -> DataFrame:
+        """DESCRIBE [EXTENDED] t — Spark's three-column layout
+        (col_name, data_type, comment): one row per column (partition
+        columns annotated), and with EXTENDED a detail section from
+        the manifest — location, version + clock, partition columns /
+        transform specs, CHECK constraints, named refs, history-index
+        freshness. Metadata-only: manifest + sidecar JSON reads, no
+        Spark job beyond the local DataFrame."""
+        import json as _json
+
+        from pyspark.sql.types import StructType as _St
+
+        from temp_data_pipeline_spark.operators.versioned import (
+            _history_index_path,
+            list_refs,
+            read_manifest,
+            read_text,
+            versions,
+        )
+
+        path = self._path(name)
+        vs = versions(self.spark, path)
+        if not vs:
+            raise ValueError(f"table {name!r} has no committed versions")
+        man = read_manifest(self.spark, path, vs[-1])
+        pcols = man.get("_partition_by") or []
+        rows = [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                "partition column" if f.name in pcols else "",
+            )
+            for f in _St.fromJson(man["_schema"]).fields
+        ]
+        if extended:
+            rows.append(("", "", ""))
+            rows.append(("# Detailed Table Information", "", ""))
+            rows.append(("Name", name, ""))
+            rows.append(("Location", path, ""))
+            rows.append(("Version", str(vs[-1]), ""))
+            rows.append(
+                ("Committed At", str(man.get("committed_at", "")), "")
+            )
+            if pcols:
+                rows.append(("Partition Columns", ", ".join(pcols), ""))
+            if man.get("transforms"):
+                rows.append(
+                    (
+                        "Partition Transforms",
+                        ", ".join(man["transforms"]),
+                        "hidden partitioning (partitioning.py)",
+                    )
+                )
+            for cname, cpred in sorted(
+                (man.get("_table_constraints") or {}).items()
+            ):
+                rows.append((f"Check: {cname}", cpred, ""))
+            refs = list_refs(self.spark, path)
+            for rname, rver in sorted(refs.items()):
+                rows.append((f"Ref: {rname}", str(rver), ""))
+            try:
+                clocks = _json.loads(
+                    read_text(self.spark, _history_index_path(path))
+                ).get("clocks", {})
+                fresh = set(clocks) == {str(v) for v in vs}
+                rows.append(
+                    (
+                        "History Index",
+                        "fresh" if fresh else "stale",
+                        f"{len(clocks)} clocks / {len(vs)} versions",
+                    )
+                )
+            except Exception:  # noqa: BLE001 - index not built yet
+                rows.append(("History Index", "absent", ""))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    def _show_create(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE t — one createtab_stmt row (Spark's
+        layout) reconstructed from the manifest: columns, partition
+        spec (explicit columns or transform specs), location, and one
+        ALTER TABLE ... ADD CONSTRAINT line per recorded check."""
+        from pyspark.sql.types import StructType as _St
+
+        from temp_data_pipeline_spark.operators.versioned import (
+            read_manifest,
+            versions,
+        )
+
+        path = self._path(name)
+        vs = versions(self.spark, path)
+        if not vs:
+            raise ValueError(f"table {name!r} has no committed versions")
+        man = read_manifest(self.spark, path, vs[-1])
+        cols = ",\n".join(
+            f"  {f.name} {f.dataType.simpleString().upper()}"
+            for f in _St.fromJson(man["_schema"]).fields
+        )
+        stmt = f"CREATE TABLE {name} (\n{cols}\n)"
+        if man.get("transforms"):
+            stmt += (
+                "\nPARTITIONED BY TRANSFORMS ("
+                + ", ".join(man["transforms"]) + ")"
+            )
+        elif man.get("_partition_by"):
+            stmt += (
+                "\nPARTITIONED BY ("
+                + ", ".join(man["_partition_by"]) + ")"
+            )
+        stmt += f"\nLOCATION '{path}'"
+        for cname, cpred in sorted(
+            (man.get("_table_constraints") or {}).items()
+        ):
+            stmt += (
+                f"\n-- ALTER TABLE {name} ADD CONSTRAINT {cname} "
+                f"CHECK ({cpred})"
+            )
+        return self.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
+
+    def _drop_invalid_views(self, cause: str) -> None:
+        """Cascade-drop every view that no longer ANALYZES (its base
+        table or parent view just went away). Analysis-based, not
+        textual — a view mentioning the name in a string literal
+        survives. Dropping is loud (stderr) so the cascade is never
+        silent; remaining views keep working and the session stays
+        usable."""
+        import sys as _sys
+
+        for name in self.catalog:
+            self._snapshot(name).createOrReplaceTempView(name)
+        changed = True
+        while changed:
+            changed = False
+            for vname, vtext in list(self.views.items()):
+                try:
+                    self.spark.sql(
+                        self._rewrite_time_travel(vtext)
+                    ).createOrReplaceTempView(vname)
+                except Exception as e:  # noqa: BLE001 - analysis failure
+                    del self.views[vname]
+                    try:
+                        self.spark.catalog.dropTempView(vname)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    print(
+                        f"WARNING: {cause} invalidated view {vname!r}; "
+                        f"dropped ({type(e).__name__})",
+                        file=_sys.stderr,
+                    )
+                    changed = True
+                    break
+
     def _frame(self, source_sql_or_name: str) -> DataFrame:
         """A MERGE source / INSERT query: a catalog table name, an
         existing temp view, or a parenthesized subquery."""
@@ -304,6 +459,11 @@ class SqlEngine:
                 self.spark.catalog.dropTempView(name)
             except Exception:  # noqa: BLE001 - view may never have registered
                 pass
+            # views referencing the dropped table would otherwise be
+            # re-analyzed EAGERLY by _register_views on every later
+            # statement, wedging the whole session (ADVICE r10 #1) —
+            # cascade-drop whatever no longer analyzes, loudly
+            self._drop_invalid_views(f"DROP TABLE {name}")
             if self.warehouse and path == f"{self.warehouse}/{name}":
                 from temp_data_pipeline_spark.operators.versioned import (
                     _fs,
@@ -391,6 +551,14 @@ class SqlEngine:
             location = f"{self.warehouse}/{name}"
         if name in self.catalog:
             raise ValueError(f"table {name!r} already in the catalog")
+        if name in self.views:
+            # _register_views registers views AFTER tables, so an
+            # existing view would silently SHADOW the new table in
+            # every later SELECT while DML writes the table — loud
+            # beats silent read/write divergence (ADVICE r10 #2)
+            raise ValueError(
+                f"{name!r} is a view (DROP VIEW {name} first)"
+            )
         self._register_views()
         rows = self.spark.sql(self._rewrite_time_travel(query))
         v = commit_version(
@@ -568,6 +736,9 @@ class SqlEngine:
           OPTIMIZE t [ZORDER BY (a, b)]    -> compact_snapshot /
                                               optimize_zorder
           DESCRIBE HISTORY t               -> versioned.history (DF)
+          DESCRIBE [EXTENDED] [TABLE] t    -> column section (+ manifest
+                                              detail under EXTENDED)
+          SHOW CREATE TABLE t              -> createtab_stmt row
           RESTORE t TO VERSION AS OF <n>   -> versioned.rollback
         """
         m = st.match(
@@ -659,6 +830,17 @@ class SqlEngine:
         m = st.match(r"DESCRIBE" + _WS + r"DETAIL" + _WS + r"(\w+)$")
         if m:
             return self._describe_detail(m.group(1))
+        m = st.match(
+            r"DESCRIBE" + _WS + r"(?:(EXTENDED)" + _WS + r")?"
+            r"(?:TABLE" + _WS + r")?(\w+)$"
+        )
+        if m:
+            return self._describe_table(m.group(2), bool(m.group(1)))
+        m = st.match(
+            r"SHOW" + _WS + r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)$"
+        )
+        if m:
+            return self._show_create(m.group(1))
         m = st.match(r"SHOW" + _WS + r"REFS" + _WS + r"(\w+)$")
         if m:
             from temp_data_pipeline_spark.operators.versioned import (

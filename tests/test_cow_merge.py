@@ -559,3 +559,34 @@ def test_compact_partitions_rows_invariant(spark, tmp_path_factory, data, n_appe
         for p in (_Path(path) / new_dirs[0]).rglob("part=*/*.parquet")
     }
     assert written <= set(sel)
+
+
+def test_compact_partitions_values_normalized_like_dirs(spark, tmp_path):
+    """ADVICE r10 #5: values= must normalize through the SAME Spark
+    cast-to-string round trip the dir decoder uses — str(True)='True'
+    but the hive dir is part=true, so a boolean selection used to fail
+    the unknown-partition check despite being valid."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        compact_partitions,
+    )
+
+    path = os.path.join(str(tmp_path), "boolpart")
+    commit_version(
+        spark.createDataFrame(
+            [(1, True, 10), (2, False, 20), (3, True, 30)],
+            "k long, part boolean, v long",
+        ).repartition(3),
+        path,
+        partition_by=["part"],
+    )
+    def rows3(df):
+        return {tuple(r) for r in df.select("k", "part", "v").collect()}
+
+    before = rows3(read_version(spark, path))
+    v = compact_partitions(spark, path, "part", values=[True])
+    assert rows3(read_version(spark, path, v)) == before
+    # a value that can't cast to the partition type fails loudly,
+    # never silently selecting the NULL partition
+    with pytest.raises(ValueError, match="does not cast"):
+        compact_partitions(spark, path, "part", values=["maybe"])

@@ -440,3 +440,57 @@ def test_replace_where_validates_incoming_rows(spark, tmp_path):
         (r["k"], r["part"]) for r in read_table(spark, path).collect()
     }
     assert got == {(2, "b"), (9, "a"), (8, "b")}
+
+
+def test_observed_count_fast_path(spark, tmp_path):
+    """The non-blocking Observation read (_observed_count) must
+    actually POPULATE on a zone-mapped table — the feed-emptiness
+    probe rides the position scan's eager bounds aggregation, so a
+    Spark-internal API drift (obs._jo.getRowOrEmpty) would silently
+    re-enable the extra isEmpty job on every scd2/replicate apply.
+    This test turns that drift into a loud failure (ADVICE r10 #4)."""
+    import os
+
+    from pyspark.sql import Observation
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        _observed_count,
+        _visible_tagged_for_keys,
+    )
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+    from temp_data_pipeline_spark.operators.zonemap import write_zone_maps
+
+    path = os.path.join(str(tmp_path), "obsfast")
+    commit_version(
+        spark.createDataFrame(
+            [(i, "a", i) for i in range(20)], "k long, part string, v long"
+        ),
+        path,
+    )
+    write_zone_maps(spark, path, ["k"], version=1)
+    feed = spark.createDataFrame([(3, "a", 30), (7, "a", 70)],
+                                 "k long, part string, v long")
+    obs = Observation()
+    keyed = feed.observe(obs, F.count(F.lit(1)).alias("n")).select("k")
+    man = read_manifest(spark, path, 1)
+    # the pruned scan's bounding-box agg is the EAGER action the
+    # Observation rides — after it, the metric must already be there
+    _visible_tagged_for_keys(spark, path, 1, man, ["k"], keyed)
+    n = _observed_count(obs)
+    assert n == 2, (
+        "fast path did not populate — obs._jo.getRowOrEmpty drifted "
+        f"(got {n!r}); scd2/replicate now pay an isEmpty probe per apply"
+    )
+    # and the no-zonemap path (nothing eager ran) stays None -> callers
+    # fall back to the explicit probe instead of blocking forever
+    path2 = os.path.join(str(tmp_path), "obsnone")
+    commit_version(
+        spark.createDataFrame([(1, "a", 1)], "k long, part string, v long"),
+        path2,
+    )
+    obs2 = Observation()
+    keyed2 = feed.observe(obs2, F.count(F.lit(1)).alias("n")).select("k")
+    _visible_tagged_for_keys(
+        spark, path2, 1, read_manifest(spark, path2, 1), ["k"], keyed2
+    )
+    assert _observed_count(obs2) is None

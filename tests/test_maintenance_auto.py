@@ -322,3 +322,29 @@ def test_quarantine_sibling_maintained_with_main(spark, tmp_path):
     assert len(
         {(r["k"], r["v"]) for r in read_table(spark, path).collect()}
     ) == 10
+
+
+def test_unrelated_quarantine_suffix_table_not_maintained(spark, tmp_path):
+    """ADVICE r10 #3: a table that merely LIVES at '<path>_quarantine'
+    (no _quarantine_of linkage in its manifest) must not inherit the
+    parent's compaction/expiry policy."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        versions,
+    )
+
+    path = os.path.join(str(tmp_path), "main")
+    other = f"{path}_quarantine"  # unrelated table, unlucky name
+    commit_version(spark.createDataFrame([(1, 5)], "k long, v long"), path)
+    for i in range(4):
+        commit_version(
+            spark.createDataFrame([(10 + i, i)], "k long, v long"),
+            other,
+            carry_from=(i if i else None),
+        )
+    n_before = len(versions(spark, other))
+    actions = maintain_table(
+        spark, path, MaintenancePolicy(max_chain=2, keep_last=1)
+    )
+    assert not [a for a in actions if a.startswith("quarantine: ")]
+    assert len(versions(spark, other)) == n_before  # untouched

@@ -560,6 +560,44 @@ def test_drop_table_managed_vs_external(spark, eng, tmp_path):
         e.sql("DROP TABLE nosuch")
 
 
+def test_drop_table_cascades_invalid_views(spark, eng, tmp_path, capsys):
+    """ADVICE r10 #1: DROP TABLE must not leave dangling views —
+    _register_views re-analyzes every view EAGERLY on every statement,
+    so one dangling view used to wedge the whole session. The cascade
+    is analysis-based and transitive (view over view), loud on
+    stderr, and unrelated views survive."""
+    e, p = eng
+    wh = os.path.join(str(tmp_path), "wh")
+    e.warehouse = wh
+    e.sql("CREATE TABLE base AS SELECT k, v FROM t")
+    e.sql("CREATE VIEW on_base AS SELECT k FROM base")
+    e.sql("CREATE VIEW on_on_base AS SELECT * FROM on_base WHERE k > 0")
+    e.sql("CREATE VIEW on_t AS SELECT k FROM t")  # unrelated, survives
+    e.sql("DROP TABLE base")
+    err = capsys.readouterr().err
+    assert "invalidated view 'on_base'" in err
+    assert "invalidated view 'on_on_base'" in err
+    # the session stays usable: statements not touching the views work
+    assert [r["k"] for r in e.sql("SELECT k FROM on_t ORDER BY k").collect()
+            ] == [1, 2, 3]
+    assert "on_base" not in e.views and "on_on_base" not in e.views
+    # and the dropped views are gone from the Spark catalog too
+    with pytest.raises(Exception):
+        e.sql("SELECT * FROM on_base")
+
+
+def test_ctas_rejects_existing_view_name(spark, eng, tmp_path):
+    """ADVICE r10 #2: a view with the same name would silently SHADOW
+    the new table in SELECTs (views register after tables) while DML
+    writes the table — CTAS must refuse the name."""
+    e, p = eng
+    e.warehouse = os.path.join(str(tmp_path), "wh")
+    e.sql("CREATE VIEW taken AS SELECT k FROM t")
+    with pytest.raises(ValueError, match="is a view"):
+        e.sql("CREATE TABLE taken AS SELECT k FROM t")
+    assert "taken" not in e.catalog
+
+
 def test_insert_overwrite(spark, eng):
     e, p = eng
     v = e.sql(
@@ -633,3 +671,58 @@ def test_tags_sql_surface(spark, eng):
     assert {r["name"] for r in e.sql("SHOW REFS t").collect()} == {"baseline"}
     with pytest.raises(ValueError, match="no tag"):
         e.sql("ALTER TABLE t DROP TAG nope")
+
+
+def test_describe_table_and_show_create(spark, eng, tmp_path):
+    """Introspection round-out (verdict r10 #6): DESCRIBE [EXTENDED]
+    prints the column section (+ manifest detail: partition columns,
+    checks, refs, history-index freshness) and SHOW CREATE TABLE
+    reconstructs a createtab_stmt — all metadata-plane."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        tag_version,
+        write_history_index,
+    )
+
+    e, p = eng
+    e.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    tag_version(spark, p, "rc1", 1)
+
+    cols = {r["col_name"]: r["data_type"]
+            for r in e.sql("DESCRIBE t").collect()}
+    assert cols == {"k": "bigint", "v": "bigint", "status": "string"}
+    assert cols == {r["col_name"]: r["data_type"]
+                    for r in e.sql("DESCRIBE TABLE t").collect()}
+
+    ext = {r["col_name"]: (r["data_type"], r["comment"])
+           for r in e.sql("DESCRIBE EXTENDED t").collect()}
+    assert ext["Name"][0] == "t" and ext["Location"][0] == p
+    assert ext["Check: v_pos"][0] == "v > 0"
+    assert ext["Ref: rc1"][0] == "1"
+    assert ext["History Index"][0] == "absent"
+    write_history_index(spark, p)
+    ext = {r["col_name"]: r["data_type"]
+           for r in e.sql("DESCRIBE EXTENDED t").collect()}
+    assert ext["History Index"] == "fresh"
+
+    stmt = e.sql("SHOW CREATE TABLE t").collect()[0]["createtab_stmt"]
+    assert "CREATE TABLE t (" in stmt
+    assert "k BIGINT" in stmt and "status STRING" in stmt
+    assert f"LOCATION '{p}'" in stmt
+    assert "ADD CONSTRAINT v_pos CHECK (v > 0)" in stmt
+
+    # partitioned table: spec surfaces in both outputs
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    pp = os.path.join(str(tmp_path), "parts")
+    commit_version(
+        spark.createDataFrame([(1, 5, "a")], SCHEMA),
+        pp,
+        partition_by=["status"],
+    )
+    e.catalog["parts"] = pp
+    ext = {r["col_name"]: (r["data_type"], r["comment"])
+           for r in e.sql("DESCRIBE EXTENDED parts").collect()}
+    assert ext["status"][1] == "partition column"
+    assert ext["Partition Columns"][0] == "status"
+    stmt = e.sql("SHOW CREATE TABLE parts").collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (status)" in stmt
