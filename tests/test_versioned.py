@@ -766,3 +766,73 @@ def test_history_clock_index(spark, tmp_path):
     # a corrupt index never breaks resolution (plain scan fallback)
     V.atomic_write_text(spark, V._history_index_path(path), "not json")
     assert V.version_as_of(spark, path, c5 + 1e-4) == 5
+
+
+def test_history_surfaces_tags(spark, tmp_path):
+    """DESCRIBE HISTORY shows named refs per version — no second
+    SHOW REFS round trip (r11 time-travel ergonomics)."""
+    import os as _os
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        history,
+        tag_version,
+    )
+
+    path = _os.path.join(str(tmp_path), "tags")
+    for i in range(3):
+        commit_version(
+            spark.createDataFrame([(i,)], "k long"),
+            path,
+            carry_from=(i if i else None),
+        )
+    tag_version(spark, path, "rc1", 2)
+    tag_version(spark, path, "prod", 2)
+    tag_version(spark, path, "latest-good", 3)
+    tags = {r["version"]: r["tags"] for r in history(spark, path).collect()}
+    assert tags == {1: "", 2: "prod,rc1", 3: "latest-good"}
+
+
+def test_history_index_idle_noop_and_incremental(spark, tmp_path, monkeypatch):
+    """Maintenance leaves a fresh index untouched (no rewrite on an
+    idle table), and a refresh after one new commit reads ONLY the
+    missing manifest — steady-state O(1), not O(versions)."""
+    import json as _json
+    import os as _os
+
+    from temp_data_pipeline_spark.operators import versioned as V
+    from temp_data_pipeline_spark.operators.maintenance import (
+        MaintenancePolicy,
+        maintain_table,
+    )
+
+    path = _os.path.join(str(tmp_path), "idx")
+    for i in range(4):
+        V.commit_version(
+            spark.createDataFrame([(i,)], "k long"),
+            path,
+            carry_from=(i if i else None),
+        )
+    V.write_history_index(spark, path)
+    idx_file = V._history_index_path(path)
+    mtime = _os.path.getmtime(idx_file)
+    # idle maintenance: index already covers every version -> no write
+    maintain_table(spark, path, MaintenancePolicy(keep_last=10))
+    assert _os.path.getmtime(idx_file) == mtime
+    # one new commit: the refresh reads exactly ONE manifest
+    V.commit_version(
+        spark.createDataFrame([(9,)], "k long"), path, carry_from=4
+    )
+    reads = []
+    real = V.read_manifest
+
+    def counting(spark_, path_, version=None):
+        reads.append(version)
+        return real(spark_, path_, version)
+
+    monkeypatch.setattr(V, "read_manifest", counting)
+    V.write_history_index(spark, path)
+    monkeypatch.undo()
+    assert reads == [5]
+    idx = _json.loads(V.read_text(spark, idx_file))["clocks"]
+    assert set(idx) == {"1", "2", "3", "4", "5"}
+    assert idx["5"] == V.read_manifest(spark, path, 5)["committed_at"]
