@@ -7,32 +7,46 @@ clause family, executed as ONE merge-on-read commit:
         delete_when="t.status = 'expired'",    # WHEN MATCHED AND ...
         insert_when="amount > 0")              # WHEN NOT MATCHED AND ...
 
-Clause semantics (Delta's, with the standard clause order fixed as
-update → delete → insert):
+or, the general ordered form (Delta's multi-clause MERGE — clauses of
+a family evaluate IN ORDER, first satisfied condition wins):
 
-  - a matched (target row, source row) pair satisfying
-    ``update_when`` is UPDATED: the target row's position joins the
-    deletion vector and one replacement row appends, built from
-    ``update_set`` (``col -> SQL expr`` over ``s.*``/``t.*``;
-    defaults to SET * = take the source row);
-  - a matched pair NOT updated but satisfying ``delete_when`` is
-    DELETED (DV only, no replacement);
-  - matched pairs satisfying neither clause are UNTOUCHED — their
-    bytes are never rewritten (the MOR advantage over COW merge);
-  - an unmatched source row satisfying ``insert_when`` (a predicate
-    over the source's plain column names; default all) APPENDS;
+    commit_merge_into(source, path, keys,
+        matched_clauses=[
+            ("delete", "s.op = 'D'", None),
+            ("update", "s.op = 'U'", {"price": "s.price"}),
+            ("update", True, None),            # catch-all SET *
+        ],
+        insert_whens=["s.op <> 'D'"],
+        by_source_clauses=[("delete", "t.stale", None)])
+
+Clause semantics (Delta's):
+
+  - each matched (target row, source row) pair walks the
+    ``matched_clauses`` list in order; the FIRST clause whose
+    condition holds fires. ``("update", cond, set)`` DVs the target
+    row's position and appends one replacement built from ``set``
+    (``col -> SQL expr`` over ``s.*``/``t.*``; None = SET * = take
+    the source row); ``("delete", cond, None)`` DVs only. Pairs
+    satisfying no clause are UNTOUCHED — their bytes are never
+    rewritten (the MOR advantage over COW merge);
+  - an unmatched source row appends iff ANY ``insert_whens``
+    condition holds (predicates over the source's plain column
+    names). NO insert clause (``insert_when=None`` / empty
+    ``insert_whens``) means unmatched source rows are IGNORED — the
+    SQL MERGE contract;
   - a target row with NO matching source row ("NOT MATCHED BY
-    SOURCE", Delta's sync-deletes clause family) satisfying
-    ``update_by_source_when`` is UPDATED via ``update_by_source_set``
-    (``col -> SQL expr`` over ``t.*`` only — there is no source row;
-    REQUIRED with the clause, there is no SET * here);
-  - a by-source row NOT updated but satisfying
-    ``delete_by_source_when`` is DELETED (DV only).
+    SOURCE", Delta's sync-deletes family) walks
+    ``by_source_clauses`` the same ordered way; conditions and SET
+    expressions reference ``t.*`` only (there is no source row, so
+    an update clause REQUIRES an explicit set dict — no SET * here).
 
-``update_when`` / ``delete_when`` are SQL booleans over the aliased
-pair — ``s.<col>`` is the source row, ``t.<col>`` the target row;
-pass ``True`` for an unconditional clause. Omitted clauses don't run
-(all three omitted = validation error).
+The legacy one-per-kind kwargs (``update_when``/``update_set``/
+``delete_when``/``insert_when``/``*_by_source_*``) remain and are
+exactly the two-clause ordered form update → delete. Conditions are
+SQL booleans over the aliased pair — ``s.<col>`` source, ``t.<col>``
+target; ``True`` = unconditional. A condition-less clause must be
+LAST in its family (everything after it would be dead — checked
+loudly, the Delta rule). No clauses at all = validation error.
 
 Plan shape: the target's position-finding scan is pruned to the files
 whose zone-map key ranges can contain the source's keys
@@ -42,7 +56,8 @@ classifies every pair; the classified frame is delta-sized (matched
 target rows of source keys + unmatched source rows) and persists for
 the DV write + append actions. Cost: one pruned scan + one keyed
 shuffle of the delta + one delta-sized append; zero partition
-rewrites.
+rewrites. Clause count only widens the projection/filter expressions
+on that one frame — never adds a job.
 
 With a by-source clause the pruned scan is impossible BY SEMANTICS —
 every target row whose key is absent from the source is a candidate,
@@ -90,6 +105,39 @@ def _cond(c, default: bool) -> Column:
     return F.coalesce(c.cast("boolean"), F.lit(False))
 
 
+def _check_family(
+    clauses: list, family: str, need_set: bool, check_order: bool
+) -> None:
+    """Shared clause-list validation: kinds, set dicts, and — for the
+    explicit ordered form only — the Delta rule that only the LAST
+    clause of a family may be unconditional (everything after an
+    always-true clause is dead). The legacy kwargs form keeps its
+    documented update-wins-over-delete precedence even when both are
+    unconditional, so order is not checked there."""
+    for i, (kind, cond, aset) in enumerate(clauses):
+        if kind not in ("update", "delete"):
+            raise ValueError(
+                f"{family} clause kind must be update|delete, got {kind!r}"
+            )
+        if kind == "delete" and aset:
+            raise ValueError(f"{family} delete clause takes no set dict")
+        if kind == "update" and need_set and not aset:
+            raise ValueError(
+                f"{family} update clause requires a set dict "
+                "(there is no source row to SET * from)"
+            )
+        if (
+            check_order
+            and (cond is None or cond is True)
+            and i + 1 < len(clauses)
+        ):
+            raise ValueError(
+                f"only the last {family} clause may omit its condition "
+                f"(clause {i + 1} of {len(clauses)} is unconditional — "
+                "later clauses would be dead)"
+            )
+
+
 def commit_merge_into(
     source: DataFrame,
     path: str,
@@ -102,55 +150,103 @@ def commit_merge_into(
     update_by_source_when=None,
     update_by_source_set: dict[str, object] | None = None,
     delete_by_source_when=None,
+    matched_clauses: list | None = None,
+    insert_whens: list | None = None,
+    by_source_clauses: list | None = None,
     meta: dict | None = None,
 ) -> int:
     """Run one conditional MERGE of ``source`` into the versioned
-    table at ``path``; returns the committed version (the current one
-    when no clause fires). See module docstring for clause
-    semantics."""
-    by_source = (
-        update_by_source_when is not None
-        or delete_by_source_when is not None
-    )
-    if (
-        update_when is None
-        and delete_when is None
-        and insert_when is None
-        and not by_source
-    ):
+    table at ``path``; returns the committed version. See module
+    docstring for clause semantics and the two parameter forms."""
+    # -- normalize the legacy one-per-kind kwargs to ordered lists ----
+    explicit_matched = matched_clauses is not None
+    explicit_by_source = by_source_clauses is not None
+    if matched_clauses is not None:
+        if update_when is not None or delete_when is not None or update_set:
+            raise ValueError(
+                "pass matched_clauses OR update_when/update_set/"
+                "delete_when, not both"
+            )
+    else:
+        if update_set and update_when is None:
+            raise ValueError("update_set without update_when does nothing")
+        matched_clauses = []
+        if update_when is not None:
+            matched_clauses.append(("update", update_when, update_set))
+        if delete_when is not None:
+            matched_clauses.append(("delete", delete_when, None))
+    if insert_whens is not None:
+        if insert_when is not None:
+            raise ValueError("pass insert_whens OR insert_when, not both")
+    else:
+        insert_whens = [insert_when] if insert_when is not None else []
+    if by_source_clauses is not None:
+        if (
+            update_by_source_when is not None
+            or delete_by_source_when is not None
+            or update_by_source_set
+        ):
+            raise ValueError(
+                "pass by_source_clauses OR *_by_source_* kwargs, not both"
+            )
+    else:
+        if update_by_source_when is not None and not update_by_source_set:
+            raise ValueError(
+                "update_by_source_when requires update_by_source_set "
+                "(there is no source row to SET * from)"
+            )
+        if update_by_source_set and update_by_source_when is None:
+            raise ValueError(
+                "update_by_source_set without update_by_source_when "
+                "does nothing"
+            )
+        by_source_clauses = []
+        if update_by_source_when is not None:
+            by_source_clauses.append(
+                ("update", update_by_source_when, update_by_source_set)
+            )
+        if delete_by_source_when is not None:
+            by_source_clauses.append(
+                ("delete", delete_by_source_when, None)
+            )
+    if not matched_clauses and not insert_whens and not by_source_clauses:
         raise ValueError(
             "MERGE needs at least one clause (update_when / "
             "delete_when / insert_when / *_by_source_when)"
         )
-    if update_set and update_when is None:
-        raise ValueError("update_set without update_when does nothing")
-    if update_by_source_when is not None and not update_by_source_set:
-        raise ValueError(
-            "update_by_source_when requires update_by_source_set "
-            "(there is no source row to SET * from)"
-        )
-    if update_by_source_set and update_by_source_when is None:
-        raise ValueError(
-            "update_by_source_set without update_by_source_when "
-            "does nothing"
-        )
+    _check_family(
+        matched_clauses, "matched", need_set=False,
+        check_order=explicit_matched,
+    )
+    _check_family(
+        by_source_clauses, "by-source", need_set=True,
+        check_order=explicit_by_source,
+    )
+
     spark = source.sparkSession
     data_cols = list(source.columns)
     missing = [k for k in keys if k not in data_cols]
     if missing:
         raise ValueError(f"key columns absent from the source: {missing}")
 
-    ins_cond = _cond(insert_when, insert_when is None)
+    ins_any = None
+    for c in insert_whens:
+        cc = _cond(c, False)
+        ins_any = cc if ins_any is None else (ins_any | cc)
     vs = versions(spark, path)
     if not vs:
-        # empty target: only the insert clause can fire
+        # empty target: only insert clauses can fire (none -> empty v1)
         return commit_version(
-            source.filter(ins_cond), path, meta=meta, expected_base=0
+            source.filter(ins_any) if ins_any is not None
+            else source.limit(0),
+            path,
+            meta=meta,
+            expected_base=0,
         )
     base = vs[-1]
     man = read_manifest(spark, path, base)
 
-    if by_source:
+    if by_source_clauses:
         # NOT MATCHED BY SOURCE must see EVERY visible target row —
         # zone-map pruning to the source's keys would hide exactly the
         # rows the clause targets, so the scan is the full table and
@@ -181,40 +277,58 @@ def commit_merge_into(
         t_present = F.col("t._dv_file").isNotNull()
         s_present = F.col("s._s_present").isNotNull()
         matched = t_present & s_present
-        upd = matched & _cond(update_when, False)
-        dele = matched & ~upd & _cond(delete_when, False)
         only_t = t_present & ~s_present
-        upd_bs = only_t & _cond(update_by_source_when, False)
-        del_bs = only_t & ~upd_bs & _cond(delete_by_source_when, False)
 
-        dv_new = j.filter(upd | dele | upd_bs | del_bs).select(
+        def _fires(clauses: list, branch: Column) -> list:
+            """(kind, fire_predicate, set) per clause — first
+            satisfied condition wins within the family."""
+            out, no_prior = [], F.lit(True)
+            for kind, cond, aset in clauses:
+                c = _cond(cond, False)
+                out.append((kind, branch & no_prior & c, aset))
+                no_prior = no_prior & ~c
+            return out
+
+        def _proj(aset: dict | None, default_side: str) -> list:
+            exprs = []
+            for c in data_cols:
+                e = (aset or {}).get(c, F.col(f"{default_side}.{c}"))
+                if isinstance(e, str):
+                    e = F.expr(e)
+                exprs.append(e.alias(c))
+            return exprs
+
+        m_fires = _fires(matched_clauses, matched)
+        b_fires = _fires(by_source_clauses, only_t)
+
+        dv_pred = F.lit(False)
+        for _, fire, _a in m_fires + b_fires:
+            dv_pred = dv_pred | fire
+        dv_new = j.filter(dv_pred).select(
             F.col("t._dv_file").alias("file"),
             F.col("t._dv_pos").alias("pos"),
         )
-        update_set = update_set or {}
-        upd_exprs = []
-        for c in data_cols:
-            e = update_set.get(c, F.col(f"s.{c}"))
-            if isinstance(e, str):
-                e = F.expr(e)
-            upd_exprs.append(e.alias(c))
-        upd_rows = j.filter(upd).select(*upd_exprs)
-        # project to plain source columns FIRST so insert_when's
-        # unprefixed names resolve unambiguously
-        ins_rows = (
-            j.filter(~matched & ~only_t)
-            .select(*[F.col(f"s.{c}").alias(c) for c in data_cols])
-            .filter(ins_cond)
-        )
-        appends = upd_rows.unionByName(ins_rows)
-        if update_by_source_set:
-            bs_exprs = []
-            for c in data_cols:
-                e = update_by_source_set.get(c, F.col(f"t.{c}"))
-                if isinstance(e, str):
-                    e = F.expr(e)
-                bs_exprs.append(e.alias(c))
-            appends = appends.unionByName(j.filter(upd_bs).select(*bs_exprs))
+
+        append_frames = [
+            j.filter(fire).select(*_proj(aset, "s"))
+            for kind, fire, aset in m_fires
+            if kind == "update"
+        ] + [
+            j.filter(fire).select(*_proj(aset, "t"))
+            for kind, fire, aset in b_fires
+            if kind == "update"
+        ]
+        if ins_any is not None:
+            # project to plain source columns FIRST so insert
+            # conditions' unprefixed names resolve unambiguously
+            append_frames.append(
+                j.filter(~matched & ~only_t)
+                .select(*[F.col(f"s.{c}").alias(c) for c in data_cols])
+                .filter(ins_any)
+            )
+        appends = None
+        for fr in append_frames:
+            appends = fr if appends is None else appends.unionByName(fr)
         return _commit_with_dv(
             spark,
             path,

@@ -1107,8 +1107,23 @@ class SqlEngine:
         keys = self._merge_keys(on, t_alias, s_alias)
         src = self._frame(source)
 
-        update_when = update_set = delete_when = insert_when = None
-        upd_bs_when = upd_bs_set = del_bs_when = None
+        matched_clauses: list = []
+        insert_whens: list = []
+        by_source_clauses: list = []
+
+        def _parse_set(set_text: str) -> dict:
+            out: dict[str, str] = {}
+            for item in _split_top_level(set_text, r","):
+                em = re.match(
+                    r"(?:\w+\.)?(\w+)\s*=\s*(.+)$", item, re.DOTALL
+                )
+                if not em:
+                    raise ValueError(f"cannot parse SET item: {item!r}")
+                out[em.group(1)] = self._rewrite_aliases(
+                    em.group(2).strip(), t_alias, s_alias
+                )
+            return out
+
         for clause in clause_texts:
             hm = re.match(
                 r"WHEN" + _WS + r"(NOT" + _WS + r")?MATCHED\b"
@@ -1161,12 +1176,9 @@ class SqlEngine:
             action = action.strip()
             if by_source:
                 if re.match(r"DELETE$", action, re.IGNORECASE):
-                    if del_bs_when is not None:
-                        raise ValueError(
-                            "duplicate WHEN NOT MATCHED BY SOURCE "
-                            "DELETE clause"
-                        )
-                    del_bs_when = cond_sql if cond_sql else True
+                    by_source_clauses.append(
+                        ("delete", cond_sql if cond_sql else True, None)
+                    )
                     continue
                 um = re.match(
                     r"UPDATE" + _WS + r"SET" + _WS + r"(.+)$",
@@ -1178,27 +1190,18 @@ class SqlEngine:
                         "WHEN NOT MATCHED BY SOURCE supports THEN "
                         f"DELETE | UPDATE SET .. (got {action!r})"
                     )
-                if upd_bs_when is not None:
-                    raise ValueError(
-                        "duplicate WHEN NOT MATCHED BY SOURCE "
-                        "UPDATE clause"
-                    )
                 set_text = um.group(1).strip()
                 if set_text == "*":
                     raise ValueError(
                         "BY SOURCE UPDATE has no SET * (no source row)"
                     )
-                upd_bs_when = cond_sql if cond_sql else True
-                upd_bs_set = {}
-                for item in _split_top_level(set_text, r","):
-                    em = re.match(
-                        r"(?:\w+\.)?(\w+)\s*=\s*(.+)$", item, re.DOTALL
+                by_source_clauses.append(
+                    (
+                        "update",
+                        cond_sql if cond_sql else True,
+                        _parse_set(set_text),
                     )
-                    if not em:
-                        raise ValueError(f"cannot parse SET item: {item!r}")
-                    upd_bs_set[em.group(1)] = self._rewrite_aliases(
-                        em.group(2).strip(), t_alias, s_alias
-                    )
+                )
                 continue
             if is_not:
                 if not re.match(
@@ -1208,60 +1211,49 @@ class SqlEngine:
                         "WHEN NOT MATCHED supports THEN INSERT * "
                         f"(got {action!r})"
                     )
-                if insert_when is not None:
-                    raise ValueError("duplicate WHEN NOT MATCHED clause")
-                # insert_when is over PLAIN source column names
-                insert_when = (
+                # insert conditions are over PLAIN source column names
+                insert_whens.append(
                     re.sub(
                         rf"\b{re.escape(s_alias)}\.", "", cond_sql
                     )
                     if cond_sql
                     else True
                 )
-            elif re.match(r"DELETE$", action, re.IGNORECASE):
-                if delete_when is not None:
-                    raise ValueError("duplicate WHEN MATCHED DELETE clause")
-                delete_when = cond_sql if cond_sql else True
-            else:
-                um = re.match(
-                    r"UPDATE" + _WS + r"SET" + _WS + r"(.+)$",
-                    action,
-                    re.IGNORECASE | re.DOTALL,
+                continue
+            if re.match(r"DELETE$", action, re.IGNORECASE):
+                matched_clauses.append(
+                    ("delete", cond_sql if cond_sql else True, None)
                 )
-                if not um:
-                    raise ValueError(
-                        f"cannot parse MATCHED action: {action!r}"
-                    )
-                if update_when is not None:
-                    raise ValueError("duplicate WHEN MATCHED UPDATE clause")
-                update_when = cond_sql if cond_sql else True
-                set_text = um.group(1).strip()
-                if set_text == "*":
-                    update_set = None  # SET * = take the source row
-                else:
-                    update_set = {}
-                    for item in _split_top_level(set_text, r","):
-                        em = re.match(
-                            r"(?:\w+\.)?(\w+)\s*=\s*(.+)$", item, re.DOTALL
-                        )
-                        if not em:
-                            raise ValueError(
-                                f"cannot parse SET item: {item!r}"
-                            )
-                        update_set[em.group(1)] = self._rewrite_aliases(
-                            em.group(2).strip(), t_alias, s_alias
-                        )
+                continue
+            um = re.match(
+                r"UPDATE" + _WS + r"SET" + _WS + r"(.+)$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not um:
+                raise ValueError(
+                    f"cannot parse MATCHED action: {action!r}"
+                )
+            set_text = um.group(1).strip()
+            matched_clauses.append(
+                (
+                    "update",
+                    cond_sql if cond_sql else True,
+                    None if set_text == "*" else _parse_set(set_text),
+                )
+            )
+        # Delta's multi-clause rule — an unconditional clause that is
+        # not LAST in its family makes later clauses dead — is checked
+        # by commit_merge_into; an unconditional INSERT * before more
+        # INSERTs is harmless (all project the source row), so inserts
+        # need no order check
         return commit_merge_into(
             src,
             self._path(target),
             keys,
-            update_when=update_when,
-            update_set=update_set,
-            delete_when=delete_when,
-            insert_when=insert_when,
-            update_by_source_when=upd_bs_when,
-            update_by_source_set=upd_bs_set,
-            delete_by_source_when=del_bs_when,
+            matched_clauses=matched_clauses,
+            insert_whens=insert_whens,
+            by_source_clauses=by_source_clauses,
         )
 
     def _merge_keys(

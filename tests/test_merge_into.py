@@ -302,3 +302,128 @@ def test_null_safe_semi_join_stays_hash_joinable(spark):
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join LeftSemi" in plan or "HashJoin" in plan
+
+
+def test_multi_clause_cdc_pattern(spark, tmp_path):
+    """The canonical CDC apply: ordered matched clauses — delete on
+    op='D', else update SET *; inserts gated per-clause. First
+    satisfied condition wins within the family."""
+    path = os.path.join(str(tmp_path), "cdc")
+    commit_version(
+        _df(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]), path
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 0, "D"),      # matched -> delete clause (first) fires
+            (2, 99, "U"),     # matched -> falls to the update clause
+            (4, 40, "I"),     # unmatched -> first insert clause
+            (5, 50, "D"),     # unmatched delete: no insert cond holds
+        ],
+        "k long, v long, status string",
+    )
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        matched_clauses=[
+            ("delete", "s.status = 'D'", None),
+            ("update", True, None),  # catch-all SET *
+        ],
+        insert_whens=["status = 'I'", "status = 'U'"],
+    )
+    assert _rows(spark, path) == {
+        2: (99, "U"),
+        3: (30, "c"),        # untouched pair keeps original bytes
+        4: (40, "I"),
+    }
+
+
+def test_multi_clause_ordering_first_wins(spark, tmp_path):
+    """A pair satisfying clauses 1 AND 2 fires only clause 1 — the
+    later SET never applies."""
+    path = os.path.join(str(tmp_path), "ord")
+    commit_version(_df(spark, [(1, 10, "a")]), path)
+    src = _df(spark, [(1, 99, "a")])
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        matched_clauses=[
+            ("update", "s.v > t.v", {"v": "s.v", "status": "'first'"}),
+            ("update", True, {"v": "t.v", "status": "'second'"}),
+        ],
+    )
+    assert _rows(spark, path) == {1: (99, "first")}
+
+
+def test_multi_clause_by_source_ordered(spark, tmp_path):
+    """by_source_clauses walk in order over t.* only."""
+    path = os.path.join(str(tmp_path), "bs")
+    commit_version(
+        _df(spark, [(1, 10, "live"), (2, 20, "stale"), (3, 30, "live")]),
+        path,
+    )
+    src = _df(spark, [(1, 11, "live")])
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        matched_clauses=[("update", True, None)],
+        by_source_clauses=[
+            ("delete", "t.status = 'stale'", None),
+            ("update", True, {"v": "t.v + 1", "status": "'aged'"}),
+        ],
+    )
+    assert _rows(spark, path) == {1: (11, "live"), 3: (31, "aged")}
+
+
+def test_multi_clause_guards(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "g")
+    commit_version(_df(spark, [(1, 10, "a")]), path)
+    src = _df(spark, [(1, 99, "a")])
+    # dead-clause rule: unconditional clause must be LAST in its family
+    with pytest.raises(ValueError, match="only the last matched"):
+        commit_merge_into(
+            src, path, ["k"],
+            matched_clauses=[
+                ("update", True, None),
+                ("delete", "t.v > 0", None),
+            ],
+        )
+    # the two parameter forms are mutually exclusive per family
+    with pytest.raises(ValueError, match="not both"):
+        commit_merge_into(
+            src, path, ["k"],
+            update_when=True,
+            matched_clauses=[("update", True, None)],
+        )
+    with pytest.raises(ValueError, match="not both"):
+        commit_merge_into(
+            src, path, ["k"],
+            insert_when=True, insert_whens=[True],
+        )
+    # by-source update clauses still require an explicit set dict
+    with pytest.raises(ValueError, match="requires a set dict"):
+        commit_merge_into(
+            src, path, ["k"],
+            by_source_clauses=[("update", True, None)],
+        )
+    # unknown clause kind
+    with pytest.raises(ValueError, match="update\\|delete"):
+        commit_merge_into(
+            src, path, ["k"],
+            matched_clauses=[("upsert", True, None)],
+        )
+
+
+def test_no_insert_clause_ignores_unmatched_source(spark, tmp_path):
+    """SQL MERGE contract: with no NOT MATCHED clause, unmatched
+    source rows are silently ignored (NOT inserted)."""
+    path = os.path.join(str(tmp_path), "noins")
+    commit_version(_df(spark, [(1, 10, "a")]), path)
+    src = _df(spark, [(1, 99, "a"), (7, 70, "new")])
+    commit_merge_into(
+        src, path, ["k"],
+        matched_clauses=[("update", True, None)],
+    )
+    assert _rows(spark, path) == {1: (99, "a")}

@@ -144,7 +144,9 @@ def test_merge_by_source_guards(spark, eng):
             "MERGE INTO t USING t AS s ON t.k = s.k "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
-    with pytest.raises(ValueError, match="duplicate WHEN NOT MATCHED BY"):
+    # Delta's dead-clause rule: an unconditional clause that is not
+    # LAST in its family makes the later clauses unreachable
+    with pytest.raises(ValueError, match="only the last by-source"):
         e.sql(
             "MERGE INTO t USING t AS s ON t.k = s.k "
             "WHEN NOT MATCHED BY SOURCE THEN DELETE "
@@ -726,3 +728,49 @@ def test_describe_table_and_show_create(spark, eng, tmp_path):
     assert ext["Partition Columns"][0] == "status"
     stmt = e.sql("SHOW CREATE TABLE parts").collect()[0]["createtab_stmt"]
     assert "PARTITIONED BY (status)" in stmt
+
+
+def test_merge_multi_clause_cdc(spark, eng):
+    """Delta's multi-clause MERGE: several WHEN MATCHED clauses walk
+    in order, first satisfied condition wins; several WHEN NOT
+    MATCHED inserts OR together."""
+    e, p = eng
+    spark.createDataFrame(
+        [
+            (1, 0, "D"),      # matched -> delete (first clause)
+            (2, 99, "U"),     # matched -> conditional update
+            (3, 77, "X"),     # matched -> catch-all update
+            (8, 80, "I"),     # unmatched -> inserted (first insert)
+            (9, 90, "U"),     # unmatched -> inserted (second insert)
+            (10, 5, "D"),     # unmatched delete -> ignored
+        ],
+        SCHEMA,
+    ).createOrReplaceTempView("cdc_src")
+    v = e.sql(
+        """
+        MERGE INTO t USING cdc_src AS s ON t.k = s.k
+        WHEN MATCHED AND s.status = 'D' THEN DELETE
+        WHEN MATCHED AND s.status = 'U'
+          THEN UPDATE SET v = s.v, status = 'upd'
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.status = 'I' THEN INSERT *
+        WHEN NOT MATCHED AND s.status = 'U' THEN INSERT *
+        """
+    )
+    assert v == 2
+    assert _rows(spark, p) == {
+        2: (99, "upd"),
+        3: (77, "X"),
+        8: (80, "I"),
+        9: (90, "U"),
+    }
+
+
+def test_merge_multi_clause_dead_clause_guard(spark, eng):
+    e, p = eng
+    with pytest.raises(ValueError, match="only the last matched"):
+        e.sql(
+            "MERGE INTO t USING t AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.v > 0 THEN DELETE"
+        )
