@@ -96,6 +96,7 @@ def _scan_with_positions(
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from temp_data_pipeline_spark.operators.versioned import (
+        _dir_root,
         _disk_schema_and_rename,
     )
 
@@ -111,9 +112,10 @@ def _scan_with_positions(
             if read_schema is not None
             else spark.read
         )
+        root = _dir_root(path, man, d)
         if "/" in d:
-            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
-        branch = r.parquet(f"{path}/{d}")
+            r = r.option("basePath", f"{root}/{d.split('/', 1)[0]}")
+        branch = r.parquet(f"{root}/{d}")
         tagged = branch.select(
             _rel_file(d).alias("_dv_file"),
             F.col("_metadata.row_index").alias("_dv_pos"),

@@ -428,6 +428,26 @@ def _data_dir(path: str, version: int) -> str:
     return f"{path}/v={version}"
 
 
+def _dir_root(path: str, man: dict, d: str) -> str:
+    """The absolute root under which relative dir ``d`` of manifest
+    ``man`` lives: the table's own ``path`` unless the manifest marks
+    the dir as a SHALLOW-CLONE reference into another table
+    (``_dir_roots``: entry dir -> absolute source root, nested COW
+    entries falling back to their ``v=<N>`` head). Every reader and
+    maintenance listing resolves through this, so a cloned table's
+    zero-copy references scan in place; sidecar keys stay valid
+    because they use the table-RELATIVE ``v=<N>/...`` form, which is
+    root-agnostic."""
+    roots = man.get("_dir_roots") or {}
+    if not roots:
+        return path
+    return roots.get(d) or roots.get(d.split("/", 1)[0]) or path
+
+
+def _dir_abs(path: str, man: dict, d: str) -> str:
+    return f"{_dir_root(path, man, d)}/{d}"
+
+
 def _claim_slot(
     fs, Path, path: str, staging: str, claim: str, token: str,
     data_slot: int, probe=None,
@@ -604,6 +624,30 @@ def commit_version(
             what=f"carry_from={carry_from}",
             allow_evolution=allow_evolution,
         )
+    if partition_by is None and base_man is not None:
+        # a carry commit's own dir must keep the table's hive layout
+        # (COW commits and compact_partitions carve by subdir), and
+        # the manifest must keep recording it: callers of plain
+        # appends (SQL INSERT INTO) don't know the layout — inherit
+        # the base's rather than silently committing '_partition_by':
+        # [] onto a partitioned table
+        partition_by = base_man.get("_partition_by") or None
+    if (
+        base_man is not None
+        and base_man.get("_dir_roots")
+        and (meta or {}).get("_dir_roots") is None
+    ):
+        # shallow-clone references ride every carry commit: each
+        # still-carried dir keeps resolving under its source root
+        # (nested COW carve entries fall back to their version head)
+        br = base_man["_dir_roots"]
+        inherited_roots = {}
+        for d in carried_dirs:
+            r = br.get(d) or br.get(d.split("/", 1)[0])
+            if r:
+                inherited_roots[d] = r
+        if inherited_roots:
+            meta = {**(meta or {}), "_dir_roots": inherited_roots}
     # next slot must clear BOTH committed versions and orphan data
     # dirs (a crashed writer's v=N would otherwise collide with every
     # future slot claim until vacuum — the table would wedge)
@@ -626,6 +670,17 @@ def commit_version(
         if latest != expected_base:
             raise CommitConflictError(path, expected_base, latest)
     taken = set(committed)
+    # carried dir names claim their slots too: a shallow-clone carry
+    # references EXTERNAL dirs that don't exist locally — the own dir
+    # must not reuse a carried name or the manifest would list the
+    # same relative dir twice (resolved to the source: double read)
+    for d in carried_dirs:
+        head = d.split("/", 1)[0]
+        if head.startswith("v="):
+            try:
+                taken.add(int(head[2:]))
+            except ValueError:
+                pass
     root = Path(path)
     if fs.exists(root):
         for st in fs.listStatus(root):
@@ -796,7 +851,7 @@ def read_version(
     ):
         try:
             return _align_partition_types(
-                spark.read.parquet(f"{path}/{dirs[0]}"), man
+                spark.read.parquet(_dir_abs(path, man, dirs[0])), man
             )
         except Exception:
             # empty snapshot (no part files to infer a schema from):
@@ -807,7 +862,7 @@ def read_version(
 
             return spark.read.schema(
                 StructType.fromJson(man["_schema"])
-            ).parquet(f"{path}/{dirs[0]}")
+            ).parquet(_dir_abs(path, man, dirs[0]))
     # multi-dir (carry_from / COW-merge) snapshot: each dir is its own
     # partitioned root — one multi-path read would misparse the sibling
     # v=<N> dirs as partition keys of the table parent. Per-dir scans
@@ -866,9 +921,10 @@ def _read_manifest_dirs(
             if read_schema is not None
             else spark.read
         )
+        root = _dir_root(path, man, d)
         if "/" in d:
-            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
-        branch = r.parquet(f"{path}/{d}")
+            r = r.option("basePath", f"{root}/{d.split('/', 1)[0]}")
+        branch = r.parquet(f"{root}/{d}")
         return align(branch) if align is not None else branch
 
     return _align_partition_types(
@@ -1096,7 +1152,9 @@ def commit_merge_cow(
         cond = cond | F.col(partition_col).isNull()
     base = read_version(spark, path, latest).filter(cond)
     merged = merge_upsert(base, updates, keys, ts_col, tiebreak)
-    carried = _cow_carried_dirs(spark, path, base_dirs, partition_col, touched)
+    carried = _cow_carried_dirs(
+        spark, path, base_dirs, partition_col, touched, base_man
+    )
     return commit_version(
         merged,
         path,
@@ -1164,7 +1222,9 @@ def commit_cdc_cow(
     base = read_version(spark, path, latest).filter(cond)
     merged = merge_upsert(base, upserts, keys, ts_col, tiebreak)
     survivors = merged.join(deletes.select(*keys), keys, "left_anti")
-    carried = _cow_carried_dirs(spark, path, base_dirs, partition_col, touched)
+    carried = _cow_carried_dirs(
+        spark, path, base_dirs, partition_col, touched, base_man
+    )
     return commit_version(
         survivors,
         path,
@@ -1181,6 +1241,7 @@ def _cow_carried_dirs(
     base_dirs: list[str],
     partition_col: str,
     touched: set[str | None],
+    base_man: dict | None = None,
 ) -> list[str]:
     """The manifest entries a COW commit carries forward: every
     partition of ``base_dirs`` whose value is NOT in ``touched``,
@@ -1205,7 +1266,11 @@ def _cow_carried_dirs(
                 carried.append(d)
             continue
         # whole version dir: reference each untouched partition subdir
-        statuses = list(fs.listStatus(Path(f"{path}/{d}")))
+        # (resolved under its root — a shallow-clone reference lists
+        # in the SOURCE table, the carried entries stay relative)
+        statuses = list(
+            fs.listStatus(Path(_dir_abs(path, base_man or {}, d)))
+        )
         subdirs = [
             st.getPath().getName() for st in statuses if st.isDirectory()
         ]
@@ -1276,7 +1341,9 @@ def commit_delete_cow(
     survivors = cur.filter(cond).filter(
         ~F.coalesce(predicate, F.lit(False))
     )
-    carried = _cow_carried_dirs(spark, path, base_dirs, partition_col, touched)
+    carried = _cow_carried_dirs(
+        spark, path, base_dirs, partition_col, touched, base_man
+    )
     return commit_version(
         survivors,
         path,
@@ -1399,7 +1466,7 @@ def compact_snapshot(
         # reads identity again (stale _dir_fields would point at dirs
         # this version no longer references)
         if k not in ("version", "data_dir", "data_dirs", "_schema",
-                     "_partition_by", "committed_at",
+                     "_partition_by", "committed_at", "_dir_roots",
                      "_field_ids", "_dir_fields", "_last_field_id")
     }
     return commit_version(
@@ -1458,7 +1525,9 @@ def compact_partitions(
     # every partition value the snapshot holds, from dir names —
     # _cow_carried_dirs with an empty touched set enumerates ALL
     # partitions as nested refs (and validates the layout)
-    all_refs = _cow_carried_dirs(spark, path, base_dirs, partition_col, set())
+    all_refs = _cow_carried_dirs(
+        spark, path, base_dirs, partition_col, set(), man
+    )
     all_vals = {_partition_dir_value(d.split("/", 1)[1]) for d in all_refs}
     if values is not None:
         # normalize user-supplied values through the SAME Spark
@@ -1528,7 +1597,7 @@ def compact_partitions(
         # land in target_files tasks -> that many files per dir
         rows = rows.repartition(n_out, F.col(partition_col))
     carried = _cow_carried_dirs(
-        spark, path, base_dirs, partition_col, touched
+        spark, path, base_dirs, partition_col, touched, man
     )
     keep = {
         k: v
@@ -1590,7 +1659,7 @@ def compact_incremental(
     small = [
         d
         for d in dirs
-        if fs.getContentSummary(Path(f"{path}/{d}")).getLength()
+        if fs.getContentSummary(Path(_dir_abs(path, man, d))).getLength()
         < small_bytes
     ]
     if len(small) < min_dirs:
@@ -1615,16 +1684,22 @@ def compact_incremental(
     )
 
 
-def _evolution_base(spark: SparkSession, path: str, op: str):
+def _evolution_base(
+    spark: SparkSession, path: str, op: str, *, require_no_dv: bool = True
+):
     """Shared entry for the metadata-only schema-evolution commits:
     (latest version, its manifest, current schema, field ids —
     assigning 1..n in field order when tracking is not yet engaged,
-    the moment a first rename/drop baselines the ids)."""
+    the moment a first rename/drop baselines the ids).
+    ``require_no_dv=False`` is for add_column: appending a field never
+    disturbs file row positions, so a deletion vector stays valid and
+    rides the carry commit like any other manifest meta."""
     from pyspark.sql.types import StructType
 
     latest = _resolve_version(spark, path, None)
     man = read_manifest(spark, path, latest)
-    _require_no_dv(man, op)
+    if require_no_dv:
+        _require_no_dv(man, op)
     if "_schema" not in man:
         raise ValueError(
             f"{op} needs the manifest-recorded schema (legacy version "
@@ -1783,6 +1858,114 @@ def drop_column(
     )
 
 
+def snapshot_partitions(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """SHOW PARTITIONS: one row per live partition of the snapshot at
+    ``version`` (default latest), typed per the manifest schema.
+
+    Metadata-plane only — a directory walk of the manifest's data
+    dirs (hive ``col=value`` segments decoded, nested carried entries
+    contribute their own segment), never a data scan: at 100 TB the
+    cost is one FS listing per referenced dir, not a distinct over
+    rows. Multi-level layouts descend one level per partition column
+    in ``_partition_by`` order. A partition whose rows are all
+    MOR-deleted still lists (its files are still referenced) — the
+    same contract as Hive/Spark SHOW PARTITIONS over file layouts."""
+    version = _resolve_version(spark, path, version)
+    man = read_manifest(spark, path, version)
+    pb = man.get("_partition_by") or []
+    if not pb:
+        raise ValueError(f"table at {path} is not partitioned")
+    fs, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    combos: set[tuple] = set()
+
+    def _descend(abs_dir: str, acc: tuple):
+        if len(acc) == len(pb):
+            combos.add(acc)
+            return
+        want = pb[len(acc)] + "="
+        for stt in fs.listStatus(Path(abs_dir)):
+            if stt.isDirectory():
+                nm = stt.getPath().getName()
+                if nm.startswith(want):
+                    _descend(
+                        f"{abs_dir}/{nm}",
+                        (*acc, _partition_dir_value(nm)),
+                    )
+
+    for d in _manifest_dirs(man):
+        acc: tuple = ()
+        for seg in d.split("/")[1:]:  # segments after the v=N root
+            if "=" in seg and seg.startswith(pb[len(acc)] + "="):
+                acc = (*acc, _partition_dir_value(seg))
+        _descend(_dir_abs(path, man, d), acc)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    raw = spark.createDataFrame(
+        sorted(combos, key=lambda t: [(v is None, v or "") for v in t]),
+        StructType([StructField(c, StringType(), True) for c in pb]),
+    )
+    if "_schema" in man:
+        want = {
+            f.name: f.dataType
+            for f in StructType.fromJson(man["_schema"]).fields
+        }
+        for c in pb:
+            if c in want:
+                raw = raw.withColumn(c, F_sql.col(c).cast(want[c]))
+    return raw
+
+
+def add_column(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    dtype,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Metadata-only column ADD (Iceberg/Delta ``ALTER TABLE ... ADD
+    COLUMN``): commit a new version whose schema appends ``col`` of
+    ``dtype`` (a DataType or a DDL string like ``'decimal(12,2)'``) —
+    no byte of data is rewritten. Files written before the add read
+    the column as typed NULL: every reader scans carried dirs with an
+    explicit schema (identity dirs get the manifest schema, renamed
+    dirs go through _disk_schema_and_rename's added-column branch), so
+    parquet surfaces the absent column as NULL — the published
+    add-column semantics. The new column takes a FRESH field id past
+    the table's high-water mark, so re-adding a previously dropped
+    name can never resurrect the dropped column's bytes.
+
+    Unlike rename/drop, a deletion vector is no obstacle: positions
+    are untouched and the DV meta rides the carry commit unchanged."""
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    if isinstance(dtype, str):
+        try:
+            dtype = DataType.fromDDL(dtype)
+        except Exception as e:
+            raise ValueError(f"cannot parse column type {dtype!r}: {e}")
+    latest, man, schema, ids = _evolution_base(
+        spark, path, "add_column", require_no_dv=False
+    )
+    names = [f.name for f in schema.fields]
+    if col in names:
+        raise ValueError(f"column {col!r} already exists (have {names})")
+    new_schema = StructType(
+        [*schema.fields, StructField(col, dtype, True)]
+    )
+    last_id = int(man.get("_last_field_id", max(ids.values(), default=0)))
+    new_ids = {**{n: ids[n] for n in names}, col: last_id + 1}
+    return _commit_evolution(
+        spark, path, latest, man, new_schema, new_ids,
+        {"added_column": {"name": col, "type": dtype.simpleString()}},
+        meta,
+    )
+
+
 def history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per committed version —
     (version, committed_at epoch seconds, n_data_dirs, carries
@@ -1858,7 +2041,7 @@ def verify_table(spark: SparkSession, path: str) -> list[str]:
             )
         for d in _manifest_dirs(man):
             referenced.add(d.split("/", 1)[0])
-            if not fs.exists(Path(f"{path}/{d}")):
+            if not fs.exists(Path(_dir_abs(path, man, d))):
                 issues.append(f"version {v}: missing data dir {d}")
         dv = man.get("_dv")
         if dv and not fs.exists(Path(f"{path}/_dv/{dv}")):
@@ -2032,6 +2215,98 @@ def rollback(
         partition_by=part,
         carry_dirs=_manifest_dirs(man),
         meta={**carried_meta, **(meta or {}), "restored_from": to_version},
+    )
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Delta-style SHALLOW CLONE: materialize a NEW table at ``dst``
+    whose version 1 references ``src``'s data dirs at ``version``
+    (default latest) — ZERO data copied, a 100 TB clone costs one
+    empty write, one small sidecar copy, and one JSON rename.
+
+    The clone's manifest records each referenced dir's absolute
+    source root (``_dir_roots``); every reader and maintenance
+    listing resolves through ``_dir_root``, and sidecar keys stay
+    valid because they use the root-agnostic relative form. The clone
+    then lives its own life: appends/MOR DML/COW rewrites commit
+    locally, carry commits propagate the source roots for dirs still
+    referenced, and OPTIMIZE (compact_snapshot) localizes everything.
+    A deletion-vector sidecar is copied (delta-sized metadata, not
+    data) so a MOR source version clones with its deletes intact.
+
+    CAVEATS (Delta's own, published): vacuuming the SOURCE can remove
+    files a clone still references — the source's keep-last/ref
+    pinning is per-table and does not see clones. Streaming reads of
+    an un-localized clone refuse loudly.
+
+    Oracle-parity note: semantics follow Delta Lake's SHALLOW CLONE
+    as published; no reference-repo counterpart."""
+    from pyspark.sql.types import StructType
+
+    fs, jvm = _fs(spark, src)
+    Path = jvm.org.apache.hadoop.fs.Path
+    src_q = str(fs.makeQualified(Path(src)))
+    dst_q = str(fs.makeQualified(Path(dst)))
+    if src_q == dst_q:
+        raise ValueError("CLONE source and target are the same path")
+    if versions(spark, dst):
+        raise ValueError(f"CLONE target {dst} already has versions")
+    v = _resolve_version(spark, src, version)
+    man = read_manifest(spark, src, v)
+    if "_schema" not in man:
+        raise ValueError(
+            f"version {v} predates recorded schemas — clone needs the "
+            "manifest schema to type its commit"
+        )
+    dirs = _manifest_dirs(man)
+    src_roots = man.get("_dir_roots") or {}
+    roots = {
+        # clone-of-clone flattens to the ORIGINAL byte owner
+        d: (src_roots.get(d) or src_roots.get(d.split("/", 1)[0]) or src_q)
+        for d in dirs
+    }
+    carried_meta = {
+        k: val
+        for k, val in man.items()
+        if k
+        not in (
+            "version", "data_dir", "data_dirs", "committed_at",
+            "_schema", "_partition_by", "_dir_roots",
+        )
+    }
+    if man.get("_dv"):
+        # the DV sidecar is delta-sized metadata keyed by relative
+        # file paths (root-agnostic) — copy it so the clone's own
+        # DV lifecycle (reads, later MOR commits, vacuum) stays local
+        FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+        conf = spark._jsc.hadoopConfiguration()
+        dv = man["_dv"]
+        fs.mkdirs(Path(f"{dst}/_dv"))
+        if not FileUtil.copy(
+            fs, Path(f"{src}/_dv/{dv}"), fs, Path(f"{dst}/_dv/{dv}"),
+            False, False, conf,
+        ):
+            raise IOError(f"failed to copy deletion vector {dv}")
+    empty = spark.createDataFrame([], StructType.fromJson(man["_schema"]))
+    return commit_version(
+        empty,
+        dst,
+        partition_by=man.get("_partition_by") or None,
+        carry_dirs=dirs,
+        meta={
+            **carried_meta,
+            **(meta or {}),
+            "_dir_roots": roots,
+            "cloned_from": {"path": src_q, "version": v},
+        },
+        expected_base=0,
     )
 
 

@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temp_data_pipeline_spark.operators.versioned import (
+    _dir_root,
     _fs,
     _manifest_dirs,
     _rel_file,
@@ -483,8 +484,11 @@ def _read_files(
             absolute = f
         else:
             head = f.split("/", 1)[0]
-            root = f"{path}/{head}"
-            absolute = f"{path}/{f}"
+            # clone-aware: a shallow-clone reference resolves under
+            # its source root (versioned._dir_root)
+            troot = _dir_root(path, man, head)
+            root = f"{troot}/{head}"
+            absolute = f"{troot}/{f}"
         by_root.setdefault((root, head), []).append(absolute)
 
     def _scan(root: str, head: str, fl: list[str]) -> DataFrame:
@@ -945,9 +949,10 @@ def _scan_files_with_rows(
 
     def _scan(d: str) -> DataFrame:
         r = spark.read.schema(schema) if schema is not None else spark.read
+        root = _dir_root(path, man, d)
         if "/" in d:
-            r = r.option("basePath", f"{path}/{d.split('/', 1)[0]}")
-        branch = r.parquet(f"{path}/{d}")
+            r = r.option("basePath", f"{root}/{d.split('/', 1)[0]}")
+        branch = r.parquet(f"{root}/{d}")
         return branch.select(_rel_file(d).alias("file"), *branch.columns)
 
     frames = []

@@ -2379,3 +2379,171 @@ def q_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_clone",
+    ["extension-relational", "maintenance", "lakehouse"],
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_custkey % 10 = 3 THEN o_totalprice + 5.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "SHALLOW CLONE lifecycle (versioned.shallow_clone, r11): "
+        "zero-copy clone of a versioned orders table (v1 references "
+        "the source's dirs via _dir_roots — no data copied), then an "
+        "INDEPENDENT life: MOR delete (okey%7=0) and MOR upsert "
+        "(+5.0 where custkey%10=3) commit locally on the clone while "
+        "an append to the SOURCE stays invisible (the clone pinned "
+        "its version). Root-aware readers resolve carried dirs in "
+        "the source table; sidecar keys are relative, so DV "
+        "subtraction works unchanged. Exact +5.0 keeps the compare "
+        "IEEE-exact."
+    ),
+)
+def q_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+        commit_upsert_mor,
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        shallow_clone,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="clone_")
+    src, dst = f"{scratch}/src", f"{scratch}/dst"
+    try:
+        commit_version(orders.repartition(4), src)
+        shallow_clone(spark, src, dst)
+        commit_delete_mor(spark, dst, "o_orderkey % 7 = 0")
+        ups = read_table(spark, dst).filter("o_custkey % 10 = 3").select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+        )
+        commit_upsert_mor(ups, dst, ["o_orderkey"])
+        # source moves on — the clone pinned version 1 and must not see
+        commit_version(
+            orders.limit(10).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(90000000)
+            ),
+            src,
+            carry_from=1,
+        )
+        return (
+            read_table(spark, dst)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_show_partitions",
+    ["extension-relational", "maintenance", "sql"],
+    """
+    SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+    """,
+    note=(
+        "SHOW PARTITIONS (versioned.snapshot_partitions, r11): a "
+        "metadata-plane dir walk of the manifest's data dirs — hive "
+        "col=value segments decoded and typed per the manifest "
+        "schema, one FS listing per referenced dir, NEVER a data "
+        "scan (at 100 TB a DISTINCT over rows is a full shuffle; the "
+        "listing is O(partitions)). The table is seeded in two "
+        "carry commits so the walk spans referenced dirs, not just "
+        "the latest write."
+    ),
+)
+def q_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        snapshot_partitions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    scratch = tempfile.mkdtemp(prefix="showparts_")
+    path = f"{scratch}/t"
+    try:
+        first = orders.filter("o_orderkey % 2 = 0")
+        rest = orders.filter("o_orderkey % 2 <> 0")
+        commit_version(
+            first.repartition(4), path, partition_by=["o_orderpriority"]
+        )
+        commit_version(rest.repartition(4), path, carry_from=1)
+        return (
+            snapshot_partitions(spark, path)
+            .orderBy("o_orderpriority")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_add_column",
+    ["extension-relational", "maintenance", "sql"],
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice END AS bonus,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'credited' END AS note
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Metadata-only ADD COLUMN (versioned.add_column + SQL ALTER "
+        "TABLE ADD COLUMN(S), r11): two columns appended with fresh "
+        "field ids and ZERO data rewritten — old files surface them "
+        "as typed NULLs via the explicit-schema parquet scan; a "
+        "subsequent MOR UPDATE fills them for one row slice (DV + "
+        "delta-sized append), proving DML composes with the widened "
+        "schema. The oracle is the NULL-fill contract itself."
+    ),
+)
+def q_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="addcol_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(orders.repartition(4), path)
+        eng = SqlEngine(spark, {"t": path})
+        eng.sql("ALTER TABLE t ADD COLUMNS (bonus double, note string)")
+        eng.sql(
+            "UPDATE t SET bonus = o_totalprice, note = 'credited' "
+            "WHERE o_orderkey % 10 = 0"
+        )
+        return (
+            eng.sql(
+                "SELECT o_orderkey, o_totalprice, bonus, note FROM t "
+                "ORDER BY o_orderkey"
+            )
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

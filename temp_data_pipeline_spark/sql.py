@@ -488,10 +488,12 @@ class SqlEngine:
         raise ValueError(f"cannot parse DROP: {st.text[:80]!r}")
 
     def _create(self, st: _Stmt) -> int:
-        """CTAS into a NEW versioned table:
+        """CTAS / CLONE into a NEW versioned table:
 
           CREATE TABLE name [LOCATION '<path>'] AS <query>
               [PARTITIONED BY (col, ...)]  — before AS
+          CREATE TABLE name SHALLOW CLONE src [VERSION AS OF n]
+              [LOCATION '<path>']          — zero-copy reference
 
         Without LOCATION the table lands at ``<warehouse>/<name>``
         (the engine's ``warehouse`` root — required in that form).
@@ -528,6 +530,40 @@ class SqlEngine:
                     self.views[name] = prior
                 raise
             return None
+        m = st.match(
+            r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"SHALLOW" + _WS + r"CLONE" + _WS + r"(\w+)"
+            r"(?:" + _WS + r"VERSION" + _WS + r"AS" + _WS + r"OF"
+            + _WS + r"(\d+))?"
+            r"(?:" + _WS + r"LOCATION" + _WS + r"'([^']+)')?$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                shallow_clone,
+            )
+
+            name, src, ver, location = m.groups()
+            if name in self.catalog:
+                raise ValueError(f"table {name!r} already in the catalog")
+            if name in self.views:
+                raise ValueError(
+                    f"{name!r} is a view (DROP VIEW {name} first)"
+                )
+            if location is None:
+                if self.warehouse is None:
+                    raise ValueError(
+                        f"CREATE TABLE {name}: no LOCATION given and "
+                        "the engine has no warehouse root"
+                    )
+                location = f"{self.warehouse}/{name}"
+            v = shallow_clone(
+                self.spark,
+                self._path(src),
+                location,
+                int(ver) if ver else None,
+            )
+            self.catalog[name] = location
+            return v
         m = st.match(
             r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)"
             r"(?:" + _WS + r"LOCATION" + _WS + r"'([^']+)')?"
@@ -577,11 +613,39 @@ class SqlEngine:
     def _alter(self, st: _Stmt) -> int:
         """ALTER TABLE DDL, each one metadata-level commit:
 
+          ALTER TABLE t ADD COLUMN a <type>     (old files read NULL)
+          ALTER TABLE t ADD COLUMNS (a <type>, b <type>)
           ALTER TABLE t RENAME COLUMN a TO b    (stable-field-id rename)
           ALTER TABLE t DROP COLUMN a
           ALTER TABLE t ADD CONSTRAINT n CHECK (<predicate>)
           ALTER TABLE t DROP CONSTRAINT n
         """
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"ADD" + _WS + r"COLUMNS?" + _WS
+            + r"(?:\((.+)\)|(\w+)" + _WS + r"(.+))$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                add_column,
+            )
+
+            path = self._path(m.group(1))
+            if m.group(2) is not None:  # ADD COLUMNS (a t1, b t2, ...)
+                cols = []
+                for item in _split_top_level(m.group(2), r","):
+                    cm = re.match(r"(\w+)\s+(.+)$", item.strip(), re.DOTALL)
+                    if not cm:
+                        raise ValueError(
+                            f"cannot parse column spec: {item!r}"
+                        )
+                    cols.append((cm.group(1), cm.group(2).strip()))
+            else:  # ADD COLUMN a t1
+                cols = [(m.group(3), m.group(4).strip())]
+            v = None
+            for name, dtype in cols:
+                v = add_column(self.spark, path, name, dtype)
+            return v
         m = st.match(
             r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
             + r"RENAME" + _WS + r"COLUMN" + _WS + r"(\w+)" + _WS
@@ -739,6 +803,7 @@ class SqlEngine:
           DESCRIBE [EXTENDED] [TABLE] t    -> column section (+ manifest
                                               detail under EXTENDED)
           SHOW CREATE TABLE t              -> createtab_stmt row
+          SHOW PARTITIONS t [VERSION AS OF n] -> metadata dir walk
           RESTORE t TO VERSION AS OF <n>   -> versioned.rollback
         """
         m = st.match(
@@ -841,6 +906,21 @@ class SqlEngine:
         )
         if m:
             return self._show_create(m.group(1))
+        m = st.match(
+            r"SHOW" + _WS + r"PARTITIONS" + _WS + r"(\w+)"
+            r"(?:" + _WS + r"VERSION" + _WS + r"AS" + _WS + r"OF"
+            + _WS + r"(\d+))?$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                snapshot_partitions,
+            )
+
+            return snapshot_partitions(
+                self.spark,
+                self._path(m.group(1)),
+                int(m.group(2)) if m.group(2) else None,
+            )
         m = st.match(r"SHOW" + _WS + r"REFS" + _WS + r"(\w+)$")
         if m:
             from temp_data_pipeline_spark.operators.versioned import (

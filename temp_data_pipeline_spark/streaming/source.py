@@ -155,10 +155,29 @@ def _dir_diff_py(
     are immutable and cancel without a listing; only the
     symmetric-difference dirs are walked. ``sizes`` covers every
     listed file (added and removed) for partition grouping."""
-    dirs_new = set(_manifest_dirs(_manifest(f, root, until)))
-    dirs_old = (
-        set(_manifest_dirs(_manifest(f, root, since))) if since else set()
+    man_new = _manifest(f, root, until)
+    man_old = _manifest(f, root, since) if since else {}
+    dirs_new = set(_manifest_dirs(man_new))
+    dirs_old = set(_manifest_dirs(man_old)) if since else set()
+
+    def _external(man: dict, walk: set) -> list[str]:
+        roots = man.get("_dir_roots") or {}
+        return sorted(
+            d for d in walk
+            if roots.get(d) or roots.get(d.split("/", 1)[0])
+        )
+
+    ext = _external(man_new, dirs_new - dirs_old) + _external(
+        man_old, dirs_old - dirs_new
     )
+    if ext:
+        # shallow-clone references resolve under ANOTHER table's root;
+        # the streaming file planner is root-per-table — localize the
+        # bytes first rather than silently reading the wrong path
+        raise ValueError(
+            f"streaming window touches shallow-clone references {ext} "
+            "— localize the clone first (compact_snapshot / OPTIMIZE)"
+        )
     sized_new = _files_of_dirs_sized(f, root, sorted(dirs_new - dirs_old))
     sized_old = _files_of_dirs_sized(f, root, sorted(dirs_old - dirs_new))
     only_new, only_old = set(sized_new), set(sized_old)

@@ -242,3 +242,126 @@ class TestFullMatrix:
 
         d = snapshot_diff(spark, path, 2, 3, ["k"])
         assert d.count() == 0  # metadata-only commits change no rows
+
+
+class TestAddColumn:
+    """Metadata-only add_column (ALTER TABLE ... ADD COLUMN): no data
+    rewritten, old files read the new column as typed NULL, DV tables
+    allowed (positions untouched)."""
+
+    def test_add_is_metadata_only_null_fill(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            add_column,
+        )
+
+        path = _mk(spark, tmp_path)
+        v = add_column(spark, path, "score", "double")
+        assert v == 2
+        cur = read_version(spark, path)
+        assert set(cur.columns) == {"k", "part", "v", "score"}
+        assert cur.schema["score"].dataType.simpleString() == "double"
+        assert _vals(cur, "k", "score") == [(i, None) for i in range(6)]
+        # metadata-only: the new version's own dir is empty, the base
+        # dirs are carried by reference
+        man = read_manifest(spark, path, 2)
+        assert "v=1" in man["data_dirs"]
+        # appends under the widened schema interleave with NULL reads
+        commit_version(
+            spark.createDataFrame(
+                [(9, "b", 90, 0.5)],
+                "k long, part string, v long, score double",
+            ),
+            path,
+            partition_by=["part"],
+            carry_from=2,
+        )
+        by_k = {r["k"]: r["score"] for r in read_version(spark, path).collect()}
+        assert by_k[9] == 0.5 and by_k[1] is None
+        # time travel: v1 predates the column
+        assert set(read_version(spark, path, 1).columns) == {
+            "k", "part", "v",
+        }
+        assert verify_table(spark, path) == []
+
+    def test_add_after_drop_gets_fresh_id(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            add_column,
+        )
+
+        path = _mk(spark, tmp_path)
+        commit_version(
+            spark.createDataFrame(
+                [(6, "b", 60, "w6")],
+                "k long, part string, v long, w string",
+            ),
+            path,
+            partition_by=["part"],
+            carry_from=1,
+            allow_evolution=True,
+        )
+        drop_column(spark, path, "w")
+        add_column(spark, path, "w", "string")
+        by_k = {r["k"]: r["w"] for r in read_version(spark, path).collect()}
+        assert by_k[6] is None  # dropped bytes never resurrect
+
+    def test_add_on_dv_table_allowed(self, spark, tmp_path):
+        """DV positions are untouched by an appended field — the DV
+        meta rides the evolution commit and keeps subtracting."""
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            commit_delete_mor,
+            read_table,
+        )
+        from temp_data_pipeline_spark.operators.versioned import (
+            add_column,
+        )
+
+        path = _mk(spark, tmp_path)
+        commit_delete_mor(spark, path, "k = 2")
+        add_column(spark, path, "note", "string")
+        got = read_table(spark, path)
+        assert "note" in got.columns
+        assert sorted(r["k"] for r in got.collect()) == [0, 1, 3, 4, 5]
+
+    def test_add_guards(self, spark, tmp_path):
+        from temp_data_pipeline_spark.operators.versioned import (
+            add_column,
+        )
+
+        path = _mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="already exists"):
+            add_column(spark, path, "v", "long")
+        with pytest.raises(ValueError, match="cannot parse column type"):
+            add_column(spark, path, "x", "not_a_type(")
+
+    def test_streaming_source_reads_added_column_null(
+        self, spark, tmp_path
+    ):
+        """The Python DataSource reader null-fills a column added
+        after a dir was written (the pa.nulls branch)."""
+        from temp_data_pipeline_spark.operators.versioned import (
+            add_column,
+        )
+        from temp_data_pipeline_spark.streaming.source import (
+            register_versioned_source,
+        )
+
+        path = _mk(spark, tmp_path, partitioned=False)
+        add_column(spark, path, "extra", "long")
+        register_versioned_source(spark)
+        out = os.path.join(str(tmp_path), "out")
+        ck = os.path.join(str(tmp_path), "ck")
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        got = spark.read.parquet(out)
+        assert "extra" in got.columns
+        assert sorted(r["k"] for r in got.collect()) == list(range(6))
+        assert all(r["extra"] is None for r in got.collect())

@@ -288,6 +288,17 @@ def test_alter_table_ddl(spark, eng):
     v = e.sql("ALTER TABLE t DROP COLUMN status")
     cols = e.sql("SELECT * FROM t").columns
     assert cols == ["k", "val"]
+    # metadata-only ADD COLUMN: old rows read typed NULL
+    e.sql("ALTER TABLE t ADD COLUMN score double")
+    got = e.sql("SELECT k, score FROM t WHERE k = 1").collect()
+    assert [(r["k"], r["score"]) for r in got] == [(1, None)]
+    e.sql("INSERT INTO t VALUES (11, 110, 0.5)")
+    got = {r["k"]: r["score"] for r in e.sql("SELECT k, score FROM t").collect()}
+    assert got[11] == 0.5 and got[2] is None
+    # plural form with complex types
+    e.sql("ALTER TABLE t ADD COLUMNS (amt decimal(12,2), note string)")
+    sch = {f.name: f.dataType.simpleString() for f in e.sql("SELECT * FROM t").schema.fields}
+    assert sch["amt"] == "decimal(12,2)" and sch["note"] == "string"
 
 
 def test_create_table_as(spark, eng, tmp_path):
@@ -774,3 +785,37 @@ def test_merge_multi_clause_dead_clause_guard(spark, eng):
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN MATCHED AND s.v > 0 THEN DELETE"
         )
+
+
+def test_show_partitions(spark, eng, tmp_path):
+    e, p = eng
+    loc = os.path.join(str(tmp_path), "parts")
+    e.sql(
+        f"CREATE TABLE parts LOCATION '{loc}' PARTITIONED BY (status) "
+        "AS SELECT k, v, status FROM t"
+    )
+    got = e.sql("SHOW PARTITIONS parts")
+    assert got.columns == ["status"]
+    assert sorted(r["status"] for r in got.collect()) == [
+        "expired", "live",
+    ]
+    # a later insert adds a partition; VERSION AS OF sees the old set
+    e.sql("INSERT INTO parts VALUES (9, 90, 'new')")
+    assert sorted(
+        r["status"] for r in e.sql("SHOW PARTITIONS parts").collect()
+    ) == ["expired", "live", "new"]
+    assert sorted(
+        r["status"]
+        for r in e.sql("SHOW PARTITIONS parts VERSION AS OF 1").collect()
+    ) == ["expired", "live"]
+    # typed per the manifest: an int partition comes back as a long
+    loc2 = os.path.join(str(tmp_path), "bynum")
+    e.sql(
+        f"CREATE TABLE bynum LOCATION '{loc2}' PARTITIONED BY (k) "
+        "AS SELECT k, v FROM t"
+    )
+    got = e.sql("SHOW PARTITIONS bynum")
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="not partitioned"):
+        e.sql("SHOW PARTITIONS t")
