@@ -2547,3 +2547,118 @@ def q_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_copy_into",
+    ["extension-relational", "ingestion", "sql"],
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "COPY INTO (operators/copy_into.py, r11): idempotent "
+        "incremental file loading — a landing dir is written in two "
+        "waves of parquet files; the first COPY loads wave 1, the "
+        "second loads ONLY wave 2's new files (the ledger rides the "
+        "commit manifest, so ledger-update and data-append are one "
+        "atomic rename), and a third run loads ZERO files. The final "
+        "table must equal orders exactly — duplicated loads or "
+        "dropped files both break the compare. Data path is one "
+        "distributed read of only the new files + one carry append; "
+        "the glob listing and ledger walk are metadata-plane."
+    ),
+)
+def q_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.copy_into import copy_into
+    from temp_data_pipeline_spark.operators.versioned import read_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="copyinto_")
+    land, path = f"{scratch}/landing", f"{scratch}/t"
+    try:
+        orders.filter("o_orderkey % 2 = 0").repartition(3).write.parquet(
+            f"{land}/wave1"
+        )
+        v, n1 = copy_into(spark, path, land, pattern="*/part-*.parquet")
+        assert v == 1 and n1 >= 1
+        orders.filter("o_orderkey % 2 <> 0").repartition(3).write.parquet(
+            f"{land}/wave2"
+        )
+        v, n2 = copy_into(spark, path, land, pattern="*/part-*.parquet")
+        assert v == 2 and n2 >= 1
+        v, n3 = copy_into(spark, path, land, pattern="*/part-*.parquet")
+        assert (v, n3) == (2, 0), "COPY INTO re-run must load nothing"
+        return (
+            read_version(spark, path)
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_sql_cdf",
+    ["extension-relational", "cdc", "sql"],
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, _change_type FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             'delete' AS _change_type
+      FROM orders WHERE o_custkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 60000000, o_custkey, o_totalprice,
+             'insert' AS _change_type
+      FROM orders
+      WHERE o_orderkey % 100 = 42 AND o_custkey % 10 <> 7
+    )
+    ORDER BY o_orderkey, _change_type
+    """,
+    note=(
+        "table_changes() SQL surface (sql.py -> operators/changes."
+        "changes_between, r11): Delta's CDF table function inside a "
+        "plain SELECT — the window since version 1 over one MOR "
+        "DELETE commit and one INSERT commit yields exactly the "
+        "deleted rows ('delete') and the inserted rows ('insert'). "
+        "The feed is delta-sized (DV positions + appended files), "
+        "never a table diff: reading the window costs O(change), the "
+        "rewrite registers a temp view and the rest of the query "
+        "reaches Spark SQL untouched."
+    ),
+)
+def q_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="sqlcdf_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(orders.repartition(4), path)
+        eng = SqlEngine(spark, {"t": path})
+        eng.sql("DELETE FROM t WHERE o_custkey % 10 = 7")
+        eng.sql(
+            "INSERT INTO t SELECT o_orderkey + 60000000, o_custkey, "
+            "o_totalprice FROM t WHERE o_orderkey % 100 = 42"
+        )
+        return (
+            eng.sql(
+                "SELECT o_orderkey, o_custkey, o_totalprice, "
+                "_change_type FROM table_changes('t', 1) "
+                "ORDER BY o_orderkey, _change_type"
+            )
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

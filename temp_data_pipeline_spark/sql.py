@@ -374,6 +374,8 @@ class SqlEngine:
             return self._insert(st)
         if st.match(r"MERGE\b"):
             return self._merge(st)
+        if st.match(r"COPY\b"):
+            return self._copy(st)
         if st.match(r"(VACUUM|OPTIMIZE|DESCRIBE|RESTORE|SHOW)\b"):
             return self._utility(st)
         if st.match(r"ALTER\b"):
@@ -384,9 +386,9 @@ class SqlEngine:
             return self._drop(st)
         raise ValueError(
             "unsupported statement (SELECT/WITH, DELETE, UPDATE, "
-            "INSERT INTO, MERGE INTO, ALTER TABLE, CREATE TABLE/VIEW, "
-            "DROP TABLE/VIEW, VACUUM, OPTIMIZE, SHOW TABLES, DESCRIBE "
-            f"HISTORY/DETAIL, RESTORE): {st.text[:80]!r}"
+            "INSERT INTO, MERGE INTO, COPY INTO, ALTER TABLE, CREATE "
+            "TABLE/VIEW, DROP TABLE/VIEW, VACUUM, OPTIMIZE, SHOW "
+            f"TABLES, DESCRIBE HISTORY/DETAIL, RESTORE): {st.text[:80]!r}"
         )
 
     def _describe_detail(self, name: str) -> DataFrame:
@@ -732,8 +734,11 @@ class SqlEngine:
         OF 3`` / ``FROM t TIMESTAMP AS OF '...'`` — each occurrence is
         rewritten to a uniquely-named temp view of the historical
         (DV-resolved for versions; manifest-clock for timestamps)
-        snapshot. Catalog tables only; pure rewrite, the query text
-        otherwise reaches Spark SQL untouched."""
+        snapshot. ``table_changes('t', since[, until])`` rewrites the
+        same way to the row-level change feed (columns +
+        ``_change_type``, operators/changes.changes_between). Catalog
+        tables only; pure rewrite, the query text otherwise reaches
+        Spark SQL untouched."""
         from temp_data_pipeline_spark.operators.deletion_vectors import (
             read_table,
         )
@@ -779,6 +784,35 @@ class SqlEngine:
                 .createOrReplaceTempView(view)
             return view
 
+        def _changes(m: re.Match) -> str:
+            # Delta's CDF table function: table_changes('t', since
+            # [, until]) — the file-level change feed (the table's
+            # columns + _change_type) as a temp view
+            name, since, until = m.group(1), m.group(2), m.group(3)
+            if name not in self.catalog:
+                raise ValueError(
+                    f"table_changes: unknown table {name!r}"
+                )
+            from temp_data_pipeline_spark.operators.changes import (
+                changes_between,
+            )
+
+            view = f"{name}__cdf{since}_{until or 'latest'}"
+            changes_between(
+                self.spark,
+                self.catalog[name],
+                int(since),
+                int(until) if until else None,
+            ).createOrReplaceTempView(view)
+            return view
+
+        text = re.sub(
+            r"\btable_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?\s*\)",
+            _changes,
+            text,
+            flags=re.IGNORECASE,
+        )
         text = re.sub(
             r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+\b|'[\w.\-]+')",
             _version,
@@ -1022,6 +1056,31 @@ class SqlEngine:
             F.expr(pred) if pred else F.lit(True),
             set_exprs,
         )
+
+    def _copy(self, st: _Stmt) -> int:
+        """COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|JSON|CSV]
+        [PATTERN = '<glob>'] — idempotent incremental file loading
+        (operators/copy_into.py); returns the committed version (the
+        current one when every file was already loaded)."""
+        m = st.match(
+            r"COPY" + _WS + r"INTO" + _WS + r"(\w+)" + _WS
+            + r"FROM" + _WS + r"'([^']+)'"
+            r"(?:" + _WS + r"FILEFORMAT" + r"\s*=\s*(\w+))?"
+            r"(?:" + _WS + r"PATTERN" + r"\s*=\s*'([^']+)')?$"
+        )
+        if not m:
+            raise ValueError(f"cannot parse COPY INTO: {st.text[:80]!r}")
+        name, source, fmt, pattern = m.groups()
+        from temp_data_pipeline_spark.operators.copy_into import copy_into
+
+        v, _n = copy_into(
+            self.spark,
+            self._path(name),
+            source,
+            file_format=(fmt or "parquet"),
+            pattern=(pattern or "*"),
+        )
+        return v
 
     def _insert(self, st: _Stmt) -> int:
         from temp_data_pipeline_spark.operators.versioned import (

@@ -819,3 +819,34 @@ def test_show_partitions(spark, eng, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
     with pytest.raises(ValueError, match="not partitioned"):
         e.sql("SHOW PARTITIONS t")
+
+
+def test_table_changes_cdf(spark, eng):
+    """Delta's table_changes('t', since[, until]) rewrites to the
+    row-level change feed."""
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k = 2")            # v2
+    e.sql("INSERT INTO t SELECT 9, 90, 'new'")    # v3
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in e.sql(
+            "SELECT k, _change_type FROM table_changes('t', 1)"
+        ).collect()
+    )
+    assert got == [(2, "delete"), (9, "insert")]
+    # bounded window: only the delete
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in e.sql(
+            "SELECT k, _change_type FROM table_changes('t', 1, 2)"
+        ).collect()
+    )
+    assert got == [(2, "delete")]
+    # composes with aggregation over the feed
+    n = e.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('t', 1) "
+        "WHERE _change_type = 'insert'"
+    ).collect()[0]["n"]
+    assert n == 1
+    with pytest.raises(ValueError, match="unknown table"):
+        e.sql("SELECT * FROM table_changes('nope', 1)")
