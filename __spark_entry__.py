@@ -167,11 +167,17 @@ _LAST_VERIFIED = {
 # Implementations or inputs changed in ROUND 11 since their last green
 # driver record (each locally re-verified green against DuckDB before
 # being listed; the driver mints fresh records):
-#   - MERGE gained WHEN NOT MATCHED BY SOURCE (operators/merge.py
-#     full-outer classify + sql.py clause grammar): q_sql_dml rides the
-#     same code path; q_sql_merge is new (priority 0 automatically).
+#   - MERGE gained WHEN NOT MATCHED BY SOURCE and ordered multi-clause
+#     families (operators/merge.py unified classify + sql.py clause
+#     grammar): q_merge_into re-checks; q_sql_dml rides the same code
+#     path; q_sql_merge is new (priority 0 automatically).
+#   - commit_version changed (carry commits inherit the base partition
+#     layout; carried dir names claim slots) — q_replicate and q_scd2
+#     re-check as the heaviest carry-commit lifecycles.
+#   - New this round (priority 0 automatically): q_clone,
+#     q_show_partitions, q_add_column, q_copy_into, q_sql_cdf.
 # The rest of the window is the r5/r6/r7-stale cohort + oldest r8.
-_RECHECK: list[str] = ["q_sql_dml"]
+_RECHECK: list[str] = ["q_sql_dml", "q_merge_into", "q_replicate", "q_scd2"]
 
 
 def _ordered_specs():

@@ -70,8 +70,11 @@ the clause's inherent price, paid only when the clause is present.
 CONTRACTS: ``keys`` must uniquely identify SOURCE rows (resolve
 last-writer-wins upstream via operators/upsert.keep_latest); target
 rows need not be unique per key — every matched target row is
-updated/deleted per its pair. No reference counterpart; semantics
-follow Delta's MERGE as published.
+updated/deleted per its pair. Appends project onto the TARGET's
+columns: the source may carry EXTRA columns (CDC op codes, sequence
+numbers) referenced only in clause conditions, but must contain every
+target column; on an EMPTY target the insert defines the schema. No
+reference counterpart; semantics follow Delta's MERGE as published.
 """
 
 from __future__ import annotations
@@ -245,6 +248,20 @@ def commit_merge_into(
         )
     base = vs[-1]
     man = read_manifest(spark, path, base)
+    if "_schema" in man:
+        # the Delta contract: appends project onto the TARGET's
+        # columns — the source may carry EXTRA columns (CDC op codes,
+        # sequence numbers) that clauses reference via s.<col> but
+        # that never land in the table; a target column ABSENT from
+        # the source is an error (SET * / INSERT * could not build it)
+        t_cols = [f["name"] for f in man["_schema"]["fields"]]
+        missing_t = [c for c in t_cols if c not in data_cols]
+        if missing_t:
+            raise ValueError(
+                f"source lacks target column(s) {missing_t} — SET * "
+                "/ INSERT * need every target column"
+            )
+        data_cols = t_cols
 
     if by_source_clauses:
         # NOT MATCHED BY SOURCE must see EVERY visible target row —

@@ -658,13 +658,22 @@ def commit_version(
     # newly written rows and carries them forward; the add/drop ops
     # override via meta
     inherited_tc: dict = {}
-    if committed and (meta or {}).get("_table_constraints") is None:
+    inherited_props: dict = {}
+    if committed and (
+        (meta or {}).get("_table_constraints") is None
+        or (meta or {}).get("_tblproperties") is None
+    ):
         prev_man = (
             base_man
             if carry_from == committed[-1] and base_man is not None
             else read_manifest(spark, path, committed[-1])
         )
-        inherited_tc = prev_man.get("_table_constraints") or {}
+        if (meta or {}).get("_table_constraints") is None:
+            inherited_tc = prev_man.get("_table_constraints") or {}
+        # table properties behave like constraints: set once, ride
+        # every commit until SET/UNSET overrides via meta
+        if (meta or {}).get("_tblproperties") is None:
+            inherited_props = prev_man.get("_tblproperties") or {}
     if expected_base is not None:
         latest = committed[-1] if committed else 0
         if latest != expected_base:
@@ -784,6 +793,7 @@ def commit_version(
             "_partition_by": list(partition_by or []),
             **({"_checks": checks} if checks else {}),
             **({"_table_constraints": inherited_tc} if inherited_tc else {}),
+            **({"_tblproperties": inherited_props} if inherited_props else {}),
             **evo,
             **(meta or {}),
             **late,
@@ -2378,6 +2388,72 @@ def add_table_constraint(
     )
 
 
+def table_properties(spark: SparkSession, path: str) -> dict[str, str]:
+    """The table's persisted key->value properties (latest manifest;
+    empty when none were ever set)."""
+    vs = versions(spark, path)
+    if not vs:
+        return {}
+    return dict(read_manifest(spark, path, vs[-1]).get("_tblproperties") or {})
+
+
+def _commit_properties(
+    spark: SparkSession, path: str, props: dict, marker: dict
+) -> int:
+    from pyspark.sql.types import StructType
+
+    vs = versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    latest = vs[-1]
+    man = read_manifest(spark, path, latest)
+    if "_schema" not in man:
+        raise ValueError(
+            "table properties need the manifest-recorded schema "
+            "(compact_snapshot first)"
+        )
+    schema = StructType.fromJson(man["_schema"])
+    return commit_version(
+        spark.createDataFrame([], schema),
+        path,
+        carry_from=latest,
+        expected_base=latest,
+        meta={"_tblproperties": props, **marker},
+    )
+
+
+def set_table_properties(
+    spark: SparkSession, path: str, props: dict[str, str]
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES: one metadata-level carry
+    commit records the merged map; every later commit inherits it
+    (the constraint-propagation pattern), and time travel sees each
+    version's own properties. Returns the committed version."""
+    if not props:
+        raise ValueError("SET TBLPROPERTIES needs at least one pair")
+    merged = {**table_properties(spark, path), **{
+        str(k): str(v) for k, v in props.items()
+    }}
+    return _commit_properties(
+        spark, path, merged, {"set_properties": sorted(props)}
+    )
+
+
+def unset_table_properties(
+    spark: SparkSession, path: str, keys: list[str]
+) -> int:
+    """ALTER TABLE ... UNSET TBLPROPERTIES (missing keys are a loud
+    error, matching the non-IF-EXISTS SQL form)."""
+    cur = table_properties(spark, path)
+    missing = [k for k in keys if k not in cur]
+    if missing:
+        raise ValueError(f"no such table propert{'y' if len(missing)==1 else 'ies'}: {missing}")
+    remaining = {k: v for k, v in cur.items() if k not in set(keys)}
+    return _commit_properties(
+        spark, path, remaining, {"unset_properties": sorted(keys)}
+    )
+
+
 def drop_table_constraint(spark: SparkSession, path: str, name: str) -> int:
     """Remove a persisted constraint (one metadata-level carry
     commit); earlier versions keep theirs for time travel. Returns
@@ -2492,6 +2568,7 @@ def vacuum(
     keep_last: int = 2,
     orphan_grace: float = 86400.0,
     older_than: float | None = None,
+    dry_run: bool = False,
 ) -> list[int]:
     """Expire history: keep the newest ``keep_last`` versions, delete
     older snapshots AND orphan data dirs (crashed writers). Manifest
@@ -2560,6 +2637,9 @@ def vacuum(
                     referenced.add(int(head[2:]))
                 except ValueError:
                     pass
+    if dry_run:
+        # VACUUM ... DRY RUN: report what WOULD expire, touch nothing
+        return drop
     now_ms = time.time() * 1000.0
     for v in drop:
         fs.delete(Path(f"{_manifest_dir(path)}/{v}.json"), False)

@@ -2662,3 +2662,115 @@ def q_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_merge_cdc",
+    ["extension-relational", "cdc", "sql"],
+    """
+    WITH feed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 2 = 0 THEN 'U'
+                  ELSE 'I' END AS op,
+             o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 60000000,
+             CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'I' END AS op,
+             o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 17
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      -- matched, op='D' -> deleted; op='U' -> price doubled;
+      -- op='I' (matched catch-all) -> price + 1.0
+      SELECT b.o_orderkey, b.o_custkey,
+             CASE WHEN f.op = 'U' THEN b.o_totalprice * 2.0
+                  ELSE b.o_totalprice + 1.0 END AS o_totalprice
+      FROM orders b JOIN feed f ON b.o_orderkey = f.o_orderkey
+      WHERE f.op <> 'D'
+      UNION ALL
+      -- matched rows with no feed entry: untouched
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+      FROM orders b LEFT JOIN feed f ON b.o_orderkey = f.o_orderkey
+      WHERE f.o_orderkey IS NULL
+      UNION ALL
+      -- unmatched feed rows insert unless op='D'
+      SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+      FROM feed f LEFT JOIN orders b ON f.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL AND f.op <> 'D'
+    )
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Ordered multi-clause MERGE — the canonical CDC apply "
+        "(operators/merge.py matched_clauses, r11): THREE WHEN "
+        "MATCHED clauses walk in order (DELETE on op='D', UPDATE "
+        "price*2 on op='U', catch-all UPDATE price+1.0) and the "
+        "first satisfied condition wins; unmatched feed rows insert "
+        "unless op='D'. Clause count only widens the projection and "
+        "filter expressions over the SINGLE classifying right-outer "
+        "join on the zone-map-pruned position scan — one keyed "
+        "shuffle of the delta, one delta-sized append, zero "
+        "partition rewrites regardless of clause count. *2.0/+1.0 "
+        "keep the compare IEEE-exact."
+    ),
+)
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="mergecdc_")
+    path = f"{scratch}/t"
+    try:
+        commit_version(orders.repartition(4), path)
+        feed = spark.sql(
+            """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                        WHEN o_orderkey % 2 = 0 THEN 'U'
+                        ELSE 'I' END AS op,
+                   o_custkey, o_totalprice
+            FROM {o} WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey + 60000000,
+                   CASE WHEN o_custkey % 13 = 0 THEN 'D'
+                        ELSE 'I' END AS op,
+                   o_custkey, o_totalprice
+            FROM {o} WHERE o_orderkey % 100 = 17
+            """,
+            o=orders,
+        )
+        feed.createOrReplaceTempView("cdc_feed")
+        eng = SqlEngine(spark, {"t": path})
+        eng.sql(
+            """
+            MERGE INTO t USING (
+              SELECT o_orderkey, o_custkey, o_totalprice, op
+              FROM cdc_feed
+            ) s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED AND s.op = 'U'
+              THEN UPDATE SET o_totalprice = t.o_totalprice * 2.0
+            WHEN MATCHED
+              THEN UPDATE SET o_totalprice = t.o_totalprice + 1.0
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+            """
+        )
+        return (
+            read_table(spark, path)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -566,6 +566,60 @@ class SqlEngine:
             )
             self.catalog[name] = location
             return v
+        m = st.match(r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)\s*\(")
+        if m:
+            # explicit-schema EMPTY table:
+            #   CREATE TABLE t (a BIGINT, b DECIMAL(12,2), ...)
+            #       [PARTITIONED BY (col, ...)] [LOCATION '<path>']
+            from pyspark.sql.types import StructType
+
+            name = m.group(1)
+            i = m.end() - 1
+            j = _balanced_paren(st.text, i)
+            cols_ddl = st.text[i + 1 : j - 1].strip()
+            rest = st.text[j:].strip()
+            rm = re.match(
+                r"(?:PARTITIONED" + _WS + r"BY\s*\(([^)]+)\))?"
+                r"(?:" + r"\s*LOCATION" + _WS + r"'([^']+)')?$",
+                rest,
+                re.IGNORECASE,
+            )
+            if not rm:
+                raise ValueError(
+                    f"cannot parse CREATE TABLE tail: {rest[:80]!r}"
+                )
+            pcols, location = rm.groups()
+            if name in self.catalog:
+                raise ValueError(f"table {name!r} already in the catalog")
+            if name in self.views:
+                raise ValueError(
+                    f"{name!r} is a view (DROP VIEW {name} first)"
+                )
+            if location is None:
+                if self.warehouse is None:
+                    raise ValueError(
+                        f"CREATE TABLE {name}: no LOCATION given and "
+                        "the engine has no warehouse root"
+                    )
+                location = f"{self.warehouse}/{name}"
+            try:
+                schema = StructType.fromDDL(cols_ddl)
+            except Exception as e:
+                raise ValueError(
+                    f"cannot parse column list {cols_ddl!r}: {e}"
+                )
+            v = commit_version(
+                self.spark.createDataFrame([], schema),
+                location,
+                partition_by=(
+                    [c.strip() for c in pcols.split(",") if c.strip()]
+                    if pcols
+                    else None
+                ),
+                expected_base=0,
+            )
+            self.catalog[name] = location
+            return v
         m = st.match(
             r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)"
             r"(?:" + _WS + r"LOCATION" + _WS + r"'([^']+)')?"
@@ -727,6 +781,49 @@ class SqlEngine:
             if not delete_ref(self.spark, self._path(m.group(1)), m.group(2)):
                 raise ValueError(f"no tag {m.group(2)!r} on {m.group(1)}")
             return None
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"SET" + _WS + r"TBLPROPERTIES" + r"\s*\((.+)\)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                set_table_properties,
+            )
+
+            props = {}
+            for item in _split_top_level(m.group(2), r","):
+                pm = re.match(
+                    r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", item
+                )
+                if not pm:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES pair: {item!r} "
+                        "(expected 'key' = 'value')"
+                    )
+                props[pm.group(1)] = pm.group(2)
+            return set_table_properties(
+                self.spark, self._path(m.group(1)), props
+            )
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"UNSET" + _WS + r"TBLPROPERTIES" + r"\s*\((.+)\)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                unset_table_properties,
+            )
+
+            keys = []
+            for item in _split_top_level(m.group(2), r","):
+                pm = re.match(r"\s*'([^']+)'\s*$", item)
+                if not pm:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES key: {item!r}"
+                    )
+                keys.append(pm.group(1))
+            return unset_table_properties(
+                self.spark, self._path(m.group(1)), keys
+            )
         raise ValueError(f"cannot parse ALTER TABLE: {st.text[:80]!r}")
 
     def _rewrite_time_travel(self, text: str) -> str:
@@ -843,30 +940,32 @@ class SqlEngine:
         m = st.match(
             r"VACUUM" + _WS + r"(\w+)"
             r"(?:" + _WS + r"RETAIN" + _WS + r"(\d+)" + _WS
-            + r"(VERSIONS|HOURS|DAYS))?$"
+            + r"(VERSIONS|HOURS|DAYS))?"
+            r"(?:" + _WS + r"(DRY" + _WS + r"RUN))?$"
         )
         if m:
             from temp_data_pipeline_spark.operators.versioned import (
                 vacuum,
             )
 
-            name, n, unit = m.group(1), m.group(2), (m.group(3) or "")
+            name, n, unit, dry = (
+                m.group(1), m.group(2), (m.group(3) or ""), m.group(4)
+            )
+            kw: dict = {"dry_run": bool(dry)}
             if unit.upper() in ("HOURS", "DAYS"):
                 # time-based retention (the Delta VACUUM contract):
                 # keep the current version + everything inside the
                 # horizon
                 secs = int(n) * (3600 if unit.upper() == "HOURS" else 86400)
-                vacuum(
-                    self.spark,
-                    self._path(name),
-                    keep_last=1,
-                    older_than=secs,
-                )
+                kw.update(keep_last=1, older_than=secs)
             else:
-                vacuum(
-                    self.spark,
-                    self._path(name),
-                    keep_last=int(n or 3),
+                kw.update(keep_last=int(n or 3))
+            dropped = vacuum(self.spark, self._path(name), **kw)
+            if dry:
+                # DRY RUN reports the expirable versions, touches
+                # nothing
+                return self.spark.createDataFrame(
+                    [(int(v),) for v in dropped], "version long"
                 )
             return None
         m = st.match(
@@ -1005,6 +1104,57 @@ class SqlEngine:
 
             return rollback(
                 self.spark, self._path(m.group(1)), int(m.group(2))
+            )
+        m = st.match(
+            r"RESTORE" + _WS + r"(\w+)" + _WS + r"TO" + _WS
+            + r"TIMESTAMP" + _WS + r"AS" + _WS + r"OF" + _WS
+            + r"('[^']+'|[0-9.]+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                rollback,
+                version_as_of,
+            )
+
+            name, ts = m.group(1), m.group(2)
+            if ts.startswith("'"):
+                from datetime import datetime, timezone
+
+                parsed = datetime.fromisoformat(
+                    ts.strip("'").replace(" ", "T")
+                )
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=timezone.utc)
+                epoch = parsed.timestamp()
+            else:
+                epoch = float(ts)
+            path = self._path(name)
+            return rollback(
+                self.spark, path, version_as_of(self.spark, path, epoch)
+            )
+        m = st.match(
+            r"SHOW" + _WS + r"TBLPROPERTIES" + _WS + r"(\w+)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                table_properties,
+            )
+
+            from pyspark.sql.types import (
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            props = table_properties(self.spark, self._path(m.group(1)))
+            return self.spark.createDataFrame(
+                sorted(props.items()),
+                StructType(
+                    [
+                        StructField("key", StringType()),
+                        StructField("value", StringType()),
+                    ]
+                ),
             )
         raise ValueError(f"cannot parse utility statement: {st.text[:80]!r}")
 

@@ -427,3 +427,33 @@ def test_no_insert_clause_ignores_unmatched_source(spark, tmp_path):
         matched_clauses=[("update", True, None)],
     )
     assert _rows(spark, path) == {1: (99, "a")}
+
+
+def test_source_only_columns_never_land(spark, tmp_path):
+    """The source may carry extra columns (CDC op codes) referenced
+    only in conditions — appends project onto the TARGET's columns."""
+    path = os.path.join(str(tmp_path), "extras")
+    commit_version(_df(spark, [(1, 10, "a"), (2, 20, "b")]), path)
+    src = spark.createDataFrame(
+        [(1, 99, "a", "U"), (2, 0, "b", "D"), (3, 30, "c", "I")],
+        "k long, v long, status string, op string",
+    )
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        matched_clauses=[
+            ("delete", "s.op = 'D'", None),
+            ("update", True, None),
+        ],
+        insert_whens=["op = 'I'"],
+    )
+    got = read_table(spark, path)
+    assert set(got.columns) == {"k", "v", "status"}
+    assert _rows(spark, path) == {1: (99, "a"), 3: (30, "c")}
+    # a MISSING target column is a loud error
+    bad = spark.createDataFrame([(7, 70)], "k long, v long")
+    with pytest.raises(ValueError, match="lacks target column"):
+        commit_merge_into(
+            bad, path, ["k"], matched_clauses=[("update", True, None)]
+        )

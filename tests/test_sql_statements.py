@@ -850,3 +850,83 @@ def test_table_changes_cdf(spark, eng):
     assert n == 1
     with pytest.raises(ValueError, match="unknown table"):
         e.sql("SELECT * FROM table_changes('nope', 1)")
+
+
+def test_create_table_explicit_schema(spark, eng, tmp_path):
+    e, p = eng
+    loc = os.path.join(str(tmp_path), "empty")
+    v = e.sql(
+        f"CREATE TABLE fresh (k BIGINT, amt DECIMAL(12,2), tag STRING) "
+        f"LOCATION '{loc}'"
+    )
+    assert v == 1
+    got = e.sql("SELECT * FROM fresh")
+    assert got.count() == 0
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "decimal(12,2)", "string",
+    ]
+    e.sql("INSERT INTO fresh VALUES (1, 9.50, 'a')")
+    assert e.sql("SELECT * FROM fresh").count() == 1
+    # partitioned empty table
+    loc2 = os.path.join(str(tmp_path), "p")
+    e.sql(
+        f"CREATE TABLE pfresh (k BIGINT, part STRING) "
+        f"PARTITIONED BY (part) LOCATION '{loc2}'"
+    )
+    e.sql("INSERT INTO pfresh VALUES (1, 'x')")
+    assert sorted(
+        r["part"] for r in e.sql("SHOW PARTITIONS pfresh").collect()
+    ) == ["x"]
+
+
+def test_tblproperties(spark, eng):
+    e, p = eng
+    v = e.sql(
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'etl', "
+        "'pipeline.tier' = 'gold')"
+    )
+    assert v == 2
+    got = {
+        r["key"]: r["value"]
+        for r in e.sql("SHOW TBLPROPERTIES t").collect()
+    }
+    assert got == {"owner": "etl", "pipeline.tier": "gold"}
+    # properties ride later commits
+    e.sql("INSERT INTO t SELECT 9, 90, 'new'")
+    got = {
+        r["key"]: r["value"]
+        for r in e.sql("SHOW TBLPROPERTIES t").collect()
+    }
+    assert got["owner"] == "etl"
+    e.sql("ALTER TABLE t UNSET TBLPROPERTIES ('owner')")
+    got = {
+        r["key"]: r["value"]
+        for r in e.sql("SHOW TBLPROPERTIES t").collect()
+    }
+    assert "owner" not in got and got["pipeline.tier"] == "gold"
+    with pytest.raises(ValueError, match="no such table propert"):
+        e.sql("ALTER TABLE t UNSET TBLPROPERTIES ('nope')")
+
+
+def test_vacuum_dry_run_and_restore_timestamp(spark, eng):
+    e, p = eng
+    e.sql("DELETE FROM t WHERE k = 2")     # v2
+    e.sql("INSERT INTO t SELECT 9, 90, 'new'")  # v3
+    # dry run: reports expirable versions, deletes nothing
+    got = [r["version"] for r in e.sql("VACUUM t RETAIN 1 VERSIONS DRY RUN").collect()]
+    assert got == [1, 2]
+    assert [r["version"] for r in e.sql("DESCRIBE HISTORY t").collect()] == [
+        1, 2, 3,
+    ]
+    # restore by timestamp: land between v1 and v2 -> restores v1
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    t1 = float(read_manifest(spark, p, 1)["committed_at"]) + 0.001
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    v = e.sql(f"RESTORE t TO TIMESTAMP AS OF '{iso}'")
+    assert v == 4
+    assert sorted(r["k"] for r in e.sql("SELECT k FROM t").collect()) == [
+        1, 2, 3,
+    ]
