@@ -103,7 +103,9 @@ def _build_parser() -> argparse.ArgumentParser:
             "versioned-table ops: history/verify/maintain/vacuum/"
             "rollback/changes/tag/refs/untag/compact-small/"
             "replicate/scd2/add-constraint/drop-constraint/constraints/"
-            "merge/expect-ingest/expect-show/quarantine/quarantine-replay"
+            "merge/expect-ingest/expect-show/quarantine/"
+            "quarantine-replay/clone/copy-into/partitions/add-column/"
+            "properties"
         ),
     )
     t.add_argument(
@@ -113,7 +115,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "tag", "refs", "untag", "compact-small", "replicate", "scd2",
             "add-constraint", "drop-constraint", "constraints", "merge",
             "expect-ingest", "expect-show", "quarantine",
-            "quarantine-replay",
+            "quarantine-replay", "clone", "copy-into", "partitions",
+            "add-column", "properties",
         ],
     )
     t.add_argument("path", help="table root (the dir holding v=N/_manifest)")
@@ -132,7 +135,19 @@ def _build_parser() -> argparse.ArgumentParser:
                         "KEY-LEVEL feed (update pre/post images, rewrite "
                         "noise suppressed) instead of the file-level one")
     t.add_argument("--dest", default=None,
-                   help="replicate/scd2: the downstream table root")
+                   help="replicate/scd2/clone: the downstream table root")
+    t.add_argument("--from-dir", default=None,
+                   help="copy-into: the landing directory to load")
+    t.add_argument("--file-format", default="parquet",
+                   help="copy-into: parquet|json|csv")
+    t.add_argument("--pattern", default="*",
+                   help="copy-into: file glob under the landing dir")
+    t.add_argument("--column", default=None,
+                   help="add-column: 'name type' to append")
+    t.add_argument("--set", default=None, dest="set_props",
+                   help="properties: semicolon-separated k=v pairs to set")
+    t.add_argument("--unset", default=None, dest="unset_props",
+                   help="properties: comma-separated keys to unset")
     t.add_argument("--name", default=None,
                    help="tag/untag/add-constraint/drop-constraint: the name")
     t.add_argument("--sql", default=None,
@@ -491,6 +506,72 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 v = replicate_incremental(spark, args.path, args.dest, keys)
                 print(f"[replicate] {args.dest} caught up (replica v{v})")
+        elif args.action == "clone":
+            from temp_data_pipeline_spark.operators.versioned import (
+                shallow_clone,
+            )
+
+            if not args.dest:
+                raise SystemExit("clone needs --dest <new table root>")
+            v = shallow_clone(
+                spark, args.path, args.dest, version=args.at_version
+            )
+            print(f"[clone] {args.dest} created at v{v} (zero-copy)")
+        elif args.action == "copy-into":
+            from temp_data_pipeline_spark.operators.copy_into import (
+                copy_into,
+            )
+
+            if not args.from_dir:
+                raise SystemExit("copy-into needs --from-dir <landing>")
+            v, n = copy_into(
+                spark,
+                args.path,
+                args.from_dir,
+                file_format=args.file_format,
+                pattern=args.pattern,
+            )
+            print(f"[copy-into] loaded {n} file(s); latest is v{v}")
+        elif args.action == "partitions":
+            from temp_data_pipeline_spark.operators.versioned import (
+                snapshot_partitions,
+            )
+
+            for r in snapshot_partitions(
+                spark, args.path, args.at_version
+            ).collect():
+                print(r.asDict())
+        elif args.action == "add-column":
+            from temp_data_pipeline_spark.operators.versioned import (
+                add_column,
+            )
+
+            if not args.column or " " not in args.column.strip():
+                raise SystemExit("add-column needs --column 'name type'")
+            cname, ctype = args.column.strip().split(" ", 1)
+            v = add_column(spark, args.path, cname, ctype.strip())
+            print(f"[add-column] {cname} {ctype} at v{v}")
+        elif args.action == "properties":
+            from temp_data_pipeline_spark.operators.versioned import (
+                set_table_properties,
+                table_properties,
+                unset_table_properties,
+            )
+
+            if args.set_props:
+                props = dict(
+                    pair.split("=", 1)
+                    for pair in args.set_props.split(";")
+                    if "=" in pair
+                )
+                v = set_table_properties(spark, args.path, props)
+                print(f"[properties] set {sorted(props)} at v{v}")
+            if args.unset_props:
+                keys = [k for k in args.unset_props.split(",") if k]
+                v = unset_table_properties(spark, args.path, keys)
+                print(f"[properties] unset {keys} at v{v}")
+            for k, val in sorted(table_properties(spark, args.path).items()):
+                print(f"[properties] {k} = {val}")
         elif args.action == "scd2":
             from temp_data_pipeline_spark.operators.scd import (
                 scd2_catchup,

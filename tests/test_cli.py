@@ -5,6 +5,7 @@ command-line surface — the reference's scripts/ flow on Spark."""
 from __future__ import annotations
 
 import json
+import os
 
 from temp_data_pipeline_spark.cli import main
 
@@ -148,7 +149,6 @@ def test_cli_table_changes(spark, tmp_path, capsys):
 
 
 def test_cli_table_refs(spark, tmp_path, capsys):
-    from temp_data_pipeline_spark.cli import main
     from temp_data_pipeline_spark.operators.versioned import commit_version
 
     path = str(tmp_path / "refstbl")
@@ -313,3 +313,46 @@ def test_cli_sql(spark, tmp_path, capsys):
     ]) == 0
     assert "'k': 1" in capsys.readouterr().out
     assert [r["k"] for r in read_table(spark, p).collect()] == [1]
+
+
+def test_cli_clone_copy_partitions_properties(spark, tmp_path, capsys):
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    src = os.path.join(str(tmp_path), "src")
+    commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, part string, v long"
+        ),
+        src,
+        partition_by=["part"],
+    )
+    dst = os.path.join(str(tmp_path), "clone")
+    main(["table", "clone", src, "--dest", dst])
+    assert "zero-copy" in capsys.readouterr().out
+    main(["table", "partitions", dst])
+    out = capsys.readouterr().out
+    assert "'part': 'a'" in out and "'part': 'b'" in out
+    main(["table", "add-column", dst, "--column", "note string"])
+    assert "note" in capsys.readouterr().out
+    main(["table", "properties", dst, "--set", "owner=etl;tier=gold"])
+    out = capsys.readouterr().out
+    assert "owner = etl" in out and "tier = gold" in out
+    main(["table", "properties", dst, "--unset", "owner"])
+    out = capsys.readouterr().out
+    assert "owner" not in out.replace("unset ['owner']", "")
+    # copy-into a fresh table from a landing dir
+    land = os.path.join(str(tmp_path), "landing")
+    spark.createDataFrame(
+        [(5, 50)], "k long, v long"
+    ).coalesce(1).write.parquet(os.path.join(land, "w1"))
+    t2 = os.path.join(str(tmp_path), "t2")
+    main([
+        "table", "copy-into", t2, "--from-dir", land,
+        "--pattern", "*/part-*.parquet",
+    ])
+    assert "loaded 1 file(s)" in capsys.readouterr().out
+    main([
+        "table", "copy-into", t2, "--from-dir", land,
+        "--pattern", "*/part-*.parquet",
+    ])
+    assert "loaded 0 file(s)" in capsys.readouterr().out

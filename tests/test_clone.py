@@ -237,3 +237,22 @@ def test_sql_shallow_clone(spark, tmp_path):
     ) == list(range(6))
     with pytest.raises(ValueError, match="already in the catalog"):
         e.sql("CREATE TABLE c SHALLOW CLONE t")
+
+
+def test_clone_scan_keeps_pushdown(spark, tmp_path):
+    """Root-aware resolution must not cost the scan its pushdown: a
+    filter over the clone reaches the parquet scan of the SOURCE
+    dirs (PushedFilters), and column pruning holds (ReadSchema)."""
+    src = _mk(spark, tmp_path)
+    dst = os.path.join(str(tmp_path), "clone")
+    shallow_clone(spark, src, dst)
+    plan = (
+        read_version(spark, dst)
+        .filter(F.col("k") > 3)
+        .select("k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,3)]" in plan
+    assert "ReadSchema: struct<k:bigint>" in plan
