@@ -159,7 +159,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(pass 'true' for unconditional)")
     t.add_argument("--update-set", default=None,
                    help="merge: semicolon-separated col=expr SET list "
-                        "(default SET * = take the source row)")
+                        "(default SET * = take the source row; a "
+                        "partial list keeps unlisted columns from the "
+                        "TARGET)")
     t.add_argument("--delete-when", default=None,
                    help="merge: WHEN MATCHED AND <s./t. SQL> THEN DELETE")
     t.add_argument("--insert-when", default=None,

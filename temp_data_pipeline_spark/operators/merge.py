@@ -26,14 +26,19 @@ Clause semantics (Delta's):
     condition holds fires. ``("update", cond, set)`` DVs the target
     row's position and appends one replacement built from ``set``
     (``col -> SQL expr`` over ``s.*``/``t.*``; None = SET * = take
-    the source row); ``("delete", cond, None)`` DVs only. Pairs
-    satisfying no clause are UNTOUCHED — their bytes are never
-    rewritten (the MOR advantage over COW merge);
-  - an unmatched source row appends iff ANY ``insert_whens``
-    condition holds (predicates over the source's plain column
-    names). NO insert clause (``insert_when=None`` / empty
-    ``insert_whens``) means unmatched source rows are IGNORED — the
-    SQL MERGE contract;
+    the source row; a PARTIAL set keeps every unlisted column from
+    the TARGET — the published UPDATE contract);
+    ``("delete", cond, None)`` DVs only. Pairs satisfying no clause
+    are UNTOUCHED — their bytes are never rewritten (the MOR
+    advantage over COW merge);
+  - unmatched source rows walk ``insert_clauses`` — ordered
+    ``(condition, values)`` pairs, first satisfied condition wins.
+    ``values=None`` is INSERT * (take the source row); a dict is the
+    explicit ``INSERT (cols) VALUES (exprs)`` form — expressions over
+    the source's PLAIN column names, unlisted target columns fill
+    typed NULL. ``insert_whens`` is shorthand for all-INSERT-*
+    clauses. NO insert clause means unmatched source rows are
+    IGNORED — the SQL MERGE contract;
   - a target row with NO matching source row ("NOT MATCHED BY
     SOURCE", Delta's sync-deletes family) walks
     ``by_source_clauses`` the same ordered way; conditions and SET
@@ -155,6 +160,7 @@ def commit_merge_into(
     delete_by_source_when=None,
     matched_clauses: list | None = None,
     insert_whens: list | None = None,
+    insert_clauses: list | None = None,
     by_source_clauses: list | None = None,
     meta: dict | None = None,
 ) -> int:
@@ -178,11 +184,34 @@ def commit_merge_into(
             matched_clauses.append(("update", update_when, update_set))
         if delete_when is not None:
             matched_clauses.append(("delete", delete_when, None))
-    if insert_whens is not None:
+    explicit_insert = insert_clauses is not None
+    if insert_clauses is not None:
+        if insert_when is not None or insert_whens is not None:
+            raise ValueError(
+                "pass insert_clauses OR insert_when(s), not both"
+            )
+    elif insert_whens is not None:
         if insert_when is not None:
             raise ValueError("pass insert_whens OR insert_when, not both")
+        insert_clauses = [(c, None) for c in insert_whens]
     else:
-        insert_whens = [insert_when] if insert_when is not None else []
+        insert_clauses = (
+            [(insert_when, None)] if insert_when is not None else []
+        )
+    for _c, vals in insert_clauses:
+        if vals is not None and not isinstance(vals, dict):
+            raise ValueError(
+                "insert clause values must be a col->expr dict or None "
+                "(INSERT *)"
+            )
+    if explicit_insert:
+        for i, (c, _v) in enumerate(insert_clauses):
+            if (c is None or c is True) and i + 1 < len(insert_clauses):
+                raise ValueError(
+                    "only the last insert clause may omit its condition "
+                    f"(clause {i + 1} of {len(insert_clauses)} is "
+                    "unconditional — later clauses would be dead)"
+                )
     if by_source_clauses is not None:
         if (
             update_by_source_when is not None
@@ -212,7 +241,7 @@ def commit_merge_into(
             by_source_clauses.append(
                 ("delete", delete_by_source_when, None)
             )
-    if not matched_clauses and not insert_whens and not by_source_clauses:
+    if not matched_clauses and not insert_clauses and not by_source_clauses:
         raise ValueError(
             "MERGE needs at least one clause (update_when / "
             "delete_when / insert_when / *_by_source_when)"
@@ -233,12 +262,18 @@ def commit_merge_into(
         raise ValueError(f"key columns absent from the source: {missing}")
 
     ins_any = None
-    for c in insert_whens:
+    for c, _v in insert_clauses:
         cc = _cond(c, False)
         ins_any = cc if ins_any is None else (ins_any | cc)
     vs = versions(spark, path)
     if not vs:
         # empty target: only insert clauses can fire (none -> empty v1)
+        if any(v is not None for _c, v in insert_clauses):
+            raise ValueError(
+                "INSERT (cols) VALUES (..) needs an existing typed "
+                "target (an empty target takes the source schema via "
+                "INSERT *)"
+            )
         return commit_version(
             source.filter(ins_any) if ins_any is not None
             else source.limit(0),
@@ -248,20 +283,40 @@ def commit_merge_into(
         )
     base = vs[-1]
     man = read_manifest(spark, path, base)
+    t_types: dict = {}
     if "_schema" in man:
         # the Delta contract: appends project onto the TARGET's
         # columns — the source may carry EXTRA columns (CDC op codes,
         # sequence numbers) that clauses reference via s.<col> but
-        # that never land in the table; a target column ABSENT from
-        # the source is an error (SET * / INSERT * could not build it)
-        t_cols = [f["name"] for f in man["_schema"]["fields"]]
+        # that never land in the table. A target column ABSENT from
+        # the source only errors when a star action needs it (SET * /
+        # INSERT *); explicit SET / VALUES lists build their own rows.
+        from pyspark.sql.types import StructType
+
+        t_struct = StructType.fromJson(man["_schema"])
+        t_types = {f.name: f.dataType for f in t_struct.fields}
+        t_cols = [f.name for f in t_struct.fields]
+        needs_star = any(
+            k == "update" and aset is None for k, _c, aset in matched_clauses
+        ) or any(v is None for _c, v in insert_clauses)
         missing_t = [c for c in t_cols if c not in data_cols]
-        if missing_t:
+        if missing_t and needs_star:
             raise ValueError(
                 f"source lacks target column(s) {missing_t} — SET * "
                 "/ INSERT * need every target column"
             )
         data_cols = t_cols
+        bad_vals = [
+            c
+            for _cond_, vals in insert_clauses
+            if vals
+            for c in vals
+            if c not in t_types
+        ]
+        if bad_vals:
+            raise ValueError(
+                f"INSERT VALUES names unknown target column(s) {bad_vals}"
+            )
 
     if by_source_clauses:
         # NOT MATCHED BY SOURCE must see EVERY visible target row —
@@ -306,10 +361,19 @@ def commit_merge_into(
                 no_prior = no_prior & ~c
             return out
 
-        def _proj(aset: dict | None, default_side: str) -> list:
+        def _proj(aset: dict | None, star_side: str) -> list:
+            """Replacement-row projection for an update clause: SET *
+            (aset None) takes the whole ``star_side`` row; a partial
+            SET applies its expressions and keeps every UNLISTED
+            column from the TARGET — the published MERGE contract
+            (UPDATE SET x = 1 must not silently copy the source's
+            other columns over the target's)."""
             exprs = []
             for c in data_cols:
-                e = (aset or {}).get(c, F.col(f"{default_side}.{c}"))
+                if aset is None:
+                    e = F.col(f"{star_side}.{c}")
+                else:
+                    e = aset.get(c, F.col(f"t.{c}"))
                 if isinstance(e, str):
                     e = F.expr(e)
                 exprs.append(e.alias(c))
@@ -335,14 +399,34 @@ def commit_merge_into(
             for kind, fire, aset in b_fires
             if kind == "update"
         ]
-        if ins_any is not None:
-            # project to plain source columns FIRST so insert
-            # conditions' unprefixed names resolve unambiguously
-            append_frames.append(
-                j.filter(~matched & ~only_t)
-                .select(*[F.col(f"s.{c}").alias(c) for c in data_cols])
-                .filter(ins_any)
+        if insert_clauses:
+            # project to plain SOURCE columns FIRST so insert
+            # conditions' and VALUES' unprefixed names resolve
+            # unambiguously; each clause then projects onto the
+            # TARGET's columns (unlisted VALUES columns fill typed
+            # NULL), first satisfied condition wins
+            unmatched = j.filter(~matched & ~only_t).select(
+                *[F.col(f"s.{c}").alias(c) for c in source.columns]
             )
+            no_prior = F.lit(True)
+            for cond, vals in insert_clauses:
+                c = _cond(cond, False)
+                fire = no_prior & c
+                no_prior = no_prior & ~c
+                proj = []
+                for cname in data_cols:
+                    if vals is None:
+                        e = F.col(cname)
+                    else:
+                        e = vals.get(cname)
+                        if e is None:
+                            e = F.lit(None)
+                        if isinstance(e, str):
+                            e = F.expr(e)
+                        if cname in t_types:
+                            e = e.cast(t_types[cname])
+                    proj.append(e.alias(cname))
+                append_frames.append(unmatched.filter(fire).select(*proj))
         appends = None
         for fr in append_frames:
             appends = fr if appends is None else appends.unionByName(fr)

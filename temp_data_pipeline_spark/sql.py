@@ -17,18 +17,20 @@ table root``), and delegate —
   MERGE INTO t [AS] a USING (src|name) [AS] b ON t.k = s.k [AND ..]
     WHEN MATCHED [AND c] THEN UPDATE SET x = e, .. | SET *
     WHEN MATCHED [AND c] THEN DELETE
-    WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT *
+    WHEN NOT MATCHED [BY TARGET] [AND c]
+      THEN INSERT * | INSERT (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET x = e, ..
     WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE
                                -> commit_merge_into      (returns int)
 
 Grammar restrictions (documented, checked loudly): the MERGE ON
 clause is a conjunction of same-named equality pairs (``a.k = b.k``
-or null-safe ``<=>``) — exactly ``commit_merge_into``'s key contract;
-at most one clause of each kind; INSERT takes ``*`` (the source row).
-BY SOURCE conditions and SET expressions may reference only the
-target alias (there is no source row on that branch); SET * is
-likewise unavailable there.
+or null-safe ``<=>``) — exactly ``commit_merge_into``'s key contract.
+Clauses of a family may repeat and evaluate IN ORDER (first satisfied
+condition wins); an unconditional clause that is not last in its
+family rejects loudly (the dead-clause rule). BY SOURCE conditions
+and SET expressions may reference only the target alias (there is no
+source row on that branch); SET * is likewise unavailable there.
 Predicates and SET expressions are passed through verbatim to the
 underlying operators, so everything Spark SQL can express inside a
 predicate works unchanged. Mutations inherit the operators' MOR cost
@@ -1397,7 +1399,7 @@ class SqlEngine:
         src = self._frame(source)
 
         matched_clauses: list = []
-        insert_whens: list = []
+        insert_clauses: list = []
         by_source_clauses: list = []
 
         def _parse_set(set_text: str) -> dict:
@@ -1493,21 +1495,52 @@ class SqlEngine:
                 )
                 continue
             if is_not:
-                if not re.match(
-                    r"INSERT\s*\*$", action, re.IGNORECASE
-                ):
-                    raise ValueError(
-                        "WHEN NOT MATCHED supports THEN INSERT * "
-                        f"(got {action!r})"
+                # insert conditions and VALUES expressions are over
+                # PLAIN source column names (there is no target row)
+                def _plain(txt: str) -> str:
+                    return re.sub(
+                        rf"\b{re.escape(s_alias)}\.", "", txt
                     )
-                # insert conditions are over PLAIN source column names
-                insert_whens.append(
-                    re.sub(
-                        rf"\b{re.escape(s_alias)}\.", "", cond_sql
-                    )
-                    if cond_sql
-                    else True
+
+                icond = _plain(cond_sql) if cond_sql else True
+                if re.match(r"INSERT\s*\*$", action, re.IGNORECASE):
+                    insert_clauses.append((icond, None))
+                    continue
+                im = re.match(
+                    r"INSERT\s*\(([\w\s,]+)\)" + _WS + r"VALUES\s*\(",
+                    action,
+                    re.IGNORECASE,
                 )
+                if not im:
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports THEN INSERT * | "
+                        f"INSERT (cols) VALUES (exprs) (got {action!r})"
+                    )
+                cols = [
+                    c.strip()
+                    for c in im.group(1).split(",")
+                    if c.strip()
+                ]
+                vstart = im.end() - 1
+                vend = _balanced_paren(action, vstart)
+                if action[vend:].strip():
+                    raise ValueError(
+                        f"trailing text after VALUES: {action[vend:]!r}"
+                    )
+                vals = [
+                    _plain(x.strip())
+                    for x in _split_top_level(
+                        action[vstart + 1 : vend - 1], r","
+                    )
+                ]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT names {len(cols)} column(s) but VALUES "
+                        f"has {len(vals)} expression(s)"
+                    )
+                if len(set(cols)) != len(cols):
+                    raise ValueError("duplicate column in INSERT list")
+                insert_clauses.append((icond, dict(zip(cols, vals))))
                 continue
             if re.match(r"DELETE$", action, re.IGNORECASE):
                 matched_clauses.append(
@@ -1533,15 +1566,14 @@ class SqlEngine:
             )
         # Delta's multi-clause rule — an unconditional clause that is
         # not LAST in its family makes later clauses dead — is checked
-        # by commit_merge_into; an unconditional INSERT * before more
-        # INSERTs is harmless (all project the source row), so inserts
-        # need no order check
+        # by commit_merge_into for every family (inserts too, now that
+        # explicit VALUES give clauses distinct projections)
         return commit_merge_into(
             src,
             self._path(target),
             keys,
             matched_clauses=matched_clauses,
-            insert_whens=insert_whens,
+            insert_clauses=insert_clauses,
             by_source_clauses=by_source_clauses,
         )
 

@@ -73,8 +73,9 @@ def test_clause_precedence_and_untouched(spark, tmp_path):
 
 
 def test_update_set_expressions(spark, tmp_path):
-    """SET may mix s./t. expressions; unlisted columns default to the
-    source's value (SET *)."""
+    """SET may mix s./t. expressions; UNLISTED columns keep the
+    TARGET's value — the published MERGE contract (UPDATE SET x = 1
+    must not silently copy the source's other columns)."""
     path = os.path.join(str(tmp_path), "t")
     commit_version(_df(spark, [(1, 10, "a"), (2, 20, "b")]), path)
     commit_merge_into(
@@ -82,8 +83,10 @@ def test_update_set_expressions(spark, tmp_path):
         path,
         ["k"],
         update_when=True,
-        update_set={"v": "t.v + s.v", "status": "t.status"},
+        update_set={"v": "t.v + s.v"},
     )
+    # v computed, status UNLISTED -> stays the target's ('a'/'b'),
+    # never the source's 'z'
     assert _rows(spark, path) == {1: (15, "a"), 2: (27, "b")}
 
 
@@ -456,4 +459,59 @@ def test_source_only_columns_never_land(spark, tmp_path):
     with pytest.raises(ValueError, match="lacks target column"):
         commit_merge_into(
             bad, path, ["k"], matched_clauses=[("update", True, None)]
+        )
+
+
+def test_insert_values_clauses(spark, tmp_path):
+    """Explicit INSERT (cols) VALUES (exprs): ordered first-wins,
+    expressions over plain source names, unlisted target columns fill
+    typed NULL."""
+    path = os.path.join(str(tmp_path), "insval")
+    commit_version(_df(spark, [(1, 10, "a")]), path)
+    src = spark.createDataFrame(
+        [(2, 20, "hot", 5), (3, 30, "cold", 7), (1, 99, "hot", 9)],
+        "k long, v long, temp string, w long",
+    )
+    commit_merge_into(
+        src,
+        path,
+        ["k"],
+        matched_clauses=[("update", True, {"v": "s.v"})],
+        insert_clauses=[
+            ("temp = 'hot'", {"k": "k", "v": "v + w", "status": "'H'"}),
+            (True, {"k": "k", "v": "v"}),  # status unlisted -> NULL
+        ],
+    )
+    assert _rows(spark, path) == {
+        1: (99, "a"),        # partial SET keeps target status
+        2: (25, "H"),        # first clause: v + w, literal status
+        3: (30, None),       # catch-all: unlisted status -> NULL
+    }
+
+
+def test_insert_values_guards(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "g2")
+    commit_version(_df(spark, [(1, 10, "a")]), path)
+    src = _df(spark, [(2, 20, "b")])
+    with pytest.raises(ValueError, match="unknown target column"):
+        commit_merge_into(
+            src, path, ["k"],
+            insert_clauses=[(True, {"k": "k", "nope": "v"})],
+        )
+    with pytest.raises(ValueError, match="only the last insert"):
+        commit_merge_into(
+            src, path, ["k"],
+            insert_clauses=[(True, None), ("v > 0", None)],
+        )
+    with pytest.raises(ValueError, match="not both"):
+        commit_merge_into(
+            src, path, ["k"],
+            insert_when=True, insert_clauses=[(True, None)],
+        )
+    # empty target cannot type an explicit VALUES projection
+    empty = os.path.join(str(tmp_path), "empty2")
+    with pytest.raises(ValueError, match="existing typed target"):
+        commit_merge_into(
+            src, empty, ["k"],
+            insert_clauses=[(True, {"k": "k"})],
         )

@@ -930,3 +930,34 @@ def test_vacuum_dry_run_and_restore_timestamp(spark, eng):
     assert sorted(r["k"] for r in e.sql("SELECT k FROM t").collect()) == [
         1, 2, 3,
     ]
+
+
+def test_merge_insert_values_and_partial_set(spark, eng):
+    """INSERT (cols) VALUES (exprs) + the published partial-SET
+    contract (unlisted columns keep the TARGET's value)."""
+    e, p = eng
+    spark.createDataFrame(
+        [(1, 99, "zz"), (8, 80, "hot"), (9, 90, "cold")], SCHEMA
+    ).createOrReplaceTempView("ivsrc")
+    v = e.sql(
+        """
+        MERGE INTO t USING ivsrc AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED AND s.status = 'hot'
+          THEN INSERT (k, v, status) VALUES (s.k, s.v * 2, 'H')
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        """
+    )
+    assert v == 2
+    assert _rows(spark, p) == {
+        1: (99, "live"),      # partial SET: status stays the target's
+        2: (20, "live"),
+        3: (30, "expired"),
+        8: (160, "H"),        # first insert clause
+        9: (90, None),        # catch-all: status unlisted -> NULL
+    }
+    with pytest.raises(ValueError, match="VALUES has"):
+        e.sql(
+            "MERGE INTO t USING ivsrc AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
+        )
