@@ -153,11 +153,14 @@ def copy_into(
                         f"COPY INTO: source files lack non-nullable "
                         f"column(s) {missing_required}"
                     )
+                dflt = man.get("_column_defaults") or {}
                 batch = rows.select(
                     *[
                         (
                             F.col(f.name)
                             if f.name in have
+                            else F.expr(dflt[f.name])
+                            if f.name in dflt
                             else F.lit(None)
                         ).cast(f.dataType).alias(f.name)
                         for f in target.fields

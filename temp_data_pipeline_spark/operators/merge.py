@@ -408,6 +408,7 @@ def commit_merge_into(
             unmatched = j.filter(~matched & ~only_t).select(
                 *[F.col(f"s.{c}").alias(c) for c in source.columns]
             )
+            dflt = man.get("_column_defaults") or {}
             no_prior = F.lit(True)
             for cond, vals in insert_clauses:
                 c = _cond(cond, False)
@@ -420,7 +421,13 @@ def commit_merge_into(
                     else:
                         e = vals.get(cname)
                         if e is None:
-                            e = F.lit(None)
+                            # unlisted: recorded column DEFAULT, else
+                            # typed NULL
+                            e = (
+                                F.expr(dflt[cname])
+                                if cname in dflt
+                                else F.lit(None)
+                            )
                         if isinstance(e, str):
                             e = F.expr(e)
                         if cname in t_types:

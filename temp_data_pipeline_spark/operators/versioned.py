@@ -659,9 +659,11 @@ def commit_version(
     # override via meta
     inherited_tc: dict = {}
     inherited_props: dict = {}
+    inherited_defaults: dict = {}
     if committed and (
         (meta or {}).get("_table_constraints") is None
         or (meta or {}).get("_tblproperties") is None
+        or (meta or {}).get("_column_defaults") is None
     ):
         prev_man = (
             base_man
@@ -670,10 +672,12 @@ def commit_version(
         )
         if (meta or {}).get("_table_constraints") is None:
             inherited_tc = prev_man.get("_table_constraints") or {}
-        # table properties behave like constraints: set once, ride
-        # every commit until SET/UNSET overrides via meta
+        # table properties / column defaults behave like constraints:
+        # set once, ride every commit until an override via meta
         if (meta or {}).get("_tblproperties") is None:
             inherited_props = prev_man.get("_tblproperties") or {}
+        if (meta or {}).get("_column_defaults") is None:
+            inherited_defaults = prev_man.get("_column_defaults") or {}
     if expected_base is not None:
         latest = committed[-1] if committed else 0
         if latest != expected_base:
@@ -794,6 +798,11 @@ def commit_version(
             **({"_checks": checks} if checks else {}),
             **({"_table_constraints": inherited_tc} if inherited_tc else {}),
             **({"_tblproperties": inherited_props} if inherited_props else {}),
+            **(
+                {"_column_defaults": inherited_defaults}
+                if inherited_defaults
+                else {}
+            ),
             **evo,
             **(meta or {}),
             **late,
@@ -1821,6 +1830,16 @@ def rename_column(
         ]
     )
     new_ids = {(new if n == old else n): ids[n] for n in names}
+    dflt = man.get("_column_defaults") or {}
+    if old in dflt:
+        # the default follows its column across the rename
+        meta = {
+            **(meta or {}),
+            "_column_defaults": {
+                **{k: v for k, v in dflt.items() if k != old},
+                new: dflt[old],
+            },
+        }
     return _commit_evolution(
         spark, path, latest, man, new_schema, new_ids,
         {"renamed_column": {"from": old, "to": new}}, meta,
@@ -1862,6 +1881,14 @@ def drop_column(
         )
     new_schema = StructType([f for f in schema.fields if f.name != col])
     new_ids = {n: ids[n] for n in names if n != col}
+    dflt = man.get("_column_defaults") or {}
+    if col in dflt:
+        meta = {
+            **(meta or {}),
+            "_column_defaults": {
+                k: v for k, v in dflt.items() if k != col
+            },
+        }
     return _commit_evolution(
         spark, path, latest, man, new_schema, new_ids,
         {"dropped_column": col}, meta,
@@ -1935,6 +1962,7 @@ def add_column(
     col: str,
     dtype,
     *,
+    default: str | None = None,
     meta: dict | None = None,
 ) -> int:
     """Metadata-only column ADD (Iceberg/Delta ``ALTER TABLE ... ADD
@@ -1969,6 +1997,18 @@ def add_column(
     )
     last_id = int(man.get("_last_field_id", max(ids.values(), default=0)))
     new_ids = {**{n: ids[n] for n in names}, col: last_id + 1}
+    if default is not None:
+        # Delta semantics: the default applies to rows written AFTER
+        # this commit; existing rows still read NULL
+        F_sql.expr(default)  # parse check
+        spark.range(1).select(F_sql.expr(default).cast(dtype)).collect()
+        meta = {
+            **(meta or {}),
+            "_column_defaults": {
+                **(man.get("_column_defaults") or {}),
+                col: default,
+            },
+        }
     return _commit_evolution(
         spark, path, latest, man, new_schema, new_ids,
         {"added_column": {"name": col, "type": dtype.simpleString()}},
@@ -2388,6 +2428,54 @@ def add_table_constraint(
     )
 
 
+def column_defaults(spark: SparkSession, path: str) -> dict[str, str]:
+    """The table's persisted column DEFAULT expressions (latest
+    manifest): ``col -> SQL expr`` applied by writers (INSERT without
+    the column, MERGE INSERT VALUES with the column unlisted, COPY
+    INTO files lacking it). Existing rows are untouched — the Delta
+    contract: a default applies to rows written AFTER it is set."""
+    vs = versions(spark, path)
+    if not vs:
+        return {}
+    return dict(
+        read_manifest(spark, path, vs[-1]).get("_column_defaults") or {}
+    )
+
+
+def set_column_default(
+    spark: SparkSession, path: str, col: str, expr: str | None
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN col SET DEFAULT <expr> (or DROP
+    DEFAULT with ``expr=None``): one metadata-level carry commit; the
+    default is validated by evaluating it under the column's type
+    before recording."""
+    vs = versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    man = read_manifest(spark, path, vs[-1])
+    names = [f["name"] for f in (man.get("_schema") or {}).get("fields", [])]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    cur = dict(man.get("_column_defaults") or {})
+    if expr is None:
+        if col not in cur:
+            raise ValueError(f"column {col!r} has no default to drop")
+        del cur[col]
+        marker = {"dropped_default": col}
+    else:
+        from pyspark.sql import functions as F_
+
+        # evaluating the expression catches typos at DDL time, not at
+        # the first INSERT that relies on it
+        spark.range(1).select(F_.expr(expr)).collect()
+        cur[col] = expr
+        marker = {"set_default": {col: expr}}
+    return _commit_properties(
+        spark, path, dict(man.get("_tblproperties") or {}), marker,
+        defaults=cur,
+    )
+
+
 def table_properties(spark: SparkSession, path: str) -> dict[str, str]:
     """The table's persisted key->value properties (latest manifest;
     empty when none were ever set)."""
@@ -2398,7 +2486,11 @@ def table_properties(spark: SparkSession, path: str) -> dict[str, str]:
 
 
 def _commit_properties(
-    spark: SparkSession, path: str, props: dict, marker: dict
+    spark: SparkSession,
+    path: str,
+    props: dict,
+    marker: dict,
+    defaults: dict | None = None,
 ) -> int:
     from pyspark.sql.types import StructType
 
@@ -2418,7 +2510,15 @@ def _commit_properties(
         path,
         carry_from=latest,
         expected_base=latest,
-        meta={"_tblproperties": props, **marker},
+        meta={
+            "_tblproperties": props,
+            **(
+                {"_column_defaults": defaults}
+                if defaults is not None
+                else {}
+            ),
+            **marker,
+        },
     )
 
 

@@ -671,8 +671,10 @@ class SqlEngine:
     def _alter(self, st: _Stmt) -> int:
         """ALTER TABLE DDL, each one metadata-level commit:
 
-          ALTER TABLE t ADD COLUMN a <type>     (old files read NULL)
-          ALTER TABLE t ADD COLUMNS (a <type>, b <type>)
+          ALTER TABLE t ADD COLUMN a <type> [DEFAULT <expr>]
+          ALTER TABLE t ADD COLUMNS (a <type> [DEFAULT e], ...)
+              (old files read NULL; DEFAULT applies to future writes)
+          ALTER TABLE t ALTER COLUMN a SET DEFAULT <expr> | DROP DEFAULT
           ALTER TABLE t RENAME COLUMN a TO b    (stable-field-id rename)
           ALTER TABLE t DROP COLUMN a
           ALTER TABLE t ADD CONSTRAINT n CHECK (<predicate>)
@@ -690,20 +692,45 @@ class SqlEngine:
 
             path = self._path(m.group(1))
             if m.group(2) is not None:  # ADD COLUMNS (a t1, b t2, ...)
-                cols = []
-                for item in _split_top_level(m.group(2), r","):
-                    cm = re.match(r"(\w+)\s+(.+)$", item.strip(), re.DOTALL)
-                    if not cm:
-                        raise ValueError(
-                            f"cannot parse column spec: {item!r}"
-                        )
-                    cols.append((cm.group(1), cm.group(2).strip()))
-            else:  # ADD COLUMN a t1
-                cols = [(m.group(3), m.group(4).strip())]
+                items = _split_top_level(m.group(2), r",")
+            else:  # ADD COLUMN a t1 [DEFAULT expr]
+                items = [f"{m.group(3)} {m.group(4).strip()}"]
             v = None
-            for name, dtype in cols:
-                v = add_column(self.spark, path, name, dtype)
+            for item in items:
+                cm = re.match(
+                    r"(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$",
+                    item.strip(),
+                    re.DOTALL | re.IGNORECASE,
+                )
+                if not cm:
+                    raise ValueError(f"cannot parse column spec: {item!r}")
+                v = add_column(
+                    self.spark,
+                    path,
+                    cm.group(1),
+                    cm.group(2).strip(),
+                    default=(
+                        cm.group(3).strip() if cm.group(3) else None
+                    ),
+                )
             return v
+        m = st.match(
+            r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
+            + r"ALTER" + _WS + r"COLUMN" + _WS + r"(\w+)" + _WS
+            + r"(?:SET" + _WS + r"DEFAULT" + _WS + r"(.+)"
+            r"|DROP" + _WS + r"DEFAULT)$"
+        )
+        if m:
+            from temp_data_pipeline_spark.operators.versioned import (
+                set_column_default,
+            )
+
+            return set_column_default(
+                self.spark,
+                self._path(m.group(1)),
+                m.group(2),
+                m.group(3).strip() if m.group(3) else None,
+            )
         m = st.match(
             r"ALTER" + _WS + r"TABLE" + _WS + r"(\w+)" + _WS
             + r"RENAME" + _WS + r"COLUMN" + _WS + r"(\w+)" + _WS
@@ -1294,12 +1321,21 @@ class SqlEngine:
                     f"{len(rows.columns)} columns, column list names "
                     f"{len(named)}"
                 )
+            from temp_data_pipeline_spark.operators.versioned import (
+                column_defaults,
+            )
+
+            # unnamed columns take their recorded DEFAULT (NULL when
+            # none) — the SQL column-default contract
+            dflt = column_defaults(self.spark, path)
             pos = {c: i for i, c in enumerate(named)}
             rows = rows.select(
                 *[
                     (
                         F.col(rows.columns[pos[f.name]])
                         if f.name in pos
+                        else F.expr(dflt[f.name])
+                        if f.name in dflt
                         else F.lit(None)
                     ).cast(f.dataType).alias(f.name)
                     for f in target.fields

@@ -365,3 +365,20 @@ class TestAddColumn:
         assert "extra" in got.columns
         assert sorted(r["k"] for r in got.collect()) == list(range(6))
         assert all(r["extra"] is None for r in got.collect())
+
+
+def test_default_follows_rename_and_drop(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import (
+        add_column,
+        column_defaults,
+        drop_column,
+        rename_column,
+    )
+
+    path = _mk(spark, tmp_path)
+    add_column(spark, path, "score", "double", default="0.5")
+    assert column_defaults(spark, path) == {"score": "0.5"}
+    rename_column(spark, path, "score", "quality")
+    assert column_defaults(spark, path) == {"quality": "0.5"}
+    drop_column(spark, path, "quality")
+    assert column_defaults(spark, path) == {}

@@ -961,3 +961,55 @@ def test_merge_insert_values_and_partial_set(spark, eng):
             "MERGE INTO t USING ivsrc AS s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
         )
+
+
+def test_column_defaults(spark, eng, tmp_path):
+    """Column DEFAULTs: apply to rows written AFTER the default is
+    set (INSERT named-columns, MERGE INSERT VALUES, COPY INTO);
+    existing rows keep NULL — the Delta contract."""
+    e, p = eng
+    e.sql("ALTER TABLE t ADD COLUMN score double DEFAULT 1.5")
+    # existing rows: NULL (the default is not a backfill)
+    assert all(
+        r["score"] is None
+        for r in e.sql("SELECT score FROM t WHERE k <= 3").collect()
+    )
+    # INSERT without the column applies the default
+    e.sql("INSERT INTO t (k, v, status) VALUES (7, 70, 'new')")
+    got = {r["k"]: r["score"] for r in e.sql("SELECT k, score FROM t").collect()}
+    assert got[7] == 1.5 and got[1] is None
+    # MERGE INSERT VALUES with the column unlisted
+    spark.createDataFrame(
+        [(8, 80, "m", 0.0)], "k long, v long, status string, score double"
+    ).createOrReplaceTempView("dsrc")
+    e.sql(
+        "MERGE INTO t USING dsrc AS s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v, status) "
+        "VALUES (s.k, s.v, s.status)"
+    )
+    got = {r["k"]: r["score"] for r in e.sql("SELECT k, score FROM t").collect()}
+    assert got[8] == 1.5
+    # SET DEFAULT replaces, DROP DEFAULT reverts to NULL fill
+    e.sql("ALTER TABLE t ALTER COLUMN score SET DEFAULT 9.0")
+    e.sql("INSERT INTO t (k, v, status) VALUES (9, 90, 'x')")
+    e.sql("ALTER TABLE t ALTER COLUMN score DROP DEFAULT")
+    e.sql("INSERT INTO t (k, v, status) VALUES (10, 100, 'y')")
+    got = {r["k"]: r["score"] for r in e.sql("SELECT k, score FROM t").collect()}
+    assert got[9] == 9.0 and got[10] is None
+    # COPY INTO files lacking the column apply the default too
+    e.sql("ALTER TABLE t ALTER COLUMN score SET DEFAULT 2.5")
+    land = os.path.join(str(tmp_path), "landing")
+    spark.createDataFrame(
+        [(20, 200, "c")], "k long, v long, status string"
+    ).coalesce(1).write.parquet(os.path.join(land, "w"))
+    e.sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET "
+        "PATTERN = '*/part-*.parquet'"
+    )
+    got = {r["k"]: r["score"] for r in e.sql("SELECT k, score FROM t").collect()}
+    assert got[20] == 2.5
+    # validation happens at DDL time
+    with pytest.raises(Exception):
+        e.sql("ALTER TABLE t ALTER COLUMN score SET DEFAULT not_a_func(")
+    with pytest.raises(ValueError, match="no default to drop"):
+        e.sql("ALTER TABLE t ALTER COLUMN v DROP DEFAULT")
