@@ -1122,6 +1122,22 @@ def _touched_values(df: DataFrame, partition_col: str) -> set[str | None]:
     return {r["_v"] for r in rows}
 
 
+def _require_matching_layout(man: dict, partition_col: str, op: str) -> None:
+    """Partition-level COW carves ONE hive level: the base layout must
+    be exactly ``[partition_col]``. A multi-column layout would carve
+    correctly on its first level but the rewrite commit would record
+    the NARROWER layout — a silent downgrade future maintenance would
+    inherit — so refuse loudly (compact_snapshot first, or carve the
+    first-level column after flattening the layout)."""
+    pb = man.get("_partition_by") or []
+    if pb and pb != [partition_col]:
+        raise ValueError(
+            f"{op} carves by {partition_col!r} but the base layout is "
+            f"partition_by={pb} — partition-level COW requires a "
+            "single-level layout matching the carve column"
+        )
+
+
 def commit_merge_cow(
     updates: DataFrame,
     path: str,
@@ -1162,6 +1178,7 @@ def commit_merge_cow(
     latest = vs[-1]
     base_man = read_manifest(spark, path, latest)
     _require_no_dv(base_man, "commit_merge_cow")
+    _require_matching_layout(base_man, partition_col, "commit_merge_cow")
     base_dirs = _manifest_dirs(base_man)
     touched = _touched_values(updates, partition_col)
     cond = F.col(partition_col).cast("string").isin(
@@ -1231,6 +1248,7 @@ def commit_cdc_cow(
     latest = vs[-1]
     base_man = read_manifest(spark, path, latest)
     _require_no_dv(base_man, "commit_cdc_cow")
+    _require_matching_layout(base_man, partition_col, "commit_cdc_cow")
     base_dirs = _manifest_dirs(base_man)
     touched = _touched_values(changes, partition_col)
     cond = F.col(partition_col).cast("string").isin(
@@ -1344,6 +1362,7 @@ def commit_delete_cow(
     latest = _resolve_version(spark, path, None)
     base_man = read_manifest(spark, path, latest)
     _require_no_dv(base_man, "commit_delete_cow")
+    _require_matching_layout(base_man, partition_col, "commit_delete_cow")
     base_dirs = _manifest_dirs(base_man)
     cur = read_version(spark, path, latest)
     touched = _touched_values(cur.filter(predicate), partition_col)
@@ -1540,6 +1559,7 @@ def compact_partitions(
     latest = vs[-1]
     man = read_manifest(spark, path, latest)
     _require_no_dv(man, "compact_partitions")
+    _require_matching_layout(man, partition_col, "compact_partitions")
     base_dirs = _manifest_dirs(man)
     # every partition value the snapshot holds, from dir names —
     # _cow_carried_dirs with an empty touched set enumerates ALL

@@ -2774,3 +2774,72 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_sql_console",
+    ["extension-relational", "sql"],
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'std' ELSE 'alt' END AS grade
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "Typed-DDL console lifecycle (sql.py, r11): CREATE TABLE with "
+        "an explicit column list (empty typed v1), column DEFAULT set "
+        "then re-set between two named-column INSERT..SELECTs (each "
+        "batch takes the default in force when it was written — the "
+        "SQL default contract, metadata-plane), TBLPROPERTIES riding "
+        "the commits, VACUUM DRY RUN touching nothing. The final "
+        "table must equal orders + the write-time grade assignment."
+    ),
+)
+def q_sql_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.createOrReplaceTempView("q_console_orders")
+    scratch = tempfile.mkdtemp(prefix="sqlconsole_")
+    try:
+        eng = SqlEngine(spark, {}, warehouse=scratch)
+        eng.sql(
+            "CREATE TABLE con (o_orderkey BIGINT, o_totalprice DOUBLE, "
+            "grade STRING)"
+        )
+        eng.sql("ALTER TABLE con ALTER COLUMN grade SET DEFAULT 'std'")
+        eng.sql(
+            "ALTER TABLE con SET TBLPROPERTIES ('source' = 'orders')"
+        )
+        eng.sql(
+            "INSERT INTO con (o_orderkey, o_totalprice) "
+            "SELECT o_orderkey, o_totalprice FROM q_console_orders "
+            "WHERE o_orderkey % 2 = 0"
+        )
+        eng.sql("ALTER TABLE con ALTER COLUMN grade SET DEFAULT 'alt'")
+        eng.sql(
+            "INSERT INTO con (o_orderkey, o_totalprice) "
+            "SELECT o_orderkey, o_totalprice FROM q_console_orders "
+            "WHERE o_orderkey % 2 <> 0"
+        )
+        props = {
+            r["key"]: r["value"]
+            for r in eng.sql("SHOW TBLPROPERTIES con").collect()
+        }
+        assert props == {"source": "orders"}, props
+        dry = eng.sql("VACUUM con RETAIN 1 VERSIONS DRY RUN").count()
+        assert dry >= 1  # expirable history reported, nothing deleted
+        return (
+            eng.sql(
+                "SELECT o_orderkey, o_totalprice, grade FROM con "
+                "ORDER BY o_orderkey"
+            )
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

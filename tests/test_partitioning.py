@@ -137,3 +137,60 @@ class TestVersionedIntegration:
     def test_bucket_range_rejected(self, spark):
         with pytest.raises(ValueError, match="equality pruning only"):
             pruned_between("bucket(4, user)", "a", "b")
+
+
+def test_multi_level_layout_end_to_end(spark, tmp_path):
+    """Two-level hive layouts: write, read (pruning intact), carry
+    appends, SHOW PARTITIONS descent — and the COW ops refuse the
+    narrower carve loudly instead of silently downgrading the
+    recorded layout."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        commit_delete_cow,
+        commit_version,
+        compact_partitions,
+        read_version,
+        snapshot_partitions,
+    )
+
+    path = os.path.join(str(tmp_path), "two")
+    df = spark.createDataFrame(
+        [
+            (i, d, r, 10 * i)
+            for i, (d, r) in enumerate(
+                (d, r)
+                for d in ("2026-01-01", "2026-01-02")
+                for r in ("eu", "us")
+            )
+        ],
+        "k long, date string, region string, v long",
+    )
+    commit_version(df, path, partition_by=["date", "region"])
+    commit_version(
+        spark.createDataFrame(
+            [(9, "2026-01-03", "ap", 90)],
+            "k long, date string, region string, v long",
+        ),
+        path,
+        carry_from=1,
+    )
+    cur = read_version(spark, path)
+    assert cur.count() == 5
+    # both partition levels prune
+    assert cur.filter(
+        (F.col("date") == "2026-01-01") & (F.col("region") == "us")
+    ).count() == 1
+    parts = [
+        (r["date"], r["region"])
+        for r in snapshot_partitions(spark, path).collect()
+    ]
+    assert ("2026-01-03", "ap") in parts and len(parts) == 5
+    # COW carve on one level of a two-level layout refuses loudly
+    with pytest.raises(ValueError, match="single-level layout"):
+        commit_delete_cow(spark, path, F.col("k") == 0, "date")
+    with pytest.raises(ValueError, match="single-level layout"):
+        compact_partitions(spark, path, "date", values=["2026-01-01"])
