@@ -1,0 +1,306 @@
+"""Bucketed snapshot layout inside the versioned table format:
+shuffle-free co-located joins WITH time travel.
+
+`sources/bucketed.py` already gives Spark-native bucketing through the
+session catalog (``bucketBy().saveAsTable``), but a table written that
+way has no versions, no manifest, no time travel and no maintenance
+story — it lives outside the lakehouse.  This module puts the bucket
+layout INSIDE a versioned table's commit protocol:
+
+- ``commit_bucketed`` writes the snapshot's files in Spark's native
+  bucket-file format (``part-...-_00003`` bucket-id suffixes) by
+  pointing a throwaway external catalog table at the commit's private
+  staging dir and INSERTing through it — the only API Spark exposes
+  for bucket-named writes.  The slot-claim rename then publishes the
+  files unchanged, and the manifest records ``_bucket_spec``
+  (bucket_by / n / sort_by), exactly like Iceberg records a
+  ``bucket(n, col)`` partition-spec entry.
+- ``read_bucketed`` re-registers a committed snapshot's single data
+  dir as an external bucketed catalog table (schema from the
+  manifest, spec from ``_bucket_spec``) and returns ``spark.table``
+  over it — Spark's planner then sees ``HashPartitioning(bucket_by,
+  n)`` on the scan, so an equi-join of two co-bucketed tables is a
+  SortMergeJoin with ZERO Exchange (pinned by tests/test_bucketing.py)
+  and an equality filter on the bucket key prunes to 1 of n buckets
+  (``SelectedBucketsCount`` in the plan).  Registrations are
+  per-(table, version) and cached in the session catalog; committed
+  versions are immutable, so a cached registration can never go stale.
+- Appends and COW/MOR commits keep working unmodified — bucket files
+  are plain parquet to every other reader — and carry commits inherit
+  ``_bucket_spec`` so the table remembers its layout.  A snapshot
+  whose manifest lists MORE than one live data dir (post-append) or
+  carries a deletion vector has lost physical co-location; reads fall
+  back to the canonical full-fidelity reader (loudly), and
+  ``rebucket`` restores locality with one full rewrite (the same
+  contract as Iceberg's rewrite_data_files after the table drifts
+  from its clustering).
+
+Scale notes (100 TB): pick the bucket count once per lake — e.g. 1024
+buckets over a 100 TB fact ≈ 100 GB/bucket of raw scan per join task
+chain before column pruning.  The co-located join then never shuffles
+either fact table again; only the first write pays the exchange.  The
+rewrite in ``rebucket`` is one distributed pass (read ∪ dirs →
+hash-repartition(n) → bucket write) — O(table) but embarrassingly
+parallel, the standard clustering-maintenance cost.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from temp_data_pipeline_spark.operators.versioned import (
+    _dir_abs,
+    _dir_mapping,
+    _manifest_dirs,
+    _resolve_version,
+    commit_version,
+    read_manifest,
+)
+
+__all__ = [
+    "bucket_spec",
+    "bucketed_join",
+    "commit_bucketed",
+    "read_bucketed",
+    "rebucket",
+]
+
+
+def _ddl(df: DataFrame) -> str:
+    # exact DDL (nested types included) via the JVM schema — the
+    # simpleString round trip mangles nothing this way
+    return df._jdf.schema().toDDL()
+
+
+def _q(cols: list[str]) -> str:
+    return ", ".join(f"`{c}`" for c in cols)
+
+
+def commit_bucketed(
+    df: DataFrame,
+    path: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    meta: dict | None = None,
+    checks: dict[str, str] | None = None,
+    expected_base: int | None = None,
+) -> int:
+    """Commit ``df`` as the next version of ``path`` with its files in
+    Spark's native bucket layout.  Same atomicity / conflict contract
+    as ``commit_version`` (this IS ``commit_version`` with a custom
+    physical writer); the manifest additionally records
+    ``_bucket_spec`` so readers can reconstruct the catalog
+    registration.
+
+    The frame is hash-repartitioned into ``n_buckets`` tasks on the
+    bucket columns first: ``repartition(n, cols)`` and Spark's bucket
+    assignment use the same ``pmod(murmur3, n)``, so every task holds
+    exactly one bucket's rows and the snapshot lands as ONE file per
+    bucket — the shape bucketed scans are fastest on (and the one that
+    keeps a later sorted-scan optimization available).
+
+    Bucketing composes with everything manifest-level (constraints,
+    properties, defaults, tags, time travel) but not with hive
+    ``partition_by`` in this layer — Spark supports partitioned+
+    bucketed tables, but the COW partition-carve machinery here
+    assumes plain hive dirs, so the combination is refused loudly
+    rather than half-supported.
+    """
+    if not bucket_by:
+        raise ValueError("bucket_by must name at least one column")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    missing = [c for c in bucket_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"bucket_by columns {missing} not in frame columns {df.columns}"
+        )
+    sort_by = list(sort_by or bucket_by)
+    spec = {
+        "bucket_by": list(bucket_by),
+        "n": int(n_buckets),
+        "sort_by": sort_by,
+    }
+    spark = df.sparkSession
+
+    def _write(d: DataFrame, staging: str) -> None:
+        tmp = f"bkt_w_{uuid.uuid4().hex[:12]}"
+        spark.sql(
+            f"CREATE TABLE {tmp} ({_ddl(d)}) USING parquet "
+            f"CLUSTERED BY ({_q(bucket_by)}) "
+            f"SORTED BY ({_q(sort_by)}) INTO {int(n_buckets)} BUCKETS "
+            f"LOCATION '{staging}'"
+        )
+        try:
+            # one task per bucket: repartition's HashPartitioning and
+            # the bucket-id expression are the same pmod(murmur3, n)
+            d.repartition(int(n_buckets), *bucket_by).write.mode(
+                "append"
+            ).insertInto(tmp)
+        finally:
+            # external table: DROP unregisters, the files stay put
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+    return commit_version(
+        df,
+        path,
+        meta={**(meta or {}), "_bucket_spec": spec},
+        checks=checks,
+        expected_base=expected_base,
+        write_fn=_write,
+    )
+
+
+def bucket_spec(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict | None:
+    """The ``_bucket_spec`` recorded at ``version`` (latest by
+    default), or None for never-bucketed tables."""
+    version = _resolve_version(spark, path, version)
+    return read_manifest(spark, path, version).get("_bucket_spec")
+
+
+def _colocated_dir(spark: SparkSession, path: str, version: int):
+    """The snapshot's single physically-bucketed data dir, or None if
+    co-location is broken (multi-dir snapshot, nested COW carve, or a
+    deletion vector changing visible rows)."""
+    man = read_manifest(spark, path, version)
+    spec = man.get("_bucket_spec")
+    if not spec:
+        return None, None, man
+    dirs = _manifest_dirs(man)
+    if (
+        len(dirs) != 1
+        or "/" in dirs[0]
+        or _dir_mapping(man, dirs[0]) is not None
+        or man.get("_dv")
+    ):
+        return None, spec, man
+    return _dir_abs(path, man, dirs[0]), spec, man
+
+
+def read_bucketed(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Bucket-aware time-travel read.  When the snapshot is one clean
+    bucketed dir, returns a catalog-backed scan that carries the
+    bucketing into the planner (shuffle-free joins, bucket pruning);
+    otherwise falls back to the canonical full-fidelity reader —
+    identical rows, just without the co-location fast path."""
+    version = _resolve_version(spark, path, version)
+    abs_dir, spec, man = _colocated_dir(spark, path, version)
+    if spec is None:
+        raise ValueError(
+            f"{path} v{version} has no _bucket_spec — not a bucketed "
+            "table (commit with commit_bucketed, or read with "
+            "read_version)"
+        )
+    if abs_dir is None:
+        # post-append / MOR snapshot: correct rows, no co-location.
+        # Loud so a pipeline counting on the shuffle-free join learns
+        # it needs a rebucket() pass.
+        import warnings
+
+        warnings.warn(
+            f"bucketed table {path} v{version} lost physical "
+            "co-location (multi-dir or DV snapshot); falling back to "
+            "the plain reader — run rebucket() to restore",
+            stacklevel=2,
+        )
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            read_table,
+        )
+
+        return read_table(spark, path, version)
+    # deterministic per-(dir) name: committed versions are immutable,
+    # so an existing registration over the same location is never
+    # stale and re-reads skip the DDL round trip
+    tname = "bkt_r_" + hashlib.md5(abs_dir.encode()).hexdigest()[:16]
+    if spark.catalog.tableExists(tname):
+        # committed versions are immutable, but a scratch path can be
+        # torn down and re-created between sessions' tests — drop the
+        # cached file listing so the scan re-lists the location
+        spark.catalog.refreshTable(tname)
+    else:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(man["_schema"])
+        ddl = spark.createDataFrame([], schema)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {tname} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({_q(spec['bucket_by'])}) "
+            f"SORTED BY ({_q(spec['sort_by'])}) "
+            f"INTO {int(spec['n'])} BUCKETS "
+            f"LOCATION '{abs_dir}'"
+        )
+    return spark.table(tname)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on: list[str],
+    how: str = "inner",
+    *,
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> DataFrame:
+    """Join two bucketed tables on their shared bucket key.  Refuses
+    mismatched layouts (different bucket columns or counts) instead of
+    silently planning a shuffle — the caller asked for the co-located
+    join, so a layout that can't deliver it is an error, not a
+    degradation.  Joining on a PREFIX of the bucket key or on extra
+    columns is allowed (extra equality conditions don't break
+    co-location; Spark still elides the exchange when the bucket
+    columns are a subset of the join keys)."""
+    ls = bucket_spec(spark, left_path, left_version)
+    rs = bucket_spec(spark, right_path, right_version)
+    if not ls or not rs:
+        raise ValueError("both sides must be bucketed tables")
+    if ls["bucket_by"] != rs["bucket_by"] or ls["n"] != rs["n"]:
+        raise ValueError(
+            f"bucket layouts differ: left {ls['bucket_by']}×{ls['n']} "
+            f"vs right {rs['bucket_by']}×{rs['n']} — rebucket one side"
+        )
+    if not set(ls["bucket_by"]).issubset(on):
+        raise ValueError(
+            f"join keys {on} must cover the bucket columns "
+            f"{ls['bucket_by']} for the co-located plan"
+        )
+    left = read_bucketed(spark, left_path, left_version)
+    right = read_bucketed(spark, right_path, right_version)
+    return left.join(right, on, how)
+
+
+def rebucket(spark: SparkSession, path: str) -> int:
+    """Restore physical co-location after appends/merges drifted the
+    table from its bucket layout: one full rewrite of the latest
+    visible rows under the recorded spec.  Returns the new version.
+    No-op (returns the current version) when the snapshot is already
+    one clean bucketed dir."""
+    version = _resolve_version(spark, path, None)
+    abs_dir, spec, _man = _colocated_dir(spark, path, version)
+    if spec is None:
+        raise ValueError(f"{path} has no _bucket_spec to rebucket to")
+    if abs_dir is not None:
+        return version
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        read_table,
+    )
+
+    df = read_table(spark, path, version)
+    return commit_bucketed(
+        df,
+        path,
+        bucket_by=spec["bucket_by"],
+        n_buckets=spec["n"],
+        sort_by=spec.get("sort_by"),
+        expected_base=version,
+        meta={"_op": "rebucket"},
+    )

@@ -513,6 +513,7 @@ def commit_version(
     checks: dict[str, str] | None = None,
     expected_base: int | None = None,
     meta_late=None,
+    write_fn=None,
 ) -> int:
     """Write ``df`` as the next snapshot version and make it visible
     atomically. Returns the committed version number.
@@ -575,6 +576,13 @@ def commit_version(
     recomputing an expensive lineage twice. Carried dirs were
     validated by their own commits; the constraint set is recorded in
     the manifest (``_checks``) for auditability.
+
+    ``write_fn(df, staging_dir)`` (optional) replaces the default
+    parquet writer for the snapshot's own bytes — the claim/rename/
+    manifest protocol around it is unchanged.  Used by
+    ``operators/bucketing.py`` to lay the files out in Spark's native
+    bucket format; any custom writer must leave ordinary
+    parquet-readable files under ``staging_dir``.
 
     ``expected_base=B`` turns on COMMIT-TIME CONFLICT DETECTION (the
     Delta-style optimistic-concurrency check): the caller planned this
@@ -678,6 +686,20 @@ def commit_version(
             inherited_props = prev_man.get("_tblproperties") or {}
         if (meta or {}).get("_column_defaults") is None:
             inherited_defaults = prev_man.get("_column_defaults") or {}
+    # a carry commit keeps the base's recorded bucket layout: the
+    # carried bytes ARE bucket files, and readers need the spec to
+    # know it (operators/bucketing.py decides per-snapshot whether
+    # co-location still physically holds).  A plain full rewrite
+    # (no carry) intentionally drops the spec — its files aren't
+    # bucket-named, so advertising the layout would be a lie.
+    inherited_bucket: dict = {}
+    if (
+        base_man is not None
+        and carried_dirs
+        and (meta or {}).get("_bucket_spec") is None
+        and base_man.get("_bucket_spec")
+    ):
+        inherited_bucket = base_man["_bucket_spec"]
     if expected_base is not None:
         latest = committed[-1] if committed else 0
         if latest != expected_base:
@@ -728,10 +750,17 @@ def commit_version(
 
     token = _uuid.uuid4().hex[:12]
     staging = f"{path}/.tmp-{token}"
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    if write_fn is not None:
+        # custom physical layout inside the slot (operators/bucketing.py
+        # writes Spark-native bucket files via a catalog table at the
+        # staging location) — the claim/rename/manifest protocol is
+        # unchanged, only the bytes' producer differs
+        write_fn(df, staging)
+    else:
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
     # ownership sentinel: Hadoop's rename onto a dir that APPEARED
     # between the exists probe and the rename returns true by moving
     # the source INTO it (verified on the bundled local FS, which
@@ -803,6 +832,7 @@ def commit_version(
                 if inherited_defaults
                 else {}
             ),
+            **({"_bucket_spec": inherited_bucket} if inherited_bucket else {}),
             **evo,
             **(meta or {}),
             **late,

@@ -2843,3 +2843,78 @@ def q_sql_console(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_bucket_join",
+    ["extension-relational", "maintenance"],
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(SUM(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    note=(
+        "Bucketed-lakehouse lifecycle (operators/bucketing.py): commit "
+        "customer and 2/3 of orders as BUCKETED versioned snapshots "
+        "(Spark-native bucket files written through the commit "
+        "protocol, spec in the manifest), append the last third as a "
+        "plain carry commit (spec inherited, physical co-location "
+        "broken), rebucket() to restore the layout, then join the two "
+        "tables through the catalog-registered bucketed scans — the "
+        "plan is a SortMergeJoin with ZERO Exchange on either side "
+        "(pinned by tests/test_bucketing.py; at 100 TB this is the "
+        "join that never shuffles the fact table again).  Values must "
+        "equal the plain shuffling join over the raw parquet."
+    ),
+)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.bucketing import (
+        bucketed_join,
+        commit_bucketed,
+        rebucket,
+    )
+    from temp_data_pipeline_spark.operators.versioned import commit_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    o_path = tempfile.mkdtemp(prefix="bkt_o_")
+    c_path = tempfile.mkdtemp(prefix="bkt_c_")
+    try:
+        shutil.rmtree(o_path, ignore_errors=True)
+        shutil.rmtree(c_path, ignore_errors=True)
+        # bucket count is a LAKE constant: both sides must agree for
+        # the co-located plan (8 here; ~1024 at 100 TB)
+        commit_bucketed(customer, c_path, bucket_by=["custkey"], n_buckets=8)
+        key = F.col("o_orderkey")
+        commit_bucketed(
+            orders.filter(key % 3 != 0),
+            o_path,
+            bucket_by=["custkey"],
+            n_buckets=8,
+        )
+        # plain append: correct rows immediately, locality deferred
+        commit_version(orders.filter(key % 3 == 0), o_path, carry_from=1)
+        rebucket(spark, o_path)  # one rewrite, co-location back
+        joined = bucketed_join(spark, o_path, c_path, ["custkey"])
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                _rnd(F.sum("o_totalprice")).alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(o_path, ignore_errors=True)
+        shutil.rmtree(c_path, ignore_errors=True)
