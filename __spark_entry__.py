@@ -175,9 +175,17 @@ _LAST_VERIFIED = {
 #     layout; carried dir names claim slots) — q_replicate and q_scd2
 #     re-check as the heaviest carry-commit lifecycles.
 #   - New this round (priority 0 automatically): q_clone,
-#     q_show_partitions, q_add_column, q_copy_into, q_sql_cdf.
+#     q_show_partitions, q_add_column, q_copy_into, q_sql_cdf,
+#     q_sql_console, q_bucket_join, q_sql_generated.
+#   - Late-round code changes: the console read path is now
+#     bucket-aware (sql._snapshot) — every q_sql_* statement query
+#     re-checks; MERGE insert branches and COPY INTO gained
+#     generated-column fills (q_merge_cdc, q_merge_into, q_copy_into).
 # The rest of the window is the r5/r6/r7-stale cohort + oldest r8.
-_RECHECK: list[str] = ["q_sql_dml", "q_merge_into", "q_replicate", "q_scd2"]
+_RECHECK: list[str] = [
+    "q_sql_dml", "q_merge_into", "q_replicate", "q_scd2",
+    "q_sql_merge", "q_sql_cdf", "q_sql_ddl", "q_merge_cdc",
+]
 
 
 def _ordered_specs():

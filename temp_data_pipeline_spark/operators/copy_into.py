@@ -154,18 +154,38 @@ def copy_into(
                         f"column(s) {missing_required}"
                     )
                 dflt = man.get("_column_defaults") or {}
+                gcols = man.get("_generated_columns") or {}
                 batch = rows.select(
                     *[
                         (
                             F.col(f.name)
                             if f.name in have
                             else F.expr(dflt[f.name])
-                            if f.name in dflt
+                            if f.name in dflt and f.name not in gcols
                             else F.lit(None)
                         ).cast(f.dataType).alias(f.name)
                         for f in target.fields
                     ]
                 )
+                # GENERATED columns absent from the files compute from
+                # the fully-bound row (second pass: expressions may
+                # reference any base column)
+                gen_fill = {
+                    c: e for c, e in gcols.items() if c not in have
+                }
+                if gen_fill:
+                    batch = batch.select(
+                        *[
+                            (
+                                F.expr(gen_fill[f.name])
+                                .cast(f.dataType)
+                                .alias(f.name)
+                                if f.name in gen_fill
+                                else F.col(f.name)
+                            )
+                            for f in target.fields
+                        ]
+                    )
         return commit_version(
             batch,
             path,

@@ -409,6 +409,7 @@ def commit_merge_into(
                 *[F.col(f"s.{c}").alias(c) for c in source.columns]
             )
             dflt = man.get("_column_defaults") or {}
+            gcols = man.get("_generated_columns") or {}
             no_prior = F.lit(True)
             for cond, vals in insert_clauses:
                 c = _cond(cond, False)
@@ -422,10 +423,12 @@ def commit_merge_into(
                         e = vals.get(cname)
                         if e is None:
                             # unlisted: recorded column DEFAULT, else
-                            # typed NULL
+                            # typed NULL (GENERATED columns fill in a
+                            # second pass below — they may reference
+                            # the row's other columns)
                             e = (
                                 F.expr(dflt[cname])
-                                if cname in dflt
+                                if cname in dflt and cname not in gcols
                                 else F.lit(None)
                             )
                         if isinstance(e, str):
@@ -433,7 +436,30 @@ def commit_merge_into(
                         if cname in t_types:
                             e = e.cast(t_types[cname])
                     proj.append(e.alias(cname))
-                append_frames.append(unmatched.filter(fire).select(*proj))
+                frame = unmatched.filter(fire).select(*proj)
+                gen_fill = {
+                    gc: ge
+                    for gc, ge in gcols.items()
+                    if vals is not None
+                    and vals.get(gc) is None
+                    and gc in frame.columns
+                }
+                if gen_fill:
+                    frame = frame.select(
+                        *[
+                            (
+                                F.expr(gen_fill[cn])
+                                .cast(t_types[cn])
+                                .alias(cn)
+                                if cn in gen_fill and cn in t_types
+                                else F.expr(gen_fill[cn]).alias(cn)
+                                if cn in gen_fill
+                                else F.col(cn)
+                            )
+                            for cn in frame.columns
+                        ]
+                    )
+                append_frames.append(frame)
         appends = None
         for fr in append_frames:
             appends = fr if appends is None else appends.unionByName(fr)

@@ -668,10 +668,12 @@ def commit_version(
     inherited_tc: dict = {}
     inherited_props: dict = {}
     inherited_defaults: dict = {}
+    inherited_gen: dict = {}
     if committed and (
         (meta or {}).get("_table_constraints") is None
         or (meta or {}).get("_tblproperties") is None
         or (meta or {}).get("_column_defaults") is None
+        or (meta or {}).get("_generated_columns") is None
     ):
         prev_man = (
             base_man
@@ -686,6 +688,8 @@ def commit_version(
             inherited_props = prev_man.get("_tblproperties") or {}
         if (meta or {}).get("_column_defaults") is None:
             inherited_defaults = prev_man.get("_column_defaults") or {}
+        if (meta or {}).get("_generated_columns") is None:
+            inherited_gen = prev_man.get("_generated_columns") or {}
     # a carry commit keeps the base's recorded bucket layout: the
     # carried bytes ARE bucket files, and readers need the spec to
     # know it (operators/bucketing.py decides per-snapshot whether
@@ -778,10 +782,26 @@ def commit_version(
         fs, Path, path, staging, claim, token, data_slot
     )
     version = expected_base + 1 if expected_base is not None else data_slot
+    # GENERATED columns validate like auto-constraints: every commit's
+    # own rows must carry col == generation-expr (null-safe — the
+    # Delta contract: writers either omit the column, in which case
+    # the SURFACE layer computed it, or provide matching values).
+    # Columns absent from this commit's frame (pre-evolution carries)
+    # skip — old files read the column as NULL via the manifest schema
+    # and were written before the declaration.
+    gen_cols = {
+        **inherited_gen,
+        **((meta or {}).get("_generated_columns") or {}),
+    }
     enforce = {
         **inherited_tc,
         **((meta or {}).get("_table_constraints") or {}),
         **(checks or {}),
+        **{
+            f"__generated_{c}": f"`{c}` <=> ({e})"
+            for c, e in gen_cols.items()
+            if c in df.columns
+        },
     }
     if enforce:
         written = spark.read.schema(df.schema).parquet(data)
@@ -833,6 +853,11 @@ def commit_version(
                 else {}
             ),
             **({"_bucket_spec": inherited_bucket} if inherited_bucket else {}),
+            **(
+                {"_generated_columns": inherited_gen}
+                if inherited_gen
+                else {}
+            ),
             **evo,
             **(meta or {}),
             **late,
@@ -2489,6 +2514,25 @@ def column_defaults(spark: SparkSession, path: str) -> dict[str, str]:
         return {}
     return dict(
         read_manifest(spark, path, vs[-1]).get("_column_defaults") or {}
+    )
+
+
+def generated_columns(spark: SparkSession, path: str) -> dict[str, str]:
+    """The table's GENERATED-ALWAYS-AS expressions (latest manifest):
+    ``col -> SQL expr``.  Declared at table creation (the Delta
+    restriction — a generation expression can't be bolted onto
+    existing rows), persisted in the manifest and inherited by every
+    commit.  Surface writers (SQL INSERT, MERGE INSERT, COPY INTO)
+    COMPUTE an omitted generated column from the row's base columns;
+    every commit VALIDATES provided values against the expression via
+    the constraint scan (`__generated_<col>` auto-checks in
+    commit_version).  Expressions may reference only non-generated
+    columns of the same row."""
+    vs = versions(spark, path)
+    if not vs:
+        return {}
+    return dict(
+        read_manifest(spark, path, vs[-1]).get("_generated_columns") or {}
     )
 
 

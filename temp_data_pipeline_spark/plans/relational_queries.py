@@ -2918,3 +2918,66 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(o_path, ignore_errors=True)
         shutil.rmtree(c_path, ignore_errors=True)
+
+
+@_register(
+    "q_sql_generated",
+    ["extension-relational", "sql"],
+    """
+    SELECT o_orderkey AS k,
+           o_totalprice AS price,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           o_orderkey % 7 AS k_mod
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "GENERATED ALWAYS AS columns (versioned.generated_columns + "
+        "sql.py typed CREATE): declare two generation expressions at "
+        "CREATE TABLE, land 2/3 of orders through named-column INSERT "
+        "(columns omitted -> computed), the rest through MERGE WHEN "
+        "NOT MATCHED INSERT (computed on the insert branch), with "
+        "every commit's __generated_ auto-check validating the stored "
+        "values.  The final table must equal the oracle computing the "
+        "same expressions directly."
+    ),
+)
+def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    scratch = tempfile.mkdtemp(prefix="gen_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        orders.createOrReplaceTempView("q_gen_orders")
+        eng = SqlEngine(spark, {}, warehouse=scratch)
+        eng.sql(
+            "CREATE TABLE gt (k BIGINT, price DOUBLE, "
+            "price_floor BIGINT GENERATED ALWAYS AS "
+            "(CAST(FLOOR(price) AS BIGINT)), "
+            "k_mod BIGINT GENERATED ALWAYS AS (k % 7))"
+        )
+        eng.sql(
+            "INSERT INTO gt (k, price) "
+            "SELECT k, price FROM q_gen_orders WHERE k % 3 <> 0"
+        )
+        eng.sql(
+            "MERGE INTO gt USING "
+            "(SELECT k, price FROM q_gen_orders WHERE k % 3 = 0) s "
+            "ON gt.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)"
+        )
+        return (
+            eng.sql(
+                "SELECT k, price, price_floor, k_mod FROM gt ORDER BY k"
+            )
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+

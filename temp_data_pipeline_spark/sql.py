@@ -183,7 +183,27 @@ class SqlEngine:
             read_table,
         )
 
-        return read_table(self.spark, self._path(name))
+        path = self._path(name)
+        try:
+            # bucketed tables read through the catalog registration
+            # while physically co-located, so console joins between
+            # co-bucketed tables plan with zero Exchange; any drifted
+            # or never-bucketed snapshot takes the canonical reader
+            from temp_data_pipeline_spark.operators.bucketing import (
+                _colocated_dir,
+                read_bucketed,
+            )
+            from temp_data_pipeline_spark.operators.versioned import (
+                _resolve_version,
+            )
+
+            v = _resolve_version(self.spark, path, None)
+            abs_dir, spec, _man = _colocated_dir(self.spark, path, v)
+            if abs_dir is not None:
+                return read_bucketed(self.spark, path, v)
+        except FileNotFoundError:
+            pass  # no committed versions: read_table raises uniformly
+        return read_table(self.spark, path)
 
     def _register_views(self) -> None:
         for name in self.catalog:
@@ -288,8 +308,14 @@ class SqlEngine:
         if not vs:
             raise ValueError(f"table {name!r} has no committed versions")
         man = read_manifest(self.spark, path, vs[-1])
+        gen = man.get("_generated_columns") or {}
         cols = ",\n".join(
             f"  {f.name} {f.dataType.simpleString().upper()}"
+            + (
+                f" GENERATED ALWAYS AS ({gen[f.name]})"
+                if f.name in gen
+                else ""
+            )
             for f in _St.fromJson(man["_schema"]).fields
         )
         stmt = f"CREATE TABLE {name} (\n{cols}\n)"
@@ -302,6 +328,12 @@ class SqlEngine:
             stmt += (
                 "\nPARTITIONED BY ("
                 + ", ".join(man["_partition_by"]) + ")"
+            )
+        if man.get("_bucket_spec"):
+            bs = man["_bucket_spec"]
+            stmt += (
+                "\nCLUSTERED BY (" + ", ".join(bs["bucket_by"]) + ")"
+                f" INTO {bs['n']} BUCKETS"
             )
         stmt += f"\nLOCATION '{path}'"
         for cname, cpred in sorted(
@@ -427,12 +459,17 @@ class SqlEngine:
                     ",".join(man.get("_partition_by") or []),
                     len(fields),
                     _json.dumps(man.get("_checks") or {}, sort_keys=True),
+                    ",".join(
+                        (man.get("_bucket_spec") or {}).get("bucket_by", [])
+                    ),
+                    int((man.get("_bucket_spec") or {}).get("n") or 0),
                 )
             ],
             "name string, location string, version long, "
             "committed_at double, num_data_dirs long, "
             "has_deletion_vector boolean, dv_rows long, "
-            "partition_columns string, num_columns long, checks string",
+            "partition_columns string, num_columns long, checks string, "
+            "bucket_columns string, num_buckets long",
         )
 
     def _drop(self, st: _Stmt):
@@ -496,6 +533,10 @@ class SqlEngine:
 
           CREATE TABLE name [LOCATION '<path>'] AS <query>
               [PARTITIONED BY (col, ...)]  — before AS
+              [CLUSTERED BY (col, ...) INTO n BUCKETS]  — before AS;
+                  bucketed snapshot layout (operators/bucketing.py):
+                  console joins between co-bucketed tables plan with
+                  zero Exchange, OPTIMIZE becomes rebucket()
           CREATE TABLE name SHALLOW CLONE src [VERSION AS OF n]
               [LOCATION '<path>']          — zero-copy reference
 
@@ -604,11 +645,42 @@ class SqlEngine:
                         "the engine has no warehouse root"
                     )
                 location = f"{self.warehouse}/{name}"
+            # inline GENERATED ALWAYS AS (expr) clauses: extracted
+            # before fromDDL (which doesn't know them), recorded in
+            # the manifest — the Delta rule: generation expressions
+            # are declared at CREATION, computed by surface writers
+            # when omitted, validated on every commit when provided
+            gen: dict[str, str] = {}
+            plain_items = []
+            for item in _split_top_level(cols_ddl, r","):
+                gm = re.match(
+                    r"^\s*(\w+)\s+(.+?)\s+GENERATED" + _WS + r"ALWAYS"
+                    + _WS + r"AS\s*\((.+)\)\s*$",
+                    item,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if gm:
+                    gen[gm.group(1)] = gm.group(3).strip()
+                    plain_items.append(f"{gm.group(1)} {gm.group(2)}")
+                else:
+                    plain_items.append(item)
             try:
-                schema = StructType.fromDDL(cols_ddl)
+                schema = StructType.fromDDL(", ".join(plain_items))
             except Exception as e:
                 raise ValueError(
                     f"cannot parse column list {cols_ddl!r}: {e}"
+                )
+            gen_refs: set[str] = set()
+            for gexpr in gen.values():
+                gen_refs.update(
+                    t.lower() for t in re.findall(r"\b\w+\b", gexpr)
+                )
+            gen_bad = {c for c in gen if c.lower() in gen_refs}
+            if gen_bad:
+                raise ValueError(
+                    f"generated column(s) {sorted(gen_bad)} reference "
+                    "generated columns — expressions may use only "
+                    "non-generated columns of the row"
                 )
             v = commit_version(
                 self.spark.createDataFrame([], schema),
@@ -619,6 +691,7 @@ class SqlEngine:
                     else None
                 ),
                 expected_base=0,
+                meta={"_generated_columns": gen} if gen else None,
             )
             self.catalog[name] = location
             return v
@@ -626,14 +699,25 @@ class SqlEngine:
             r"CREATE" + _WS + r"TABLE" + _WS + r"(\w+)"
             r"(?:" + _WS + r"LOCATION" + _WS + r"'([^']+)')?"
             r"(?:" + _WS + r"PARTITIONED" + _WS + r"BY"
-            + r"\s*\(([^)]+)\))?" + _WS + r"AS" + _WS + r"(.+)$"
+            + r"\s*\(([^)]+)\))?"
+            r"(?:" + _WS + r"CLUSTERED" + _WS + r"BY"
+            + r"\s*\(([^)]+)\)" + _WS + r"INTO" + _WS + r"(\d+)"
+            + _WS + r"BUCKETS)?" + _WS + r"AS" + _WS + r"(.+)$"
         )
         if not m:
             raise ValueError(
                 "CREATE supports: CREATE TABLE <name> [LOCATION '<path>'] "
-                f"[PARTITIONED BY (cols)] AS <query> — got {st.text[:80]!r}"
+                "[PARTITIONED BY (cols)] [CLUSTERED BY (cols) INTO n "
+                f"BUCKETS] AS <query> — got {st.text[:80]!r}"
             )
-        name, location, pcols, query = m.groups()
+        name, location, pcols, bcols, nbuckets, query = m.groups()
+        if pcols and bcols:
+            # the bucketed layout layer refuses hive partition_by too —
+            # one loud contract, not two half-supported ones
+            raise ValueError(
+                "CREATE TABLE: PARTITIONED BY and CLUSTERED BY are "
+                "mutually exclusive in this engine"
+            )
         if location is None:
             if self.warehouse is None:
                 raise ValueError(
@@ -655,16 +739,29 @@ class SqlEngine:
             )
         self._register_views()
         rows = self.spark.sql(self._rewrite_time_travel(query))
-        v = commit_version(
-            rows,
-            location,
-            partition_by=(
-                [c.strip() for c in pcols.split(",") if c.strip()]
-                if pcols
-                else None
-            ),
-            expected_base=0,
-        )
+        if bcols:
+            from temp_data_pipeline_spark.operators.bucketing import (
+                commit_bucketed,
+            )
+
+            v = commit_bucketed(
+                rows,
+                location,
+                bucket_by=[c.strip() for c in bcols.split(",") if c.strip()],
+                n_buckets=int(nbuckets),
+                expected_base=0,
+            )
+        else:
+            v = commit_version(
+                rows,
+                location,
+                partition_by=(
+                    [c.strip() for c in pcols.split(",") if c.strip()]
+                    if pcols
+                    else None
+                ),
+                expected_base=0,
+            )
         self.catalog[name] = location
         return v
 
@@ -958,7 +1055,8 @@ class SqlEngine:
 
           VACUUM t [RETAIN <n> VERSIONS]   -> versioned.vacuum
           OPTIMIZE t [ZORDER BY (a, b)]    -> compact_snapshot /
-                                              optimize_zorder
+                                              optimize_zorder; on a
+                                              bucketed table, rebucket
           DESCRIBE HISTORY t               -> versioned.history (DF)
           DESCRIBE [EXTENDED] [TABLE] t    -> column section (+ manifest
                                               detail under EXTENDED)
@@ -1042,11 +1140,22 @@ class SqlEngine:
 
                 cols = [c.strip() for c in zcols.split(",") if c.strip()]
                 return optimize_zorder(self.spark, self._path(name), cols)
+            from temp_data_pipeline_spark.operators.bucketing import (
+                bucket_spec,
+                rebucket,
+            )
             from temp_data_pipeline_spark.operators.versioned import (
                 compact_snapshot,
             )
 
-            return compact_snapshot(self.spark, self._path(name))
+            path = self._path(name)
+            if bucket_spec(self.spark, path):
+                # a bucketed table's OPTIMIZE is the clustering-
+                # maintenance pass: restore one-file-per-bucket
+                # co-location (no-op when already co-located) —
+                # compact_snapshot would rewrite the layout AWAY
+                return rebucket(self.spark, path)
+            return compact_snapshot(self.spark, path)
         m = st.match(r"DESCRIBE" + _WS + r"HISTORY" + _WS + r"(\w+)$")
         if m:
             from temp_data_pipeline_spark.operators.versioned import (
@@ -1327,7 +1436,12 @@ class SqlEngine:
 
             # unnamed columns take their recorded DEFAULT (NULL when
             # none) — the SQL column-default contract
+            from temp_data_pipeline_spark.operators.versioned import (
+                generated_columns,
+            )
+
             dflt = column_defaults(self.spark, path)
+            gcols = generated_columns(self.spark, path)
             pos = {c: i for i, c in enumerate(named)}
             rows = rows.select(
                 *[
@@ -1335,12 +1449,31 @@ class SqlEngine:
                         F.col(rows.columns[pos[f.name]])
                         if f.name in pos
                         else F.expr(dflt[f.name])
-                        if f.name in dflt
+                        if f.name in dflt and f.name not in gcols
                         else F.lit(None)
                     ).cast(f.dataType).alias(f.name)
                     for f in target.fields
                 ]
             )
+            # unlisted GENERATED columns compute from the row's base
+            # columns in a second pass (the frame above has every base
+            # column bound under its table name); listed ones keep the
+            # provided values — the commit's __generated_ check
+            # validates them against the expression
+            gen_fill = {c: e for c, e in gcols.items() if c not in pos}
+            if gen_fill:
+                rows = rows.select(
+                    *[
+                        (
+                            F.expr(gen_fill[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if f.name in gen_fill
+                            else F.col(f.name)
+                        )
+                        for f in target.fields
+                    ]
+                )
         elif len(rows.columns) != len(target.fields):
             raise ValueError(
                 f"INSERT INTO {name}: query yields {len(rows.columns)} "

@@ -1013,3 +1013,73 @@ def test_column_defaults(spark, eng, tmp_path):
         e.sql("ALTER TABLE t ALTER COLUMN score SET DEFAULT not_a_func(")
     with pytest.raises(ValueError, match="no default to drop"):
         e.sql("ALTER TABLE t ALTER COLUMN v DROP DEFAULT")
+
+
+def test_bucketed_ctas_console_lifecycle(spark, tmp_path):
+    """CLUSTERED BY CTAS -> zero-Exchange console join -> INSERT INTO
+    drifts -> OPTIMIZE rebuckets -> introspection shows the spec."""
+    from temp_data_pipeline_spark.operators.bucketing import bucket_spec
+
+    wh = str(tmp_path / "wh")
+    src = os.path.join(str(tmp_path), "src")
+    commit_version(
+        spark.createDataFrame(
+            [(i % 16, i, float(i)) for i in range(400)],
+            "k long, seq long, x double",
+        ),
+        src,
+    )
+    e = SqlEngine(spark, {"src": src}, warehouse=wh)
+    e.sql(
+        "CREATE TABLE fact CLUSTERED BY (k) INTO 4 BUCKETS "
+        "AS SELECT k, seq, x FROM src"
+    )
+    e.sql(
+        "CREATE TABLE dim CLUSTERED BY (k) INTO 4 BUCKETS "
+        "AS SELECT DISTINCT k, k * 100 AS label FROM src"
+    )
+    assert bucket_spec(spark, f"{wh}/fact") == {
+        "bucket_by": ["k"], "n": 4, "sort_by": ["k"],
+    }
+    # console join between the two co-bucketed tables: zero Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = e.sql(
+            "SELECT f.k, f.seq, d.label FROM fact f "
+            "JOIN dim d ON f.k = d.k"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        assert df.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+    # DESCRIBE DETAIL / SHOW CREATE surface the layout
+    d = e.sql("DESCRIBE DETAIL fact").collect()[0]
+    assert d["bucket_columns"] == "k" and d["num_buckets"] == 4
+    stmt = e.sql("SHOW CREATE TABLE fact").collect()[0]["createtab_stmt"]
+    assert "CLUSTERED BY (k) INTO 4 BUCKETS" in stmt
+    # INSERT INTO appends (spec inherited, locality deferred) ...
+    e.sql("INSERT INTO fact SELECT k, seq + 1000, x FROM src WHERE k = 3")
+    assert bucket_spec(spark, f"{wh}/fact") is not None
+    assert e.sql("SELECT COUNT(*) AS n FROM fact").collect()[0]["n"] == 425
+    # ... and OPTIMIZE is the rebucket pass: back to one clean dir
+    e.sql("OPTIMIZE fact")
+    d2 = e.sql("DESCRIBE DETAIL fact").collect()[0]
+    assert d2["num_data_dirs"] == 1 and d2["num_buckets"] == 4
+    assert e.sql("SELECT COUNT(*) AS n FROM fact").collect()[0]["n"] == 425
+
+
+def test_bucketed_ctas_rejects_partitioned_combo(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    commit_version(
+        spark.createDataFrame([(1, 10, "a")], SCHEMA), src
+    )
+    e = SqlEngine(spark, {"src": src}, warehouse=str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        e.sql(
+            "CREATE TABLE t2 PARTITIONED BY (status) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS AS SELECT * FROM src"
+        )
