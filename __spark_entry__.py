@@ -176,7 +176,7 @@ _LAST_VERIFIED = {
 #     re-check as the heaviest carry-commit lifecycles.
 #   - New this round (priority 0 automatically): q_clone,
 #     q_show_partitions, q_add_column, q_copy_into, q_sql_cdf,
-#     q_sql_console, q_bucket_join, q_sql_generated.
+#     q_sql_console, q_bucket_join, q_sql_generated, q_sql_identity.
 #   - Late-round code changes: the console read path is now
 #     bucket-aware (sql._snapshot) — every q_sql_* statement query
 #     re-checks; MERGE insert branches and COPY INTO gained

@@ -146,7 +146,11 @@ def copy_into(
                 missing_required = [
                     f.name
                     for f in target.fields
-                    if f.name not in have and not f.nullable
+                    if f.name not in have
+                    and not f.nullable
+                    # engine-assigned columns are FILLED, not required
+                    and f.name not in (man.get("_identity_columns") or {})
+                    and f.name not in (man.get("_generated_columns") or {})
                 ]
                 if missing_required:
                     raise ValueError(
@@ -186,6 +190,22 @@ def copy_into(
                             for f in target.fields
                         ]
                     )
+        meta_late = None
+        if cur:
+            idents = man.get("_identity_columns") or {}
+            provided = [c for c in idents if c in set(rows.columns)]
+            if provided:
+                raise ValueError(
+                    f"COPY INTO: source files carry column(s) "
+                    f"{provided} which are GENERATED ALWAYS AS "
+                    "IDENTITY — the engine assigns those values"
+                )
+            if idents:
+                from temp_data_pipeline_spark.operators.versioned import (
+                    assign_identity,
+                )
+
+                batch, meta_late = assign_identity(batch, idents)
         return commit_version(
             batch,
             path,
@@ -195,6 +215,7 @@ def copy_into(
                 "_copied_files": new,
                 "copy_source": source,
             },
+            meta_late=meta_late,
         )
 
     return commit_with_retries(_commit), n_loaded

@@ -283,6 +283,44 @@ def commit_merge_into(
         )
     base = vs[-1]
     man = read_manifest(spark, path, base)
+    _idents = man.get("_identity_columns") or {}
+    if _idents:
+        # GENERATED ALWAYS AS IDENTITY: no clause may write the column
+        bad_set = [
+            c
+            for _k, _c, aset in (matched_clauses + by_source_clauses)
+            if aset
+            for c in aset
+            if c in _idents
+        ]
+        bad_ins = [
+            c
+            for _c, vals in insert_clauses
+            if vals
+            for c in vals
+            if c in _idents
+        ]
+        if bad_set or bad_ins:
+            raise ValueError(
+                f"MERGE writes IDENTITY column(s) "
+                f"{sorted(set(bad_set + bad_ins))} — GENERATED ALWAYS "
+                "AS IDENTITY values are engine-assigned"
+            )
+        if any(vals is None for _c, vals in insert_clauses):
+            raise ValueError(
+                "MERGE INSERT * into a table with IDENTITY columns "
+                "would take the source's values — use INSERT (cols) "
+                "VALUES (..) omitting the identity column"
+            )
+        if any(
+            k == "update" and aset is None
+            for k, _c, aset in matched_clauses
+        ):
+            raise ValueError(
+                "MERGE SET * into a table with IDENTITY columns "
+                "would overwrite engine-assigned values — use an "
+                "explicit SET list"
+            )
     t_types: dict = {}
     if "_schema" in man:
         # the Delta contract: appends project onto the TARGET's
@@ -399,6 +437,7 @@ def commit_merge_into(
             for kind, fire, aset in b_fires
             if kind == "update"
         ]
+        insert_frames: list = []
         if insert_clauses:
             # project to plain SOURCE columns FIRST so insert
             # conditions' and VALUES' unprefixed names resolve
@@ -428,7 +467,9 @@ def commit_merge_into(
                             # the row's other columns)
                             e = (
                                 F.expr(dflt[cname])
-                                if cname in dflt and cname not in gcols
+                                if cname in dflt
+                                and cname not in gcols
+                                and cname not in _idents
                                 else F.lit(None)
                             )
                         if isinstance(e, str):
@@ -459,7 +500,25 @@ def commit_merge_into(
                             for cn in frame.columns
                         ]
                     )
-                append_frames.append(frame)
+                insert_frames.append(frame)
+        meta_late = None
+        if insert_frames and _idents:
+            # IDENTITY values assign over the UNION of INSERT branches
+            # only (one mono-id space — per-branch assignment would
+            # collide; update rewrites KEEP their existing ids) and
+            # the watermark advances via the commit's own write pass;
+            # _commit_with_dv pins expected_base, so a racing
+            # allocator conflicts instead of double-assigning
+            from temp_data_pipeline_spark.operators.versioned import (
+                assign_identity,
+            )
+
+            ins_union = insert_frames[0]
+            for fr in insert_frames[1:]:
+                ins_union = ins_union.unionByName(fr)
+            ins_union, meta_late = assign_identity(ins_union, _idents)
+            insert_frames = [ins_union]
+        append_frames.extend(insert_frames)
         appends = None
         for fr in append_frames:
             appends = fr if appends is None else appends.unionByName(fr)
@@ -471,6 +530,7 @@ def commit_merge_into(
             dv_new,
             appends,
             meta,
+            meta_late=meta_late,
         )
     finally:
         j.unpersist()

@@ -669,11 +669,13 @@ def commit_version(
     inherited_props: dict = {}
     inherited_defaults: dict = {}
     inherited_gen: dict = {}
+    inherited_ident: dict = {}
     if committed and (
         (meta or {}).get("_table_constraints") is None
         or (meta or {}).get("_tblproperties") is None
         or (meta or {}).get("_column_defaults") is None
         or (meta or {}).get("_generated_columns") is None
+        or (meta or {}).get("_identity_columns") is None
     ):
         prev_man = (
             base_man
@@ -690,6 +692,8 @@ def commit_version(
             inherited_defaults = prev_man.get("_column_defaults") or {}
         if (meta or {}).get("_generated_columns") is None:
             inherited_gen = prev_man.get("_generated_columns") or {}
+        if (meta or {}).get("_identity_columns") is None:
+            inherited_ident = prev_man.get("_identity_columns") or {}
     # a carry commit keeps the base's recorded bucket layout: the
     # carried bytes ARE bucket files, and readers need the spec to
     # know it (operators/bucketing.py decides per-snapshot whether
@@ -856,6 +860,11 @@ def commit_version(
             **(
                 {"_generated_columns": inherited_gen}
                 if inherited_gen
+                else {}
+            ),
+            **(
+                {"_identity_columns": inherited_ident}
+                if inherited_ident
                 else {}
             ),
             **evo,
@@ -2534,6 +2543,79 @@ def generated_columns(spark: SparkSession, path: str) -> dict[str, str]:
     return dict(
         read_manifest(spark, path, vs[-1]).get("_generated_columns") or {}
     )
+
+
+def identity_columns(spark: SparkSession, path: str) -> dict[str, dict]:
+    """The table's GENERATED ALWAYS AS IDENTITY specs (latest
+    manifest): ``col -> {"start", "step", "high"}`` where ``high`` is
+    the last allocated value (None before any allocation).  Writers
+    that allocate (SQL INSERT, COPY INTO, MERGE insert branches)
+    assign ``high + step + monotonically_increasing_id() * step`` —
+    values are UNIQUE and MONOTONICALLY INCREASING across commits but
+    carry GAPS (the Delta identity contract: mono-ids are sparse per
+    partition, and the watermark advances to the max assigned via an
+    ``observe`` on the commit's own write pass, never a second job).
+    Explicit values are refused — ALWAYS, not BY DEFAULT."""
+    vs = versions(spark, path)
+    if not vs:
+        return {}
+    return dict(
+        read_manifest(spark, path, vs[-1]).get("_identity_columns") or {}
+    )
+
+
+def assign_identity(df: DataFrame, spec: dict):
+    """Assign fresh identity values for every column in ``spec``
+    (``identity_columns`` shape) over ``df``; returns ``(frame,
+    meta_late)`` where the frame carries the assigned values plus an
+    ``observe`` of their max (min for negative step), and
+    ``meta_late`` — passed to ``commit_version`` — resolves the
+    advanced watermark AFTER the commit's own write pass ran (no
+    second job over the data).  Values are ``high + step +
+    monotonically_increasing_id() * step``: unique and monotonic
+    across commits, gaps allowed (mono-ids are sparse per partition —
+    the Delta identity trade; contiguity would cost a global
+    shuffle).  Callers own conflict safety: allocate INSIDE a
+    commit closure that pins ``expected_base`` so a racing allocator
+    conflicts instead of double-assigning."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df
+    aggs = []
+    for c, s in spec.items():
+        step = int(s.get("step", 1))
+        high = s.get("high")
+        nxt = (int(high) + step) if high is not None else int(s.get("start", 1))
+        out = out.withColumn(
+            c,
+            (
+                F_sql.lit(nxt)
+                + F_sql.monotonically_increasing_id() * F_sql.lit(step)
+            ).cast("long"),
+        )
+        aggs.append(
+            (F_sql.max if step > 0 else F_sql.min)(F_sql.col(c)).alias(c)
+        )
+    out = out.observe(obs, *aggs)
+
+    def meta_late() -> dict:
+        got = obs.get
+        return {
+            "_identity_columns": {
+                c: {
+                    **s,
+                    "high": (
+                        int(got[c])
+                        if got.get(c) is not None
+                        else s.get("high")
+                    ),
+                }
+                for c, s in spec.items()
+            }
+        }
+
+    return out, meta_late
 
 
 def set_column_default(

@@ -2981,3 +2981,93 @@ def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
+
+
+@_register(
+    "q_sql_identity",
+    ["extension-relational", "sql"],
+    """
+    SELECT CAST(COUNT(*) AS BIGINT)        AS n_rows,
+           CAST(COUNT(*) AS BIGINT)        AS n_distinct_ids,
+           TRUE                            AS merge_batch_above_insert,
+           TRUE                            AS update_kept_ids
+    FROM orders
+    """,
+    note=(
+        "GENERATED ALWAYS AS IDENTITY (versioned.identity_columns + "
+        "assign_identity): ids allocate as watermark + "
+        "monotonically_increasing_id()*step on the commit's own write "
+        "pass (observe-folded watermark advance, no second job; gaps "
+        "allowed, the Delta identity trade).  The query lands 2/3 of "
+        "orders by INSERT, the rest by MERGE NOT-MATCHED INSERT, then "
+        "MERGE-updates the first batch — and projects the CONTRACT "
+        "(values are allocation-order dependent, so the oracle checks "
+        "the invariants, not the ids): every row got an id, all ids "
+        "distinct, every MERGE-inserted id strictly above the INSERT "
+        "batch's watermark, and updates preserved existing ids."
+    ),
+)
+def q_sql_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.operators.versioned import (
+        identity_columns,
+    )
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    scratch = tempfile.mkdtemp(prefix="ident_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        orders.createOrReplaceTempView("q_ident_orders")
+        eng = SqlEngine(spark, {}, warehouse=scratch)
+        eng.sql(
+            "CREATE TABLE it (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+            "k BIGINT, price DOUBLE)"
+        )
+        v_ins = eng.sql(
+            "INSERT INTO it (k, price) "
+            "SELECT k, price FROM q_ident_orders WHERE k % 3 <> 0"
+        )
+        high_insert = identity_columns(spark, f"{scratch}/it")["id"]["high"]
+        eng.sql(
+            "MERGE INTO it USING "
+            "(SELECT k, price FROM q_ident_orders) s ON it.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET price = s.price + 1 "
+            "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)"
+        )
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            read_table,
+        )
+
+        final = eng.sql("SELECT k, id FROM it")
+        # id stability under UPDATE: join the final snapshot to the
+        # pre-merge version (time travel) on the key — distributed,
+        # no driver materialization of the data
+        before = read_table(spark, f"{scratch}/it", v_ins).select(
+            "k", F.col("id").alias("id0")
+        )
+        kept_flag = (
+            final.join(before, "k")
+            .agg(F.every(F.col("id") == F.col("id0")).alias("update_kept_ids"))
+        )
+        return (
+            final.groupBy()
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("id").alias("n_distinct_ids"),
+                (
+                    F.min(
+                        F.when(F.col("k") % 3 == 0, F.col("id"))
+                    )
+                    > F.lit(int(high_insert))
+                ).alias("merge_batch_above_insert"),
+            )
+            .crossJoin(kept_flag)  # two single-row aggregates
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -309,11 +309,18 @@ class SqlEngine:
             raise ValueError(f"table {name!r} has no committed versions")
         man = read_manifest(self.spark, path, vs[-1])
         gen = man.get("_generated_columns") or {}
+        ident = man.get("_identity_columns") or {}
         cols = ",\n".join(
             f"  {f.name} {f.dataType.simpleString().upper()}"
             + (
                 f" GENERATED ALWAYS AS ({gen[f.name]})"
                 if f.name in gen
+                else (
+                    " GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{ident[f.name]['start']} INCREMENT BY "
+                    f"{ident[f.name]['step']})"
+                )
+                if f.name in ident
                 else ""
             )
             for f in _St.fromJson(man["_schema"]).fields
@@ -651,8 +658,32 @@ class SqlEngine:
             # are declared at CREATION, computed by surface writers
             # when omitted, validated on every commit when provided
             gen: dict[str, str] = {}
+            ident: dict[str, dict] = {}
             plain_items = []
             for item in _split_top_level(cols_ddl, r","):
+                im = re.match(
+                    r"^\s*(\w+)\s+(.+?)\s+GENERATED" + _WS + r"ALWAYS"
+                    + _WS + r"AS" + _WS + r"IDENTITY"
+                    r"(?:\s*\(\s*START" + _WS + r"WITH" + _WS
+                    + r"(-?\d+)" + _WS + r"INCREMENT" + _WS + r"BY"
+                    + _WS + r"(-?\d+)\s*\))?\s*$",
+                    item,
+                    re.IGNORECASE,
+                )
+                if im:
+                    step = int(im.group(4) or 1)
+                    if step == 0:
+                        raise ValueError(
+                            f"IDENTITY column {im.group(1)!r}: "
+                            "INCREMENT BY 0 would never advance"
+                        )
+                    ident[im.group(1)] = {
+                        "start": int(im.group(3) or 1),
+                        "step": step,
+                        "high": None,
+                    }
+                    plain_items.append(f"{im.group(1)} {im.group(2)}")
+                    continue
                 gm = re.match(
                     r"^\s*(\w+)\s+(.+?)\s+GENERATED" + _WS + r"ALWAYS"
                     + _WS + r"AS\s*\((.+)\)\s*$",
@@ -682,6 +713,11 @@ class SqlEngine:
                     "generated columns — expressions may use only "
                     "non-generated columns of the row"
                 )
+            cmeta: dict = {}
+            if gen:
+                cmeta["_generated_columns"] = gen
+            if ident:
+                cmeta["_identity_columns"] = ident
             v = commit_version(
                 self.spark.createDataFrame([], schema),
                 location,
@@ -691,7 +727,7 @@ class SqlEngine:
                     else None
                 ),
                 expected_base=0,
-                meta={"_generated_columns": gen} if gen else None,
+                meta=cmeta or None,
             )
             self.catalog[name] = location
             return v
@@ -1408,6 +1444,17 @@ class SqlEngine:
         rows = self.spark.sql(query)
         from pyspark.sql import functions as F
 
+        from temp_data_pipeline_spark.operators.versioned import (
+            identity_columns,
+        )
+
+        idents = identity_columns(self.spark, path)
+        if idents and replace_pred is not None:
+            raise ValueError(
+                "REPLACE WHERE on a table with IDENTITY columns is "
+                "not supported (the replace commit can't advance the "
+                "identity watermark atomically) — DELETE + INSERT"
+            )
         target = self._snapshot(name).schema
         if col_list is not None:
             # named-column INSERT: values map positionally onto the
@@ -1442,6 +1489,13 @@ class SqlEngine:
 
             dflt = column_defaults(self.spark, path)
             gcols = generated_columns(self.spark, path)
+            listed_ident = [c for c in named if c in idents]
+            if listed_ident:
+                raise ValueError(
+                    f"INSERT INTO {name}: column(s) {listed_ident} are "
+                    "GENERATED ALWAYS AS IDENTITY — omit them from the "
+                    "column list; the engine assigns the values"
+                )
             pos = {c: i for i, c in enumerate(named)}
             rows = rows.select(
                 *[
@@ -1449,7 +1503,9 @@ class SqlEngine:
                         F.col(rows.columns[pos[f.name]])
                         if f.name in pos
                         else F.expr(dflt[f.name])
-                        if f.name in dflt and f.name not in gcols
+                        if f.name in dflt
+                        and f.name not in gcols
+                        and f.name not in idents
                         else F.lit(None)
                     ).cast(f.dataType).alias(f.name)
                     for f in target.fields
@@ -1482,6 +1538,12 @@ class SqlEngine:
         else:
             # positional with store-assignment casts — SQL INSERT
             # semantics (a literal 9 must land in a BIGINT column)
+            if idents:
+                raise ValueError(
+                    f"INSERT INTO {name}: table has GENERATED ALWAYS "
+                    f"AS IDENTITY column(s) {sorted(idents)} — use a "
+                    "named column list omitting them"
+                )
             rows = rows.select(
                 *[
                     F.col(rows.columns[i]).cast(f.dataType).alias(f.name)
@@ -1507,14 +1569,27 @@ class SqlEngine:
         def _commit() -> int:
             vs = versions(self.spark, path)
             base = vs[-1] if vs else 0
+            batch, meta_late = rows, None
+            if idents:
+                # allocate INSIDE the retried closure: each attempt
+                # re-reads the watermark, and expected_base makes a
+                # racing allocator conflict instead of double-assign
+                from temp_data_pipeline_spark.operators.versioned import (
+                    assign_identity,
+                )
+
+                batch, meta_late = assign_identity(
+                    rows, identity_columns(self.spark, path)
+                )
             return commit_version(
-                rows,
+                batch,
                 path,
                 # OVERWRITE starts a rewrite lineage (no carry): the
                 # new version is exactly the query result, history
                 # stays time-travelable
                 carry_from=(base if vs and not overwrite else None),
                 expected_base=base,
+                meta_late=meta_late,
             )
 
         return commit_with_retries(_commit)
