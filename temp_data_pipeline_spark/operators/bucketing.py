@@ -129,6 +129,13 @@ def commit_bucketed(
     spark = df.sparkSession
 
     def _write(d: DataFrame, staging: str) -> None:
+        from temp_data_pipeline_spark.operators.versioned import _fs
+
+        # pre-create the location: CREATE TABLE probes it for
+        # streaming-sink metadata and logs a full FileNotFound stack
+        # (harmless but alarming) when it doesn't exist yet
+        fs, jvm = _fs(spark, staging)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(staging))
         tmp = f"bkt_w_{uuid.uuid4().hex[:12]}"
         spark.sql(
             f"CREATE TABLE {tmp} ({_ddl(d)}) USING parquet "
@@ -263,11 +270,37 @@ def bucketed_join(
     rs = bucket_spec(spark, right_path, right_version)
     if not ls or not rs:
         raise ValueError("both sides must be bucketed tables")
-    if ls["bucket_by"] != rs["bucket_by"] or ls["n"] != rs["n"]:
+    if ls["bucket_by"] != rs["bucket_by"]:
         raise ValueError(
             f"bucket layouts differ: left {ls['bucket_by']}×{ls['n']} "
             f"vs right {rs['bucket_by']}×{rs['n']} — rebucket one side"
         )
+    if ls["n"] != rs["n"]:
+        # Spark can still elide the exchange when one count is an
+        # integer multiple of the other by COALESCING the finer side
+        # (spark.sql.bucketing.coalesceBucketsInJoin) — accept exactly
+        # the layouts that planner rule handles, refuse the rest
+        big, small = max(ls["n"], rs["n"]), min(ls["n"], rs["n"])
+        enabled = (
+            spark.conf.get(
+                "spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+                "false",
+            ).lower()
+            == "true"
+        )
+        ratio = int(
+            spark.conf.get(
+                "spark.sql.bucketing.coalesceBucketsInJoin.maxBucketRatio",
+                "4",
+            )
+        )
+        if not enabled or big % small != 0 or big // small > ratio:
+            raise ValueError(
+                f"bucket counts differ: left {ls['n']} vs right "
+                f"{rs['n']} — rebucket one side, or enable "
+                "spark.sql.bucketing.coalesceBucketsInJoin.enabled "
+                f"with an integer ratio ≤ maxBucketRatio ({ratio})"
+            )
     if not set(ls["bucket_by"]).issubset(on):
         raise ValueError(
             f"join keys {on} must cover the bucket columns "

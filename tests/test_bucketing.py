@@ -156,7 +156,7 @@ def test_layout_mismatch_and_guards(spark, tmp_path):
     a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
     commit_bucketed(_frame(spark), a_path, bucket_by=["k"], n_buckets=8)
     commit_bucketed(_frame(spark), b_path, bucket_by=["k"], n_buckets=4)
-    with pytest.raises(ValueError, match="layouts differ"):
+    with pytest.raises(ValueError, match="counts differ"):
         bucketed_join(spark, a_path, b_path, ["k"])
     with pytest.raises(ValueError, match="must cover the bucket columns"):
         bucketed_join(spark, a_path, a_path, ["seq"])
@@ -189,3 +189,45 @@ def test_constraints_enforced_on_bucketed_commit(spark, tmp_path):
         checks={"k_ok": "k < 50"},
     )
     assert read_bucketed(spark, path).count() == 1000
+
+
+def test_coalesced_bucket_counts_join_without_exchange(spark, tmp_path):
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    commit_bucketed(_frame(spark, 1000, 32, "a"), a_path, bucket_by=["k"], n_buckets=8)
+    commit_bucketed(
+        _frame(spark, 300, 32, "b").withColumnRenamed("payload", "bp").drop("seq"),
+        b_path,
+        bucket_by=["k"],
+        n_buckets=4,
+    )
+    # strict by default: mismatched counts refuse with guidance
+    with pytest.raises(ValueError, match="coalesceBucketsInJoin"):
+        bucketed_join(spark, a_path, b_path, ["k"])
+    saved = {
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled": spark.conf.get(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        ),
+    }
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, a_path, b_path, ["k"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        plain = _frame(spark, 1000, 32, "a").join(
+            _frame(spark, 300, 32, "b")
+            .withColumnRenamed("payload", "bp")
+            .drop("seq"),
+            ["k"],
+        )
+        assert joined.count() == plain.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
