@@ -89,6 +89,7 @@ def commit_bucketed(
     meta: dict | None = None,
     checks: dict[str, str] | None = None,
     expected_base: int | None = None,
+    meta_late=None,
 ) -> int:
     """Commit ``df`` as the next version of ``path`` with its files in
     Spark's native bucket layout.  Same atomicity / conflict contract
@@ -159,6 +160,7 @@ def commit_bucketed(
         meta={**(meta or {}), "_bucket_spec": spec},
         checks=checks,
         expected_base=expected_base,
+        meta_late=meta_late,
         write_fn=_write,
     )
 

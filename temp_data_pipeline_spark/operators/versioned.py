@@ -1567,9 +1567,15 @@ def compact_snapshot(
         # under the CURRENT column names, so the compacted version
         # reads identity again (stale _dir_fields would point at dirs
         # this version no longer references)
+        # _bucket_spec must NOT carry: this rewrite lands PLAIN
+        # parquet files — advertising the old bucket layout over them
+        # would make a later catalog-registered co-located join read
+        # wrong buckets silently. Bucketed tables compact with
+        # bucketing.rebucket (the SQL console routes OPTIMIZE there).
         if k not in ("version", "data_dir", "data_dirs", "_schema",
                      "_partition_by", "committed_at", "_dir_roots",
-                     "_field_ids", "_dir_fields", "_last_field_id")
+                     "_field_ids", "_dir_fields", "_last_field_id",
+                     "_bucket_spec")
     }
     return commit_version(
         read_version(spark, path, latest[-1]),
@@ -1773,9 +1779,15 @@ def compact_incremental(
     carried_meta = {
         k: v
         for k, v in man.items()
+        # _bucket_spec: the rewritten small-dir files are PLAIN — when
+        # big dirs survive, commit_version's carry-inheritance re-adds
+        # the spec (multi-dir snapshots fall back to the plain reader
+        # anyway); when the whole chain collapses to the one fresh
+        # dir, the spec must drop or the catalog-registered join
+        # would read wrong buckets (same rule as compact_snapshot)
         if k not in ("version", "data_dir", "data_dirs", "committed_at",
                      "_schema", "_partition_by", "_field_ids",
-                     "_dir_fields", "_last_field_id")
+                     "_dir_fields", "_last_field_id", "_bucket_spec")
     }
     return commit_version(
         rows,

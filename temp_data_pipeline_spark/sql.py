@@ -1581,6 +1581,28 @@ class SqlEngine:
                 batch, meta_late = assign_identity(
                     rows, identity_columns(self.spark, path)
                 )
+            if overwrite:
+                # a truncating rewrite on a BUCKETED table keeps the
+                # declared layout: the overwrite writes bucket files
+                # under the same spec (plain commit_version would
+                # land plain files and the spec would rightly drop —
+                # silently un-bucketing the table)
+                from temp_data_pipeline_spark.operators.bucketing import (
+                    bucket_spec,
+                    commit_bucketed,
+                )
+
+                bspec = bucket_spec(self.spark, path)
+                if bspec:
+                    return commit_bucketed(
+                        batch,
+                        path,
+                        bucket_by=bspec["bucket_by"],
+                        n_buckets=bspec["n"],
+                        sort_by=bspec.get("sort_by"),
+                        expected_base=base,
+                        meta_late=meta_late,
+                    )
             return commit_version(
                 batch,
                 path,

@@ -231,3 +231,55 @@ def test_coalesced_bucket_counts_join_without_exchange(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_compact_snapshot_drops_spec_overwrite_keeps_it(spark, tmp_path):
+    """compact_snapshot rewrites PLAIN files — carrying _bucket_spec
+    over them would make the catalog-registered join read wrong
+    buckets silently, so the spec must drop; SQL INSERT OVERWRITE on
+    a bucketed table instead rewrites THROUGH the bucketed writer and
+    keeps the layout."""
+    from temp_data_pipeline_spark.operators.versioned import (
+        compact_snapshot,
+    )
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    path = str(tmp_path / "t")
+    commit_bucketed(_frame(spark, 400, 8, "a"), path, bucket_by=["k"], n_buckets=4)
+    commit_version(_frame(spark, 100, 8, "b"), path, carry_from=1)
+    compact_snapshot(spark, path)
+    assert bucket_spec(spark, path) is None  # plain files, no lie
+    with pytest.raises(ValueError, match="no _bucket_spec"):
+        read_bucketed(spark, path)
+    # fresh bucketed table driven through the console
+    p2 = str(tmp_path / "wh" / "t2")
+    e = SqlEngine(spark, {}, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE t2 CLUSTERED BY (k) INTO 4 BUCKETS AS "
+        "SELECT CAST(id % 8 AS INT) AS k, id AS v FROM range(200)"
+    )
+    e.sql("INSERT OVERWRITE t2 SELECT CAST(id % 8 AS INT) AS k, id AS v FROM range(50)")
+    assert bucket_spec(spark, p2) == {
+        "bucket_by": ["k"], "n": 4, "sort_by": ["k"],
+    }
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # still co-located: no fallback
+        assert read_bucketed(spark, p2).count() == 50
+
+
+def test_compact_incremental_spec_rules(spark, tmp_path):
+    from temp_data_pipeline_spark.operators.versioned import (
+        compact_incremental,
+    )
+
+    path = str(tmp_path / "t")
+    commit_bucketed(_frame(spark, 400, 8, "a"), path, bucket_by=["k"], n_buckets=4)
+    commit_version(_frame(spark, 100, 8, "b"), path, carry_from=1)
+    # everything is tiny: the whole chain collapses to ONE plain dir —
+    # the spec must drop (plain files can't honor it)
+    v = compact_incremental(spark, path, small_bytes=1 << 30)
+    assert v == 3
+    assert bucket_spec(spark, path) is None
+    assert read_version(spark, path).count() == 500
