@@ -185,6 +185,9 @@ _LAST_VERIFIED = {
 _RECHECK: list[str] = [
     "q_sql_dml", "q_merge_into", "q_replicate", "q_scd2",
     "q_sql_merge", "q_sql_cdf", "q_sql_ddl", "q_merge_cdc",
+    # multi-level COW carve landed late in r11: the COW lifecycles
+    # re-check even though the final-tree sweep re-verified them
+    "q_compact_partitions", "q_matview_refresh", "q_matview_mor",
 ]
 
 

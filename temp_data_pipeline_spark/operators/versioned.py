@@ -1186,20 +1186,25 @@ def _touched_values(df: DataFrame, partition_col: str) -> set[str | None]:
     return {r["_v"] for r in rows}
 
 
-def _require_matching_layout(man: dict, partition_col: str, op: str) -> None:
-    """Partition-level COW carves ONE hive level: the base layout must
-    be exactly ``[partition_col]``. A multi-column layout would carve
-    correctly on its first level but the rewrite commit would record
-    the NARROWER layout — a silent downgrade future maintenance would
-    inherit — so refuse loudly (compact_snapshot first, or carve the
-    first-level column after flattening the layout)."""
+def _require_matching_layout(
+    man: dict, partition_col: str, op: str
+) -> list[str]:
+    """Partition-level COW carves on the FIRST hive level: the carve
+    column must lead the base layout. Multi-level layouts
+    (``partition_by=[a, b]``) carve on ``a`` — each carried
+    ``v=<N>/a=x`` reference brings its whole ``b=*`` subtree, and the
+    rewrite re-commits under the FULL recorded layout (returned here)
+    so deeper levels survive the maintenance pass. Carving a
+    NON-leading column refuses loudly: its values are spread across
+    every first-level dir, so there is no subtree to carry."""
     pb = man.get("_partition_by") or []
-    if pb and pb != [partition_col]:
+    if pb and pb[0] != partition_col:
         raise ValueError(
             f"{op} carves by {partition_col!r} but the base layout is "
-            f"partition_by={pb} — partition-level COW requires a "
-            "single-level layout matching the carve column"
+            f"partition_by={pb} — partition-level COW carves the "
+            "FIRST-level column only"
         )
+    return pb or [partition_col]
 
 
 def commit_merge_cow(
@@ -1242,7 +1247,9 @@ def commit_merge_cow(
     latest = vs[-1]
     base_man = read_manifest(spark, path, latest)
     _require_no_dv(base_man, "commit_merge_cow")
-    _require_matching_layout(base_man, partition_col, "commit_merge_cow")
+    layout = _require_matching_layout(
+        base_man, partition_col, "commit_merge_cow"
+    )
     base_dirs = _manifest_dirs(base_man)
     touched = _touched_values(updates, partition_col)
     cond = F.col(partition_col).cast("string").isin(
@@ -1258,7 +1265,7 @@ def commit_merge_cow(
     return commit_version(
         merged,
         path,
-        partition_by=[partition_col],
+        partition_by=layout,
         carry_dirs=carried,
         meta=meta,
         expected_base=latest,
@@ -1312,7 +1319,9 @@ def commit_cdc_cow(
     latest = vs[-1]
     base_man = read_manifest(spark, path, latest)
     _require_no_dv(base_man, "commit_cdc_cow")
-    _require_matching_layout(base_man, partition_col, "commit_cdc_cow")
+    layout = _require_matching_layout(
+        base_man, partition_col, "commit_cdc_cow"
+    )
     base_dirs = _manifest_dirs(base_man)
     touched = _touched_values(changes, partition_col)
     cond = F.col(partition_col).cast("string").isin(
@@ -1329,7 +1338,7 @@ def commit_cdc_cow(
     return commit_version(
         survivors,
         path,
-        partition_by=[partition_col],
+        partition_by=layout,
         carry_dirs=carried,
         meta=meta,
         expected_base=latest,
@@ -1426,7 +1435,9 @@ def commit_delete_cow(
     latest = _resolve_version(spark, path, None)
     base_man = read_manifest(spark, path, latest)
     _require_no_dv(base_man, "commit_delete_cow")
-    _require_matching_layout(base_man, partition_col, "commit_delete_cow")
+    layout = _require_matching_layout(
+        base_man, partition_col, "commit_delete_cow"
+    )
     base_dirs = _manifest_dirs(base_man)
     cur = read_version(spark, path, latest)
     touched = _touched_values(cur.filter(predicate), partition_col)
@@ -1449,7 +1460,7 @@ def commit_delete_cow(
     return commit_version(
         survivors,
         path,
-        partition_by=[partition_col],
+        partition_by=layout,
         carry_dirs=carried,
         meta=meta,
         expected_base=latest,
@@ -1629,7 +1640,7 @@ def compact_partitions(
     latest = vs[-1]
     man = read_manifest(spark, path, latest)
     _require_no_dv(man, "compact_partitions")
-    _require_matching_layout(man, partition_col, "compact_partitions")
+    layout = _require_matching_layout(man, partition_col, "compact_partitions")
     base_dirs = _manifest_dirs(man)
     # every partition value the snapshot holds, from dir names —
     # _cow_carried_dirs with an empty touched set enumerates ALL
@@ -1718,7 +1729,7 @@ def compact_partitions(
     return commit_version(
         rows,
         path,
-        partition_by=[partition_col],
+        partition_by=layout,
         carry_dirs=carried,
         meta={
             **keep,

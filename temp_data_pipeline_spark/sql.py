@@ -1153,10 +1153,10 @@ class SqlEngine:
                     self.spark, path, versions(self.spark, path)[-1]
                 )
                 pcols = man.get("_partition_by") or []
-                if len(pcols) != 1:
+                if not pcols:
                     raise ValueError(
-                        f"OPTIMIZE ... WHERE needs a table partitioned "
-                        f"by exactly one column (got {pcols})"
+                        "OPTIMIZE ... WHERE needs a partitioned table "
+                        "(the predicate selects first-level partitions)"
                     )
                 return compact_partitions(
                     self.spark,

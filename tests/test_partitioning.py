@@ -141,9 +141,9 @@ class TestVersionedIntegration:
 
 def test_multi_level_layout_end_to_end(spark, tmp_path):
     """Two-level hive layouts: write, read (pruning intact), carry
-    appends, SHOW PARTITIONS descent — and the COW ops refuse the
-    narrower carve loudly instead of silently downgrading the
-    recorded layout."""
+    appends, SHOW PARTITIONS descent — and the COW ops carve the
+    FIRST level (re-committing under the FULL layout, subtrees
+    carried whole) while a non-leading carve refuses loudly."""
     import os
 
     import pytest
@@ -189,8 +189,31 @@ def test_multi_level_layout_end_to_end(spark, tmp_path):
         for r in snapshot_partitions(spark, path).collect()
     ]
     assert ("2026-01-03", "ap") in parts and len(parts) == 5
-    # COW carve on one level of a two-level layout refuses loudly
-    with pytest.raises(ValueError, match="single-level layout"):
-        commit_delete_cow(spark, path, F.col("k") == 0, "date")
-    with pytest.raises(ValueError, match="single-level layout"):
-        compact_partitions(spark, path, "date", values=["2026-01-01"])
+    # COW carves the FIRST level of a multi-level layout: the rewrite
+    # re-commits under the FULL layout, carried date-dirs bring their
+    # region subtrees whole
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+
+    v = compact_partitions(spark, path, "date", values=["2026-01-01"])
+    man = read_manifest(spark, path, v)
+    assert man["_partition_by"] == ["date", "region"]
+    after = read_version(spark, path)
+    assert after.count() == 5
+    assert sorted(
+        (r["k"], r["date"], r["region"], r["v"]) for r in after.collect()
+    ) == sorted(
+        (r["k"], r["date"], r["region"], r["v"]) for r in cur.collect()
+    )
+    assert after.filter(
+        (F.col("date") == "2026-01-02") & (F.col("region") == "eu")
+    ).count() == 1
+    # first-level COW delete on the compacted two-level table
+    commit_delete_cow(spark, path, F.col("k") == 0, "date")
+    assert read_version(spark, path).count() == 4
+    assert read_manifest(
+        spark, path, v + 1
+    )["_partition_by"] == ["date", "region"]
+    # carving a NON-leading column still refuses: its values spread
+    # across every first-level dir — nothing to carry
+    with pytest.raises(ValueError, match="FIRST-level"):
+        compact_partitions(spark, path, "region", values=["us"])
