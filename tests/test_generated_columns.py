@@ -137,3 +137,30 @@ def test_self_or_cross_generated_reference_rejected(spark, tmp_path):
             "g1 BIGINT GENERATED ALWAYS AS (a + 1), "
             "g2 BIGINT GENERATED ALWAYS AS (g1 * 2))"
         )
+
+
+def test_generated_partition_column_prunes(spark, tmp_path):
+    """Delta's flagship generated-column use: partition by a derived
+    column, write through INSERT (engine computes it), and get
+    planning-time partition pruning on the derived value."""
+    e = SqlEngine(spark, {}, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE ev (ts TIMESTAMP, v BIGINT, "
+        "day STRING GENERATED ALWAYS AS (date_format(ts, 'yyyy-MM-dd'))) "
+        "PARTITIONED BY (day)"
+    )
+    p = str(tmp_path / "wh" / "ev")
+    spark.sql(
+        "SELECT timestamp'2026-01-01 03:00:00' + make_interval(0,0,0,0,id,0,0) AS ts, "
+        "id AS v FROM range(96)"
+    ).createOrReplaceTempView("ev_src")
+    e.sql("INSERT INTO ev (ts, v) SELECT ts, v FROM ev_src")
+    df = e.sql("SELECT v FROM ev WHERE day = '2026-01-02'")
+    assert df.count() == 24
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan  # planning-time pruning
+    import os
+
+    assert sorted(
+        d for d in os.listdir(f"{p}/v=2") if d.startswith("day=")
+    ) == [f"day=2026-01-0{i}" for i in (1, 2, 3, 4, 5)]
