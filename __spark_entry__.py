@@ -188,6 +188,8 @@ _RECHECK: list[str] = [
     # multi-level COW carve landed late in r11: the COW lifecycles
     # re-check even though the final-tree sweep re-verified them
     "q_compact_partitions", "q_matview_refresh", "q_matview_mor",
+    # MERGE evolution touched the merge projection: q_merge_cdc and
+    # q_sql_merge already listed above re-cover it
 ]
 
 

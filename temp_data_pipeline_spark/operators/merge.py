@@ -78,8 +78,14 @@ rows need not be unique per key — every matched target row is
 updated/deleted per its pair. Appends project onto the TARGET's
 columns: the source may carry EXTRA columns (CDC op codes, sequence
 numbers) referenced only in clause conditions, but must contain every
-target column; on an EMPTY target the insert defines the schema. No
-reference counterpart; semantics follow Delta's MERGE as published.
+target column; on an EMPTY target the insert defines the schema.
+``allow_evolution=True`` (SQL: ``MERGE WITH SCHEMA EVOLUTION INTO``)
+is Delta's autoMerge: new source columns the merge ASSIGNS (via
+SET * / INSERT * or an explicit SET/VALUES name) are ADDED to the
+target schema — appended last, existing rows reading NULL by the
+add-column evolution contract — while merely-referenced extras still
+never land. No reference counterpart; semantics follow Delta's MERGE
+as published.
 """
 
 from __future__ import annotations
@@ -163,6 +169,7 @@ def commit_merge_into(
     insert_clauses: list | None = None,
     by_source_clauses: list | None = None,
     meta: dict | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """Run one conditional MERGE of ``source`` into the versioned
     table at ``path``; returns the committed version. See module
@@ -343,17 +350,45 @@ def commit_merge_into(
                 f"source lacks target column(s) {missing_t} — SET * "
                 "/ INSERT * need every target column"
             )
-        data_cols = t_cols
+        # schema evolution (Delta autoMerge / MERGE WITH SCHEMA
+        # EVOLUTION): columns the merge ASSIGNS that the target lacks
+        # widen the table — source extras under SET * / INSERT *,
+        # plus any explicitly SET/VALUES-named new columns. Source
+        # columns merely REFERENCED (CDC op codes, sequence numbers)
+        # still never land.
+        new_cols: list[str] = []
+        if allow_evolution:
+            assigned = set()
+            if needs_star:
+                assigned.update(
+                    c for c in source.columns if c not in t_types
+                )
+            for _k, _c, aset in matched_clauses + by_source_clauses:
+                if aset:
+                    assigned.update(c for c in aset if c not in t_types)
+            for _c, vals in insert_clauses:
+                if vals:
+                    assigned.update(c for c in vals if c not in t_types)
+            new_cols = [c for c in source.columns if c in assigned] + sorted(
+                c for c in assigned if c not in source.columns
+            )
+        data_cols = t_cols + new_cols
         bad_vals = [
             c
             for _cond_, vals in insert_clauses
             if vals
             for c in vals
-            if c not in t_types
+            if c not in t_types and c not in new_cols
         ]
         if bad_vals:
             raise ValueError(
                 f"INSERT VALUES names unknown target column(s) {bad_vals}"
+                + (
+                    ""
+                    if allow_evolution
+                    else " (pass allow_evolution=True / MERGE WITH "
+                    "SCHEMA EVOLUTION to add them)"
+                )
             )
 
     if by_source_clauses:
@@ -399,6 +434,16 @@ def commit_merge_into(
                 no_prior = no_prior & ~c
             return out
 
+        s_types = {f.name: f.dataType for f in source.schema.fields}
+
+        def _typed_null(c):
+            # a NEW column absent from one branch unions by name with
+            # the branches that carry it — type the NULL from the
+            # source schema so unionByName never sees bare NullType
+            return (
+                F.lit(None).cast(s_types[c]) if c in s_types else F.lit(None)
+            )
+
         def _proj(aset: dict | None, star_side: str) -> list:
             """Replacement-row projection for an update clause: SET *
             (aset None) takes the whole ``star_side`` row; a partial
@@ -407,11 +452,23 @@ def commit_merge_into(
             (UPDATE SET x = 1 must not silently copy the source's
             other columns over the target's)."""
             exprs = []
+            s_cols = set(source.columns)
             for c in data_cols:
                 if aset is None:
-                    e = F.col(f"{star_side}.{c}")
+                    have = s_cols if star_side == "s" else t_types
+                    e = (
+                        F.col(f"{star_side}.{c}")
+                        if c in have
+                        else _typed_null(c)
+                    )
                 else:
-                    e = aset.get(c, F.col(f"t.{c}"))
+                    e = aset.get(c)
+                    if e is None:
+                        e = (
+                            F.col(f"t.{c}")
+                            if c in t_types
+                            else _typed_null(c)
+                        )
                 if isinstance(e, str):
                     e = F.expr(e)
                 exprs.append(e.alias(c))
@@ -470,7 +527,7 @@ def commit_merge_into(
                                 if cname in dflt
                                 and cname not in gcols
                                 and cname not in _idents
-                                else F.lit(None)
+                                else _typed_null(cname)
                             )
                         if isinstance(e, str):
                             e = F.expr(e)
@@ -531,6 +588,7 @@ def commit_merge_into(
             appends,
             meta,
             meta_late=meta_late,
+            allow_evolution=bool(new_cols),
         )
     finally:
         j.unpersist()

@@ -3071,3 +3071,73 @@ def q_sql_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_register(
+    "q_merge_evolve",
+    ["extension-relational", "sql"],
+    """
+    WITH target AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+      WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+      SELECT o_orderkey AS k, o_totalprice + 5 AS price,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(s.k, t.k) AS k,
+           COALESCE(s.price, t.price) AS price,
+           s.priority AS priority
+    FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    ORDER BY k
+    """,
+    note=(
+        "MERGE WITH SCHEMA EVOLUTION (operators/merge.py "
+        "allow_evolution — Delta autoMerge): the source carries a "
+        "column the target lacks; SET * / INSERT * widen the target "
+        "schema (new column appended LAST, untouched rows read NULL "
+        "via add-column evolution), matched rows take the source's "
+        "values, unmatched source rows insert.  The final table must "
+        "equal the oracle's full-outer reconstruction."
+    ),
+)
+def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    scratch = tempfile.mkdtemp(prefix="mevo_")
+    try:
+        shutil.rmtree(scratch, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        from temp_data_pipeline_spark.operators.versioned import (
+            commit_version,
+        )
+
+        commit_version(
+            orders.filter(F.col("o_orderkey") % 3 != 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("price"),
+            ),
+            f"{scratch}/t",
+        )
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 5).alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        ).createOrReplaceTempView("q_mevo_src")
+        eng = SqlEngine(spark, {"t": f"{scratch}/t"})
+        eng.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO t USING "
+            "(SELECT k, price, priority FROM q_mevo_src) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return (
+            eng.sql("SELECT k, price, priority FROM t ORDER BY k")
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1622,6 +1622,18 @@ class SqlEngine:
         )
 
         text = st.text
+        # Databricks' MERGE WITH SCHEMA EVOLUTION INTO: assigned new
+        # source columns widen the target (operators/merge.py)
+        evolve = False
+        em = re.match(
+            r"MERGE" + _WS + r"WITH" + _WS + r"SCHEMA" + _WS
+            + r"EVOLUTION" + _WS,
+            text,
+            re.IGNORECASE,
+        )
+        if em:
+            evolve = True
+            text = "MERGE " + text[em.end():]
         m = re.match(
             r"MERGE" + _WS + r"INTO" + _WS + r"(\w+)"
             r"(?:" + _WS + r"(?:AS" + _WS + r")?(\w+))?" + _WS
@@ -1841,6 +1853,7 @@ class SqlEngine:
             matched_clauses=matched_clauses,
             insert_clauses=insert_clauses,
             by_source_clauses=by_source_clauses,
+            allow_evolution=evolve,
         )
 
     def _merge_keys(

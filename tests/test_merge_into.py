@@ -515,3 +515,72 @@ def test_insert_values_guards(spark, tmp_path):
             src, empty, ["k"],
             insert_clauses=[(True, {"k": "k"})],
         )
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: assigned new source columns widen
+    the target; merely-referenced extras (op codes) still never land;
+    existing rows read the new column as NULL."""
+    import os
+
+    from temp_data_pipeline_spark.operators.versioned import read_manifest
+    from temp_data_pipeline_spark.sql import SqlEngine
+
+    p = os.path.join(str(tmp_path), "t")
+    commit_version(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, price double"
+        ),
+        p,
+    )
+    src = spark.createDataFrame(
+        [(2, 21.0, "gold", "U"), (3, 30.0, "silver", "I")],
+        "k long, price double, tier string, op string",
+    )
+    # without the flag: INSERT * drops extras, naming tier errors
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        commit_merge_into(
+            src, p, ["k"],
+            insert_clauses=[(True, {"k": "k", "tier": "tier"})],
+        )
+    src.createOrReplaceTempView("mse_src")
+    e = SqlEngine(spark, {"t": p})
+    e.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING "
+        "(SELECT k, price, tier FROM mse_src WHERE op <> 'X') s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {
+        r["k"]: (r["price"], r["tier"])
+        for r in read_table(spark, p).collect()
+    }
+    assert rows == {
+        1: (10.0, None),   # untouched old row: new column reads NULL
+        2: (21.0, "gold"),  # updated: source values incl. new column
+        3: (30.0, "silver"),  # inserted
+    }
+    man = read_manifest(spark, p, versions(spark, p)[-1])
+    names = [f["name"] for f in man["_schema"]["fields"]]
+    assert names == ["k", "price", "tier"]  # widened, new col LAST
+    assert "op" not in names  # referenced-only extras never land
+
+
+def test_merge_evolution_explicit_values_names_new_column(spark, tmp_path):
+    import os
+
+    p = os.path.join(str(tmp_path), "t")
+    commit_version(
+        spark.createDataFrame([(1, 1.0)], "k long, price double"), p
+    )
+    src = spark.createDataFrame(
+        [(5, 5.0, 99)], "k long, price double, rank long"
+    )
+    commit_merge_into(
+        src, p, ["k"],
+        insert_clauses=[(True, {"k": "k", "price": "price", "rank": "rank"})],
+        allow_evolution=True,
+    )
+    rows = {r["k"]: (r["price"], r["rank"]) for r in read_table(spark, p).collect()}
+    assert rows == {1: (1.0, None), 5: (5.0, 99)}
