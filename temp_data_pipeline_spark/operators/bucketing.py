@@ -28,12 +28,17 @@ layout INSIDE a versioned table's commit protocol:
 - Appends and COW/MOR commits keep working unmodified — bucket files
   are plain parquet to every other reader — and carry commits inherit
   ``_bucket_spec`` so the table remembers its layout.  A snapshot
-  whose manifest lists MORE than one live data dir (post-append) or
-  carries a deletion vector has lost physical co-location; reads fall
-  back to the canonical full-fidelity reader (loudly), and
-  ``rebucket`` restores locality with one full rewrite (the same
-  contract as Iceberg's rewrite_data_files after the table drifts
-  from its clustering).
+  whose manifest lists MORE than one live data dir (post-append) has
+  lost physical co-location; reads fall back to the canonical
+  full-fidelity reader (loudly), and ``rebucket`` restores locality
+  with one full rewrite (the same contract as Iceberg's
+  rewrite_data_files after the table drifts from its clustering).
+  Empty own dirs from metadata-style commits (DV deletes, SET
+  TBLPROPERTIES, tags) are ignored — footer row counts decide — and a
+  DELETION VECTOR costs no co-location at all: the reader subtracts
+  it with a broadcast anti-join, which preserves the bucketed scan's
+  HashPartitioning, so MOR deletes ride along with zero extra
+  shuffles until rebucket() materializes them.
 
 Scale notes (100 TB): pick the bucket count once per lake — e.g. 1024
 buckets over a 100 TB fact ≈ 100 GB/bucket of raw scan per join task
@@ -176,21 +181,66 @@ def bucket_spec(
 
 def _colocated_dir(spark: SparkSession, path: str, version: int):
     """The snapshot's single physically-bucketed data dir, or None if
-    co-location is broken (multi-dir snapshot, nested COW carve, or a
-    deletion vector changing visible rows)."""
+    co-location is broken (multi-dir snapshot, nested COW carve).  A
+    deletion vector does NOT break co-location: the reader subtracts
+    it with a broadcast anti-join, which PRESERVES the scan's
+    HashPartitioning — callers that need a clean rewrite target
+    (rebucket) additionally check ``man['_dv']``."""
     man = read_manifest(spark, path, version)
     spec = man.get("_bucket_spec")
     if not spec:
-        return None, None, man
+        return None, None, None, man
     dirs = _manifest_dirs(man)
+    # metadata-style commits (DV deletes, SET TBLPROPERTIES, tags)
+    # append an EMPTY own dir — it holds no data files, so it cannot
+    # break physical co-location.  One listStatus per dir
+    # (metadata plane) filters them out.
+    if len(dirs) > 1:
+        from temp_data_pipeline_spark.operators.versioned import _fs
+
+        fs, jvm = _fs(spark, path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        live = []
+        for d in dirs:
+            p = Path(_dir_abs(path, man, d))
+            try:
+                statuses = fs.listStatus(p)
+            except Exception:
+                live.append(d)  # unreadable: assume data, disqualify
+                continue
+            if any(st.isDirectory() for st in statuses):
+                live.append(d)  # hive subdirs: data (or disqualifying)
+                continue
+            # an empty commit (DV delete, SET TBLPROPERTIES, tag)
+            # still writes one ZERO-ROW parquet file — row counts
+            # from the footers (pyarrow, metadata-plane) decide;
+            # any read error conservatively counts the dir as live
+            # (the reader then falls back — correct, just slower)
+            n_rows = 0
+            for st in statuses:
+                name = st.getPath().getName()
+                if st.isDirectory() or not name.endswith(".parquet"):
+                    continue
+                try:
+                    import pyarrow.parquet as _pq
+
+                    n_rows += _pq.ParquetFile(
+                        st.getPath().toUri().getPath()
+                    ).metadata.num_rows
+                except Exception:
+                    n_rows += 1  # unreadable footer: assume data
+                if n_rows:
+                    break
+            if n_rows:
+                live.append(d)
+        dirs = live or dirs[:1]
     if (
         len(dirs) != 1
         or "/" in dirs[0]
         or _dir_mapping(man, dirs[0]) is not None
-        or man.get("_dv")
     ):
-        return None, spec, man
-    return _dir_abs(path, man, dirs[0]), spec, man
+        return None, None, spec, man
+    return _dir_abs(path, man, dirs[0]), dirs[0], spec, man
 
 
 def read_bucketed(
@@ -202,7 +252,7 @@ def read_bucketed(
     otherwise falls back to the canonical full-fidelity reader —
     identical rows, just without the co-location fast path."""
     version = _resolve_version(spark, path, version)
-    abs_dir, spec, man = _colocated_dir(spark, path, version)
+    abs_dir, rel_dir, spec, man = _colocated_dir(spark, path, version)
     if spec is None:
         raise ValueError(
             f"{path} v{version} has no _bucket_spec — not a bucketed "
@@ -217,7 +267,7 @@ def read_bucketed(
 
         warnings.warn(
             f"bucketed table {path} v{version} lost physical "
-            "co-location (multi-dir or DV snapshot); falling back to "
+            "co-location (multi-dir snapshot); falling back to "
             "the plain reader — run rebucket() to restore",
             stacklevel=2,
         )
@@ -247,7 +297,34 @@ def read_bucketed(
             f"INTO {int(spec['n'])} BUCKETS "
             f"LOCATION '{abs_dir}'"
         )
-    return spark.table(tname)
+    scan = spark.table(tname)
+    if man.get("_dv"):
+        # MOR deletes without losing co-location: tag the CATALOG
+        # bucketed scan with (file, pos) from the parquet metadata
+        # columns and subtract the DV by broadcast anti-join — a
+        # broadcast join PRESERVES the streamed side's
+        # HashPartitioning, so a downstream co-bucketed join still
+        # plans with zero Exchange (pinned in tests).  Past the
+        # broadcast cap the anti-join shuffles (correct, just no
+        # longer co-located) — rebucket()/materialize_deletes is the
+        # maintenance answer at that point.
+        from temp_data_pipeline_spark.operators.deletion_vectors import (
+            _subtract_dv,
+            read_dv,
+        )
+        from temp_data_pipeline_spark.operators.versioned import _rel_file
+
+        from pyspark.sql import functions as F
+
+        tagged = scan.select(
+            _rel_file(rel_dir).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            *scan.columns,
+        )
+        return _subtract_dv(
+            tagged, read_dv(spark, path, version), man.get("_dv_rows")
+        )
+    return scan
 
 
 def bucketed_join(
@@ -320,10 +397,10 @@ def rebucket(spark: SparkSession, path: str) -> int:
     No-op (returns the current version) when the snapshot is already
     one clean bucketed dir."""
     version = _resolve_version(spark, path, None)
-    abs_dir, spec, _man = _colocated_dir(spark, path, version)
+    abs_dir, _rel, spec, _man = _colocated_dir(spark, path, version)
     if spec is None:
         raise ValueError(f"{path} has no _bucket_spec to rebucket to")
-    if abs_dir is not None:
+    if abs_dir is not None and not _man.get("_dv"):
         return version
     from temp_data_pipeline_spark.operators.deletion_vectors import (
         read_table,

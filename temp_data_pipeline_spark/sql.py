@@ -198,7 +198,7 @@ class SqlEngine:
             )
 
             v = _resolve_version(self.spark, path, None)
-            abs_dir, spec, _man = _colocated_dir(self.spark, path, v)
+            abs_dir, _rel, spec, _man = _colocated_dir(self.spark, path, v)
             if abs_dir is not None:
                 return read_bucketed(self.spark, path, v)
         except FileNotFoundError:

@@ -283,3 +283,61 @@ def test_compact_incremental_spec_rules(spark, tmp_path):
     assert v == 3
     assert bucket_spec(spark, path) is None
     assert read_version(spark, path).count() == 500
+
+
+def test_mor_delete_keeps_colocated_join(spark, tmp_path):
+    """A deletion vector does not cost the co-located join: the DV
+    subtracts via broadcast anti-join (partitioning-preserving), so a
+    co-bucketed join over a MOR-deleted table still plans with zero
+    Exchange; rebucket() materializes the deletes back into clean
+    bucket files."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        commit_delete_mor,
+    )
+
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    commit_bucketed(_frame(spark, 800, 16, "a"), a_path, bucket_by=["k"], n_buckets=4)
+    commit_bucketed(
+        _frame(spark, 200, 16, "b").withColumnRenamed("payload", "bp").drop("seq"),
+        b_path,
+        bucket_by=["k"],
+        n_buckets=4,
+    )
+    commit_delete_mor(spark, a_path, F.col("seq") % 2 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, a_path, b_path, ["k"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # ONE broadcast exchange for the DV is fine; no shuffle
+        # exchange on either bucketed side
+        assert "Exchange hashpartitioning" not in plan
+        assert "BroadcastHashJoin" in plan  # the DV anti-join
+        plain = (
+            _frame(spark, 800, 16, "a")
+            .filter(F.col("seq") % 2 != 0)
+            .join(
+                _frame(spark, 200, 16, "b")
+                .withColumnRenamed("payload", "bp")
+                .drop("seq"),
+                ["k"],
+            )
+        )
+        got = sorted(tuple(r) for r in joined.collect())
+        want = sorted(tuple(r) for r in plain.collect())
+        assert got == want
+        # rebucket materializes the DV into clean bucket files
+        v = rebucket(spark, a_path)
+        assert v == 3
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            df = read_bucketed(spark, a_path)
+        assert df.count() == 400
+        assert "BroadcastHashJoin" not in _plan(df)  # DV gone
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
