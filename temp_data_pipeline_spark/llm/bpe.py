@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_bpe", "bpe_encode_expr", "fit_bpe"]
+__all__ = ["apply_bpe", "bpe_encode_expr", "fit_bpe", "fit_bpe_distributed"]
 
 _S, _E = "\x01", "\x02"  # symbol start/end sentinels
 
@@ -70,6 +70,70 @@ def fit_bpe(
             if w:
                 key = tuple(w)
                 word_freq[key] = word_freq.get(key, 0) + 1
+    return _merge_loop(word_freq, n_merges)
+
+
+def fit_bpe_distributed(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 32,
+    max_vocab_words: int = 1 << 17,
+) -> list[tuple[str, str]]:
+    """BPE training on the FULL corpus's word statistics: ONE
+    distributed word-frequency aggregation over every document (the
+    only pass that touches the data — at 100 TB this is a plain
+    explode→groupBy shuffle), then the same deterministic merge loop
+    as ``fit_bpe`` over the aggregated (word, freq) table, which is
+    VOCABULARY-sized, not corpus-sized.  This removes ``fit_bpe``'s
+    sample bias — the pair counts are exact over the whole corpus —
+    while keeping the sequential merge loop on a driver-bounded
+    input.
+
+    ``max_vocab_words`` caps the driver table at the most frequent
+    words (ties broken lexicographically for reproducibility); the
+    cap is LOUD.  Dropped tail words are the low-frequency mass that
+    barely moves pair counts — the standard fastBPE/HuggingFace
+    trainer shape (word counts first, merges over the count table).
+
+    Returns the ranked merge list [(a, b), ...] — feed to apply_bpe,
+    identical contract to ``fit_bpe``."""
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.split(F.col(text_col), " ", -1)
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_words = words.count()
+    if n_words > max_vocab_words:
+        print(
+            f"fit_bpe_distributed: vocabulary {n_words} words exceeds "
+            f"max_vocab_words={max_vocab_words}; training on the "
+            "most frequent cap (tail mass dropped — raise the cap to "
+            "include it)"
+        )
+        words = words.orderBy(F.col("freq").desc(), F.col("w")).limit(
+            max_vocab_words
+        )
+    word_freq: dict[tuple[str, ...], int] = {}
+    for r in words.collect():
+        key = tuple(r["w"])
+        word_freq[key] = word_freq.get(key, 0) + int(r["freq"])
+    return _merge_loop(word_freq, n_merges)
+
+
+def _merge_loop(
+    word_freq: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The classic sequential BPE merge loop over a (word-symbols ->
+    frequency) table — shared by the sampled and distributed fits;
+    deterministic (ties: highest count, then lexicographically
+    smallest pair)."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts: dict[tuple[str, str], int] = {}
@@ -79,8 +143,6 @@ def fit_bpe(
                 pair_counts[p] = pair_counts.get(p, 0) + freq
         if not pair_counts:
             break
-        # deterministic tie-break: highest count, then lexicographically
-        # smallest pair
         best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
         merges.append(best)
         a, b = best

@@ -1999,6 +1999,95 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(d, _BPE_MERGES).orderBy("doc_id")
 
 
+_BPE_TRAIN_ROUNDS = 4
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """DuckDB oracle for fit_bpe_distributed: the word-frequency
+    aggregation + ``n_rounds`` chained merge rounds, each round one
+    CTE trio (pair counts -> argmax -> merge applied by sentinel
+    replace).  The \x01sym\x02 representation makes global string
+    replace EXACTLY the classic leftmost-non-overlapping merge (the
+    llm_bpe_encode trick, run in reverse for training)."""
+    head = """
+    WITH words AS (
+      SELECT array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> chr(1) || w[i:i] || chr(2)), '') AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''
+      GROUP BY 1
+    )"""
+    parts = [head.replace("words AS", "w1 AS")]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT string_split(u.p, chr(9))[1] AS a,
+             string_split(u.p, chr(9))[2] AS b,
+             SUM(f.freq) AS c
+      FROM (SELECT string_split(s, chr(2) || chr(1)) AS syms, freq
+            FROM w{r}) f,
+      LATERAL unnest(list_transform(
+        range(1, len(f.syms)),
+        i -> replace(replace(f.syms[i], chr(1), ''), chr(2), '')
+             || chr(9) ||
+             replace(replace(f.syms[i + 1], chr(1), ''), chr(2), '')
+      )) AS u(p)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+    ),
+    w{r + 1} AS (
+      SELECT replace(f.s,
+                     chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                     chr(1) || m.a || m.b || chr(2)) AS s,
+             f.freq
+      FROM w{r} f, b{r} m
+    )""")
+    tail = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return ",".join(parts) + "\n" + tail + "\n    ORDER BY rank"
+
+
+@_register(
+    "llm_bpe_train",
+    ["text-analysis", "curation"],
+    _bpe_train_oracle(_BPE_TRAIN_ROUNDS),
+    note=(
+        "DISTRIBUTED BPE training (llm/bpe.py::fit_bpe_distributed): "
+        "one full-corpus explode->groupBy word-frequency aggregation "
+        "(the only pass that touches the data — the 100 TB scan "
+        "happens once), then the deterministic merge loop over the "
+        "VOCABULARY-sized count table (the fastBPE/HuggingFace "
+        "trainer shape; exact corpus statistics, no sample bias). "
+        "The oracle replays the first 4 merge rounds ITERATIVELY in "
+        "SQL — each round one pair-count/argmax/sentinel-replace CTE "
+        "trio, the llm_bpe_encode \\x01sym\\x02 trick run in "
+        "reverse — so even the training loop is hash-compared, not "
+        "rows-only."
+    ),
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temp_data_pipeline_spark.llm.bpe import fit_bpe_distributed
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe_distributed(
+        d, n_merges=_BPE_TRAIN_ROUNDS
+    )
+    return spark.createDataFrame(
+        [
+            (r + 1, a, b, a + b)
+            for r, (a, b) in enumerate(merges)
+        ],
+        "rank long, left_sym string, right_sym string, merged string",
+    ).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # Lexical retrieval (BM25)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,32 @@ def test_null_text_does_not_crash_fit(spark):
     )
     merges = fit_bpe(df, n_merges=1)
     assert merges == [("a", "a")]
+
+
+def test_fit_bpe_distributed_matches_unbounded_sample(spark):
+    """Full-corpus distributed fit == the sampled fit when the sample
+    covers everything (same statistics -> same deterministic merges);
+    the cap path trains on the most frequent words, loudly."""
+    from temp_data_pipeline_spark.llm.bpe import (
+        fit_bpe,
+        fit_bpe_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                ["low lower lowest", "new newer newest", "low low new"]
+                * 5
+            )
+        ],
+        "doc_id long, text string",
+    )
+    sampled = fit_bpe(df, n_merges=6, sample_docs=10_000)
+    dist = fit_bpe_distributed(df, n_merges=6)
+    assert dist == sampled
+    assert len(dist) == 6
+    # cap path: only the top-2 words by freq survive; still returns
+    # deterministic merges (over the capped stats)
+    capped = fit_bpe_distributed(df, n_merges=3, max_vocab_words=2)
+    assert len(capped) == 3
