@@ -78,7 +78,7 @@ def fit_bpe_distributed(
     *,
     text_col: str = "text",
     n_merges: int = 32,
-    max_vocab_words: int = 1 << 17,
+    max_vocab_words: int | None = 1 << 17,
 ) -> list[tuple[str, str]]:
     """BPE training on the FULL corpus's word statistics: ONE
     distributed word-frequency aggregation over every document (the
@@ -92,9 +92,13 @@ def fit_bpe_distributed(
 
     ``max_vocab_words`` caps the driver table at the most frequent
     words (ties broken lexicographically for reproducibility); the
-    cap is LOUD.  Dropped tail words are the low-frequency mass that
+    cap is LOUD, and ``None`` disables it (exact on any vocabulary —
+    the conformance query's mode, so the SQL oracle corresponds at
+    every scale).  Dropped tail words are the low-frequency mass that
     barely moves pair counts — the standard fastBPE/HuggingFace
     trainer shape (word counts first, merges over the count table).
+    The aggregated table is persisted across the size probe and the
+    collect, so the corpus-sized scan runs ONCE either way.
 
     Returns the ranked merge list [(a, b), ...] — feed to apply_bpe,
     identical contract to ``fit_bpe``."""
@@ -109,19 +113,28 @@ def fit_bpe_distributed(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    n_words = words.count()
-    if n_words > max_vocab_words:
-        print(
-            f"fit_bpe_distributed: vocabulary {n_words} words exceeds "
-            f"max_vocab_words={max_vocab_words}; training on the "
-            "most frequent cap (tail mass dropped — raise the cap to "
-            "include it)"
-        )
-        words = words.orderBy(F.col("freq").desc(), F.col("w")).limit(
-            max_vocab_words
-        )
+    if max_vocab_words is None:
+        rows = words.collect()
+    else:
+        cached = words.persist()
+        try:
+            n_words = cached.count()
+            take = cached
+            if n_words > max_vocab_words:
+                print(
+                    f"fit_bpe_distributed: vocabulary {n_words} words "
+                    f"exceeds max_vocab_words={max_vocab_words}; "
+                    "training on the most frequent cap (tail mass "
+                    "dropped — raise the cap to include it)"
+                )
+                take = cached.orderBy(
+                    F.col("freq").desc(), F.col("w")
+                ).limit(max_vocab_words)
+            rows = take.collect()
+        finally:
+            cached.unpersist()
     word_freq: dict[tuple[str, ...], int] = {}
-    for r in words.collect():
+    for r in rows:
         key = tuple(r["w"])
         word_freq[key] = word_freq.get(key, 0) + int(r["freq"])
     return _merge_loop(word_freq, n_merges)

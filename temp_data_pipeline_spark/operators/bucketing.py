@@ -244,15 +244,28 @@ def _colocated_dir(spark: SparkSession, path: str, version: int):
 
 
 def read_bucketed(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    _pre=None,
 ) -> DataFrame:
     """Bucket-aware time-travel read.  When the snapshot is one clean
     bucketed dir, returns a catalog-backed scan that carries the
     bucketing into the planner (shuffle-free joins, bucket pruning);
     otherwise falls back to the canonical full-fidelity reader —
-    identical rows, just without the co-location fast path."""
-    version = _resolve_version(spark, path, version)
-    abs_dir, rel_dir, spec, man = _colocated_dir(spark, path, version)
+    identical rows, just without the co-location fast path.
+
+    ``_pre`` (private) is a ``(version, abs_dir, rel_dir, spec, man)``
+    tuple from a caller that already resolved the snapshot
+    (sql._snapshot runs per registered table per statement — without
+    this the metadata-plane reads would double on the console path).
+    """
+    if _pre is not None:
+        version, abs_dir, rel_dir, spec, man = _pre
+    else:
+        version = _resolve_version(spark, path, version)
+        abs_dir, rel_dir, spec, man = _colocated_dir(spark, path, version)
     if spec is None:
         raise ValueError(
             f"{path} v{version} has no _bucket_spec — not a bucketed "
@@ -279,16 +292,27 @@ def read_bucketed(
     # deterministic per-(dir) name: committed versions are immutable,
     # so an existing registration over the same location is never
     # stale and re-reads skip the DDL round trip
-    tname = "bkt_r_" + hashlib.md5(abs_dir.encode()).hexdigest()[:16]
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(man["_schema"])
+    # the cache key fingerprints dir + SPEC + SCHEMA: the same live
+    # dir can serve different manifests (ADD COLUMN metadata commits,
+    # scratch-path reuse with a different bucket_by/n) — a dir-only
+    # key would hand back a registration with the wrong schema or,
+    # worse, silently wrong bucketing metadata
+    tname = "bkt_r_" + hashlib.md5(
+        _json.dumps(
+            [abs_dir, spec, man["_schema"]], sort_keys=True
+        ).encode()
+    ).hexdigest()[:16]
     if spark.catalog.tableExists(tname):
         # committed versions are immutable, but a scratch path can be
         # torn down and re-created between sessions' tests — drop the
         # cached file listing so the scan re-lists the location
         spark.catalog.refreshTable(tname)
     else:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(man["_schema"])
         ddl = spark.createDataFrame([], schema)._jdf.schema().toDDL()
         spark.sql(
             f"CREATE TABLE {tname} ({ddl}) USING parquet "
@@ -338,13 +362,13 @@ def bucketed_join(
     right_version: int | None = None,
 ) -> DataFrame:
     """Join two bucketed tables on their shared bucket key.  Refuses
-    mismatched layouts (different bucket columns or counts) instead of
-    silently planning a shuffle — the caller asked for the co-located
-    join, so a layout that can't deliver it is an error, not a
-    degradation.  Joining on a PREFIX of the bucket key or on extra
-    columns is allowed (extra equality conditions don't break
-    co-location; Spark still elides the exchange when the bucket
-    columns are a subset of the join keys)."""
+    mismatched layouts (different bucket columns, or counts Spark's
+    coalesce rule can't bridge) instead of silently planning a
+    shuffle — the caller asked for the co-located join, so a layout
+    that can't deliver it is an error, not a degradation.  The join
+    keys must COVER the bucket columns (extra equality conditions on
+    top are fine — co-location survives); joining on a strict subset
+    of the bucket key cannot elide the exchange and is refused."""
     ls = bucket_spec(spark, left_path, left_version)
     rs = bucket_spec(spark, right_path, right_version)
     if not ls or not rs:

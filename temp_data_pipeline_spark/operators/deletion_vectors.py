@@ -630,6 +630,14 @@ def commit_update_mor(
         updated = updated.withColumn(
             col, F.expr(expr) if isinstance(expr, str) else expr
         )
+    # GENERATED columns not explicitly SET recompute from the updated
+    # row — an UPDATE changing a referenced base column must not carry
+    # the stale derived value into the __generated_ commit check
+    # (explicit SETs keep their value and validate there instead)
+    _types = {f.name: f.dataType for f in updated.schema.fields}
+    for gc, ge in (man.get("_generated_columns") or {}).items():
+        if gc in data_cols and gc not in set_exprs:
+            updated = updated.withColumn(gc, F.expr(ge).cast(_types[gc]))
     return _commit_with_dv(spark, path, base, man, dv_new, updated, meta)
 
 

@@ -485,12 +485,43 @@ def commit_merge_into(
             F.col("t._dv_pos").alias("pos"),
         )
 
+        _gcols_m = man.get("_generated_columns") or {}
+
+        def _update_frame(aset: dict | None, star_side: str, fire):
+            """One update clause's replacement rows.  GENERATED
+            columns the clause does not explicitly SET are RECOMPUTED
+            from the replacement row's base columns (the Delta
+            semantics — an UPDATE changing a referenced column must
+            not carry the stale derived value; the commit-time
+            __generated_ check would rightly reject it).  Explicitly
+            SET values are kept and validated at commit."""
+            fr = j.filter(fire).select(*_proj(aset, star_side))
+            fill = {
+                c: e
+                for c, e in _gcols_m.items()
+                if c in fr.columns and (aset is None or c not in aset)
+            }
+            if fill:
+                fr = fr.select(
+                    *[
+                        (
+                            F.expr(fill[c]).cast(t_types[c]).alias(c)
+                            if c in fill and c in t_types
+                            else F.expr(fill[c]).alias(c)
+                            if c in fill
+                            else F.col(c)
+                        )
+                        for c in fr.columns
+                    ]
+                )
+            return fr
+
         append_frames = [
-            j.filter(fire).select(*_proj(aset, "s"))
+            _update_frame(aset, "s", fire)
             for kind, fire, aset in m_fires
             if kind == "update"
         ] + [
-            j.filter(fire).select(*_proj(aset, "t"))
+            _update_frame(aset, "t", fire)
             for kind, fire, aset in b_fires
             if kind == "update"
         ]
@@ -514,7 +545,14 @@ def commit_merge_into(
                 proj = []
                 for cname in data_cols:
                     if vals is None:
-                        e = F.col(cname)
+                        # INSERT *: an evolution column assigned only
+                        # by a SET clause has no source value — typed
+                        # NULL, not an unresolved-column crash
+                        e = (
+                            F.col(cname)
+                            if cname in source.columns
+                            else _typed_null(cname)
+                        )
                     else:
                         e = vals.get(cname)
                         if e is None:

@@ -2077,7 +2077,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     merges = fit_bpe_distributed(
-        d, n_merges=_BPE_TRAIN_ROUNDS
+        d, n_merges=_BPE_TRAIN_ROUNDS, max_vocab_words=None
     )
     return spark.createDataFrame(
         [

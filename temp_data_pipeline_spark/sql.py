@@ -198,9 +198,13 @@ class SqlEngine:
             )
 
             v = _resolve_version(self.spark, path, None)
-            abs_dir, _rel, spec, _man = _colocated_dir(self.spark, path, v)
-            if abs_dir is not None:
-                return read_bucketed(self.spark, path, v)
+            abs_dir, rel, spec, man = _colocated_dir(self.spark, path, v)
+            if abs_dir is not None and spec is not None:
+                return read_bucketed(
+                    self.spark,
+                    path,
+                    _pre=(v, abs_dir, rel, spec, man),
+                )
         except FileNotFoundError:
             pass  # no committed versions: read_table raises uniformly
         return read_table(self.spark, path)
@@ -703,8 +707,14 @@ class SqlEngine:
                 )
             gen_refs: set[str] = set()
             for gexpr in gen.values():
+                # string literals out first: a literal word that
+                # happens to equal another generated column's name is
+                # not a reference ('total' in concat('total', a))
                 gen_refs.update(
-                    t.lower() for t in re.findall(r"\b\w+\b", gexpr)
+                    t.lower()
+                    for t in re.findall(
+                        r"\b\w+\b", re.sub(r"'[^']*'", " ", gexpr)
+                    )
                 )
             gen_bad = {c for c in gen if c.lower() in gen_refs}
             if gen_bad:

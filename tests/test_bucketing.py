@@ -341,3 +341,21 @@ def test_mor_delete_keeps_colocated_join(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_registration_refreshes_on_schema_change(spark, tmp_path):
+    """ADD COLUMN (metadata-only commit over the SAME live dir) must
+    not serve a stale catalog registration — the cache key
+    fingerprints the schema, so the widened snapshot reads the new
+    column as NULL and time travel still sees the old shape."""
+    from temp_data_pipeline_spark.operators.versioned import add_column
+
+    path = str(tmp_path / "t")
+    commit_bucketed(_frame(spark, 200, 8, "a"), path, bucket_by=["k"], n_buckets=4)
+    assert "note" not in read_bucketed(spark, path).columns
+    add_column(spark, path, "note", "string")
+    df = read_bucketed(spark, path)
+    assert "note" in df.columns
+    assert df.filter(F.col("note").isNull()).count() == 200
+    # time travel to v1 keeps the old shape
+    assert "note" not in read_bucketed(spark, path, 1).columns

@@ -164,3 +164,41 @@ def test_generated_partition_column_prunes(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(f"{p}/v=2") if d.startswith("day=")
     ) == [f"day=2026-01-0{i}" for i in (1, 2, 3, 4, 5)]
+
+
+def test_update_recomputes_generated(spark, eng):
+    """UPDATE changing a referenced base column must recompute the
+    generated column (Delta semantics) — not fail the commit's
+    __generated_ check with the stale derived value."""
+    e, p = eng
+    e.sql("INSERT INTO t (k, x) SELECT k, x FROM src")
+    e.sql("UPDATE t SET x = x + 1 WHERE k = 2")
+    rows = {
+        r["k"]: (r["x"], r["x2"]) for r in read_table(spark, p).collect()
+    }
+    assert rows[2] == (21.0, 42.0)  # recomputed
+    assert rows[1] == (10.0, 20.0)
+    # MERGE UPDATE path too — partial SET recomputes unlisted gen cols
+    e.sql(
+        "MERGE INTO t USING (SELECT k, x + 100 AS x FROM src) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET x = s.x"
+    )
+    rows = {
+        r["k"]: (r["x"], r["x2"]) for r in read_table(spark, p).collect()
+    }
+    assert rows[1] == (110.0, 220.0)
+    assert rows[3] == (130.0, 260.0)
+
+
+def test_string_literal_not_a_cross_reference(spark, tmp_path):
+    e = SqlEngine(spark, {}, warehouse=str(tmp_path / "wh"))
+    # the literal word 'total' is not a reference to the generated
+    # column named total
+    e.sql(
+        "CREATE TABLE ok (a BIGINT, "
+        "total BIGINT GENERATED ALWAYS AS (a * 2), "
+        "tag STRING GENERATED ALWAYS AS (concat('total', a)))"
+    )
+    e.sql("INSERT INTO ok (a) VALUES (3)")
+    r = read_table(spark, str(tmp_path / "wh" / "ok")).collect()[0]
+    assert r["total"] == 6 and r["tag"] == "total3"

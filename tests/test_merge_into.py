@@ -584,3 +584,26 @@ def test_merge_evolution_explicit_values_names_new_column(spark, tmp_path):
     )
     rows = {r["k"]: (r["price"], r["rank"]) for r in read_table(spark, p).collect()}
     assert rows == {1: (1.0, None), 5: (5.0, 99)}
+
+
+def test_merge_evolution_insert_star_with_set_only_column(spark, tmp_path):
+    """INSERT * must not crash on an evolution column only a SET
+    clause assigns — unmatched rows take typed NULL for it."""
+    import os
+
+    p = os.path.join(str(tmp_path), "t")
+    commit_version(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, price double"),
+        p,
+    )
+    src = spark.createDataFrame(
+        [(1, 10.0), (5, 50.0)], "k long, price double"
+    )
+    commit_merge_into(
+        src, p, ["k"],
+        matched_clauses=[("update", True, {"price": "s.price", "flag": "1"})],
+        insert_clauses=[(True, None)],  # INSERT *
+        allow_evolution=True,
+    )
+    rows = {r["k"]: (r["price"], r["flag"]) for r in read_table(spark, p).collect()}
+    assert rows == {1: (10.0, 1), 2: (2.0, None), 5: (50.0, None)}
