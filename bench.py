@@ -47,6 +47,16 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE may re-optimize cached plan partitioning (see
+        # session.py): without it a persisted delta-sized feed keeps
+        # the full shuffle fan-out and MOR appends write one tiny
+        # file per shuffle partition. Scale-neutral (AQE sizes by
+        # bytes); mirrors the engine session so the bench measures
+        # the engine's real configuration.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

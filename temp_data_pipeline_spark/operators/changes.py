@@ -346,9 +346,9 @@ def read_appended(
     added, _, _, _ = _dir_diff(spark, path, man_old, man_new)
     tagged = _scan_files(spark, path, until, sorted(added))
     if tagged is None:
-        return spark.createDataFrame(
-            [], _until_schema(spark, path, until, man_new)
-        )
+        from temp_data_pipeline_spark.operators.versioned import empty_df
+
+        return empty_df(spark, _until_schema(spark, path, until, man_new))
     out_cols = [
         c for c in tagged.columns if c not in ("_dv_file", "_dv_pos")
     ]
@@ -357,8 +357,10 @@ def read_appended(
 
 
 def _dv_candidate_files(
-    dv_new: DataFrame | None,
-    dv_old: DataFrame | None,
+    spark: SparkSession,
+    path: str,
+    man_new: dict,
+    man_old: dict,
     shared_dirs: list[str],
     shared_overlap: set[str],
 ) -> list[str]:
@@ -367,13 +369,17 @@ def _dv_candidate_files(
     file count), filtered to shared membership by dir prefix. A
     shared file neither DV names is covered by neither, so it can
     contribute no delete and no resurrection — it is never opened
-    (the O(table)-scan trap ADVICE r7 flagged)."""
+    (the O(table)-scan trap ADVICE r7 flagged). File names come from
+    ``dv_file_names`` — a driver-side pyarrow read for local small
+    sidecars, so the common case launches zero Spark jobs."""
+    from temp_data_pipeline_spark.operators.deletion_vectors import (
+        dv_file_names,
+    )
+
     named: set[str] = set()
-    for dv in (dv_new, dv_old):
-        if dv is not None:
-            named.update(
-                r["file"] for r in dv.select("file").distinct().collect()
-            )
+    for man in (man_new, man_old):
+        if man.get("_dv"):
+            named.update(dv_file_names(spark, path, man["_dv"]))
     prefixes = tuple(f"{d}/" for d in shared_dirs)
     return sorted(
         f
@@ -442,7 +448,9 @@ def changes_between(
     # actually names, so a 3-row MOR delete scans the files holding
     # those 3 rows, not every carried file
     if dv_new is not None or dv_old is not None:
-        cands = _dv_candidate_files(dv_new, dv_old, shared_dirs, shared_overlap)
+        cands = _dv_candidate_files(
+            spark, path, man_new, man_old, shared_dirs, shared_overlap
+        )
         tagged_shared = _scan_files(spark, path, until, cands)
         newly = _minus(tagged_shared, dv_old, n_old)  # visible at since
         _emit(_only(newly, dv_new, n_new), "delete")
@@ -453,8 +461,10 @@ def changes_between(
             _emit(_minus(hidden_then, dv_new, n_new), "insert")
 
     if not frames:
+        from temp_data_pipeline_spark.operators.versioned import empty_df
+
         return (
-            spark.createDataFrame([], out_schema)
+            empty_df(spark, out_schema)
             .withColumn("_change_type", F.lit("insert"))
             .limit(0)
         )

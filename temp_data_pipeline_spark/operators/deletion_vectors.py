@@ -154,6 +154,99 @@ def _scan_with_positions(
     )
 
 
+# Driver-side sidecar read gate: below this many bytes the DV parquet
+# is read with pyarrow on the driver into a LocalRelation — no footer
+# -inference job, no scan tasks in the broadcast build, and the
+# metadata collects over it (``_dv_candidate_files``) execute driver-
+# local without launching a job. 64 MB ≈ tens of millions of (file,
+# pos) pairs — far past any trickle-delete DV; bigger sidecars (or any
+# non-local filesystem) keep the distributed read.
+_DV_LOCAL_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _local_fs_dir(path: str) -> str | None:
+    """``path`` as a driver-readable local directory, or None when it
+    lives on a non-local filesystem."""
+    import os as _os
+
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    elif "://" in path:
+        return None
+    return path if _os.path.isdir(path) else None
+
+
+def _read_dv_df(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The raw (file, pos) frame of one DV sidecar: a driver-local
+    pyarrow read (LocalRelation — zero Spark jobs) while the sidecar
+    is small and on a local FS, else the distributed parquet scan."""
+    local = _local_fs_dir(f"{path}/_dv/{name}")
+    if local is not None:
+        try:
+            import os as _os
+
+            total = 0
+            for root, _dirs, files in _os.walk(local):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            if total <= _DV_LOCAL_MAX_BYTES:
+                import pyarrow.parquet as _pq
+
+                pdf = _pq.read_table(
+                    local, columns=["file", "pos"]
+                ).to_pandas()
+                return spark.createDataFrame(
+                    pdf, schema="file string, pos long"
+                )
+        except Exception:  # noqa: BLE001 - any hiccup: distributed fallback
+            pass
+    return spark.read.parquet(f"{path}/_dv/{name}")
+
+
+def dv_file_names(spark: SparkSession, path: str, name: str) -> set[str]:
+    """The DISTINCT table-relative file paths a DV sidecar names —
+    metadata-sized by construction (bounded by the table's file
+    count). Driver-side pyarrow read of just the ``file`` column when
+    the sidecar is local and small (zero Spark jobs — the distinct
+    runs on the driver); distributed distinct+collect otherwise."""
+    import re as _re
+
+    def _norm(f: str) -> str:
+        # python twin of _rel_from_any: legacy absolute entries cut at
+        # the last real v=<N>/ directory boundary
+        if f.startswith("/") or "://" in f:
+            m = _re.search(r"(?:^|/)(v=\d+/.*)$", f)
+            return m.group(1) if m else ""
+        return f
+
+    local = _local_fs_dir(f"{path}/_dv/{name}")
+    if local is not None:
+        try:
+            import os as _os
+
+            total = 0
+            for root, _dirs, files in _os.walk(local):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            if total <= _DV_LOCAL_MAX_BYTES:
+                import pyarrow.parquet as _pq
+
+                col = _pq.read_table(local, columns=["file"])["file"]
+                return {_norm(str(v)) for v in col.unique().to_pylist()}
+        except Exception:  # noqa: BLE001 - any hiccup: distributed fallback
+            pass
+    dv = spark.read.parquet(f"{path}/_dv/{name}").withColumn(
+        "file", _rel_from_any(F.col("file"))
+    )
+    return {r["file"] for r in dv.select("file").distinct().collect()}
+
+
 def read_dv(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -165,7 +258,7 @@ def read_dv(
         raise FileNotFoundError(
             f"version {version} under {path} carries no deletion vector"
         )
-    dv = spark.read.parquet(f"{path}/_dv/{name}")
+    dv = _read_dv_df(spark, path, name)
     # sidecars written before r7 stored ABSOLUTE file paths; normalize
     # to the table-relative form the readers now tag with
     return dv.withColumn("file", _rel_from_any(F.col("file")))
@@ -557,12 +650,22 @@ def _commit_with_dv(
     from pyspark.sql import Observation
 
     obs = Observation()
-    (
-        dv_new.observe(obs, F.count(F.lit(1)).alias("n"))
-        .coalesce(1)
-        .sortWithinPartitions("file", "pos")
-        .write.parquet(f"{path}/_dv/{name}")
-    )
+    from temp_data_pipeline_spark.operators.versioned import job_desc
+
+    with job_desc(spark, f"MOR: dv sidecar write {path}"):
+        (
+            # repartition(1), NOT coalesce(1): the position-finding
+            # plan above is all-narrow (broadcast semi joins over the
+            # scan), so coalesce(1) would collapse the ENTIRE scan
+            # into a single task — the classic coalesce trap (guide
+            # §2.4/§2.6: one straggler task, cluster idle). The
+            # round-robin shuffle moves only the delta-sized (file,
+            # pos) pairs; the scan stays parallel.
+            dv_new.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(1)
+            .sortWithinPartitions("file", "pos")
+            .write.parquet(f"{path}/_dv/{name}")
+        )
     # record the sidecar's row count in the manifest so every reader's
     # broadcast-size gate is a metadata lookup, not a count() job
     # (verdict r7 #8); the count rides the write action itself as an
@@ -571,7 +674,9 @@ def _commit_with_dv(
     n_dv = int(obs.get["n"] or 0)
     schema = StructType.fromJson(man["_schema"])
     if rows_new is None:
-        rows_new = spark.createDataFrame([], schema)
+        from temp_data_pipeline_spark.operators.versioned import empty_df
+
+        rows_new = empty_df(spark, schema)
     try:
         return commit_version(
             rows_new,

@@ -235,9 +235,9 @@ def replicate_incremental(
         from pyspark.sql.types import StructType
 
         man = read_manifest(spark, replica_path, base)
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(man["_schema"])
-        )
+        from temp_data_pipeline_spark.operators.versioned import empty_df
+
+        empty = empty_df(spark, StructType.fromJson(man["_schema"]))
         return commit_version(
             empty, replica_path, carry_from=base, meta=meta,
             expected_base=base,

@@ -308,10 +308,10 @@ def _scd2_carry_commit(
 ) -> int:
     from pyspark.sql.types import StructType
 
+    from temp_data_pipeline_spark.operators.versioned import empty_df
+
     man = read_manifest(spark, dim_path, base)
-    empty = spark.createDataFrame(
-        [], StructType.fromJson(man["_schema"])
-    )
+    empty = empty_df(spark, StructType.fromJson(man["_schema"]))
     return commit_version(
         empty, dim_path, carry_from=base, meta=meta, expected_base=base
     )

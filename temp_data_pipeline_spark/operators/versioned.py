@@ -55,6 +55,35 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def job_desc(spark: SparkSession, desc: str):
+    """Label the Spark jobs submitted inside the block (guide §1.5)
+    so profiles and the UI attribute actions to engine operations.
+    Restores the caller's label (thread-local) on exit."""
+    sc = spark.sparkContext
+    old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(old)
+
+
+def empty_df(spark: SparkSession, schema) -> DataFrame:
+    """A zero-row frame of ``schema`` with ONE partition.
+
+    ``spark.createDataFrame([], schema)`` parallelizes over
+    ``defaultParallelism`` empty partitions, so committing it (a MOR
+    delete's empty append, a properties/constraint carry commit, a
+    typed CREATE TABLE's v1) launches one no-op write task per core —
+    32 tasks to write nothing. The narrow ``coalesce(1)`` collapses
+    that to a single task without a shuffle."""
+    return spark.createDataFrame([], schema).coalesce(1)
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency conflict: the table advanced past the
     version this commit planned against, so publishing it would
@@ -763,12 +792,14 @@ def commit_version(
         # writes Spark-native bucket files via a catalog table at the
         # staging location) — the claim/rename/manifest protocol is
         # unchanged, only the bytes' producer differs
-        write_fn(df, staging)
+        with job_desc(spark, f"commit_version: custom write {path}"):
+            write_fn(df, staging)
     else:
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
+        with job_desc(spark, f"commit_version: snapshot write {path}"):
+            writer.parquet(staging)
     # ownership sentinel: Hadoop's rename onto a dir that APPEARED
     # between the exists probe and the rename returns true by moving
     # the source INTO it (verified on the bundled local FS, which
@@ -809,16 +840,17 @@ def commit_version(
     }
     if enforce:
         written = spark.read.schema(df.schema).parquet(data)
-        viol_row = written.agg(
-            *[
-                F_sql.sum(
-                    F_sql.expr(s)
-                    .eqNullSafe(F_sql.lit(False))
-                    .cast("long")
-                ).alias(n)
-                for n, s in enforce.items()
-            ]
-        ).collect()[0]
+        with job_desc(spark, f"commit_version: CHECK validation {path}"):
+            viol_row = written.agg(
+                *[
+                    F_sql.sum(
+                        F_sql.expr(s)
+                        .eqNullSafe(F_sql.lit(False))
+                        .cast("long")
+                    ).alias(n)
+                    for n, s in enforce.items()
+                ]
+            ).collect()[0]
         bad = {n: viol_row[n] for n in enforce if (viol_row[n] or 0) > 0}
         if bad:
             fs.delete(Path(data), True)
@@ -1873,7 +1905,7 @@ def _commit_evolution(
             "_last_field_id",
         )
     }
-    empty = spark.createDataFrame([], new_schema)
+    empty = empty_df(spark, new_schema)
     return commit_version(
         empty,
         path,
@@ -2451,7 +2483,7 @@ def shallow_clone(
             False, False, conf,
         ):
             raise IOError(f"failed to copy deletion vector {dv}")
-    empty = spark.createDataFrame([], StructType.fromJson(man["_schema"]))
+    empty = empty_df(spark, StructType.fromJson(man["_schema"]))
     return commit_version(
         empty,
         dst,
@@ -2527,7 +2559,7 @@ def add_table_constraint(
     latest = vs[-1]
     schema = StructType.fromJson(read_manifest(spark, path, latest)["_schema"])
     return commit_version(
-        spark.createDataFrame([], schema),
+        empty_df(spark, schema),
         path,
         carry_from=latest,
         expected_base=latest,
@@ -2705,7 +2737,7 @@ def _commit_properties(
         )
     schema = StructType.fromJson(man["_schema"])
     return commit_version(
-        spark.createDataFrame([], schema),
+        empty_df(spark, schema),
         path,
         carry_from=latest,
         expected_base=latest,
@@ -2766,7 +2798,7 @@ def drop_table_constraint(spark: SparkSession, path: str, name: str) -> int:
     schema = StructType.fromJson(read_manifest(spark, path, latest)["_schema"])
     rest = {k: v for k, v in current.items() if k != name}
     return commit_version(
-        spark.createDataFrame([], schema),
+        empty_df(spark, schema),
         path,
         carry_from=latest,
         expected_base=latest,

@@ -460,7 +460,9 @@ def _read_files(
         if schema is None:
             # legacy manifest without a recorded schema: infer from data
             schema = read_version(spark, path, version).schema
-        empty = spark.createDataFrame([], schema)
+        from temp_data_pipeline_spark.operators.versioned import empty_df
+
+        empty = empty_df(spark, schema)
         if with_positions:
             empty = empty.select(
                 F.lit(None).cast("string").alias("_dv_file"),

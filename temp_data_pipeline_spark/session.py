@@ -43,6 +43,18 @@ def get_spark(app_name: str = "temp_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize (coalesce) the output partitioning of
+        # cached plans: a persisted delta-sized CDC feed otherwise
+        # materializes with the full shuffle-partition fan-out, and a
+        # MOR append written from it emits one near-empty file per
+        # partition — every later position scan then pays a task per
+        # tiny file. Scale-neutral: AQE sizes partitions by bytes
+        # (advisoryPartitionSizeInBytes), so a genuinely large cached
+        # frame keeps its parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config(
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_CPUS),
