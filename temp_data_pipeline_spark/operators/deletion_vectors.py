@@ -154,14 +154,18 @@ def _scan_with_positions(
     )
 
 
-# Driver-side sidecar read gate: below this many bytes the DV parquet
-# is read with pyarrow on the driver into a LocalRelation — no footer
-# -inference job, no scan tasks in the broadcast build, and the
-# metadata collects over it (``_dv_candidate_files``) execute driver-
-# local without launching a job. 64 MB ≈ tens of millions of (file,
-# pos) pairs — far past any trickle-delete DV; bigger sidecars (or any
-# non-local filesystem) keep the distributed read.
+# Driver-side sidecar read gate for dv_file_names: below this many
+# bytes the ``file`` column is read with pyarrow on the driver (zero
+# Spark jobs — the distinct runs on the driver). 64 MB ≈ tens of
+# millions of (file, pos) pairs — far past any trickle-delete DV;
+# bigger sidecars (or any non-local filesystem) keep the distributed
+# distinct+collect.
 _DV_LOCAL_MAX_BYTES = 64 * 1024 * 1024
+
+# DV sidecars always carry exactly these two columns; declaring the
+# schema at the read site skips parquet footer inference (one fewer
+# driver-side job per MOR read).
+_DV_SCHEMA = "file string, pos long"
 
 
 def _local_fs_dir(path: str) -> str | None:
@@ -177,33 +181,16 @@ def _local_fs_dir(path: str) -> str | None:
 
 
 def _read_dv_df(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """The raw (file, pos) frame of one DV sidecar: a driver-local
-    pyarrow read (LocalRelation — zero Spark jobs) while the sidecar
-    is small and on a local FS, else the distributed parquet scan."""
-    local = _local_fs_dir(f"{path}/_dv/{name}")
-    if local is not None:
-        try:
-            import os as _os
-
-            total = 0
-            for root, _dirs, files in _os.walk(local):
-                total += sum(
-                    _os.path.getsize(_os.path.join(root, f))
-                    for f in files
-                    if f.endswith(".parquet")
-                )
-            if total <= _DV_LOCAL_MAX_BYTES:
-                import pyarrow.parquet as _pq
-
-                pdf = _pq.read_table(
-                    local, columns=["file", "pos"]
-                ).to_pandas()
-                return spark.createDataFrame(
-                    pdf, schema="file string, pos long"
-                )
-        except Exception:  # noqa: BLE001 - any hiccup: distributed fallback
-            pass
-    return spark.read.parquet(f"{path}/_dv/{name}")
+    """The raw (file, pos) frame of one DV sidecar: a distributed
+    parquet scan with the schema DECLARED, so no footer-inference job
+    runs. A KB-sized sidecar is one cheap JVM scan task per
+    evaluation; a ``spark.createDataFrame(pandas)`` "driver-local"
+    frame is NOT a LocalRelation in PySpark — it parallelizes over
+    defaultParallelism Python-RDD partitions, paying one Python-worker
+    round trip per core on EVERY evaluation (measured ~0.5 s vs
+    ~0.18 s for this scan), and DV frames are evaluated several times
+    per MOR query (broadcast builds, CDC diffs)."""
+    return spark.read.schema(_DV_SCHEMA).parquet(f"{path}/_dv/{name}")
 
 
 def dv_file_names(spark: SparkSession, path: str, name: str) -> set[str]:
@@ -241,9 +228,9 @@ def dv_file_names(spark: SparkSession, path: str, name: str) -> set[str]:
                 return {_norm(str(v)) for v in col.unique().to_pylist()}
         except Exception:  # noqa: BLE001 - any hiccup: distributed fallback
             pass
-    dv = spark.read.parquet(f"{path}/_dv/{name}").withColumn(
-        "file", _rel_from_any(F.col("file"))
-    )
+    dv = spark.read.schema(_DV_SCHEMA).parquet(
+        f"{path}/_dv/{name}"
+    ).withColumn("file", _rel_from_any(F.col("file")))
     return {r["file"] for r in dv.select("file").distinct().collect()}
 
 
@@ -660,9 +647,13 @@ def _commit_with_dv(
             # into a single task — the classic coalesce trap (guide
             # §2.4/§2.6: one straggler task, cluster idle). The
             # round-robin shuffle moves only the delta-sized (file,
-            # pos) pairs; the scan stays parallel.
-            dv_new.observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(1)
+            # pos) pairs; the scan stays parallel. The observe sits
+            # ABOVE the repartition: when the DV frame is empty, AQE
+            # replaces the shuffle with an empty relation and a
+            # CollectMetrics BELOW it is pruned away, leaving obs.get
+            # with a schemaless row (toPyRow assertion).
+            dv_new.repartition(1)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .sortWithinPartitions("file", "pos")
             .write.parquet(f"{path}/_dv/{name}")
         )
