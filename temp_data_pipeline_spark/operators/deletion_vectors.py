@@ -282,9 +282,19 @@ def commit_delete_mor(
     dv_new = visible.filter(F.coalesce(predicate, F.lit(False))).select(
         F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
     )
-    if dv_new.isEmpty():
-        return base
-    return _commit_with_dv(spark, path, base, man, dv_new, None, meta)
+    if man.get("_dv") and "_dv_rows" not in man:
+        # legacy base without a recorded DV row count: the observed-
+        # count arithmetic below can't isolate dv_new's contribution
+        if dv_new.isEmpty():
+            return base
+        return _commit_with_dv(spark, path, base, man, dv_new, None, meta)
+    # nothing-matched is decided from the sidecar write's own observed
+    # count (one evaluation of the position scan, not two — the old
+    # up-front isEmpty probe re-ran the whole scan before the write)
+    committed = _commit_with_dv(
+        spark, path, base, man, dv_new, None, meta, abort_if_no_new=True
+    )
+    return base if committed is None else committed
 
 
 
@@ -606,7 +616,8 @@ def _commit_with_dv(
     *,
     allow_evolution: bool = False,
     meta_late=None,
-) -> int:
+    abort_if_no_new: bool = False,
+) -> int | None:
     """Shared MOR commit: cumulative DV = base DV ∪ dv_new (deduped),
     sidecar written first under a fresh name, then ONE metadata-level
     commit appending ``rows_new`` (may be None/empty) that names it.
@@ -617,7 +628,19 @@ def _commit_with_dv(
     carried dir read back wrong (ADVICE r6). The commit passes
     ``expected_base`` so a racing MOR writer raises
     ``CommitConflictError`` instead of silently dropping this
-    commit's deletions (the lost-update anomaly)."""
+    commit's deletions (the lost-update anomaly).
+
+    ``abort_if_no_new=True`` (commit_delete_mor's delete-matched-
+    nothing case): when the sidecar write's observed count shows
+    dv_new contributed ZERO positions beyond the carried base DV
+    (``n_total - base _dv_rows == 0`` — the union's branches are
+    disjoint by construction), the sidecar is reclaimed and None is
+    returned instead of committing. This folds the old up-front
+    ``dv_new.isEmpty()`` probe — a FULL extra evaluation of the
+    position-finding scan on every delete — into the write action the
+    commit runs anyway; requires the base to record ``_dv_rows``
+    whenever it has a DV (every modern writer does; a legacy manifest
+    without it keeps the caller's explicit probe)."""
     from pyspark.sql.types import StructType
 
     if rows_new is not None:
@@ -663,6 +686,16 @@ def _commit_with_dv(
     # observed metric — zero extra jobs at commit too (the r9
     # observe-gating pattern)
     n_dv = int(obs.get["n"] or 0)
+    if abort_if_no_new:
+        n_base = int(man.get("_dv_rows") or 0) if man.get("_dv") else 0
+        if n_dv - n_base == 0:
+            from temp_data_pipeline_spark.operators.versioned import _fs
+
+            fs, jvm = _fs(spark, path)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_dv/{name}"), True
+            )
+            return None
     schema = StructType.fromJson(man["_schema"])
     if rows_new is None:
         from temp_data_pipeline_spark.operators.versioned import empty_df
@@ -708,33 +741,43 @@ def commit_update_mor(
         predicate = F.expr(predicate)
     base = _resolve_version(spark, path, None)
     man = read_manifest(spark, path, base)
-    matched = _visible_tagged(spark, path, base, man).filter(
-        F.coalesce(predicate, F.lit(False))
+    # persist the delta-sized matched frame: the update runs THREE
+    # actions over it (emptiness probe, DV sidecar write, updated-rows
+    # append) and each would otherwise re-run the full position scan —
+    # the probe materializes the cache, the two writes hit it
+    matched = (
+        _visible_tagged(spark, path, base, man)
+        .filter(F.coalesce(predicate, F.lit(False)))
+        .persist()
     )
-    if matched.isEmpty():
-        return base
-    dv_new = matched.select(
-        F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
-    )
-    data_cols = [
-        c for c in matched.columns if c not in ("_dv_file", "_dv_pos")
-    ]
-    updated = matched.select(*data_cols)
-    for col, expr in set_exprs.items():
-        if col not in data_cols:
-            raise ValueError(f"SET targets unknown column {col!r}")
-        updated = updated.withColumn(
-            col, F.expr(expr) if isinstance(expr, str) else expr
+    try:
+        if matched.isEmpty():
+            return base
+        dv_new = matched.select(
+            F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
         )
-    # GENERATED columns not explicitly SET recompute from the updated
-    # row — an UPDATE changing a referenced base column must not carry
-    # the stale derived value into the __generated_ commit check
-    # (explicit SETs keep their value and validate there instead)
-    _types = {f.name: f.dataType for f in updated.schema.fields}
-    for gc, ge in (man.get("_generated_columns") or {}).items():
-        if gc in data_cols and gc not in set_exprs:
-            updated = updated.withColumn(gc, F.expr(ge).cast(_types[gc]))
-    return _commit_with_dv(spark, path, base, man, dv_new, updated, meta)
+        data_cols = [
+            c for c in matched.columns if c not in ("_dv_file", "_dv_pos")
+        ]
+        updated = matched.select(*data_cols)
+        for col, expr in set_exprs.items():
+            if col not in data_cols:
+                raise ValueError(f"SET targets unknown column {col!r}")
+            updated = updated.withColumn(
+                col, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        # GENERATED columns not explicitly SET recompute from the
+        # updated row — an UPDATE changing a referenced base column
+        # must not carry the stale derived value into the __generated_
+        # commit check (explicit SETs keep their value and validate
+        # there instead)
+        _types = {f.name: f.dataType for f in updated.schema.fields}
+        for gc, ge in (man.get("_generated_columns") or {}).items():
+            if gc in data_cols and gc not in set_exprs:
+                updated = updated.withColumn(gc, F.expr(ge).cast(_types[gc]))
+        return _commit_with_dv(spark, path, base, man, dv_new, updated, meta)
+    finally:
+        matched.unpersist()
 
 
 def commit_upsert_mor(

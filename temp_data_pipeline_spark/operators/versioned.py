@@ -42,6 +42,7 @@ before: total isolation, storage traded for simplicity.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F_sql
@@ -50,9 +51,49 @@ from temp_data_pipeline_spark.operators.upsert import keep_latest, merge_upsert
 
 
 def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, jvm) for ``path``, memoized per session and
+    per scheme://authority. Resolving the FS costs ~4 py4j round trips
+    (Path ctor, hadoopConfiguration, getFileSystem); commit-heavy
+    lifecycles call this hundreds of times per query (137 calls ≈ 1.1 s
+    of the q_replicate profile, guide §1 measured), and Hadoop's own
+    FileSystem.CACHE already guarantees the same instance comes back
+    for one scheme+authority, so the python-side memo changes nothing
+    but the chatter. Cached on the SparkSession python object: a
+    stopped/recreated session gets a fresh wrapper, so no stale
+    gateway refs."""
+    if "://" in path:
+        scheme_auth = path.split("://", 1)[0] + "://" + (
+            path.split("://", 1)[1].split("/", 1)[0]
+        )
+    else:
+        scheme_auth = ""
+    cache = getattr(spark, "_sg_fs_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._sg_fs_cache = cache
+        except Exception:  # noqa: BLE001 - frozen wrapper: skip memo
+            pass
+    hit = cache.get(scheme_auth)
+    if hit is not None:
+        return hit
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+    out = jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+    cache[scheme_auth] = out
+    return out
+
+
+def _local_meta_path(path: str) -> str | None:
+    """``path`` as a driver-readable LOCAL filesystem path for the
+    metadata fast paths (manifest listings, small JSON reads), or None
+    when it lives behind a non-local scheme. Mirrors the gate
+    deletion_vectors._local_fs_dir uses for driver-side DV reads."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or None
+    if "://" in path:
+        return None
+    return path
 
 
 from contextlib import contextmanager as _contextmanager
@@ -73,21 +114,35 @@ def job_desc(spark: SparkSession, desc: str):
 
 
 def empty_df(spark: SparkSession, schema) -> DataFrame:
-    """A zero-row frame of ``schema`` with ONE partition.
+    """A zero-row frame of ``schema`` that the optimizer can PROVE is
+    empty (``analyzed().maxRows() == 0``).
 
-    ``spark.createDataFrame([], schema)`` parallelizes over
-    ``defaultParallelism`` empty partitions, so committing it (a MOR
-    delete's empty append, a properties/constraint carry commit, a
-    typed CREATE TABLE's v1) launches one no-op write task per core —
-    32 tasks to write nothing. The empty RDD is built with an EXPLICIT
-    single slice: ``coalesce(1)`` on the 32-partition Python RDD would
-    instead produce one task that evaluates all 32 empty parents
-    SEQUENTIALLY, paying the per-partition Python-worker round trip
-    32 times serially (~6 s per empty commit, measured — slower than
-    the 32 parallel no-op tasks it replaced)."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize([], 1), schema
+    Built as ``range(0).select(lit(None).cast(...))`` — a pure-JVM
+    plan that folds to an empty LocalRelation: no Python-RDD parent,
+    so an action on it pays zero Python-worker round trips (the
+    ``parallelize([], 1)`` form this replaces cost one round trip per
+    evaluation), and ``commit_version`` recognizes it statically and
+    skips the snapshot write job entirely (the metadata-only empty
+    commit). Field nullability comes back True for every column —
+    parquet reads are nullable anyway, and nothing in the engine
+    compares nullability (schema gates compare names + dataType)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def _statically_empty(df: DataFrame) -> bool:
+    """True when the ANALYZED plan proves ``df`` has zero rows
+    (``maxRows`` = 0: ``empty_df`` frames, ``limit(0)`` plans).
+    Analysis is cached on the DataFrame and needed by every consumer
+    anyway, so the probe costs two py4j calls, no job."""
+    try:
+        mr = df._jdf.queryExecution().analyzed().maxRows()
+        return bool(mr.isDefined()) and int(mr.get()) == 0
+    except Exception:  # noqa: BLE001 - internal API drift: no fast path
+        return False
 
 
 class CommitConflictError(RuntimeError):
@@ -247,9 +302,19 @@ def atomic_write_text(spark: SparkSession, path: str, text: str) -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str:
-    """Read a small metadata file through the Hadoop FS (py4j COPIES
-    byte[] args, so a fill-this-buffer loop reads nothing — drain the
-    stream JVM-side instead)."""
+    """Read a small metadata file. Local files read directly on the
+    driver (zero py4j round trips — a Hadoop-FS open/drain/close costs
+    3+ round trips and measured ~10-45 ms each under the profile,
+    44 manifest reads ≈ 1.9 s of one q_replicate run); non-local
+    schemes go through the Hadoop FS (py4j COPIES byte[] args, so a
+    fill-this-buffer loop reads nothing — drain the stream JVM-side
+    instead). Missing local files raise FileNotFoundError; every
+    error-path caller catches broad Exception, so the shape change
+    from Py4JJavaError is safe."""
+    lp = _local_meta_path(path)
+    if lp is not None and os.path.isfile(lp):
+        with open(lp, "rb") as fh:
+            return fh.read().decode("utf-8")
     fs, jvm = _fs(spark, path)
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
@@ -520,7 +585,25 @@ def _claim_slot(
 def versions(spark: SparkSession, path: str) -> list[int]:
     """Committed versions, ascending. Orphan data dirs (crashed or
     in-flight writers) are excluded by construction — only the
-    manifest names count."""
+    manifest names count. Local tables list the manifest dir directly
+    on the driver (a Hadoop listStatus costs 2 py4j round trips per
+    entry; 76 calls ≈ 1.6 s of one q_replicate profile); non-local
+    schemes keep the Hadoop FS listing. Never cached — the version
+    list is the one piece of metadata that changes under commits."""
+    lp = _local_meta_path(path)
+    if lp is not None:
+        try:
+            names = os.listdir(os.path.join(lp, "_manifest"))
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+        out = []
+        for name in names:
+            if name.endswith(".json") and not name.startswith("."):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
     fs, jvm = _fs(spark, path)
     mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
     if not fs.exists(mdir):
@@ -793,7 +876,24 @@ def commit_version(
 
     token = _uuid.uuid4().hex[:12]
     staging = f"{path}/.tmp-{token}"
-    if write_fn is not None:
+    # METADATA-ONLY empty commit: when the analyzed plan proves df has
+    # zero rows (empty_df frames, limit(0) carries — every MOR pure
+    # delete, evolution/properties/constraint carry, CDC empty window,
+    # typed CREATE TABLE), writing it would launch a Spark job to
+    # produce an empty parquet file nobody needs: readers already
+    # handle file-less dirs through the manifest's declared ``_schema``
+    # (the documented empty-partitioned-snapshot path), CHECK
+    # constraints are vacuous over zero rows, and the claim/rename
+    # protocol only needs the staging DIR to exist. Excluded when a
+    # ``meta_late`` Observation must ride the write action (identity
+    # watermarks, expectations) or a custom ``write_fn`` owns the
+    # bytes.
+    statically_empty = (
+        write_fn is None and meta_late is None and _statically_empty(df)
+    )
+    if statically_empty:
+        fs.mkdirs(Path(staging))
+    elif write_fn is not None:
         # custom physical layout inside the slot (operators/bucketing.py
         # writes Spark-native bucket files via a catalog table at the
         # staging location) — the claim/rename/manifest protocol is
@@ -844,7 +944,7 @@ def commit_version(
             if c in df.columns
         },
     }
-    if enforce:
+    if enforce and not statically_empty:
         written = spark.read.schema(df.schema).parquet(data)
         with job_desc(spark, f"commit_version: CHECK validation {path}"):
             viol_row = written.agg(
@@ -970,20 +1070,23 @@ def read_version(
         and "/" not in dirs[0]
         and _dir_mapping(man, dirs[0]) is None
     ):
-        try:
-            return _align_partition_types(
-                spark.read.parquet(_dir_abs(path, man, dirs[0])), man
-            )
-        except Exception:
-            # empty snapshot (no part files to infer a schema from):
-            # reconstruct from the writer schema the manifest recorded
-            if "_schema" not in man:
-                raise
+        # DECLARE the manifest schema instead of inferring: inference
+        # launches a footer-read job per call (one lifecycle query
+        # re-opens its tables dozens of times), and the multi-dir
+        # branch below always declared anyway — the two paths now
+        # agree. Declared partition columns also come back with the
+        # writer's types directly, so _align_partition_types is a
+        # no-op instead of a cast layer over inference drift.
+        if "_schema" in man:
             from pyspark.sql.types import StructType
 
             return spark.read.schema(
                 StructType.fromJson(man["_schema"])
             ).parquet(_dir_abs(path, man, dirs[0]))
+        # legacy manifest without a recorded schema: infer
+        return _align_partition_types(
+            spark.read.parquet(_dir_abs(path, man, dirs[0])), man
+        )
     # multi-dir (carry_from / COW-merge) snapshot: each dir is its own
     # partitioned root — one multi-path read would misparse the sibling
     # v=<N> dirs as partition keys of the table parent. Per-dir scans
@@ -1054,6 +1157,21 @@ def _read_manifest_dirs(
     )
 
 
+# Parsed-manifest cache for LOCAL tables, keyed on the file's identity
+# (realpath, inode, mtime_ns, size): a manifest file is immutable once
+# published (the commit protocol only ever creates new numbers), and a
+# rewritten/vacuumed file changes inode+mtime, so a stale hit is
+# impossible — the stat IS the freshness token. One lifecycle query
+# re-reads the same manifests dozens of times (44 reads ≈ 1.9 s in the
+# q_replicate profile); the cache turns repeats into a ~1 µs stat.
+# Values are parsed dicts returned by reference — commit_version and
+# every other consumer already treats manifests as read-only (meta
+# overrides copy via {**man}), pinned by
+# tests/test_versioned_meta_fastpath.py.
+_MANIFEST_CACHE: dict[tuple, dict] = {}
+_MANIFEST_CACHE_MAX = 4096
+
+
 def read_manifest(
     spark: SparkSession, path: str, version: int | None = None
 ) -> dict:
@@ -1061,7 +1179,25 @@ def read_manifest(
     metadata a committer recorded (pipeline parameters, row/token
     stats), parsed from the commit marker itself."""
     version = _resolve_version(spark, path, version)
-    return json.loads(read_text(spark, f"{_manifest_dir(path)}/{version}.json"))
+    mpath = f"{_manifest_dir(path)}/{version}.json"
+    lp = _local_meta_path(mpath)
+    if lp is not None:
+        try:
+            st = os.stat(lp)
+        except OSError:
+            st = None
+        if st is not None:
+            key = (os.path.realpath(lp), st.st_ino, st.st_mtime_ns, st.st_size)
+            hit = _MANIFEST_CACHE.get(key)
+            if hit is not None:
+                return hit
+            with open(lp, "rb") as fh:
+                man = json.loads(fh.read().decode("utf-8"))
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.clear()
+            _MANIFEST_CACHE[key] = man
+            return man
+    return json.loads(read_text(spark, mpath))
 
 
 def _history_index_path(path: str) -> str:

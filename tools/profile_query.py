@@ -59,15 +59,17 @@ def main() -> None:
     store = spark.sparkContext._jsc.sc().statusStore()
 
     def _stage_info(sid: int):
-        it = store.stageList(None).iterator()
-        while it.hasNext():
-            s = it.next()
-            if s.stageId() == sid:
-                return (
-                    s.numTasks(),
-                    str(s.name())[:80].replace("\n", " "),
-                )
-        return None
+        # Spark 4.1: stageList grew to 5 params (py4j can't use Scala
+        # default args) — the per-stage lastStageAttempt lookup is the
+        # stable accessor. Stages that never ran raise; return None.
+        try:
+            s = store.lastStageAttempt(sid)
+            return (
+                s.numTasks(),
+                str(s.name())[:80].replace("\n", " "),
+            )
+        except Exception:  # noqa: BLE001 - skipped stage or API drift
+            return None
 
     def jobs_since(job_floor: int):
         out = []
