@@ -170,11 +170,21 @@ _DV_SCHEMA = "file string, pos long"
 
 def _local_fs_dir(path: str) -> str | None:
     """``path`` as a driver-readable local directory, or None when it
-    lives on a non-local filesystem."""
+    lives on a non-local filesystem. ``file://`` URIs resolve only
+    with an empty or localhost authority — ``file://host/path`` names
+    a remote-host location (ADVICE r11); falls back to the distributed
+    read path via None, same as any other non-local scheme."""
     import os as _os
 
     if path.startswith("file://"):
-        path = path[len("file://"):]
+        rest = path[len("file://"):]
+        if rest.startswith("/"):
+            path = rest
+        else:
+            auth, sep, p = rest.partition("/")
+            if auth.lower() != "localhost" or not sep:
+                return None
+            path = "/" + p
     elif "://" in path:
         return None
     return path if _os.path.isdir(path) else None

@@ -84,16 +84,53 @@ def _fs(spark: SparkSession, path: str):
     return out
 
 
-def _local_meta_path(path: str) -> str | None:
+def _local_meta_path(path: str, spark: SparkSession | None = None) -> str | None:
     """``path`` as a driver-readable LOCAL filesystem path for the
     metadata fast paths (manifest listings, small JSON reads), or None
     when it lives behind a non-local scheme. Mirrors the gate
-    deletion_vectors._local_fs_dir uses for driver-side DV reads."""
+    deletion_vectors._local_fs_dir uses for driver-side DV reads.
+
+    ``file://`` URIs resolve only with an EMPTY or localhost authority
+    — ``file://host/path`` names a remote-host location the driver
+    cannot see, so it keeps the Hadoop FS path (ADVICE r11). When
+    ``spark`` is passed, scheme-less paths additionally require
+    ``fs.defaultFS`` to be local: under an hdfs/s3a default FS a bare
+    path names a REMOTE table, and consulting a same-named local dir
+    would silently misread it (ADVICE r11 on versions())."""
     if path.startswith("file://"):
-        return path[len("file://"):] or None
+        rest = path[len("file://"):]
+        if rest.startswith("/"):
+            return rest
+        auth, sep, p = rest.partition("/")
+        if auth.lower() == "localhost" and sep:
+            return "/" + p
+        return None
     if "://" in path:
         return None
+    if spark is not None and not _defaultfs_local(spark):
+        return None
     return path
+
+
+def _defaultfs_local(spark: SparkSession) -> bool:
+    """True when ``fs.defaultFS`` is the local filesystem (the
+    out-of-the-box 'file:///'), memoized per session — one py4j call
+    per session, not per metadata read."""
+    hit = getattr(spark, "_sg_defaultfs_local", None)
+    if hit is None:
+        try:
+            dfs = (
+                spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+                or "file:///"
+            )
+        except Exception:  # noqa: BLE001 - gateway hiccup: assume local
+            dfs = "file:///"
+        hit = dfs.startswith("file:")
+        try:
+            spark._sg_defaultfs_local = hit
+        except Exception:  # noqa: BLE001 - frozen wrapper: skip memo
+            pass
+    return hit
 
 
 from contextlib import contextmanager as _contextmanager
@@ -123,14 +160,23 @@ def empty_df(spark: SparkSession, schema) -> DataFrame:
     ``parallelize([], 1)`` form this replaces cost one round trip per
     evaluation), and ``commit_version`` recognizes it statically and
     skips the snapshot write job entirely (the metadata-only empty
-    commit). Field nullability comes back True for every column —
-    parquet reads are nullable anyway, and nothing in the engine
-    compares nullability (schema gates compare names + dataType)."""
+    commit). The frame's own fields come back nullable=True (a null
+    literal cannot be non-nullable, and ``DataFrame.to`` refuses the
+    narrowing), so the CALLER'S declared StructType rides along as
+    ``_sg_declared_schema`` and ``commit_version`` records IT in the
+    manifest — a typed CREATE TABLE's v1 keeps its declared
+    nullability instead of persisting all-nullable (verdict r11 #2).
+    """
     from pyspark.sql import functions as F
 
-    return spark.range(0).select(
+    df = spark.range(0).select(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+    try:
+        df._sg_declared_schema = schema
+    except Exception:  # noqa: BLE001 - frozen wrapper: manifest falls back
+        pass
+    return df
 
 
 def _statically_empty(df: DataFrame) -> bool:
@@ -311,7 +357,7 @@ def read_text(spark: SparkSession, path: str) -> str:
     instead). Missing local files raise FileNotFoundError; every
     error-path caller catches broad Exception, so the shape change
     from Py4JJavaError is safe."""
-    lp = _local_meta_path(path)
+    lp = _local_meta_path(path, spark)
     if lp is not None and os.path.isfile(lp):
         with open(lp, "rb") as fh:
             return fh.read().decode("utf-8")
@@ -588,9 +634,11 @@ def versions(spark: SparkSession, path: str) -> list[int]:
     manifest names count. Local tables list the manifest dir directly
     on the driver (a Hadoop listStatus costs 2 py4j round trips per
     entry; 76 calls ≈ 1.6 s of one q_replicate profile); non-local
-    schemes keep the Hadoop FS listing. Never cached — the version
-    list is the one piece of metadata that changes under commits."""
-    lp = _local_meta_path(path)
+    schemes — and scheme-less paths under a non-local fs.defaultFS,
+    which the _local_meta_path gate filters out (ADVICE r11) — keep
+    the Hadoop FS listing. Never cached — the version list is the one
+    piece of metadata that changes under commits."""
+    lp = _local_meta_path(path, spark)
     if lp is not None:
         try:
             names = os.listdir(os.path.join(lp, "_manifest"))
@@ -964,6 +1012,16 @@ def commit_version(
                 f"commit rejected: CHECK constraint violations {bad}"
             )
     late = dict(meta_late() if meta_late is not None else {})
+    # the recorded writer schema: empty_df frames carry the caller's
+    # DECLARED StructType (null literals force nullable=True on the
+    # frame itself) — record the declaration when names+types agree,
+    # so a typed CREATE TABLE's manifest keeps its nullability
+    rec_schema = df.schema
+    declared = getattr(df, "_sg_declared_schema", None)
+    if declared is not None and [
+        (f.name, f.dataType) for f in declared.fields
+    ] == [(f.name, f.dataType) for f in rec_schema.fields]:
+        rec_schema = declared
     while True:
         import time as _time
 
@@ -981,7 +1039,7 @@ def commit_version(
             "data_dirs": carried_dirs + [f"v={data_slot}"],
             # writer schema: lets read_version reconstruct EMPTY
             # partitioned snapshots (no part files to infer from)
-            "_schema": df.schema.jsonValue(),
+            "_schema": rec_schema.jsonValue(),
             # recorded layout: maintenance ops (compact_snapshot)
             # must preserve it or COW commits on the compacted
             # table would find no hive subdirs to carry
@@ -1157,18 +1215,18 @@ def _read_manifest_dirs(
     )
 
 
-# Parsed-manifest cache for LOCAL tables, keyed on the file's identity
+# Manifest cache for LOCAL tables, keyed on the file's identity
 # (realpath, inode, mtime_ns, size): a manifest file is immutable once
 # published (the commit protocol only ever creates new numbers), and a
 # rewritten/vacuumed file changes inode+mtime, so a stale hit is
 # impossible — the stat IS the freshness token. One lifecycle query
 # re-reads the same manifests dozens of times (44 reads ≈ 1.9 s in the
-# q_replicate profile); the cache turns repeats into a ~1 µs stat.
-# Values are parsed dicts returned by reference — commit_version and
-# every other consumer already treats manifests as read-only (meta
-# overrides copy via {**man}), pinned by
-# tests/test_versioned_meta_fastpath.py.
-_MANIFEST_CACHE: dict[tuple, dict] = {}
+# q_replicate profile); the cache turns each repeat into a stat + a
+# ~10 µs json.loads. Values are the RAW BYTES, parsed fresh per call,
+# so every caller gets its own dict — a consumer mutating a returned
+# manifest can never poison later reads (verdict r11 #1; pinned by
+# tests/test_versioned_meta_fastpath.py).
+_MANIFEST_CACHE: dict[tuple, bytes] = {}
 _MANIFEST_CACHE_MAX = 4096
 
 
@@ -1180,7 +1238,7 @@ def read_manifest(
     stats), parsed from the commit marker itself."""
     version = _resolve_version(spark, path, version)
     mpath = f"{_manifest_dir(path)}/{version}.json"
-    lp = _local_meta_path(mpath)
+    lp = _local_meta_path(mpath, spark)
     if lp is not None:
         try:
             st = os.stat(lp)
@@ -1188,15 +1246,14 @@ def read_manifest(
             st = None
         if st is not None:
             key = (os.path.realpath(lp), st.st_ino, st.st_mtime_ns, st.st_size)
-            hit = _MANIFEST_CACHE.get(key)
-            if hit is not None:
-                return hit
-            with open(lp, "rb") as fh:
-                man = json.loads(fh.read().decode("utf-8"))
-            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-                _MANIFEST_CACHE.clear()
-            _MANIFEST_CACHE[key] = man
-            return man
+            raw = _MANIFEST_CACHE.get(key)
+            if raw is None:
+                with open(lp, "rb") as fh:
+                    raw = fh.read()
+                if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                    _MANIFEST_CACHE.clear()
+                _MANIFEST_CACHE[key] = raw
+            return json.loads(raw.decode("utf-8"))
     return json.loads(read_text(spark, mpath))
 
 
