@@ -125,7 +125,9 @@ def bloom_decontam(
     # CreateArray(1024 words) into every reference — as data the
     # bitset is materialized once per executor by the broadcast
     spark = train.sparkSession
-    bf_df = spark.createDataFrame([(words,)], "_bf: array<bigint>")
+    from temp_data_pipeline_spark.session import local_df
+
+    bf_df = local_df(spark, [(words,)], "_bf array<bigint>")
     candidates = (
         _doc_grams(train, text_col, id_col, n)
         .join(F.broadcast(bf_df))

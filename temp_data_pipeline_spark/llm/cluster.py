@@ -118,7 +118,10 @@ def connected_components(
         # and a hard-coded `long` here would throw
         # FIELD_DATA_TYPE_UNACCEPTABLE on the common small-graph path)
         id_type = dict(seed.dtypes)["node"]
-        labels = spark.createDataFrame(
+        from temp_data_pipeline_spark.session import local_df
+
+        labels = local_df(
+            spark,
             [(n, _find(n)) for n in parent],
             f"node {id_type}, label {id_type}",
         )

@@ -1920,7 +1920,10 @@ def compact_partitions(
         from pyspark.sql.types import StringType, StructField, StructType
 
         dtype = StructType.fromJson(man["_schema"])[partition_col].dataType
-        cand = spark.createDataFrame(
+        from temp_data_pipeline_spark.session import local_df
+
+        cand = local_df(
+            spark,
             [(v,) for v in all_vals if v is not None],
             StructType([StructField(partition_col, StringType())]),
         ).select(F.col(partition_col).cast(dtype).alias(partition_col))
@@ -2279,7 +2282,10 @@ def snapshot_partitions(
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    raw = spark.createDataFrame(
+    from temp_data_pipeline_spark.session import local_df
+
+    raw = local_df(
+        spark,
         sorted(combos, key=lambda t: [(v is None, v or "") for v in t]),
         StructType([StructField(c, StringType(), True) for c in pb]),
     )
@@ -2392,7 +2398,10 @@ def history(spark: SparkSession, path: str) -> DataFrame:
                 _json.dumps(extra, sort_keys=True, default=str),
             )
         )
-    return spark.createDataFrame(
+    from temp_data_pipeline_spark.session import local_df
+
+    return local_df(
+        spark,
         rows,
         "version int, committed_at double, n_data_dirs int, "
         "carries_refs boolean, has_dv boolean, restored_from int, "
@@ -2577,9 +2586,11 @@ def rollback(
             f"version {to_version} predates recorded schemas — "
             "rollback needs the manifest schema to type its commit"
         )
-    empty = spark.createDataFrame(
-        [], StructType.fromJson(man["_schema"])
-    )
+    # empty_df, not createDataFrame([]): the analyzed plan PROVES zero
+    # rows, so the rollback commit skips its snapshot-write job
+    # entirely (metadata-only empty commit) and the manifest records
+    # the declared schema
+    empty = empty_df(spark, StructType.fromJson(man["_schema"]))
     part = man.get("_partition_by") or None
     # carry the target's commit meta (compact_snapshot's convention):
     # a restored DV version must keep naming its deletion-vector

@@ -2079,7 +2079,10 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = fit_bpe_distributed(
         d, n_merges=_BPE_TRAIN_ROUNDS, max_vocab_words=None
     )
-    return spark.createDataFrame(
+    from temp_data_pipeline_spark.session import local_df
+
+    return local_df(
+        spark,
         [
             (r + 1, a, b, a + b)
             for r, (a, b) in enumerate(merges)

@@ -1438,7 +1438,10 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         jsonl = docs.select(
             F.to_json(F.struct("doc_id", "lang", "text")).alias("value")
         )
-        junk = spark.createDataFrame(
+        from temp_data_pipeline_spark.session import local_df
+
+        junk = local_df(
+            spark,
             [("this line is not json",), ('{"doc_id": -1, "lang": "xx', )],
             "value string",
         )

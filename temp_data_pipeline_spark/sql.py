@@ -48,6 +48,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from temp_data_pipeline_spark.operators.versioned import empty_df as _empty_df
+from temp_data_pipeline_spark.session import local_df as _local_df
 
 __all__ = ["SqlEngine", "sql"]
 
@@ -355,7 +356,8 @@ class SqlEngine:
                 )
             except Exception:  # noqa: BLE001 - index not built yet
                 rows.append(("History Index", "absent", ""))
-        return self.spark.createDataFrame(
+        return _local_df(
+            self.spark,
             rows, "col_name string, data_type string, comment string"
         )
 
@@ -418,7 +420,8 @@ class SqlEngine:
                 f"\n-- ALTER TABLE {name} ADD CONSTRAINT {cname} "
                 f"CHECK ({cpred})"
             )
-        return self.spark.createDataFrame(
+        return _local_df(
+            self.spark,
             [(stmt,)], "createtab_stmt string"
         )
 
@@ -521,7 +524,8 @@ class SqlEngine:
             raise ValueError(f"table {name!r} has no committed versions")
         man = read_manifest(self.spark, path, vs[-1])
         fields = (man.get("_schema") or {}).get("fields", [])
-        return self.spark.createDataFrame(
+        return _local_df(
+            self.spark,
             [
                 (
                     name,
@@ -1201,7 +1205,8 @@ class SqlEngine:
             if dry:
                 # DRY RUN reports the expirable versions, touches
                 # nothing
-                return self.spark.createDataFrame(
+                return _local_df(
+            self.spark,
                     [(int(v),) for v in dropped], "version long"
                 )
             return None
@@ -1316,7 +1321,8 @@ class SqlEngine:
             )
 
             refs = list_refs(self.spark, self._path(m.group(1)))
-            return self.spark.createDataFrame(
+            return _local_df(
+            self.spark,
                 sorted(refs.items()),
                 StructType(
                     [
@@ -1332,7 +1338,8 @@ class SqlEngine:
                 StructType,
             )
 
-            return self.spark.createDataFrame(
+            return _local_df(
+            self.spark,
                 sorted(self.catalog.items()),
                 StructType(
                     [
@@ -1395,7 +1402,8 @@ class SqlEngine:
             )
 
             props = table_properties(self.spark, self._path(m.group(1)))
-            return self.spark.createDataFrame(
+            return _local_df(
+            self.spark,
                 sorted(props.items()),
                 StructType(
                     [

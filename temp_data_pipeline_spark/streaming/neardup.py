@@ -169,7 +169,9 @@ def neardup_ingest_batch(
         )
         pair_bands = b_side  # within-batch pairs obey the global cap too
     else:
-        cross_dup = spark.createDataFrame([], "doc_id long")
+        from temp_data_pipeline_spark.session import local_df
+
+        cross_dup = local_df(spark, [], "doc_id long")
         pair_bands = bands
 
     # 2) within-batch: drop any doc pairing with a lower id — the
